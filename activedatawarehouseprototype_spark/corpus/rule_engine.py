@@ -1,0 +1,308 @@
+"""Rule-engine corpus: the reference's query semantics (SURVEY §2.4-2.6)
+exercised over the ``events`` table, each with a DuckDB oracle.
+
+Window bucketing is done in epoch-millis integer math on both sides so
+the oracle is bit-exact:
+
+- tumbling start  = (tms // w) * w                      (Spark window(ts, w))
+- sliding starts  = multiples of s in (tms - w, tms]    (Spark window(ts, w, s))
+- per-event frame = RANGE BETWEEN w PRECEDING AND CURRENT ROW over tms,
+  inclusive both ends — parity with ``isStateValueInWindow``
+  (reference DynamicQueryFunction.java:277-280).
+
+Window bounds are emitted as epoch-millis BIGINT (not timestamps) to
+keep the hash comparison timezone-proof.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from activedatawarehouseprototype_spark.catalog import load
+from activedatawarehouseprototype_spark.corpus import register
+from activedatawarehouseprototype_spark.rules.compiler import evaluate_rule, evaluate_rules
+from activedatawarehouseprototype_spark.rules.model import Rule
+
+HOUR_MS = 3_600_000
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "events")
+
+
+def _project_eval(df: DataFrame, round_agg: int | None = 4) -> DataFrame:
+    """EVAL schema → oracle-friendly projection (epoch-ms bounds)."""
+    agg = F.col("agg_value")
+    if round_agg is not None:
+        agg = F.round(agg, round_agg)
+    return df.select(
+        "query_id",
+        "key",
+        F.unix_millis("window_start").alias("window_start_ms"),
+        F.unix_millis("window_end").alias("window_end_ms"),
+        agg.alias("agg_value"),
+        "fired",
+    )
+
+
+# --- W2 tumbling + AVG + filters + HAVING flag (the README congestion
+# query shape: AVG(speed) in a box over a window; README.md:102-132) ---
+
+RULE_TUMBLING_AVG = Rule.from_dict(
+    {
+        "queryId": 101,
+        "queryState": "ACTIVE",
+        "windowFilterRules": [
+            {"field": "event_type", "operator": "=", "value": "click"},
+            {"field": "value", "operator": ">", "value": "10"},
+        ],
+        "groupingKeyNames": ["user_id"],
+        "aggregateFieldName": "value",
+        "aggregatorFunctionType": "AVG",
+        "limitOperatorType": ">",
+        "limit": 100,
+        "windowMilliseconds": HOUR_MS,
+        "frequencyMilliseconds": None,  # freq null → W2 tumbling
+    }
+)
+
+
+@register(
+    "rule_tumbling_avg",
+    oracle=f"""
+WITH e AS (
+  SELECT * FROM events WHERE event_type = 'click' AND value > 10.0
+)
+SELECT CAST(101 AS BIGINT) AS query_id,
+       '{{user_id=' || CAST(user_id AS VARCHAR) || '}}' AS key,
+       (epoch_ms(ts) // {HOUR_MS}) * {HOUR_MS} AS window_start_ms,
+       (epoch_ms(ts) // {HOUR_MS}) * {HOUR_MS} + {HOUR_MS} AS window_end_ms,
+       ROUND(AVG(value), 4) AS agg_value,
+       AVG(value) > 100.0 AS fired
+FROM e
+GROUP BY user_id, window_start_ms
+""",
+)
+def rule_tumbling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _project_eval(evaluate_rule(_events(spark, sf_dir), RULE_TUMBLING_AVG))
+
+
+# --- W3 sliding + MAX (exact, no rounding needed) ---
+
+RULE_SLIDING_MAX = Rule.from_dict(
+    {
+        "queryId": 102,
+        "queryState": "ACTIVE",
+        "windowFilterRules": [{"field": "value", "operator": ">", "value": "5"}],
+        "groupingKeyNames": ["user_id"],
+        "aggregateFieldName": "value",
+        "aggregatorFunctionType": "MAX",
+        "limitOperatorType": ">=",
+        "limit": 150,
+        "windowMilliseconds": 2 * HOUR_MS,
+        "frequencyMilliseconds": HOUR_MS,  # 0 < f <= w → W3 sliding
+    }
+)
+
+
+@register(
+    "rule_sliding_max",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, value, epoch_ms(ts) AS tms
+  FROM events WHERE value > 5.0
+), win AS (
+  SELECT e.user_id, e.value, t.ws
+  FROM e, UNNEST(generate_series(
+      (e.tms - {2 * HOUR_MS}) // {HOUR_MS} * {HOUR_MS} + {HOUR_MS},
+      e.tms // {HOUR_MS} * {HOUR_MS},
+      {HOUR_MS})) AS t(ws)
+)
+SELECT CAST(102 AS BIGINT) AS query_id,
+       '{{user_id=' || CAST(user_id AS VARCHAR) || '}}' AS key,
+       ws AS window_start_ms,
+       ws + {2 * HOUR_MS} AS window_end_ms,
+       MAX(value) AS agg_value,
+       MAX(value) >= 150.0 AS fired
+FROM win
+GROUP BY user_id, ws
+""",
+)
+def rule_sliding_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _project_eval(
+        evaluate_rule(_events(spark, sf_dir), RULE_SLIDING_MAX), round_agg=None
+    )
+
+
+# --- W1 per-event slide + AVG over trailing [t-w, t] (the README
+# speeding query shape: AVG(speed) per carId, freq 0; README.md:71-100) ---
+
+RULE_PER_EVENT_AVG = Rule.from_dict(
+    {
+        "queryId": 103,
+        "queryState": "ACTIVE",
+        "windowFilterRules": [
+            {"field": "event_type", "operator": "=", "value": "purchase"}
+        ],
+        "groupingKeyNames": ["user_id"],
+        "aggregateFieldName": "value",
+        "aggregatorFunctionType": "AVG",
+        "limitOperatorType": ">",
+        "limit": 120,
+        "windowMilliseconds": HOUR_MS,
+        "frequencyMilliseconds": 0,  # freq 0 → W1 per-event
+    }
+)
+
+
+@register(
+    "rule_per_event_avg",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, value, epoch_ms(ts) AS tms
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT CAST(103 AS BIGINT) AS query_id,
+       '{{user_id=' || CAST(user_id AS VARCHAR) || '}}' AS key,
+       tms - {HOUR_MS} AS window_start_ms,
+       tms AS window_end_ms,
+       ROUND(AVG(value) OVER (
+           PARTITION BY user_id ORDER BY tms
+           RANGE BETWEEN {HOUR_MS} PRECEDING AND CURRENT ROW), 4) AS agg_value,
+       AVG(value) OVER (
+           PARTITION BY user_id ORDER BY tms
+           RANGE BETWEEN {HOUR_MS} PRECEDING AND CURRENT ROW) > 120.0 AS fired
+FROM e
+""",
+)
+def rule_per_event_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _project_eval(evaluate_rule(_events(spark, sf_dir), RULE_PER_EVENT_AVG))
+
+
+# --- W0 passthrough (window <= 0): per-event row, agg=0, fired=false
+# (reference DynamicQueryFunction.java:93-116) ---
+
+RULE_PASSTHROUGH = Rule.from_dict(
+    {
+        "queryId": 104,
+        "queryState": "ACTIVE",
+        "windowFilterRules": [
+            {"field": "event_type", "operator": "=", "value": "error"},
+            {"field": "value", "operator": ">=", "value": "100"},
+        ],
+        "groupingKeyNames": ["user_id"],
+        "aggregateFieldName": "value",
+        "aggregatorFunctionType": "MAX",
+        "limitOperatorType": ">",
+        "limit": 0,
+        "windowMilliseconds": 0,  # w <= 0 → W0 passthrough
+    }
+)
+
+
+@register(
+    "rule_passthrough",
+    oracle="""
+SELECT CAST(104 AS BIGINT) AS query_id,
+       '{user_id=' || CAST(user_id AS VARCHAR) || '}' AS key,
+       epoch_ms(ts) AS window_start_ms,
+       epoch_ms(ts) AS window_end_ms,
+       0.0 AS agg_value,
+       FALSE AS fired
+FROM events WHERE event_type = 'error' AND value >= 100.0
+""",
+)
+def rule_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _project_eval(
+        evaluate_rule(_events(spark, sf_dir), RULE_PASSTHROUGH), round_agg=None
+    )
+
+
+# --- COUNT sentinel (A5) + tumbling, composite two-column key (P4) ---
+
+RULE_COUNT_TUMBLING = Rule.from_dict(
+    {
+        "queryId": 105,
+        "queryState": "ACTIVE",
+        "windowFilterRules": [],
+        "groupingKeyNames": ["event_type", "user_id"],
+        "aggregateFieldName": "COUNT_FLINK",  # count sentinel
+        "aggregatorFunctionType": "SUM",
+        "limitOperatorType": ">=",
+        "limit": 3,
+        "windowMilliseconds": 6 * HOUR_MS,
+    }
+)
+
+
+@register(
+    "rule_count_tumbling",
+    oracle=f"""
+SELECT CAST(105 AS BIGINT) AS query_id,
+       '{{event_type=' || event_type || ';user_id=' || CAST(user_id AS VARCHAR) || '}}' AS key,
+       (epoch_ms(ts) // {6 * HOUR_MS}) * {6 * HOUR_MS} AS window_start_ms,
+       (epoch_ms(ts) // {6 * HOUR_MS}) * {6 * HOUR_MS} + {6 * HOUR_MS} AS window_end_ms,
+       CAST(COUNT(*) AS DOUBLE) AS agg_value,
+       COUNT(*) >= 3 AS fired
+FROM events
+GROUP BY event_type, user_id, window_start_ms
+""",
+)
+def rule_count_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _project_eval(
+        evaluate_rule(_events(spark, sf_dir), RULE_COUNT_TUMBLING), round_agg=None
+    )
+
+
+# --- N-rule union (evaluate_rules), alerts only (K1 main sink) ---
+
+
+@register(
+    "rule_union_alerts",
+    oracle=f"""
+WITH a AS (
+  SELECT CAST(101 AS BIGINT) AS query_id,
+         '{{user_id=' || CAST(user_id AS VARCHAR) || '}}' AS key,
+         (epoch_ms(ts) // {HOUR_MS}) * {HOUR_MS} AS window_start_ms,
+         (epoch_ms(ts) // {HOUR_MS}) * {HOUR_MS} + {HOUR_MS} AS window_end_ms,
+         ROUND(AVG(value), 4) AS agg_value,
+         AVG(value) > 100.0 AS fired
+  FROM events WHERE event_type = 'click' AND value > 10.0
+  GROUP BY user_id, window_start_ms
+), b AS (
+  SELECT CAST(105 AS BIGINT) AS query_id,
+         '{{event_type=' || event_type || ';user_id=' || CAST(user_id AS VARCHAR) || '}}' AS key,
+         (epoch_ms(ts) // {6 * HOUR_MS}) * {6 * HOUR_MS} AS window_start_ms,
+         (epoch_ms(ts) // {6 * HOUR_MS}) * {6 * HOUR_MS} + {6 * HOUR_MS} AS window_end_ms,
+         CAST(COUNT(*) AS DOUBLE) AS agg_value,
+         COUNT(*) >= 3 AS fired
+  FROM events
+  GROUP BY event_type, user_id, window_start_ms
+)
+SELECT * FROM a WHERE fired
+UNION ALL
+SELECT * FROM b WHERE fired
+""",
+)
+def rule_union_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = evaluate_rules(
+        _events(spark, sf_dir),
+        [RULE_TUMBLING_AVG, RULE_COUNT_TUMBLING],
+        fired_only=True,
+    )
+    # Round only the AVG rule's value (101); counts are exact.
+    rounded = df.withColumn(
+        "agg_value",
+        F.when(F.col("query_id") == 101, F.round("agg_value", 4)).otherwise(
+            F.col("agg_value")
+        ),
+    )
+    return rounded.select(
+        "query_id",
+        "key",
+        F.unix_millis("window_start").alias("window_start_ms"),
+        F.unix_millis("window_end").alias("window_end_ms"),
+        "agg_value",
+        "fired",
+    )

@@ -1,0 +1,84 @@
+"""Local mirror of the driver's DuckDB-oracle comparison.
+
+Runs a corpus query on Spark and its oracle SQL on DuckDB over the same
+parquet tables, then compares row count, column names, and
+order-insensitive values (floats to a tolerance). Every corpus entry
+must pass this before it ships.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+
+from activedatawarehouseprototype_spark.catalog import TABLES
+
+
+def run_oracle(sql: str, sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con.execute(sql).df()
+
+
+def _norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    return v
+
+
+def _sorted_rows(rows):
+    return sorted(rows, key=lambda r: tuple(str(c) for c in r))
+
+
+def compare(spark_df, oracle_pdf, float_tol: float = 1e-9) -> list[str]:
+    """Return a list of mismatch descriptions (empty = pass)."""
+    problems: list[str] = []
+    s_cols = sorted(spark_df.columns)
+    o_cols = sorted(oracle_pdf.columns)
+    if s_cols != o_cols:
+        return [f"column mismatch: spark={s_cols} oracle={o_cols}"]
+
+    s_rows = [
+        tuple(_norm_cell(row[c]) for c in s_cols) for row in spark_df.collect()
+    ]
+    o_raw = oracle_pdf[s_cols].itertuples(index=False, name=None)
+    o_rows = [tuple(_norm_cell(_to_py(c)) for c in r) for r in (tuple(t) for t in o_raw)]
+
+    if len(s_rows) != len(o_rows):
+        problems.append(f"row count: spark={len(s_rows)} oracle={len(o_rows)}")
+        return problems
+
+    for i, (sr, orow) in enumerate(zip(_sorted_rows(s_rows), _sorted_rows(o_rows))):
+        for c, (sv, ov) in zip(s_cols, zip(sr, orow)):
+            if isinstance(sv, float) and isinstance(ov, float):
+                if not math.isclose(sv, ov, rel_tol=float_tol, abs_tol=float_tol):
+                    problems.append(f"row {i} col {c}: spark={sv!r} oracle={ov!r}")
+            elif sv != ov:
+                problems.append(f"row {i} col {c}: spark={sv!r} oracle={ov!r}")
+            if len(problems) >= 5:
+                return problems
+    return problems
+
+
+def _to_py(v):
+    """numpy / pandas scalars → python scalars for stable comparison."""
+    import numpy as np
+    import pandas as pd
+
+    if isinstance(v, (np.integer,)):
+        return int(v)
+    if isinstance(v, (np.floating,)):
+        return float(v)
+    if isinstance(v, (np.bool_,)):
+        return bool(v)
+    if isinstance(v, pd.Timestamp):
+        return v.to_pydatetime()
+    return v
