@@ -36,3 +36,4 @@ def register(name: str, oracle: str | None = None):
 # Import for side effects: each module registers its queries.
 from activedatawarehouseprototype_spark.corpus import rule_engine  # noqa: E402,F401
 from activedatawarehouseprototype_spark.corpus import relational  # noqa: E402,F401
+from activedatawarehouseprototype_spark.corpus import scalar_fns  # noqa: E402,F401

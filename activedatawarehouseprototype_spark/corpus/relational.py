@@ -132,3 +132,298 @@ def topk_customers_by_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("total_spend").desc(), F.col("c_custkey").asc())
         .limit(10)
     )
+
+
+# --- Outer join + null-aware count: customers with zero orders keep a
+# row (COUNT(col) skips nulls on both engines) ---
+
+
+@register(
+    "join_left_order_counts",
+    oracle="""
+SELECT c.c_custkey,
+       c.c_mktsegment,
+       CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+       ROUND(COALESCE(SUM(o.o_totalprice), 0.0), 2) AS total_spend
+FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_custkey, c.c_mktsegment
+""",
+)
+def join_left_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
+                "total_spend"
+            ),
+        )
+    )
+
+
+# --- Semi / anti joins (EXISTS / NOT EXISTS) — no fact-side row
+# duplication, the scalable existence-check shape ---
+
+
+@register(
+    "join_semi_customers_with_open_orders",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+""",
+)
+def join_semi_customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_anti_customers_without_orders",
+    oracle="""
+SELECT c_custkey, c_acctbal
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_acctbal"
+    )
+
+
+# --- Set operations (distinct semantics on both engines) ---
+
+
+@register(
+    "setop_union_intersect_except",
+    oracle="""
+WITH hi_bal AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000),
+     building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+SELECT 'union' AS op, c_custkey FROM (SELECT * FROM hi_bal UNION SELECT * FROM building)
+UNION ALL
+SELECT 'intersect' AS op, c_custkey FROM (SELECT * FROM hi_bal INTERSECT SELECT * FROM building)
+UNION ALL
+SELECT 'except' AS op, c_custkey FROM (SELECT * FROM hi_bal EXCEPT SELECT * FROM building)
+""",
+)
+def setop_union_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    hi = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    return (
+        hi.union(building).distinct().select(F.lit("union").alias("op"), "c_custkey")
+        .unionByName(
+            hi.intersect(building).select(F.lit("intersect").alias("op"), "c_custkey")
+        )
+        .unionByName(
+            hi.exceptAll(building).distinct().select(
+                F.lit("except").alias("op"), "c_custkey"
+            )
+        )
+    )
+
+
+# --- Ranking window: top-3 orders per customer (row_number with a
+# deterministic tie-break) ---
+
+
+@register(
+    "window_top3_orders_per_customer",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn <= 3
+""",
+)
+def window_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+# --- Analytic window: lag/lead deltas along each customer's order
+# history ---
+
+
+@register(
+    "window_order_price_delta",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       ROUND(o_totalprice
+             - COALESCE(LAG(o_totalprice) OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey), o_totalprice),
+             2) AS price_delta,
+       CAST(RANK() OVER (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS order_seq
+FROM orders
+""",
+)
+def window_order_price_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.col("o_totalprice")
+            - F.coalesce(F.lag("o_totalprice").over(w), F.col("o_totalprice")),
+            2,
+        ).alias("price_delta"),
+        F.rank().over(w).cast("bigint").alias("order_seq"),
+    )
+
+
+# --- Rollup (grouping-sets family); null grouping keys surfaced via
+# COALESCE so both engines emit identical values ---
+
+
+@register(
+    "rollup_lineitem_qty",
+    oracle="""
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+""",
+)
+def rollup_lineitem_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n_rows",
+        )
+    )
+
+
+@register(
+    "cube_orders_status_priority",
+    oracle="""
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       ROUND(SUM(o_totalprice), 2) AS total,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+""",
+)
+def cube_orders_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "total",
+            "n",
+        )
+    )
+
+
+# --- Distinct aggregation ---
+
+
+@register(
+    "distinct_suppliers_per_flag",
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def distinct_suppliers_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# --- SQL front door: scalar + IN subqueries through spark.sql (the
+# reference has no SQL parser at all — SURVEY §2.8) ---
+
+
+@register(
+    "sql_subquery_above_avg_orders",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+  AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+""",
+)
+def sql_subquery_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+          AND o_custkey IN (SELECT c_custkey FROM customer
+                            WHERE c_mktsegment = 'BUILDING')
+        """
+    )
+
+
+# --- String aggregation (deterministic: distinct + sorted) ---
+
+
+@register(
+    "stringagg_statuses_per_flag",
+    oracle="""
+SELECT l_returnflag,
+       (SELECT string_agg(ls, ',' ORDER BY ls)
+        FROM (SELECT DISTINCT l2.l_linestatus AS ls FROM lineitem l2
+              WHERE l2.l_returnflag = l1.l_returnflag)) AS statuses
+FROM (SELECT DISTINCT l_returnflag FROM lineitem) l1
+""",
+)
+def stringagg_statuses_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.array_join(F.sort_array(F.collect_set("l_linestatus")), ",").alias(
+            "statuses"
+        )
+    )
