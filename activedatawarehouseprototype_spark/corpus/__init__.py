@@ -37,3 +37,4 @@ def register(name: str, oracle: str | None = None):
 from activedatawarehouseprototype_spark.corpus import rule_engine  # noqa: E402,F401
 from activedatawarehouseprototype_spark.corpus import relational  # noqa: E402,F401
 from activedatawarehouseprototype_spark.corpus import scalar_fns  # noqa: E402,F401
+from activedatawarehouseprototype_spark.corpus import extensions  # noqa: E402,F401

@@ -1,0 +1,382 @@
+"""LLM-data-pipeline corpus: dedup (exact / n-gram Jaccard /
+MinHash-LSH / SimHash), similarity search (brute-force + LSH-bucketed
+ANN, blocked pairwise cosine), text analysis, and multimodal byte
+plumbing — over the ``documents`` and ``embeddings`` tables.
+
+The fixture corpus has no natural duplicates, so the dedup queries
+plant deterministic ones INSIDE the query (a union of modified copies
+of every k-th document) identically on both engines — results are
+non-trivial and still oracle-checkable.
+
+``ann_lsh_bucket_topk`` and ``multimodal_byte_stats`` have no SQL
+oracle (LSH bucketing SQL would just re-state the Spark plan; DuckDB
+has no byte-histogram primitives) — the driver records rows-only
+checks for them; pytest covers their semantics instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from activedatawarehouseprototype_spark.catalog import load as _load
+from activedatawarehouseprototype_spark.corpus import register
+from activedatawarehouseprototype_spark.operators import dedup, multimodal, similarity
+from activedatawarehouseprototype_spark.operators import text as T
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _load(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _load(spark, sf_dir, "embeddings")
+
+
+# SQL snippets shared by the dedup oracles -------------------------------
+
+_CORPUS_EXACT = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 97 = 0
+"""
+
+_CORPUS_NEAR = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || ' zz9' AS text
+  FROM documents WHERE doc_id % 101 = 0
+"""
+
+_GRAMS = """
+  SELECT doc_id, unnest(list_distinct(
+           list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+             i -> string_split(text, ' ')[i] || ' ' ||
+                  string_split(text, ' ')[i+1] || ' ' ||
+                  string_split(text, ' ')[i+2]))) AS shingle
+  FROM corpus
+  WHERE len(string_split(text, ' ')) >= 3
+"""
+
+
+def _exact_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    planted = (
+        d.filter(F.col("doc_id") % 97 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    return d.unionByName(planted)
+
+
+def _near_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") % 101 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz9")).alias("text"),
+    )
+    return d.unionByName(planted)
+
+
+# --- Exact dedup: hash-groupBy on text ---
+
+
+@register(
+    "dedup_exact_text",
+    oracle=f"""
+WITH corpus AS ({_CORPUS_EXACT})
+SELECT CAST(MIN(doc_id) AS BIGINT) AS keeper_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM corpus GROUP BY text HAVING COUNT(*) > 1
+""",
+)
+def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(_exact_corpus(spark, sf_dir), "doc_id", "text").select(
+        "keeper_id", "n_copies"
+    )
+
+
+# --- Fingerprint dedup: case/punctuation-insensitive (normalize→md5);
+# planted copies are UPPERCASED with a trailing '.' and still collide ---
+
+
+@register(
+    "dedup_fingerprint",
+    oracle="""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, UPPER(text) || '.' AS text
+  FROM documents WHERE doc_id % 89 = 0
+), fp AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                 ' +', ' ', 'g'))) AS fingerprint
+  FROM corpus
+)
+SELECT fingerprint,
+       CAST(MIN(doc_id) AS BIGINT) AS keeper_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM fp GROUP BY fingerprint HAVING COUNT(*) > 1
+""",
+)
+def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") % 89 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.upper("text"), F.lit(".")).alias("text"),
+    )
+    corpus = d.unionByName(planted)
+    return (
+        corpus.select("doc_id", T.fingerprint(F.col("text")).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+# --- N-gram Jaccard near-dup pairs (inverted-index join, no all-pairs) ---
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH corpus AS ({_CORPUS_NEAR}),
+grams AS ({_GRAMS}),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM grams a JOIN grams b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY id_a, id_b
+)
+SELECT CAST(id_a AS BIGINT) AS id_a,
+       CAST(id_b AS BIGINT) AS id_b,
+       CAST(n_inter AS BIGINT) AS n_inter,
+       CAST(sa.n AS BIGINT) AS n_a,
+       CAST(sb.n AS BIGINT) AS n_b,
+       CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE) >= 0.6
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        _near_corpus(spark, sf_dir), "doc_id", "text", n=3, threshold=0.6
+    ).select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard")
+
+
+# --- MinHash + LSH candidate pairs (the 100 TB dedup path) ---
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+WITH corpus AS ({_CORPUS_NEAR}),
+grams AS ({_GRAMS}),
+mh AS (
+  SELECT doc_id, s.i AS hash_idx,
+         MIN(md5(CAST(s.i AS VARCHAR) || ':' || shingle)) AS minhash
+  FROM grams, UNNEST(generate_series(0, 11)) AS s(i)
+  GROUP BY doc_id, s.i
+),
+bands AS (
+  SELECT doc_id, hash_idx // 4 AS band,
+         md5(string_agg(minhash, ',' ORDER BY minhash)) AS band_sig
+  FROM mh GROUP BY doc_id, band
+)
+SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b
+FROM bands a
+JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+            AND a.doc_id < b.doc_id
+""",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.lsh_candidates(
+        _near_corpus(spark, sf_dir), "doc_id", "text", n=3, k=12, bands=3
+    )
+
+
+# --- SimHash-16 collision groups ---
+
+_SIMHASH_BITS_SQL = ",\n".join(
+    f"SUM(CASE WHEN substr(h, {j + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS s{j}"
+    for j in range(16)
+)
+_SIMHASH_SIG_SQL = " || ".join(
+    f"CASE WHEN s{j} > 0 THEN '1' ELSE '0' END" for j in range(16)
+)
+
+
+@register(
+    "dedup_simhash16",
+    oracle=f"""
+WITH corpus AS ({_CORPUS_EXACT}),
+toks AS (
+  SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM corpus
+),
+bits AS (
+  SELECT doc_id, {_SIMHASH_BITS_SQL}
+  FROM toks GROUP BY doc_id
+),
+sigs AS (SELECT doc_id, {_SIMHASH_SIG_SQL} AS simhash FROM bits)
+SELECT simhash,
+       CAST(MIN(doc_id) AS BIGINT) AS keeper_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM sigs GROUP BY simhash HAVING COUNT(*) > 1
+""",
+)
+def dedup_simhash16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = dedup.simhash16(_exact_corpus(spark, sf_dir), "doc_id", "text")
+    return (
+        sigs.groupBy("simhash")
+        .agg(F.min("sid").alias("keeper_id"), F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# --- Brute-force ANN: top-10 cosine neighbors of vec_id 0 ---
+
+
+@register(
+    "ann_topk_cosine",
+    oracle="""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q)), 6)
+           AS score
+FROM embeddings
+WHERE vec_id != 0
+ORDER BY score DESC, vec_id ASC
+LIMIT 10
+""",
+)
+def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    # Parameter fetch (1 row) — the query vector is an input, not data
+    # movement; at scale this is a broadcast of the query matrix.
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    return similarity.topk_brute_force(emb, qv, k=10, exclude_id=0)
+
+
+# --- Blocked pairwise cosine histogram (IVF-style: pairs never cross
+# the blocking key) ---
+
+
+@register(
+    "emb_blocked_cosine_hist",
+    oracle="""
+SELECT a.label AS label,
+       CAST(FLOOR(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) * 20) AS INT)
+           AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM embeddings a
+JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+GROUP BY a.label, bucket
+""",
+)
+def emb_blocked_cosine_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = similarity.blocked_pairs_cosine(_emb(spark, sf_dir), "label")
+    return pairs.groupBy(
+        F.col("blk").alias("label"),
+        F.floor(F.col("cos") * 20).cast("int").alias("bucket"),
+    ).agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+# --- Text analysis: per-doc stats (pure codegen expressions) ---
+
+_SW_SQL = "('" + "','".join(T.EN_STOPWORDS) + "')"
+
+
+@register(
+    "text_stats",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS token_count,
+       CAST(length(replace(text, ' ', '')) AS DOUBLE)
+           / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_token_len,
+       CAST(len(list_filter(string_split(text, ' '), t -> t IN {_SW_SQL})) AS DOUBLE)
+           / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio,
+       LEAST(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0) * 0.4
+         + (1.0 - ABS(CAST(len(list_filter(string_split(text, ' '), t -> t IN {_SW_SQL})) AS DOUBLE)
+                      / CAST(len(string_split(text, ' ')) AS DOUBLE) - 0.4)) * 0.3
+         + LEAST(1.0, CAST(n_chars AS DOUBLE) / 500.0) * 0.3 AS quality
+FROM documents
+""",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        T.token_count(t).alias("token_count"),
+        T.mean_token_len(t).alias("mean_token_len"),
+        T.stopword_ratio(t).alias("stopword_ratio"),
+        T.quality_score(t, F.col("n_chars")).alias("quality"),
+    )
+
+
+# --- Language-ID heuristic vs the fixture's lang label (confusion counts) ---
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+SELECT lang,
+       CASE WHEN CAST(len(list_filter(string_split(text, ' '), t -> t IN {_SW_SQL})) AS DOUBLE)
+                 / CAST(len(string_split(text, ' ')) AS DOUBLE) > 0.08
+            THEN 'en' ELSE 'und' END AS lang_guess,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM documents
+GROUP BY lang, lang_guess
+""",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.groupBy(
+        "lang", T.lang_id(F.col("text")).alias("lang_guess")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+# --- LSH-bucketed ANN (scale path; rows-only: bucketing SQL would
+# restate the plan rather than independently check it) ---
+
+
+@register("ann_lsh_bucket_topk")
+def ann_lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    bucketed = emb.withColumn(
+        "bucket", similarity.random_hyperplane_bucket(F.col("embedding"))
+    )
+    q = bucketed.filter(F.col("vec_id") == 0).select(
+        F.col("bucket").alias("qbucket"),
+        similarity.as_double_array(F.col("embedding")).alias("qv"),
+    )
+    cands = bucketed.join(
+        F.broadcast(q), F.col("bucket") == F.col("qbucket")
+    ).filter(F.col("vec_id") != 0)
+    scored = cands.select(
+        "vec_id",
+        "bucket",
+        F.round(
+            similarity.cosine(
+                similarity.as_double_array(F.col("embedding")), F.col("qv")
+            ),
+            6,
+        ).alias("score"),
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("vec_id").asc()).limit(5)
+
+
+# --- Multimodal plumbing (rows-only: real byte stats via mapInPandas) ---
+
+
+@register("multimodal_byte_stats")
+def multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") % 10 == 0)
+    blobs = multimodal.attach_blobs(d)
+    return multimodal.byte_stats(blobs)

@@ -1,0 +1,176 @@
+"""Deduplication operators for large-scale corpora.
+
+Four families, all shuffle-friendly (no all-pairs comparison, no
+driver-side state), each with an exact SQL twin in the corpus:
+
+- ``exact_dedup``: hash-groupBy on the text (or fingerprint) — one
+  shuffle, keeper = min id.
+- ``ngram_jaccard_pairs``: inverted-index join on word n-gram shingles
+  → per-pair intersection counts → Jaccard. Candidate generation is
+  |shingle| bounded, never |docs|².
+- ``minhash_signatures`` / ``lsh_candidates``: MinHash over shingles
+  (k independent hash functions realized as md5(seed:shingle), min by
+  lexicographic order — engine-portable, no integer-hash parity
+  issues), banded into LSH buckets; candidate pairs share a band.
+  This is the 100 TB path: cost is linear in corpus size + bucket
+  collisions.
+- ``simhash16``: 16-bit SimHash from per-token md5 bits (hex char >=
+  '8' ⇔ high bit); near-dups collide on the signature.
+
+At 100 TB: shingle explosion is the dominant shuffle; salt hot
+shingles (stopword-only trigrams) or drop shingles with document
+frequency above a cap — both are single extra filters on the exploded
+relation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from activedatawarehouseprototype_spark.operators.text import word_ngrams
+
+
+def exact_dedup(df: DataFrame, id_col: str, key_col: str) -> DataFrame:
+    """Exact duplicate groups: key → keeper (min id), copy count.
+    One hash shuffle on the key; at scale pre-hash long texts to
+    md5(text) so the shuffle key is 16 bytes, not the document."""
+    return (
+        df.groupBy(F.col(key_col).alias("dup_key"))
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) with distinct word n-grams per document."""
+    return (
+        df.select(F.col(id_col).alias("sid"), word_ngrams(text_col, n).alias("grams"))
+        .select("sid", F.explode(F.array_distinct("grams")).alias("shingle"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs by word-n-gram Jaccard >= threshold.
+
+    Plan: explode distinct shingles → self-equi-join on shingle (the
+    inverted index) → groupBy (a, b) count = |A ∩ B| → join per-doc
+    shingle counts → Jaccard = inter / (|A| + |B| - inter).
+    """
+    sh = shingle_table(df, id_col, text_col, n)
+    sizes = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.sid") < F.col("b.sid")))
+        .groupBy(F.col("a.sid").alias("id_a"), F.col("b.sid").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("sid").alias("id_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("sid").alias("id_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = 12
+) -> DataFrame:
+    """(id, hash_idx, minhash): MinHash signature rows.
+
+    Hash function family: h_i(shingle) = md5('<i>:' || shingle),
+    minimized lexicographically — identical strings on every engine,
+    which is why the oracle can verify it. k aggregations happen in
+    ONE shuffle (explode seeds × shingles, groupBy id+seed)."""
+    sh = shingle_table(df, id_col, text_col, n)
+    seeds = F.array(*[F.lit(i) for i in range(k)])
+    return (
+        sh.select("sid", "shingle", F.explode(seeds).alias("hash_idx"))
+        .select(
+            "sid",
+            "hash_idx",
+            F.md5(
+                F.concat(F.col("hash_idx").cast("string"), F.lit(":"), F.col("shingle")).cast(
+                    "binary"
+                )
+            ).alias("h"),
+        )
+        .groupBy("sid", "hash_idx")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 12,
+    bands: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing at least one LSH band
+    (band signature = md5 of the band's concatenated minhashes).
+    rows_per_band = k / bands controls the similarity knee."""
+    rows_per_band = k // bands
+    sig = minhash_signatures(df, id_col, text_col, n, k)
+    banded = (
+        sig.withColumn("band", (F.col("hash_idx") / rows_per_band).cast("int"))
+        .groupBy("sid", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(",", F.array_sort(F.collect_list("minhash"))).cast("binary")
+            ).alias("band_sig")
+        )
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.sid") < F.col("b.sid")),
+        )
+        .select(F.col("a.sid").alias("id_a"), F.col("b.sid").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """16-bit SimHash per document from per-token md5 bits.
+
+    bit_j(token) = +1 if md5(token)[j] >= '8' else -1 (hex chars sort
+    after digits, so the comparison IS the high-bit test); signature
+    bit j = 1 iff the sum over tokens > 0. Identical semantics in SQL."""
+    toks = df.select(
+        F.col(id_col).alias("sid"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).withColumn("h", F.md5(F.col("tok").cast("binary")))
+    bit_cols = [
+        F.sum(
+            F.when(F.substring("h", j + 1, 1) >= "8", 1).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(16)
+    ]
+    summed = toks.groupBy("sid").agg(*bit_cols)
+    sig = F.concat(
+        *[F.when(F.col(f"s{j}") > 0, "1").otherwise("0") for j in range(16)]
+    )
+    return summed.select("sid", sig.alias("simhash"))

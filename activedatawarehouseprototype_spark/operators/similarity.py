@@ -1,0 +1,118 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine``: pure Column expression (zip_with + aggregate fold —
+  JVM-side, no UDF, sequential summation so the SQL twin matches).
+- ``topk_brute_force``: query vector vs all rows; global top-k via
+  TakeOrderedAndProject (no full sort materialization).
+- ``random_hyperplane_bucket``: deterministic sign-LSH bucketing (the
+  scale path: restrict candidate set to one bucket / multi-probe
+  neighbors instead of scanning all vectors).
+- ``blocked_pairs_cosine``: all-pairs cosine within a blocking key
+  (label / IVF cell) — the pairwise join never crosses blocks.
+
+At 100 TB: brute force is a full scan per query — fine for batch
+scoring many queries at once (one broadcast of the query matrix),
+wrong for point lookups; there the LSH/IVF bucket prunes the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def as_double_array(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product — deterministic order."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def topk_brute_force(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Top-k by cosine vs a literal query vector. Score rounded to 6
+    so ordering/selection is engine-stable; ties broken by id."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = df.select(
+        F.col(id_col),
+        F.round(cosine(as_double_array(F.col(vec_col)), q), 6).alias("score"),
+    )
+    if exclude_id is not None:
+        scored = scored.filter(F.col(id_col) != exclude_id)
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def random_hyperplane_bucket(
+    vec_col: Column, n_planes: int = 8, dim: int = 64
+) -> Column:
+    """Sign-LSH bucket string. Plane p's direction over dimension d is
+    a deterministic ±1 derived from md5('p:d') (hex char >= '8' ⇔ +1),
+    so buckets are reproducible across engines and runs — no stored
+    model needed. bucket[p] = 1 iff Σ_d v[d]·sign(p,d) > 0."""
+    v = as_double_array(vec_col)
+
+    def plane_sum(p: int):
+        def step(acc, d):
+            sign = F.when(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{p}:"), d.cast("string")).cast("binary")),
+                    1,
+                    1,
+                )
+                >= "8",
+                1.0,
+            ).otherwise(-1.0)
+            return acc + F.element_at(v, d) * sign
+
+        return F.aggregate(F.sequence(F.lit(1), F.lit(dim)), F.lit(0.0), step)
+
+    bits = [
+        F.when(plane_sum(p) > 0, "1").otherwise("0") for p in range(n_planes)
+    ]
+    return F.concat(*bits)
+
+
+def blocked_pairs_cosine(
+    df: DataFrame,
+    block_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_a, id_b, cos) for all pairs sharing a blocking key.
+    The join key is the block — shuffle is by block, pairs never
+    cross blocks (IVF-style candidate restriction)."""
+    lhs = df.select(
+        F.col(block_col).alias("blk"),
+        F.col(id_col).alias("id_a"),
+        as_double_array(F.col(vec_col)).alias("va"),
+    )
+    rhs = df.select(
+        F.col(block_col).alias("blk"),
+        F.col(id_col).alias("id_b"),
+        as_double_array(F.col(vec_col)).alias("vb"),
+    )
+    return (
+        lhs.join(rhs, ["blk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("blk", "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos"))
+    )

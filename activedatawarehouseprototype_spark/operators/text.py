@@ -1,0 +1,103 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+tokenization, token stats, stopword-based language ID, quality scoring,
+and document fingerprinting.
+
+All pure Column expressions (whole-stage codegen, no Python UDFs) so
+they run JVM-side at 100 TB scale; each has an exact SQL twin for the
+DuckDB oracle. Tokenization is single-space split — the fixtures are
+space-joined tokens — with a regex variant for real text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# A small English stopword list (public knowledge). Deliberately tiny
+# and frozen: it is part of the operator contract with the SQL oracle.
+EN_STOPWORDS = (
+    "the",
+    "a",
+    "of",
+    "and",
+    "to",
+    "in",
+    "is",
+    "it",
+    "for",
+    "on",
+)
+
+
+def tokens(text: Column) -> Column:
+    """Split on single spaces (fixture contract)."""
+    return F.split(text, " ")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("bigint")
+
+
+def stopword_count(text: Column, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    return F.size(F.filter(tokens(text), lambda t: t.isin(*stopwords))).cast("bigint")
+
+
+def mean_token_len(text: Column) -> Column:
+    """Average token length = non-space chars / token count (exact
+    IEEE division, identical in the SQL twin)."""
+    return F.length(F.replace(text, F.lit(" "), F.lit(""))).cast(
+        "double"
+    ) / token_count(text).cast("double")
+
+
+def stopword_ratio(text: Column) -> Column:
+    return stopword_count(text).cast("double") / token_count(text).cast("double")
+
+
+def quality_score(text: Column, n_chars: Column) -> Column:
+    """Composite quality heuristic in [0, 1]: length credit + stopword
+    naturalness + raw size credit. The formula is the contract; the SQL
+    twin repeats it verbatim."""
+    tc = token_count(text).cast("double")
+    swr = stopword_ratio(text)
+    return (
+        F.least(F.lit(1.0), tc / F.lit(50.0)) * 0.4
+        + (F.lit(1.0) - F.abs(swr - F.lit(0.4))) * 0.3
+        + F.least(F.lit(1.0), n_chars.cast("double") / F.lit(500.0)) * 0.3
+    )
+
+
+def lang_id(text: Column, threshold: float = 0.08) -> Column:
+    """Stopword-ratio language heuristic: 'en' when the English
+    stopword ratio clears the threshold, else 'und' (undetermined).
+    N-gram profiles would slot in the same shape for more languages."""
+    return F.when(stopword_ratio(text) > threshold, "en").otherwise("und")
+
+
+def normalize(text: Column) -> Column:
+    """Lowercase, strip non-alphanumerics, collapse runs of spaces —
+    the canonical form for fingerprinting."""
+    t = F.lower(text)
+    t = F.regexp_replace(t, "[^a-z0-9 ]", "")
+    t = F.regexp_replace(t, " +", " ")
+    return F.trim(t)
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint = md5 of the normalized text.
+    (The rolling/winnowing variant for partial-overlap detection lives
+    in dedup.shingles + minhash.)"""
+    return F.md5(normalize(text).cast("binary"))
+
+
+def word_ngrams(text_col: str, n: int = 3) -> Column:
+    """Word n-gram shingles as an array<string> (basis for Jaccard /
+    MinHash dedup). Pure SQL expression over a named column — no UDF,
+    so it stays inside codegen at any scale."""
+    toks = f"split({text_col}, ' ')"
+    joined = ", ".join(f"{toks}[i + {j}]" for j in range(n))
+    return F.expr(
+        f"CASE WHEN size({toks}) < {n} THEN array() "
+        f"ELSE transform(sequence(0, size({toks}) - {n}), "
+        f"i -> concat_ws(' ', {joined})) END"
+    )

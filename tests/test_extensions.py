@@ -1,0 +1,155 @@
+"""Semantic tests for dedup / similarity / text / multimodal operators
+(beyond oracle equality): do they actually find what they claim to?"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from activedatawarehouseprototype_spark.catalog import load
+from activedatawarehouseprototype_spark.operators import dedup, multimodal, similarity
+from activedatawarehouseprototype_spark.operators import text as T
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load(spark, SF, "documents")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load(spark, SF, "embeddings")
+
+
+def _near_corpus(docs, mod=50):
+    planted = docs.filter(F.col("doc_id") % mod == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz9")).alias("text"),
+    )
+    return docs.select("doc_id", "text").unionByName(planted), [
+        r.doc_id for r in docs.filter(F.col("doc_id") % mod == 0).select("doc_id").collect()
+    ]
+
+
+def test_ngram_jaccard_finds_planted_neardups(spark, docs):
+    corpus, planted_ids = _near_corpus(docs)
+    pairs = dedup.ngram_jaccard_pairs(corpus, "doc_id", "text", threshold=0.6)
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    for pid in planted_ids:
+        assert (pid, pid + 1000000) in found, f"planted pair for doc {pid} missed"
+
+
+def test_lsh_candidates_recall_on_planted(spark, docs):
+    corpus, planted_ids = _near_corpus(docs)
+    cands = {(r.id_a, r.id_b) for r in dedup.lsh_candidates(corpus, "doc_id", "text").collect()}
+    # A near-dup differing by one trailing token shares almost all
+    # shingles → with 3 bands of 4 at least one band should match for
+    # the vast majority of planted pairs.
+    hit = sum((pid, pid + 1000000) in cands for pid in planted_ids)
+    assert hit >= len(planted_ids) * 0.7, f"LSH recall too low: {hit}/{len(planted_ids)}"
+
+
+def test_simhash_collides_exact_dups(spark, docs):
+    planted = docs.limit(5).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    corpus = docs.select("doc_id", "text").unionByName(planted)
+    sigs = dedup.simhash16(corpus, "doc_id", "text")
+    dup_groups = (
+        sigs.groupBy("simhash").agg(F.count(F.lit(1)).alias("n")).filter("n > 1").count()
+    )
+    assert dup_groups >= 1
+
+
+def test_ann_lsh_scores_subset_of_brute_force(spark, emb):
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    brute = similarity.topk_brute_force(emb, qv, k=100, exclude_id=0)
+    brute_scores = {r.vec_id: r.score for r in brute.collect()}
+
+    bucketed = emb.withColumn(
+        "bucket", similarity.random_hyperplane_bucket(F.col("embedding"))
+    )
+    qb = bucketed.filter(F.col("vec_id") == 0).head()["bucket"]
+    assert len(qb) == 8 and set(qb) <= {"0", "1"}
+    in_bucket = bucketed.filter((F.col("bucket") == qb) & (F.col("vec_id") != 0))
+    scored = in_bucket.select(
+        "vec_id",
+        F.round(
+            similarity.cosine(
+                similarity.as_double_array(F.col("embedding")),
+                F.array(*[F.lit(x) for x in qv]),
+            ),
+            6,
+        ).alias("score"),
+    ).collect()
+    # Same-bucket vectors should skew similar: their mean cosine should
+    # beat the global candidate mean (sanity of the hyperplane hash).
+    if scored:
+        bucket_mean = sum(r.score for r in scored) / len(scored)
+        global_mean = sum(brute_scores.values()) / len(brute_scores)
+        assert bucket_mean >= global_mean - 0.05
+
+
+def test_cosine_matches_python(spark, emb):
+    rows = emb.filter(F.col("vec_id").isin(1, 2)).collect()
+    v1 = [float(x) for x in rows[0]["embedding"]]
+    v2 = [float(x) for x in rows[1]["embedding"]]
+    expected = sum(a * b for a, b in zip(v1, v2)) / (
+        math.sqrt(sum(a * a for a in v1)) * math.sqrt(sum(b * b for b in v2))
+    )
+    got = (
+        emb.filter(F.col("vec_id") == rows[0]["vec_id"])
+        .select(
+            similarity.cosine(
+                similarity.as_double_array(F.col("embedding")),
+                F.array(*[F.lit(x) for x in v2]),
+            ).alias("c")
+        )
+        .head()["c"]
+    )
+    assert abs(got - expected) < 1e-9
+
+
+def test_multimodal_byte_stats_deterministic(spark, docs):
+    one = docs.filter(F.col("doc_id") == 0)
+    out = multimodal.byte_stats(multimodal.attach_blobs(one)).head()
+    text = one.head()["text"]
+    blob = hashlib.md5(text.encode()).digest()
+    assert out["blob_len"] == 16
+    assert abs(out["byte_mean"] - sum(blob) / len(blob)) < 1e-9
+    counts: dict[int, int] = {}
+    for x in blob:
+        counts[x] = counts.get(x, 0) + 1
+    ent = -sum((c / 16) * math.log2(c / 16) for c in counts.values())
+    assert abs(out["byte_entropy"] - ent) < 1e-9
+
+
+def test_decode_image_is_stub(spark, docs):
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(multimodal.attach_blobs(docs.limit(1)))
+
+
+def test_text_helpers(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "alpha beta gamma delta")],
+        "id long, text string",
+    )
+    out = {
+        r.id: r
+        for r in df.select(
+            "id",
+            T.token_count(F.col("text")).alias("tc"),
+            T.stopword_count(F.col("text")).alias("sw"),
+            T.lang_id(F.col("text")).alias("lang"),
+            T.fingerprint(F.col("text")).alias("fp"),
+        ).collect()
+    }
+    assert out[1].tc == 6 and out[1].sw == 3 and out[1].lang == "en"
+    assert out[2].sw == 0 and out[2].lang == "und"
+    expected_fp = hashlib.md5(b"the cat sat on the mat").hexdigest()
+    assert out[1].fp == expected_fp
