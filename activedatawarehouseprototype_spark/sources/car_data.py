@@ -1,0 +1,97 @@
+"""Telemetry sources: the reference's Shanghai-taxi wire format (P1/S2)
+and a deterministic synthetic generator (S4/S5), Spark-first.
+
+Wire format (``source/CarDataFromFiles.java:41``, parsed in
+``source/CarDataParser.java:22-55``): 16 pipe-delimited fields —
+col 0 carId, col 9 event time ``yyyy-MM-dd HH:mm:ss`` (+8h zone
+offset applied at parse), cols 10-13 lon/lat/speed/angle. Dirty rows
+whose event date is 2010-01-01 / 2016-08-01 / 2016-08-02 are dropped
+(``CarDataFromFiles.java:47-49``).
+
+Batch and streaming use the same parser: ``spark.read.text`` /
+``spark.readStream.text`` then ``parse_car_lines``. The reference's
+13k-rows/s throttle (``:63-68``) maps to ``maxFilesPerTrigger`` /
+``rate`` sources — pacing is the trigger's job in Spark, not the
+parser's.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DIRTY_DATES = ("2010-01-01", "2016-08-01", "2016-08-02")
+
+CAR_SCHEMA = (
+    "carId int, eventTime timestamp, processTime timestamp, "
+    "lon float, lat float, speed float, angle float"
+)
+
+
+def parse_car_lines(lines: DataFrame, value_col: str = "value") -> DataFrame:
+    """Pipe-delimited line → SHCarRide-shaped row (P1). Pure column
+    expressions; malformed rows (wrong arity / unparseable numbers)
+    yield nulls and are dropped, like the flatMap-with-catch in
+    ``source/ShCarDataDeserializer.java:22-27``."""
+    c = F.split(F.col(value_col), r"\|")
+    parsed = lines.select(
+        F.element_at(c, 1).cast("int").alias("carId"),
+        # +8h offset parity with CarDataParser.java:34-41 (naive local
+        # time stamped in UTC+8, normalized to UTC).
+        (
+            F.to_timestamp(F.element_at(c, 10), "yyyy-MM-dd HH:mm:ss")
+            - F.expr("INTERVAL 8 HOURS")
+        ).alias("eventTime"),
+        F.current_timestamp().alias("processTime"),
+        F.element_at(c, 11).cast("float").alias("lon"),
+        F.element_at(c, 12).cast("float").alias("lat"),
+        F.element_at(c, 13).cast("float").alias("speed"),
+        F.element_at(c, 14).cast("float").alias("angle"),
+        F.size(c).alias("_n"),
+    )
+    cleaned = (
+        parsed.filter(F.col("_n") >= 14)
+        .filter(F.col("carId").isNotNull() & F.col("eventTime").isNotNull())
+        # F3 dirty-date filter (CarDataFromFiles.java:47-49) — applied
+        # on the pre-offset date like the reference (string prefix).
+        .filter(
+            ~F.date_format(
+                F.col("eventTime") + F.expr("INTERVAL 8 HOURS"), "yyyy-MM-dd"
+            ).isin(*DIRTY_DATES)
+        )
+        .drop("_n")
+    )
+    return cleaned
+
+
+def read_car_files(spark: SparkSession, path: str) -> DataFrame:
+    """S2 batch analogue."""
+    return parse_car_lines(spark.read.text(path))
+
+
+def stream_car_files(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = 1
+) -> DataFrame:
+    """S2 streaming analogue; throttling via maxFilesPerTrigger."""
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return parse_car_lines(reader.load(path))
+
+
+def synthetic_car_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
+    """S4 analogue: rate source + deterministic column expressions
+    seeded by ``value`` (no Python generator thread)."""
+    rate = spark.readStream.format("rate").option(
+        "rowsPerSecond", rows_per_second
+    ).load()
+    v = F.col("value")
+    return rate.select(
+        (v % 50).cast("int").alias("carId"),
+        F.col("timestamp").alias("eventTime"),
+        F.col("timestamp").alias("processTime"),
+        (F.lit(121.0) + (v % 1000).cast("double") / 2000.0).cast("float").alias("lon"),
+        (F.lit(31.0) + (v % 700).cast("double") / 1400.0).cast("float").alias("lat"),
+        ((v * 7 % 160)).cast("float").alias("speed"),
+        ((v * 13 % 360)).cast("float").alias("angle"),
+    )

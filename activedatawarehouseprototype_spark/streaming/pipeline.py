@@ -1,0 +1,196 @@
+"""The active-warehouse pipeline: evaluate the standing rule-queries
+over an event stream micro-batch by micro-batch, emit evaluations +
+alerts, and close the ECA loop through the rule registry.
+
+Reference topology (SURVEY §3.2): events → DynamicKeyFunction (filter,
+fan-out, key) → shuffle → DynamicQueryFunction (buffer, window, agg,
+threshold) → alerts + spawned rules. Here each ``foreachBatch``:
+
+1. TTL-sweep the registry (F4/C3).
+2. Maintain the shared event buffer — the Spark analogue of the
+   reference's per-key ``MapState`` buffer with widest-window eviction
+   (DynamicQueryFunction.java:42-51,243-266): a parquet-backed table
+   pruned to ``max_event_ts - widest_active_window``.
+3. Compile + evaluate every ACTIVE rule over the buffer
+   (rules.compiler — one declarative plan per rule, Catalyst optimizes).
+4. Emit evaluation rows (K2 demo stream) and fired alerts (K1), both
+   filtered to NEW results via a per-rule high-watermark on window_end
+   (append semantics: each window emits once, when complete-so-far;
+   late data below the watermark is dropped — the documented
+   event-time upgrade over the reference's wall-clock timers).
+5. ECA: fired rows of rules with child templates spawn instantiated
+   children into the registry (C5-C7) — visible next micro-batch.
+
+Scale notes: the driver touches only rules and fired keys (control
+plane). Events flow scan → per-rule filtered agg; the buffer is
+columnar parquet, partition-prunable by ts; at cluster scale the
+buffer table becomes Delta/Iceberg with retention, same code shape.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import time
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from activedatawarehouseprototype_spark.rules.compiler import evaluate_rule
+from activedatawarehouseprototype_spark.rules.model import Rule
+from activedatawarehouseprototype_spark.rules.snowflake import SnowflakeIdWorker
+from activedatawarehouseprototype_spark.streaming.eca import (
+    SpawnThrottle,
+    instantiate_child,
+    parse_composite_key,
+)
+from activedatawarehouseprototype_spark.streaming.registry import RuleRegistry
+
+
+def _now_ms() -> int:
+    return time.time_ns() // 1_000_000
+
+
+@dataclass
+class ActivePipeline:
+    spark: SparkSession
+    registry: RuleRegistry
+    ts_col: str = "ts"
+    work_dir: str | None = None
+    throttle: SpawnThrottle = dc_field(default_factory=SpawnThrottle)
+    id_worker: SnowflakeIdWorker = dc_field(default_factory=SnowflakeIdWorker)
+    # per-rule emission high-watermark: query_id -> max emitted window_end (ms)
+    _emitted_wm: dict[int, int] = dc_field(default_factory=dict)
+    _has_buffer: bool = False
+    _batch_count: int = 0
+
+    def __post_init__(self) -> None:
+        if self.work_dir is None:
+            self.work_dir = tempfile.mkdtemp(prefix="adw-pipeline-")
+        os.makedirs(self.alerts_path, exist_ok=True)
+
+    # -- paths ---------------------------------------------------------------
+
+    @property
+    def buffer_path(self) -> str:
+        return os.path.join(self.work_dir, "event_buffer")
+
+    @property
+    def alerts_path(self) -> str:
+        return os.path.join(self.work_dir, "alerts")
+
+    @property
+    def evals_path(self) -> str:
+        return os.path.join(self.work_dir, "evaluations")
+
+    # -- main entry: one micro-batch ------------------------------------------
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        now = _now_ms()
+        self._batch_count += 1
+
+        # (1) rule lifecycle
+        self.registry.sweep_expired(now)
+        if self.registry.clear_state_requested:
+            self._clear_buffer()
+            self.registry.clear_state_requested = False
+
+        # (2) shared event buffer with widest-window retention
+        buffer = self._update_buffer(batch_df)
+
+        active = self.registry.active()
+        if not active:
+            return
+
+        # (3)+(4) evaluate every active rule over the buffer; emit only
+        # window_ends beyond the per-rule watermark. Evaluations and
+        # alerts are written distributed — only FIRED rows (the ECA
+        # control plane) are collected to the driver.
+        for rule in active:
+            evals = evaluate_rule(buffer, rule, ts_col=self.ts_col)
+            wm = self._emitted_wm.get(rule.query_id)
+            if wm is not None:
+                evals = evals.filter(F.unix_millis("window_end") > wm)
+            evals.persist()
+            try:
+                evals.write.mode("append").parquet(self.evals_path)
+                max_end = evals.agg(F.max(F.unix_millis("window_end"))).head()[0]
+                fired = evals.filter("fired")
+                fired.write.mode("append").parquet(self.alerts_path + "/data")
+                fired_rows = fired.collect() if rule.alert_rules else []
+            finally:
+                evals.unpersist()
+            if max_end is not None:
+                self._emitted_wm[rule.query_id] = max(
+                    self._emitted_wm.get(rule.query_id, 0), int(max_end)
+                )
+            # (5) ECA spawning (C5-C7)
+            for row in fired_rows:
+                key_values = parse_composite_key(row.key)
+                for template in rule.alert_rules:
+                    if not self.throttle.allow(template.query_id, row.key):
+                        continue
+                    child = instantiate_child(
+                        template, key_values, rule.query_id, now, self.id_worker
+                    )
+                    self.registry.apply(child, now)
+
+    # -- buffer management ------------------------------------------------------
+
+    def _update_buffer(self, batch_df: DataFrame) -> DataFrame:
+        widest = self.registry.widest_window_ms()
+        if self._has_buffer:
+            combined = self.spark.read.parquet(self.buffer_path).unionByName(batch_df)
+        else:
+            combined = batch_df
+        if widest > 0:
+            max_ts = combined.agg(F.max(F.unix_millis(self.ts_col))).head()[0]
+            if max_ts is not None:
+                combined = combined.filter(
+                    F.unix_millis(self.ts_col) >= max_ts - widest
+                )
+        staging = self.buffer_path + ".next"
+        combined.write.mode("overwrite").parquet(staging)
+        if os.path.exists(self.buffer_path):
+            shutil.rmtree(self.buffer_path)
+        os.replace(staging, self.buffer_path)
+        self._has_buffer = True
+        return self.spark.read.parquet(self.buffer_path)
+
+    def _clear_buffer(self) -> None:
+        if os.path.exists(self.buffer_path):
+            shutil.rmtree(self.buffer_path)
+        self._has_buffer = False
+        self._emitted_wm.clear()
+
+    # -- sinks ------------------------------------------------------------------
+
+    def alerts(self) -> DataFrame:
+        try:
+            return self.spark.read.parquet(self.alerts_path + "/data")
+        except Exception:
+            return self.spark.createDataFrame(
+                [], "query_id long, key string, window_start timestamp, "
+                "window_end timestamp, agg_value double, fired boolean"
+            )
+
+    def evaluations(self) -> DataFrame:
+        try:
+            return self.spark.read.parquet(self.evals_path)
+        except Exception:
+            return self.alerts().limit(0)
+
+    # -- streaming attach ---------------------------------------------------------
+
+    def run_stream(self, events_stream: DataFrame, trigger_available_now: bool = True):
+        """Attach to a streaming DataFrame via foreachBatch (S2/S3
+        analogue: the driver re-reads rules each batch, so rules can be
+        registered mid-stream)."""
+        writer = events_stream.writeStream.foreachBatch(
+            lambda df, bid: self.process_batch(df, bid)
+        ).option("checkpointLocation", os.path.join(self.work_dir, "chk"))
+        if trigger_available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()

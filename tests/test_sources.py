@@ -1,0 +1,45 @@
+"""P1/S2 parser tests: the reference's pipe-delimited telemetry format."""
+
+from __future__ import annotations
+
+from activedatawarehouseprototype_spark.sources.car_data import (
+    parse_car_lines,
+    read_car_files,
+)
+
+# The exact example record from CarDataFromFiles.java:41.
+GOOD = "00270|A|0|1|1|0|0|0|2016-08-03 13:00:00|2016-08-03 13:01:13|121.061075|31.401332|55.5|217.0|6|000"
+DIRTY = "00271|A|0|1|1|0|0|0|2016-08-01 13:00:00|2016-08-01 13:01:13|121.061075|31.401332|0.0|217.0|6|000"
+MALFORMED = "not|a|car|row"
+BLANK = ""
+
+
+def test_parse_car_lines(spark):
+    lines = spark.createDataFrame(
+        [(GOOD,), (DIRTY,), (MALFORMED,), (BLANK,)], "value string"
+    )
+    rows = parse_car_lines(lines).collect()
+    assert len(rows) == 1  # dirty date + malformed + blank dropped
+    r = rows[0]
+    assert r.carId == 270
+    # event time col 10 with +8h offset applied (CarDataParser.java:34-41)
+    assert r.eventTime.strftime("%Y-%m-%d %H:%M:%S") == "2016-08-03 05:01:13"
+    assert abs(r.lon - 121.061075) < 1e-5
+    assert abs(r.speed - 55.5) < 1e-5
+
+
+def test_read_car_files(spark, tmp_path):
+    p = tmp_path / "telemetry"
+    p.mkdir()
+    (p / "1608030000.txt").write_text(GOOD + "\n" + DIRTY + "\n")
+    df = read_car_files(spark, str(p))
+    assert df.count() == 1
+    assert set(df.columns) == {
+        "carId",
+        "eventTime",
+        "processTime",
+        "lon",
+        "lat",
+        "speed",
+        "angle",
+    }

@@ -1,0 +1,260 @@
+"""E2E tests of the active (ECA) loop — the reference's two README
+scenarios (README.md:71-132) replayed over deterministic telemetry —
+plus rule-lifecycle (C1-C7) and the streaming W1 operator's
+batch-equivalence (SURVEY §5 strategy)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from activedatawarehouseprototype_spark.rules.compiler import evaluate_rule
+from activedatawarehouseprototype_spark.rules.model import Rule, RuleState
+from activedatawarehouseprototype_spark.streaming.eca import parse_composite_key
+from activedatawarehouseprototype_spark.streaming.pipeline import ActivePipeline
+from activedatawarehouseprototype_spark.streaming.registry import RuleRegistry
+
+BASE = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+# README speeding scenario (README.md:71-100), adapted to the fixture
+# column names (carId->carId, speed->speed, 10s window, W1).
+SPEEDING_RULE = {
+    "queryId": 1,
+    "queryState": "ACTIVE",
+    "lastTime": -1,
+    "windowMilliseconds": 10000,
+    "frequencyMilliseconds": 0,
+    "groupingKeyNames": ["carId"],
+    "windowFilterRules": [],
+    "aggregatorFunctionType": "AVG",
+    "limitOperatorType": ">",
+    "limit": 120,
+    "aggregateFieldName": "speed",
+    "alertRules": [
+        {
+            "queryId": 2,
+            "queryState": "ACTIVE",
+            "lastTime": 10000,
+            "windowMilliseconds": 5000,
+            "frequencyMilliseconds": 0,
+            "groupingKeyNames": ["$carId"],
+            "windowFilterRules": [],
+            "aggregatorFunctionType": "MAX",
+            "limitOperatorType": ">",
+            "limit": 10,
+            "aggregateFieldName": "speed",
+        }
+    ],
+}
+
+
+def car_df(spark, rows):
+    """rows: (carId, sec_offset, speed)"""
+    return spark.createDataFrame(
+        [(c, BASE + dt.timedelta(seconds=s), float(v)) for (c, s, v) in rows],
+        "carId int, ts timestamp, speed double",
+    )
+
+
+@pytest.fixture()
+def pipeline(spark, tmp_path):
+    reg = RuleRegistry(persist_path=str(tmp_path / "rules.jsonl"))
+    return ActivePipeline(spark=spark, registry=reg, work_dir=str(tmp_path / "wk"))
+
+
+def test_readme_speeding_scenario_spawns_and_fires(spark, pipeline):
+    reg = pipeline.registry
+    reg.apply_json(json.dumps(SPEEDING_RULE))
+    assert len(reg.active()) == 1
+
+    # batch 1: car 9 speeds (avg 130 > 120) → rule 1 fires → child spawned
+    b1 = car_df(spark, [(7, 0, 100.0), (9, 1, 125.0), (9, 3, 135.0)])
+    pipeline.process_batch(b1, 0)
+
+    alerts1 = pipeline.alerts().filter("query_id = 1").collect()
+    assert {r.key for r in alerts1} == {"{carId=9}"}
+
+    spawned = [r for r in reg.active() if r.active_id == 1]
+    assert len(spawned) == 1
+    child = spawned[0]
+    assert child.grouping_key_names == ["carId"]  # $ stripped (C6)
+    assert any(
+        f.field == "carId" and f.value == "9" and f.operator.value == "="
+        for f in child.window_filter_rules
+    )
+    assert child.query_id not in (1, 2)  # fresh snowflake id
+    assert child.active_time is not None  # TTL armed
+
+    # batch 2: child (MAX speed > 10 for carId=9) fires per event;
+    # car 7's fast event must NOT fire the child (filter pinned to 9)
+    b2 = car_df(spark, [(9, 11, 55.0), (7, 12, 99.0)])
+    pipeline.process_batch(b2, 1)
+    child_alerts = pipeline.alerts().filter(
+        F.col("query_id") == child.query_id
+    ).collect()
+    assert {r.key for r in child_alerts} == {"{carId=9}"}
+    assert all(r.agg_value > 10 for r in child_alerts)
+
+
+def test_spawn_throttled_on_refire(spark, pipeline):
+    reg = pipeline.registry
+    reg.apply_json(json.dumps(SPEEDING_RULE))
+    pipeline.process_batch(car_df(spark, [(9, 1, 130.0)]), 0)
+    n_after_first = len(reg.rules)
+    # same trigger key again → throttle ring suppresses a second child
+    pipeline.process_batch(car_df(spark, [(9, 2, 131.0)]), 1)
+    assert len(reg.rules) == n_after_first
+
+
+def test_readme_congestion_scenario_tumbling(spark, pipeline):
+    # congestion (README.md:102-132): AVG speed in a lon/lat box over
+    # 60s; here the box becomes a speed-range filter on the fixture.
+    rule = {
+        "queryId": 10,
+        "queryState": "ACTIVE",
+        "lastTime": -1,
+        "windowMilliseconds": 60000,
+        "frequencyMilliseconds": None,  # W2 tumbling
+        "groupingKeyNames": ["carId"],
+        "windowFilterRules": [{"field": "speed", "operator": ">", "value": "20"}],
+        "aggregatorFunctionType": "AVG",
+        "limitOperatorType": ">",
+        "limit": 100,
+        "aggregateFieldName": "speed",
+    }
+    pipeline.registry.apply_json(json.dumps(rule))
+    pipeline.process_batch(
+        car_df(spark, [(1, 0, 150.0), (1, 10, 110.0), (2, 20, 30.0), (1, 30, 10.0)]),
+        0,
+    )
+    evals = pipeline.evaluations().filter("query_id = 10").collect()
+    by_key = {r.key: r for r in evals}
+    assert by_key["{carId=1}"].agg_value == 130.0  # (150+110)/2; 10 filtered out
+    assert by_key["{carId=1}"].fired is True
+    assert by_key["{carId=2}"].fired is False
+
+
+def test_ttl_expiry_and_retrigger_refresh(spark):
+    reg = RuleRegistry()
+    now = int(time.time() * 1000)
+    child = Rule.from_dict(
+        {
+            "queryId": 5,
+            "queryState": "ACTIVE",
+            "lastTime": 10000,
+            "activeTime": now + 10000,
+            "activeId": 1,
+            "windowFilterRules": [{"field": "carId", "operator": "=", "value": "9"}],
+            "groupingKeyNames": ["carId"],
+            "aggregateFieldName": "speed",
+            "aggregatorFunctionType": "MAX",
+            "windowMilliseconds": 5000,
+        }
+    )
+    reg.apply(child, now)
+    # re-trigger: same (filters, activeId) → id reused, expiry refreshed (C2)
+    retrig = Rule.from_dict(child.to_dict())
+    retrig.query_id = 999
+    reg.apply(retrig, now + 5000)
+    assert set(reg.rules) == {5}
+    assert reg.rules[5].active_time == now + 15000
+    # TTL expiry (C3/F4)
+    assert reg.sweep_expired(now + 14000) == []
+    expired = reg.sweep_expired(now + 16000)
+    assert [r.query_id for r in expired] == [5]
+    assert reg.rules == {}
+
+
+def test_control_verbs(spark):
+    reg = RuleRegistry()
+    reg.apply_json(json.dumps(SPEEDING_RULE))
+    reg.apply_json(
+        '{"queryState":"CONTROL","controlType":"EXPORT_RULES_CURRENT"}'
+    )
+    assert [r.query_id for r in reg.exported] == [1]
+    reg.apply_json('{"queryState":"CONTROL","controlType":"CLEAR_STATE_ALL"}')
+    assert reg.clear_state_requested
+    reg.apply_json('{"queryState":"CONTROL","controlType":"DELETE_RULES_ALL"}')
+    assert reg.rules == {}
+
+
+def test_registry_persistence_roundtrip(tmp_path):
+    path = str(tmp_path / "rules.jsonl")
+    reg = RuleRegistry(persist_path=path)
+    reg.apply_json(json.dumps(SPEEDING_RULE))
+    reloaded = RuleRegistry.load(path)
+    assert set(reloaded.rules) == {1}
+    assert reloaded.rules[1].alert_rules[0].grouping_key_names == ["$carId"]
+
+
+def test_parse_composite_key():
+    assert parse_composite_key("{carId=9}") == {"carId": "9"}
+    assert parse_composite_key("{a=1;b=x}") == {"a": "1", "b": "x"}
+
+
+def test_pause_rules_not_evaluated(spark, pipeline):
+    rule = dict(SPEEDING_RULE, queryState="PAUSE", alertRules=[])
+    pipeline.registry.apply_json(json.dumps(rule))
+    assert pipeline.registry.active() == []
+    pipeline.process_batch(car_df(spark, [(9, 1, 130.0)]), 0)
+    assert pipeline.alerts().count() == 0
+
+
+def test_w1_stream_matches_batch_range_frame(spark, tmp_path):
+    """Batch-equivalence (SURVEY §5): the applyInPandasWithState W1
+    operator must agree with the compiler's RANGE-frame batch W1."""
+    from activedatawarehouseprototype_spark.streaming.per_event_window import w1_stream
+
+    rule = Rule.from_dict(
+        {
+            "queryId": 42,
+            "queryState": "ACTIVE",
+            "windowMilliseconds": 10000,
+            "frequencyMilliseconds": 0,
+            "groupingKeyNames": ["carId"],
+            "windowFilterRules": [],
+            "aggregatorFunctionType": "AVG",
+            "limitOperatorType": ">",
+            "limit": 120,
+            "aggregateFieldName": "speed",
+        }
+    )
+    rows = [
+        (9, 0, 100.0),
+        (9, 4, 140.0),
+        (9, 9, 150.0),
+        (9, 25, 90.0),
+        (7, 2, 121.0),
+        (7, 30, 200.0),
+    ]
+    df = car_df(spark, rows)
+    data_dir = str(tmp_path / "events")
+    df.repartition(1).write.parquet(data_dir)
+
+    stream = spark.readStream.schema(df.schema).parquet(data_dir)
+    out = w1_stream(stream, rule)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("w1_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.key, r.event_ts_ms): (round(r.agg_value, 9), r.fired)
+        for r in spark.sql("SELECT * FROM w1_out").collect()
+    }
+
+    batch = evaluate_rule(df, rule, ts_col="ts")
+    want = {
+        (r.key, int(r.window_end.timestamp() * 1000)): (round(r.agg_value, 9), r.fired)
+        for r in batch.collect()
+    }
+    assert got == want
+    assert len(got) == len(rows)
