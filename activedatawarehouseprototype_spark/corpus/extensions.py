@@ -48,14 +48,32 @@ _CORPUS_NEAR = """
   FROM documents WHERE doc_id % 101 = 0
 """
 
-_GRAMS = """
+# 5-gram shingles: with a small vocabulary, trigrams are near-uniform
+# across documents (df ~ docs/space) and the inverted-index join goes
+# quadratic; 5-grams are discriminative (production dedup uses 5-13
+# grams). Same n on both sides — part of the operator contract.
+_NGRAM = 5
+
+_GRAMS = f"""
   SELECT doc_id, unnest(list_distinct(
-           list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
-             i -> string_split(text, ' ')[i] || ' ' ||
-                  string_split(text, ' ')[i+1] || ' ' ||
-                  string_split(text, ' ')[i+2]))) AS shingle
+           list_transform(generate_series(1, len(string_split(text, ' ')) - {_NGRAM - 1}),
+             i -> {" || ' ' || ".join(f"string_split(text, ' ')[i+{j}]" for j in range(_NGRAM))})))
+         AS shingle
   FROM corpus
-  WHERE len(string_split(text, ' ')) >= 3
+  WHERE len(string_split(text, ' ')) >= {_NGRAM}
+"""
+
+# df cap (anti-skew; see operators/dedup.py module doc). Same constant
+# on both sides — part of the operator contract.
+_MAX_DOC_FREQ = 64
+
+_GRAMS_CAPPED = f"""
+grams_all AS ({_GRAMS}),
+dfreq AS (SELECT shingle, COUNT(*) AS df_ FROM grams_all GROUP BY shingle),
+grams AS (
+  SELECT g.doc_id, g.shingle FROM grams_all g
+  JOIN dfreq USING (shingle) WHERE df_ <= {_MAX_DOC_FREQ}
+)
 """
 
 
@@ -144,7 +162,7 @@ def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     oracle=f"""
 WITH corpus AS ({_CORPUS_NEAR}),
-grams AS ({_GRAMS}),
+{_GRAMS_CAPPED},
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
@@ -165,7 +183,12 @@ WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE) >= 0.6
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(
-        _near_corpus(spark, sf_dir), "doc_id", "text", n=3, threshold=0.6
+        _near_corpus(spark, sf_dir),
+        "doc_id",
+        "text",
+        n=_NGRAM,
+        threshold=0.6,
+        max_doc_freq=_MAX_DOC_FREQ,
     ).select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard")
 
 
@@ -176,7 +199,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_minhash_lsh",
     oracle=f"""
 WITH corpus AS ({_CORPUS_NEAR}),
-grams AS ({_GRAMS}),
+{_GRAMS_CAPPED},
 mh AS (
   SELECT doc_id, s.i AS hash_idx,
          MIN(md5(CAST(s.i AS VARCHAR) || ':' || shingle)) AS minhash
@@ -196,7 +219,13 @@ JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_candidates(
-        _near_corpus(spark, sf_dir), "doc_id", "text", n=3, k=12, bands=3
+        _near_corpus(spark, sf_dir),
+        "doc_id",
+        "text",
+        n=_NGRAM,
+        k=12,
+        bands=3,
+        max_doc_freq=_MAX_DOC_FREQ,
     )
 
 

@@ -306,3 +306,72 @@ def rule_union_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "agg_value",
         "fired",
     )
+
+
+# --- J1 data-driven fan-out join: ONE broadcast-join plan evaluates
+# every rule's predicates (the dynamic-rules hot path; per-rule
+# compiled plans above are the standing-query path) ---
+
+FANOUT_RULES = [
+    Rule.from_dict(
+        {
+            "queryId": 201,
+            "queryState": "ACTIVE",
+            "windowFilterRules": [
+                {"field": "event_type", "operator": "=", "value": "click"},
+                {"field": "value", "operator": ">", "value": "50"},
+            ],
+            "groupingKeyNames": ["user_id"],
+            "aggregateFieldName": "COUNT_FLINK",
+        }
+    ),
+    Rule.from_dict(
+        {
+            "queryId": 202,
+            "queryState": "ACTIVE",
+            "windowFilterRules": [{"field": "value", "operator": "<=", "value": "20"}],
+            "groupingKeyNames": ["event_type"],
+            "aggregateFieldName": "COUNT_FLINK",
+        }
+    ),
+    Rule.from_dict(
+        {
+            "queryId": 203,
+            "queryState": "ACTIVE",
+            "windowFilterRules": [],
+            "groupingKeyNames": ["event_type", "user_id"],
+            "aggregateFieldName": "COUNT_FLINK",
+        }
+    ),
+]
+
+
+@register(
+    "rule_fanout_match_counts",
+    oracle="""
+SELECT CAST(201 AS BIGINT) AS query_id,
+       '{user_id=' || CAST(user_id AS VARCHAR) || '}' AS key,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events WHERE event_type = 'click' AND value > 50.0
+GROUP BY key
+UNION ALL
+SELECT CAST(202 AS BIGINT), '{event_type=' || event_type || '}', CAST(COUNT(*) AS BIGINT)
+FROM events WHERE value <= 20.0
+GROUP BY event_type
+UNION ALL
+SELECT CAST(203 AS BIGINT),
+       '{event_type=' || event_type || ';user_id=' || CAST(user_id AS VARCHAR) || '}',
+       CAST(COUNT(*) AS BIGINT)
+FROM events
+GROUP BY event_type, user_id
+""",
+)
+def rule_fanout_match_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from activedatawarehouseprototype_spark.operators.fanout import (
+        fan_out,
+        rules_to_df,
+    )
+
+    events = _events(spark, sf_dir)
+    keyed = fan_out(events, rules_to_df(spark, FANOUT_RULES))
+    return keyed.groupBy("query_id", "key").agg(F.count(F.lit(1)).alias("n"))

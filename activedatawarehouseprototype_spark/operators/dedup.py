@@ -17,10 +17,14 @@ driver-side state), each with an exact SQL twin in the corpus:
 - ``simhash16``: 16-bit SimHash from per-token md5 bits (hex char >=
   '8' ⇔ high bit); near-dups collide on the signature.
 
-At 100 TB: shingle explosion is the dominant shuffle; salt hot
-shingles (stopword-only trigrams) or drop shingles with document
-frequency above a cap — both are single extra filters on the exploded
-relation.
+At 100 TB: shingle explosion is the dominant shuffle; the
+``max_doc_freq`` cap drops shingles that occur in more than N
+documents BEFORE the self-join — a hot shingle shared by k documents
+generates k^2/2 candidate pairs, so uncapped common shingles are the
+quadratic blow-up. Capped shingles are also the non-discriminative
+ones (they carry ~no Jaccard signal), which is why production dedup
+pipelines drop them. Jaccard/minhash are then computed over the
+surviving (rare, discriminative) shingle sets on BOTH engines.
 """
 
 from __future__ import annotations
@@ -45,12 +49,34 @@ def exact_dedup(df: DataFrame, id_col: str, key_col: str) -> DataFrame:
     )
 
 
-def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(id, shingle) with distinct word n-grams per document."""
-    return (
-        df.select(F.col(id_col).alias("sid"), word_ngrams(text_col, n).alias("grams"))
+def shingle_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """(id, shingle) with distinct word n-grams per document.
+
+    ``max_doc_freq`` drops shingles occurring in more than that many
+    documents (anti-skew + quadratic-pair control; see module doc)."""
+    # Explicit spread: the input is typically few/small files (1-2 scan
+    # partitions) but explode + hashing amplify CPU ~100x per input
+    # byte — without this the whole shingle pipeline runs on the scan's
+    # parallelism. Repartition cost is trivial next to the hash work.
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    sh = (
+        df.repartition(n_parts)
+        .select(F.col(id_col).alias("sid"), word_ngrams(text_col, n).alias("grams"))
         .select("sid", F.explode(F.array_distinct("grams")).alias("shingle"))
     )
+    if max_doc_freq is not None:
+        df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+        sh = (
+            sh.join(df_counts.filter(F.col("df_") <= max_doc_freq), "shingle")
+            .select("sid", "shingle")
+        )
+    return sh
 
 
 def ngram_jaccard_pairs(
@@ -59,6 +85,7 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by word-n-gram Jaccard >= threshold.
 
@@ -66,10 +93,15 @@ def ngram_jaccard_pairs(
     inverted index) → groupBy (a, b) count = |A ∩ B| → join per-doc
     shingle counts → Jaccard = inter / (|A| + |B| - inter).
     """
-    sh = shingle_table(df, id_col, text_col, n)
+    sh = shingle_table(df, id_col, text_col, n, max_doc_freq)
     sizes = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # User-specified repartition on the join key: candidate-pair
+    # generation explodes AFTER this join, so AQE's byte-based
+    # coalescing would under-parallelize it.
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    sh_spread = sh.repartition(n_parts, "shingle")
+    a = sh_spread.alias("a")
+    b = sh_spread.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.sid") < F.col("b.sid")))
         .groupBy(F.col("a.sid").alias("id_a"), F.col("b.sid").alias("id_b"))
@@ -91,7 +123,12 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = 12
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 12,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """(id, hash_idx, minhash): MinHash signature rows.
 
@@ -99,7 +136,7 @@ def minhash_signatures(
     minimized lexicographically — identical strings on every engine,
     which is why the oracle can verify it. k aggregations happen in
     ONE shuffle (explode seeds × shingles, groupBy id+seed)."""
-    sh = shingle_table(df, id_col, text_col, n)
+    sh = shingle_table(df, id_col, text_col, n, max_doc_freq)
     seeds = F.array(*[F.lit(i) for i in range(k)])
     return (
         sh.select("sid", "shingle", F.explode(seeds).alias("hash_idx"))
@@ -124,12 +161,13 @@ def lsh_candidates(
     n: int = 3,
     k: int = 12,
     bands: int = 3,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing at least one LSH band
     (band signature = md5 of the band's concatenated minhashes).
     rows_per_band = k / bands controls the similarity knee."""
     rows_per_band = k // bands
-    sig = minhash_signatures(df, id_col, text_col, n, k)
+    sig = minhash_signatures(df, id_col, text_col, n, k, max_doc_freq)
     banded = (
         sig.withColumn("band", (F.col("hash_idx") / rows_per_band).cast("int"))
         .groupBy("sid", "band")

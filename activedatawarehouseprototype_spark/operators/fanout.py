@@ -1,0 +1,119 @@
+"""J1: the event x rules broadcast fan-out join — the only join in the
+reference (``operator/DynamicKeyFunction.java:51-105``): every event is
+tested against every active rule's filter conjuncts and duplicated once
+per matching rule with a composite grouping key.
+
+Spark realization: rules become a tiny DataFrame that is BROADCAST and
+cross-joined against events with the predicate evaluated data-driven
+(rules-as-data — no plan recompilation when the rule set changes
+mid-stream, which is what a streaming micro-batch needs). The filter
+logic runs entirely JVM-side via map lookups + ``forall`` over the
+filter array; true per-rule AND (not the reference's §2.4 quirks).
+
+This complements rules/compiler.py: compiled per-rule plans give
+Catalyst literal predicates (max pushdown — right for standing batch
+queries); the fan-out gives one fixed plan for N dynamic rules (right
+for the hot streaming path where rules are rows in a table).
+
+Scale: rules are control data (KBs) → BroadcastNestedLoopJoin; the
+events side streams through unshuffled; the downstream groupBy on
+(query_id, key) is the single shuffle, same as the reference's keyBy
+(``App.java:73``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from activedatawarehouseprototype_spark.rules.model import Rule, RuleState
+
+RULES_DF_SCHEMA = (
+    "query_id bigint, "
+    "filters array<struct<field:string, operator:string, value:string>>, "
+    "grouping_keys array<string>"
+)
+
+_NUMERIC_PREFIXES = ("int", "bigint", "smallint", "tinyint", "float", "double", "decimal")
+
+
+def rules_to_df(spark: SparkSession, rules: list[Rule]) -> DataFrame:
+    """ACTIVE rules → broadcastable control DataFrame."""
+    rows = [
+        (
+            r.query_id,
+            [(f.field, f.operator.value, f.value) for f in r.window_filter_rules],
+            [k[1:] if k.startswith("$") else k for k in r.grouping_key_names],
+        )
+        for r in rules
+        if r.query_state is RuleState.ACTIVE
+    ]
+    return spark.createDataFrame(rows, RULES_DF_SCHEMA)
+
+
+def _event_maps(events: DataFrame) -> tuple[Column, Column]:
+    """(all-values-as-string map, numeric-values-as-double map) over
+    the event columns — the data-driven analogue of the reference's
+    reflective FieldsExtractor (operator/FieldsExtractor.java:12-37)."""
+    str_entries: list[Column] = []
+    num_entries: list[Column] = []
+    for name, dtype in events.dtypes:
+        str_entries += [F.lit(name), F.col(name).cast("string")]
+        if dtype.startswith(_NUMERIC_PREFIXES):
+            num_entries += [F.lit(name), F.col(name).cast("double")]
+    return F.create_map(*str_entries), F.create_map(*num_entries)
+
+
+def fan_out(events: DataFrame, rules_df: DataFrame) -> DataFrame:
+    """events x matching-rules: one output row per (event, rule) whose
+    filter conjunction holds, carrying query_id + composite key
+    (Keyed<event, key, ruleId> analogue, common/Keyed.java:14-18)."""
+    numeric_cols = [
+        n for n, t in events.dtypes if t.startswith(_NUMERIC_PREFIXES)
+    ]
+    str_map, num_map = _event_maps(events)
+    ev = events.withColumn("_strs", str_map).withColumn("_nums", num_map)
+
+    num_cols_lit = F.array(*[F.lit(c) for c in numeric_cols])
+
+    def conjunct_ok(f: Column) -> Column:
+        field = f["field"]
+        op = f["operator"]
+        sval = f["value"]
+        is_num = F.array_contains(num_cols_lit, field)
+        lhs_num = F.element_at(F.col("_nums"), field)
+        rhs_num = sval.cast("double")
+        lhs_str = F.element_at(F.col("_strs"), field)
+
+        def cmp(lhs: Column, rhs: Column) -> Column:
+            return (
+                F.when(op == "=", lhs == rhs)
+                .when(op == "!=", lhs != rhs)
+                .when(op == ">", lhs > rhs)
+                .when(op == "<", lhs < rhs)
+                .when(op == ">=", lhs >= rhs)
+                .when(op == "<=", lhs <= rhs)
+                .otherwise(F.lit(False))
+            )
+
+        return F.when(is_num, cmp(lhs_num, rhs_num)).otherwise(cmp(lhs_str, sval))
+
+    matches = F.forall(F.col("filters"), conjunct_ok)
+
+    key = F.concat(
+        F.lit("{"),
+        F.array_join(
+            F.transform(
+                F.col("grouping_keys"),
+                lambda k: F.concat(k, F.lit("="), F.element_at(F.col("_strs"), k)),
+            ),
+            ";",
+        ),
+        F.lit("}"),
+    )
+
+    return (
+        ev.join(F.broadcast(rules_df), matches, "inner")
+        .withColumn("key", key)
+        .drop("_strs", "_nums", "filters", "grouping_keys")
+    )

@@ -186,18 +186,27 @@ def evaluate_rule(
     rule: Rule,
     ts_col: str = "ts",
     fired_only: bool = False,
+    dedup_same_ts: bool = False,
 ) -> DataFrame:
     """Compile + run one rule against an event DataFrame.
 
     Returns the evaluation stream (K2 demo-sink analogue): one row per
     window/key (W2/W3) or per event (W0/W1) with the uniform
     ``EVAL_COLUMNS`` schema. ``fired_only=True`` keeps only alert rows
-    (K1 main-sink analogue)."""
+    (K1 main-sink analogue).
+
+    ``dedup_same_ts=True`` reproduces the reference's A7 quirk: its
+    per-key state is a ``HashSet`` per millisecond, so value-equal
+    events at the same timestamp collapse before aggregation
+    (common/utils/ProcessUtils.java:16-25, lombok @Data equals on
+    SHCarRide). Off by default — duplicate events normally count."""
     if rule.query_state is not RuleState.ACTIVE:
         raise ValueError(f"rule {rule.query_id} is not ACTIVE")
 
     mode = window_mode(rule)
     filtered = df.filter(compile_filter(rule, df))
+    if dedup_same_ts:
+        filtered = filtered.dropDuplicates()
     key = composite_key(rule)
     qid = F.lit(rule.query_id).cast("bigint")
     ts = F.col(ts_col)

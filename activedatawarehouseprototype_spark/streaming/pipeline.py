@@ -65,6 +65,19 @@ class ActivePipeline:
     _emitted_wm: dict[int, int] = dc_field(default_factory=dict)
     _has_buffer: bool = False
     _batch_count: int = 0
+    # C8 metrics — the reference's numberOfActiveRules gauge
+    # (DynamicKeyFunction.java:37-40,179-191) and alertsPerSecond meter
+    # (DynamicQueryFunction.java:65-66,199) as driver-side counters.
+    metrics: dict = dc_field(
+        default_factory=lambda: {
+            "batches": 0,
+            "events_ingested": 0,
+            "alerts_fired": 0,
+            "rules_spawned": 0,
+            "active_rules": 0,
+            "last_batch_seconds": 0.0,
+        }
+    )
 
     def __post_init__(self) -> None:
         if self.work_dir is None:
@@ -89,7 +102,10 @@ class ActivePipeline:
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         now = _now_ms()
+        t_start = time.perf_counter()
         self._batch_count += 1
+        self.metrics["batches"] = self._batch_count
+        self.metrics["events_ingested"] += batch_df.count()
 
         # (1) rule lifecycle
         self.registry.sweep_expired(now)
@@ -101,7 +117,9 @@ class ActivePipeline:
         buffer = self._update_buffer(batch_df)
 
         active = self.registry.active()
+        self.metrics["active_rules"] = len(active)
         if not active:
+            self.metrics["last_batch_seconds"] = time.perf_counter() - t_start
             return
 
         # (3)+(4) evaluate every active rule over the buffer; emit only
@@ -119,13 +137,15 @@ class ActivePipeline:
                 max_end = evals.agg(F.max(F.unix_millis("window_end"))).head()[0]
                 fired = evals.filter("fired")
                 fired.write.mode("append").parquet(self.alerts_path + "/data")
-                fired_rows = fired.collect() if rule.alert_rules else []
+                n_fired = fired.count()
+                fired_rows = fired.collect() if (rule.alert_rules and n_fired) else []
             finally:
                 evals.unpersist()
             if max_end is not None:
                 self._emitted_wm[rule.query_id] = max(
                     self._emitted_wm.get(rule.query_id, 0), int(max_end)
                 )
+            self.metrics["alerts_fired"] += n_fired
             # (5) ECA spawning (C5-C7)
             for row in fired_rows:
                 key_values = parse_composite_key(row.key)
@@ -136,6 +156,8 @@ class ActivePipeline:
                         template, key_values, rule.query_id, now, self.id_worker
                     )
                     self.registry.apply(child, now)
+                    self.metrics["rules_spawned"] += 1
+        self.metrics["last_batch_seconds"] = time.perf_counter() - t_start
 
     # -- buffer management ------------------------------------------------------
 

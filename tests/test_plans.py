@@ -1,0 +1,53 @@
+"""Scale-property assertions on physical plans (SURVEY §4): pushdown,
+pruning, broadcast strategy, top-k without global sort."""
+
+from __future__ import annotations
+
+import pytest
+
+from activedatawarehouseprototype_spark.corpus import QUERIES
+from activedatawarehouseprototype_spark.plans.explain import (
+    broadcast_join_count,
+    has_pushed_filter,
+    has_take_ordered,
+    scan_columns,
+    sort_merge_join_count,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_rule_filter_pushed_to_scan(spark):
+    df = QUERIES["rule_tumbling_avg"](spark, SF)
+    assert has_pushed_filter(df, "EqualTo(event_type,click)")
+    assert has_pushed_filter(df, "GreaterThan(value,10.0)")
+
+
+def test_q1_projection_pruned(spark):
+    df = QUERIES["tpch_q1_pricing_summary"](spark, SF)
+    assert has_pushed_filter(df, "LessThanOrEqual(l_shipdate")
+    cols = scan_columns(df)
+    # the 11-column lineitem scan must read only the 6 needed columns
+    assert all(
+        c <= {"l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+              "l_discount", "l_shipdate"}
+        for c in cols
+    ), cols
+
+
+def test_star_join_broadcasts_dims_no_smj(spark):
+    df = QUERIES["join_revenue_by_nation"](spark, SF)
+    assert broadcast_join_count(df) >= 3  # customer, nation, region at least
+    assert sort_merge_join_count(df) == 0
+
+
+def test_topk_uses_take_ordered_not_global_sort(spark):
+    df = QUERIES["topk_customers_by_spend"](spark, SF)
+    assert has_take_ordered(df)
+
+
+def test_events_scan_prunes_unused_columns(spark):
+    df = QUERIES["rule_per_event_avg"](spark, SF)
+    cols = scan_columns(df)
+    for c in cols:
+        assert "props" not in c and "event_id" not in c, cols

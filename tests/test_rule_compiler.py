@@ -168,3 +168,25 @@ def test_snowflake_ids_monotonic_unique():
     ids = [w.next_id() for _ in range(5000)]
     assert len(set(ids)) == len(ids)
     assert ids == sorted(ids)
+
+
+def test_fanout_agrees_with_compiled_filters(spark, tiny_events):
+    from activedatawarehouseprototype_spark.operators.fanout import (
+        fan_out,
+        rules_to_df,
+    )
+    from activedatawarehouseprototype_spark.corpus.rule_engine import FANOUT_RULES
+    from activedatawarehouseprototype_spark.rules.compiler import compile_filter
+
+    keyed = fan_out(tiny_events, rules_to_df(spark, FANOUT_RULES))
+    per_rule = {
+        r.query_id: tiny_events.filter(compile_filter(r, tiny_events)).count()
+        for r in FANOUT_RULES
+    }
+    got = {
+        row.query_id: row.n
+        for row in keyed.groupBy("query_id").agg(
+            __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+        ).collect()
+    }
+    assert got == {k: v for k, v in per_rule.items() if v > 0}
