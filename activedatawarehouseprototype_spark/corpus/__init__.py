@@ -38,3 +38,5 @@ from activedatawarehouseprototype_spark.corpus import rule_engine  # noqa: E402,
 from activedatawarehouseprototype_spark.corpus import relational  # noqa: E402,F401
 from activedatawarehouseprototype_spark.corpus import scalar_fns  # noqa: E402,F401
 from activedatawarehouseprototype_spark.corpus import extensions  # noqa: E402,F401
+from activedatawarehouseprototype_spark.corpus import temporal  # noqa: E402,F401
+from activedatawarehouseprototype_spark.corpus import analytics  # noqa: E402,F401

@@ -1,0 +1,128 @@
+"""Temporal-operator corpus: as-of join and session windows — operator
+families absent from the reference AND from Spark's built-in batch
+joins, provided as composable operators with DuckDB oracles (DuckDB has
+native ASOF JOIN, which makes an independent oracle rather than a plan
+restatement).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from activedatawarehouseprototype_spark.catalog import load as _load
+from activedatawarehouseprototype_spark.corpus import register
+from activedatawarehouseprototype_spark.operators.asof import asof_join
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _load(spark, sf_dir, "events")
+
+
+# --- As-of join: for each click, the latest purchase at-or-before it
+# by the same user. Right side deduped to one row per (user, ts) so
+# the match is well-defined on both engines. ---
+
+
+@register(
+    "asof_click_latest_purchase",
+    oracle="""
+WITH clicks AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+), purchases AS (
+  SELECT user_id, ts, MAX(value) AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id, ts
+)
+SELECT c.event_id,
+       c.user_id,
+       epoch_ms(c.ts) AS click_ts_ms,
+       COALESCE(p.purchase_value, -1.0) AS purchase_value_asof
+FROM clicks c
+ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+""",
+)
+def asof_click_latest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    joined = asof_join(
+        clicks, purchases, key="user_id", ts="ts", value_cols=["purchase_value"]
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_millis("ts").alias("click_ts_ms"),
+        # no-NULL-floats rule: a NULL double round-trips as NaN via
+        # pandas on the DuckDB side — sentinel instead of NULL.
+        F.coalesce("purchase_value_asof", F.lit(-1.0)).alias("purchase_value_asof"),
+    )
+
+
+# --- Session windows: gaps-and-islands sessionization (30-minute
+# inactivity gap) per user. Expressed with window functions so batch
+# Spark and DuckDB share exact semantics; Spark's native
+# F.session_window gives the same sessions for streaming (merge when
+# next_ts < prev_ts + gap). ---
+
+_GAP_MS = 30 * 60 * 1000
+
+
+@register(
+    "session_windows_per_user",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, epoch_ms(ts) AS tms, value FROM events
+), flagged AS (
+  SELECT user_id, tms, value,
+         CASE WHEN tms - LAG(tms) OVER (PARTITION BY user_id ORDER BY tms)
+                   >= {_GAP_MS}
+              OR LAG(tms) OVER (PARTITION BY user_id ORDER BY tms) IS NULL
+              THEN 1 ELSE 0 END AS is_start
+  FROM e
+), numbered AS (
+  SELECT user_id, tms, value,
+         SUM(is_start) OVER (PARTITION BY user_id ORDER BY tms
+                             ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM flagged
+)
+SELECT user_id,
+       CAST(session_no AS BIGINT) AS session_no,
+       MIN(tms) AS session_start_ms,
+       MAX(tms) AS session_last_ms,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 2) AS session_value
+FROM numbered
+GROUP BY user_id, session_no
+""",
+)
+def session_windows_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir).select(
+        "user_id", F.unix_millis("ts").alias("tms"), "value"
+    )
+    order = Window.partitionBy("user_id").orderBy("tms")
+    flagged = e.withColumn(
+        "is_start",
+        F.when(
+            (F.col("tms") - F.lag("tms").over(order) >= _GAP_MS)
+            | F.lag("tms").over(order).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    numbered = flagged.withColumn(
+        "session_no",
+        F.sum("is_start").over(order.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return numbered.groupBy("user_id", "session_no").agg(
+        F.min("tms").alias("session_start_ms"),
+        F.max("tms").alias("session_last_ms"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("session_value"),
+    )
