@@ -59,6 +59,10 @@ class ActivePipeline:
     registry: RuleRegistry
     ts_col: str = "ts"
     work_dir: str | None = None
+    # S1/S3 analogue: a watched directory of rule-JSON files (one JSON
+    # object per line); new/modified files are applied at the start of
+    # each micro-batch, so rules register mid-stream without restart.
+    rules_dir: str | None = None
     throttle: SpawnThrottle = dc_field(default_factory=SpawnThrottle)
     id_worker: SnowflakeIdWorker = dc_field(default_factory=SnowflakeIdWorker)
     # per-rule emission high-watermark: query_id -> max emitted window_end (ms)
@@ -106,6 +110,9 @@ class ActivePipeline:
         self._batch_count += 1
         self.metrics["batches"] = self._batch_count
         self.metrics["events_ingested"] += batch_df.count()
+
+        # (0) pick up rules registered mid-stream (S1/S3)
+        self._poll_rules_dir()
 
         # (1) rule lifecycle
         self.registry.sweep_expired(now)
@@ -158,6 +165,26 @@ class ActivePipeline:
                     self.registry.apply(child, now)
                     self.metrics["rules_spawned"] += 1
         self.metrics["last_batch_seconds"] = time.perf_counter() - t_start
+
+    # -- rule-source polling ----------------------------------------------------
+
+    _seen_rule_files: dict = dc_field(default_factory=dict)
+
+    def _poll_rules_dir(self) -> None:
+        if not self.rules_dir or not os.path.isdir(self.rules_dir):
+            return
+        for fname in sorted(os.listdir(self.rules_dir)):
+            if not fname.endswith(".json"):
+                continue
+            path = os.path.join(self.rules_dir, fname)
+            mtime = os.path.getmtime(path)
+            if self._seen_rule_files.get(path) == mtime:
+                continue
+            self._seen_rule_files[path] = mtime
+            with open(path) as f:
+                for line in f:
+                    if line.strip():
+                        self.registry.apply_json(line)
 
     # -- buffer management ------------------------------------------------------
 

@@ -258,3 +258,79 @@ def test_w1_stream_matches_batch_range_frame(spark, tmp_path):
     }
     assert got == want
     assert len(got) == len(rows)
+
+
+def test_windowed_rule_stream_matches_batch(spark, tmp_path):
+    """Native watermarked W2 streaming agg (complete mode) must equal
+    the batch-compiled evaluation of the same rule."""
+    from activedatawarehouseprototype_spark.streaming.windowed import (
+        windowed_rule_stream,
+    )
+    from activedatawarehouseprototype_spark.rules.model import Rule
+
+    rule = Rule.from_dict(
+        {
+            "queryId": 77,
+            "queryState": "ACTIVE",
+            "windowMilliseconds": 60000,
+            "frequencyMilliseconds": None,
+            "groupingKeyNames": ["carId"],
+            "windowFilterRules": [{"field": "speed", "operator": ">", "value": "20"}],
+            "aggregatorFunctionType": "AVG",
+            "limitOperatorType": ">",
+            "limit": 100,
+            "aggregateFieldName": "speed",
+        }
+    )
+    df = car_df(
+        spark,
+        [(1, 0, 150.0), (1, 10, 110.0), (2, 20, 30.0), (1, 70, 80.0), (2, 80, 140.0)],
+    )
+    data_dir = str(tmp_path / "wevents")
+    df.repartition(1).write.parquet(data_dir)
+    stream = spark.readStream.schema(df.schema).parquet(data_dir)
+    out = windowed_rule_stream(stream, rule)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("w2_out")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "wchk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.key, r.window_start, r.window_end): (r.agg_value, r.fired)
+        for r in spark.sql("SELECT * FROM w2_out").collect()
+    }
+    want = {
+        (r.key, r.window_start, r.window_end): (r.agg_value, r.fired)
+        for r in evaluate_rule(df, rule, ts_col="ts").collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_rules_dir_midstream_registration(spark, tmp_path):
+    """S1/S3 parity: a rule JSON file dropped into the watched dir
+    between micro-batches takes effect on the next batch."""
+    rules_dir = tmp_path / "rules"
+    rules_dir.mkdir()
+    reg = RuleRegistry()
+    pipe = ActivePipeline(
+        spark=spark,
+        registry=reg,
+        work_dir=str(tmp_path / "wk"),
+        rules_dir=str(rules_dir),
+    )
+    # batch 0: no rules yet
+    pipe.process_batch(car_df(spark, [(9, 1, 130.0)]), 0)
+    assert pipe.alerts().count() == 0
+    # drop a rule file, then batch 1 sees it (evaluates the buffered
+    # event too, since it is still inside the widest window)
+    (rules_dir / "r1.json").write_text(
+        json.dumps(dict(SPEEDING_RULE, alertRules=[])) + "\n"
+    )
+    pipe.process_batch(car_df(spark, [(9, 2, 140.0)]), 1)
+    assert len(reg.active()) == 1
+    alerts = pipe.alerts().collect()
+    assert alerts and all(r.key == "{carId=9}" for r in alerts)
