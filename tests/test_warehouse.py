@@ -1,0 +1,67 @@
+"""Warehouse maintenance operator tests: partitioned writes, MERGE
+upsert, DELETE, compaction, salted aggregation."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from activedatawarehouseprototype_spark.catalog import load
+from activedatawarehouseprototype_spark.operators import warehouse
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_write_partitioned_prunes(spark, tmp_path):
+    orders = load(spark, SF, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orders_part")
+    warehouse.write_partitioned(orders, path, ["o_orderstatus"])
+    assert os.path.isdir(os.path.join(path, "o_orderstatus=F"))
+    back = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
+    assert back.count() == orders.filter("o_orderstatus = 'F'").count()
+
+
+def test_merge_upsert_and_delete(spark, tmp_path):
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "id long, k string, v double"
+    )
+    warehouse.merge_upsert(spark, path, base, ["id"])
+    updates = spark.createDataFrame(
+        [(2, "b2", 21.0), (4, "d", 40.0)], "id long, k string, v double"
+    )
+    warehouse.merge_upsert(spark, path, updates, ["id"])
+    got = {r.id: (r.k, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {1: ("a", 10.0), 2: ("b2", 21.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+    deleted = warehouse.delete_where(spark, path, "v >= 30.0")
+    assert deleted == 2
+    assert {r.id for r in spark.read.parquet(path).collect()} == {1, 2}
+
+
+def test_compact_reduces_files(spark, tmp_path):
+    path = str(tmp_path / "many")
+    spark.range(1000).repartition(8).write.parquet(path)
+    n_before = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    warehouse.compact(spark, path, target_files=1)
+    n_after = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert n_before == 8 and n_after == 1
+    assert spark.read.parquet(path).count() == 1000
+
+
+def test_salted_agg_matches_plain(spark):
+    events = load(spark, SF, "events")
+    salted = {
+        r.event_type: (round(r.sum_value, 6), r.n_rows)
+        for r in warehouse.salted_agg(events, ["event_type"], "value").collect()
+    }
+    plain = {
+        r.event_type: (round(r.s, 6), r.n)
+        for r in events.groupBy("event_type")
+        .agg(F.sum("value").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert salted == plain
