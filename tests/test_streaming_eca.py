@@ -334,3 +334,75 @@ def test_rules_dir_midstream_registration(spark, tmp_path):
     assert len(reg.active()) == 1
     alerts = pipe.alerts().collect()
     assert alerts and all(r.key == "{carId=9}" for r in alerts)
+
+
+def test_mixed_mode_rules_one_pipeline(spark, pipeline):
+    """W0 + W1 + W2 rules evaluated together over the same batches."""
+    reg = pipeline.registry
+    base_rule = {
+        "queryState": "ACTIVE",
+        "lastTime": -1,
+        "groupingKeyNames": ["carId"],
+        "windowFilterRules": [],
+        "aggregatorFunctionType": "AVG",
+        "limitOperatorType": ">",
+        "limit": 120,
+        "aggregateFieldName": "speed",
+    }
+    reg.apply_json(json.dumps(dict(base_rule, queryId=1, windowMilliseconds=0)))  # W0
+    reg.apply_json(
+        json.dumps(dict(base_rule, queryId=2, windowMilliseconds=10000,
+                        frequencyMilliseconds=0))
+    )  # W1
+    reg.apply_json(
+        json.dumps(dict(base_rule, queryId=3, windowMilliseconds=60000))
+    )  # W2
+    pipeline.process_batch(car_df(spark, [(9, 1, 130.0), (9, 3, 110.0)]), 0)
+    evals = pipeline.evaluations().collect()
+    by_rule = {}
+    for r in evals:
+        by_rule.setdefault(r.query_id, []).append(r)
+    assert len(by_rule[1]) == 2  # W0: one row per event, never fired
+    assert all(not r.fired and r.agg_value == 0.0 for r in by_rule[1])
+    assert len(by_rule[2]) == 2  # W1: per-event trailing aggregate
+    assert {round(r.agg_value, 1) for r in by_rule[2]} == {130.0, 120.0}
+    assert len(by_rule[3]) == 1  # W2: one window row
+    assert by_rule[3][0].agg_value == 120.0 and not by_rule[3][0].fired
+
+
+def test_clear_state_all_resets_buffer(spark, pipeline):
+    reg = pipeline.registry
+    rule = {
+        "queryId": 5,
+        "queryState": "ACTIVE",
+        "lastTime": -1,
+        "windowMilliseconds": 60000,
+        "frequencyMilliseconds": 0,
+        "groupingKeyNames": ["carId"],
+        "windowFilterRules": [],
+        "aggregatorFunctionType": "COUNT" if False else "SUM",
+        "aggregateFieldName": "COUNT_FLINK",
+        "limitOperatorType": ">",
+        "limit": 1,
+    }
+    reg.apply_json(json.dumps(rule))
+    pipeline.process_batch(car_df(spark, [(9, 1, 100.0)]), 0)
+    # CLEAR_STATE_ALL wipes the event buffer: the next batch's trailing
+    # count restarts at 1 even though both events share the window.
+    reg.apply_json('{"queryState":"CONTROL","controlType":"CLEAR_STATE_ALL"}')
+    pipeline.process_batch(car_df(spark, [(9, 2, 100.0)]), 1)
+    evals = sorted(
+        pipeline.evaluations().collect(), key=lambda r: r.window_end
+    )
+    assert [r.agg_value for r in evals] == [1.0, 1.0]  # no carry-over
+
+
+def test_pause_then_reactivate(spark, pipeline):
+    reg = pipeline.registry
+    rule = dict(SPEEDING_RULE, alertRules=[])
+    reg.apply_json(json.dumps(dict(rule, queryState="PAUSE")))
+    pipeline.process_batch(car_df(spark, [(9, 1, 130.0)]), 0)
+    assert pipeline.alerts().count() == 0
+    reg.apply_json(json.dumps(rule))  # re-apply as ACTIVE (same id)
+    pipeline.process_batch(car_df(spark, [(9, 2, 140.0)]), 1)
+    assert pipeline.alerts().count() > 0
