@@ -134,24 +134,27 @@ def minhash_signatures(
 
     Hash function family: h_i(shingle) = md5('<i>:' || shingle),
     minimized lexicographically — identical strings on every engine,
-    which is why the oracle can verify it. k aggregations happen in
-    ONE shuffle (explode seeds × shingles, groupBy id+seed)."""
+    which is why the oracle can verify it.
+
+    Plan note: the k mins are computed as ONE wide aggregation over the
+    un-exploded shingle table — partial (map-side) aggregation reduces
+    each task's contribution to k values per document BEFORE the
+    shuffle. The naive explode-seeds plan shuffles k x |shingles| rows
+    of 32-char digests; this shuffles ~k x |docs|."""
     sh = shingle_table(df, id_col, text_col, n, max_doc_freq)
-    seeds = F.array(*[F.lit(i) for i in range(k)])
-    return (
-        sh.select("sid", "shingle", F.explode(seeds).alias("hash_idx"))
-        .select(
-            "sid",
-            "hash_idx",
-            F.md5(
-                F.concat(F.col("hash_idx").cast("string"), F.lit(":"), F.col("shingle")).cast(
-                    "binary"
-                )
-            ).alias("h"),
-        )
-        .groupBy("sid", "hash_idx")
-        .agg(F.min("h").alias("minhash"))
+    aggs = [
+        F.min(
+            F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")).cast("binary"))
+        ).alias(f"mh{i}")
+        for i in range(k)
+    ]
+    wide = sh.groupBy("sid").agg(*aggs)
+    stack = (
+        f"stack({k}, "
+        + ", ".join(f"{i}, mh{i}" for i in range(k))
+        + ") AS (hash_idx, minhash)"
     )
+    return wide.select("sid", F.expr(stack))
 
 
 def lsh_candidates(

@@ -51,27 +51,49 @@ def rules_to_df(spark: SparkSession, rules: list[Rule]) -> DataFrame:
     return spark.createDataFrame(rows, RULES_DF_SCHEMA)
 
 
-def _event_maps(events: DataFrame) -> tuple[Column, Column]:
-    """(all-values-as-string map, numeric-values-as-double map) over
-    the event columns — the data-driven analogue of the reference's
-    reflective FieldsExtractor (operator/FieldsExtractor.java:12-37)."""
+def _event_maps(
+    events: DataFrame, fields: set[str] | None = None
+) -> tuple[Column, Column]:
+    """(values-as-string map, numeric-values-as-double map) over the
+    event columns — the data-driven analogue of the reference's
+    reflective FieldsExtractor (operator/FieldsExtractor.java:12-37).
+    ``fields`` prunes the maps to the columns any rule references —
+    per-row map construction is the fan-out's main cost."""
     str_entries: list[Column] = []
     num_entries: list[Column] = []
     for name, dtype in events.dtypes:
+        if fields is not None and name not in fields:
+            continue
         str_entries += [F.lit(name), F.col(name).cast("string")]
         if dtype.startswith(_NUMERIC_PREFIXES):
             num_entries += [F.lit(name), F.col(name).cast("double")]
     return F.create_map(*str_entries), F.create_map(*num_entries)
 
 
+def referenced_fields(rules_df: DataFrame) -> set[str]:
+    """Distinct field names any rule filters or groups on (one tiny
+    driver-side job over the control-plane rules table)."""
+    rows = rules_df.select(
+        F.array_union(
+            F.transform("filters", lambda f: f["field"]), F.col("grouping_keys")
+        ).alias("fs")
+    ).collect()
+    out: set[str] = set()
+    for r in rows:
+        out.update(r.fs)
+    return out
+
+
 def fan_out(events: DataFrame, rules_df: DataFrame) -> DataFrame:
     """events x matching-rules: one output row per (event, rule) whose
     filter conjunction holds, carrying query_id + composite key
     (Keyed<event, key, ruleId> analogue, common/Keyed.java:14-18)."""
+    fields = referenced_fields(rules_df)
     numeric_cols = [
-        n for n, t in events.dtypes if t.startswith(_NUMERIC_PREFIXES)
+        n for n, t in events.dtypes
+        if t.startswith(_NUMERIC_PREFIXES) and n in fields
     ]
-    str_map, num_map = _event_maps(events)
+    str_map, num_map = _event_maps(events, fields)
     ev = events.withColumn("_strs", str_map).withColumn("_nums", num_map)
 
     num_cols_lit = F.array(*[F.lit(c) for c in numeric_cols])

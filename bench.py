@@ -104,8 +104,13 @@ def main() -> None:
     spark = get_spark(app_name="adw-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm up the JVM/codegen paths outside the timed region.
+    # Warm up JVM/codegen + the parquet reader stack outside the timed
+    # region (the first parquet scan pays Hadoop FS + footer-reader init).
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    from activedatawarehouseprototype_spark.catalog import load
+
+    load(spark, sf_dir, "region").count()
+    load(spark, sf_dir, "events").limit(1).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
