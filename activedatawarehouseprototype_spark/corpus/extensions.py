@@ -409,3 +409,32 @@ def multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).filter(F.col("doc_id") % 10 == 0)
     blobs = multimodal.attach_blobs(d)
     return multimodal.byte_stats(blobs)
+
+
+# --- Array functions over the embedding column (size / element-wise
+# transform / fold / min-max) — nested-type expression coverage ---
+
+
+@register(
+    "array_embedding_stats",
+    oracle="""
+SELECT vec_id,
+       CAST(len(embedding) AS INT) AS dim,
+       ROUND(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 6)
+           AS l2_norm,
+       ROUND(list_max(CAST(embedding AS DOUBLE[])), 6) AS max_elem,
+       ROUND(list_sum(CAST(embedding AS DOUBLE[])) / len(embedding), 6) AS mean_elem
+FROM embeddings
+""",
+)
+def array_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    v = similarity.as_double_array(F.col("embedding"))
+    total = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x)
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(similarity.norm(v), 6).alias("l2_norm"),
+        F.round(F.array_max(v), 6).alias("max_elem"),
+        F.round(total / F.size("embedding"), 6).alias("mean_elem"),
+    )

@@ -1,0 +1,75 @@
+"""Bucketed (co-located) joins: pre-bucketing fact tables on the join
+key removes the per-query shuffle entirely — THE join strategy for
+repeated large fact-fact joins at 100 TB (SURVEY §4.2 scale notes).
+
+The test writes orders and lineitem bucketed by the join key into the
+session warehouse, joins them, and asserts the physical plan contains
+NO shuffle exchange on either side."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from activedatawarehouseprototype_spark.catalog import load
+from activedatawarehouseprototype_spark.plans.explain import formatted_plan
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, tmp_path_factory):
+    orders = load(spark, SF, "orders")
+    lineitem = load(spark, SF, "lineitem")
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    (
+        orders.write.mode("overwrite")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable("orders_b")
+    )
+    (
+        lineitem.write.mode("overwrite")
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable("lineitem_b")
+    )
+    return spark.table("orders_b"), spark.table("lineitem_b")
+
+
+def test_bucketed_join_has_no_shuffle(spark, bucketed_tables):
+    orders_b, lineitem_b = bucketed_tables
+    joined = orders_b.join(
+        lineitem_b, orders_b.o_orderkey == lineitem_b.l_orderkey
+    ).groupBy("o_orderstatus").agg(F.sum("l_quantity").alias("q"))
+    # disable broadcast so the join itself must pick a strategy
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = formatted_plan(joined)
+        join_section = plan.split("HashAggregate")[0]
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        # no Exchange feeding the join: bucketing provides the
+        # distribution, so the only exchange allowed is the final
+        # aggregation's.
+        n_exchanges = len(re.findall(r"Exchange", join_section))
+        assert n_exchanges == 0, f"join should be shuffle-free:\n{plan[:2000]}"
+        # and the result is still correct
+        plain = (
+            load(spark, SF, "orders")
+            .join(
+                load(spark, SF, "lineitem"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            .groupBy("o_orderstatus")
+            .agg(F.sum("l_quantity").alias("q"))
+        )
+        got = {(r.o_orderstatus, round(r.q, 4)) for r in joined.collect()}
+        want = {(r.o_orderstatus, round(r.q, 4)) for r in plain.collect()}
+        assert got == want
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
