@@ -188,25 +188,43 @@ class ActivePipeline:
 
     # -- buffer management ------------------------------------------------------
 
+    # physically rewrite the buffer only every N batches; logical
+    # retention is applied on read every batch.
+    PRUNE_EVERY = 8
+
     def _update_buffer(self, batch_df: DataFrame) -> DataFrame:
+        """Shared event buffer, widest-ACTIVE-window retention.
+
+        Per-batch cost is O(new batch): the micro-batch APPENDS to the
+        buffer directory; retention is a read-side filter; the physical
+        rewrite (drop expired files' rows, compact small files) runs
+        every PRUNE_EVERY batches. This is the parquet stand-in for a
+        Delta table with retention — same shape, swap the writer."""
+        batch_df.write.mode("append").parquet(self.buffer_path)
+        self._has_buffer = True
+        buffer = self.spark.read.parquet(self.buffer_path)
+
         widest = self.registry.widest_window_ms()
-        if self._has_buffer:
-            combined = self.spark.read.parquet(self.buffer_path).unionByName(batch_df)
-        else:
-            combined = batch_df
         if widest > 0:
-            max_ts = combined.agg(F.max(F.unix_millis(self.ts_col))).head()[0]
+            max_ts = buffer.agg(F.max(F.unix_millis(self.ts_col))).head()[0]
             if max_ts is not None:
-                combined = combined.filter(
+                buffer = buffer.filter(
                     F.unix_millis(self.ts_col) >= max_ts - widest
                 )
-        staging = self.buffer_path + ".next"
-        combined.write.mode("overwrite").parquet(staging)
-        if os.path.exists(self.buffer_path):
+        if self._batch_count % self.PRUNE_EVERY == 0:
+            staging = self.buffer_path + ".next"
+            buffer.write.mode("overwrite").parquet(staging)
             shutil.rmtree(self.buffer_path)
-        os.replace(staging, self.buffer_path)
-        self._has_buffer = True
-        return self.spark.read.parquet(self.buffer_path)
+            os.replace(staging, self.buffer_path)
+            buffer = self.spark.read.parquet(self.buffer_path)
+            if widest > 0:
+                # keep the retention predicate on the compacted read so
+                # evaluation semantics don't depend on prune timing
+                buffer = buffer.filter(
+                    F.unix_millis(self.ts_col)
+                    >= (max_ts - widest if max_ts is not None else 0)
+                )
+        return buffer
 
     def _clear_buffer(self) -> None:
         if os.path.exists(self.buffer_path):

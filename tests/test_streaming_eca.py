@@ -406,3 +406,97 @@ def test_pause_then_reactivate(spark, pipeline):
     reg.apply_json(json.dumps(rule))  # re-apply as ACTIVE (same id)
     pipeline.process_batch(car_df(spark, [(9, 2, 140.0)]), 1)
     assert pipeline.alerts().count() > 0
+
+
+def test_eca_grandchild_chain(spark, pipeline):
+    """Nested alertRules: a spawned child carries its OWN child
+    template, so firing the child spawns a grandchild (rule chains)."""
+    rule = {
+        "queryId": 1,
+        "queryState": "ACTIVE",
+        "lastTime": -1,
+        "windowMilliseconds": 10000,
+        "frequencyMilliseconds": 0,
+        "groupingKeyNames": ["carId"],
+        "windowFilterRules": [],
+        "aggregatorFunctionType": "AVG",
+        "limitOperatorType": ">",
+        "limit": 120,
+        "aggregateFieldName": "speed",
+        "alertRules": [
+            {
+                "queryId": 2,
+                "queryState": "ACTIVE",
+                "lastTime": -1,
+                "windowMilliseconds": 5000,
+                "frequencyMilliseconds": 0,
+                "groupingKeyNames": ["$carId"],
+                "windowFilterRules": [],
+                "aggregatorFunctionType": "MAX",
+                "limitOperatorType": ">",
+                "limit": 50,
+                "aggregateFieldName": "speed",
+                "alertRules": [
+                    {
+                        "queryId": 3,
+                        "queryState": "ACTIVE",
+                        "lastTime": -1,
+                        "windowMilliseconds": 2000,
+                        "frequencyMilliseconds": 0,
+                        "groupingKeyNames": ["$carId"],
+                        "windowFilterRules": [],
+                        "aggregatorFunctionType": "SUM",
+                        "limitOperatorType": ">",
+                        "limit": 0,
+                        "aggregateFieldName": "speed",
+                    }
+                ],
+            }
+        ],
+    }
+    reg = pipeline.registry
+    reg.apply_json(json.dumps(rule))
+    pipeline.process_batch(car_df(spark, [(9, 1, 130.0)]), 0)  # fires 1 → child
+    child = next(r for r in reg.active() if r.active_id == 1)
+    assert child.alert_rules, "child must carry the grandchild template"
+    pipeline.process_batch(car_df(spark, [(9, 11, 60.0)]), 1)  # fires child
+    grandchild = [r for r in reg.active() if r.active_id == child.query_id]
+    assert len(grandchild) == 1
+    assert any(
+        f.field == "carId" and f.value == "9"
+        for f in grandchild[0].window_filter_rules
+    )
+    pipeline.process_batch(car_df(spark, [(9, 21, 5.0)]), 2)  # fires grandchild
+    assert pipeline.alerts().filter(
+        F.col("query_id") == grandchild[0].query_id
+    ).count() > 0
+
+
+def test_buffer_prune_preserves_semantics(spark, pipeline):
+    """Append-mode buffer with periodic prune: trailing-window results
+    must not depend on prune timing (PRUNE_EVERY boundary crossed)."""
+    reg = pipeline.registry
+    reg.apply_json(
+        json.dumps(
+            {
+                "queryId": 8,
+                "queryState": "ACTIVE",
+                "lastTime": -1,
+                "windowMilliseconds": 3_600_000,
+                "frequencyMilliseconds": 0,
+                "groupingKeyNames": ["carId"],
+                "windowFilterRules": [],
+                "aggregatorFunctionType": "SUM",
+                "limitOperatorType": ">",
+                "limit": 1e12,
+                "aggregateFieldName": "speed",
+            }
+        )
+    )
+    for i in range(10):  # crosses the PRUNE_EVERY=8 boundary
+        pipeline.process_batch(car_df(spark, [(9, i * 10, 10.0)]), i)
+    evals = sorted(
+        pipeline.evaluations().collect(), key=lambda r: r.window_end
+    )
+    # trailing 1h window keeps everything: SUM must be 10,20,...,100
+    assert [r.agg_value for r in evals] == [10.0 * (i + 1) for i in range(10)]
