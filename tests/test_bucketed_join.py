@@ -21,10 +21,17 @@ SF = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="module")
 def bucketed_tables(spark, tmp_path_factory):
+    import shutil
+
     orders = load(spark, SF, "orders")
     lineitem = load(spark, SF, "lineitem")
     spark.sql("DROP TABLE IF EXISTS orders_b")
     spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    # a fresh session's catalog doesn't know tables from a previous
+    # run, but their warehouse directories survive and block the write
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("orders_b", "lineitem_b"):
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
     (
         orders.write.mode("overwrite")
         .bucketBy(8, "o_orderkey")
