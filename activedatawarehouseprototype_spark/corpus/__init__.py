@@ -41,3 +41,4 @@ from activedatawarehouseprototype_spark.corpus import extensions  # noqa: E402,F
 from activedatawarehouseprototype_spark.corpus import temporal  # noqa: E402,F401
 from activedatawarehouseprototype_spark.corpus import analytics  # noqa: E402,F401
 from activedatawarehouseprototype_spark.corpus import udfs  # noqa: E402,F401
+from activedatawarehouseprototype_spark.corpus import stats  # noqa: E402,F401

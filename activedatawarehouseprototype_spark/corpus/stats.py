@@ -1,0 +1,136 @@
+"""Statistical aggregates + regex extraction corpus: corr/stddev/var,
+boolean aggregates, count_if, regexp_extract, and value histograms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from activedatawarehouseprototype_spark.catalog import load as _load
+from activedatawarehouseprototype_spark.corpus import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return _load(spark, sf_dir, name)
+
+
+# --- corr / stddev_samp / var_samp (identical sample definitions in
+# both engines; rounded — they divide order-dependent sums) ---
+
+
+@register(
+    "stats_price_quantity",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(corr(l_extendedprice, l_quantity), 6) AS price_qty_corr,
+       ROUND(stddev_samp(l_extendedprice), 4) AS price_sd,
+       ROUND(var_samp(l_discount), 8) AS disc_var,
+       ROUND(AVG(l_tax), 6) AS tax_mean
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def stats_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("price_qty_corr"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_sd"),
+        F.round(F.var_samp("l_discount"), 8).alias("disc_var"),
+        F.round(F.avg("l_tax"), 6).alias("tax_mean"),
+    )
+
+
+# --- boolean aggregates + count_if ---
+
+
+@register(
+    "bool_aggs_per_segment",
+    oracle="""
+SELECT c_mktsegment,
+       bool_or(c_acctbal > 9000) AS any_rich,
+       bool_and(c_acctbal > -900) AS all_above_floor,
+       CAST(count_if(c_acctbal < 0) AS BIGINT) AS n_negative
+FROM customer
+GROUP BY c_mktsegment
+""",
+)
+def bool_aggs_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.bool_or(F.col("c_acctbal") > 9000).alias("any_rich"),
+        F.bool_and(F.col("c_acctbal") > -900).alias("all_above_floor"),
+        F.count_if(F.col("c_acctbal") < 0).alias("n_negative"),
+    )
+
+
+# --- regexp extraction (simple portable pattern) ---
+
+
+@register(
+    "regexp_part_type_tokens",
+    oracle="""
+SELECT p_partkey,
+       regexp_extract(p_type, '^([a-z]+)', 1) AS first_word,
+       regexp_extract(p_name, '([0-9]+)', 1) AS first_number,
+       CAST(regexp_matches(p_type, 'br') AS BOOLEAN) AS has_br
+FROM part
+""",
+)
+def regexp_part_type_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_type", "^([a-z]+)", 1).alias("first_word"),
+        F.regexp_extract("p_name", "([0-9]+)", 1).alias("first_number"),
+        F.col("p_type").rlike("br").alias("has_br"),
+    )
+
+
+# --- value histogram (width_bucket analogue via floor division) ---
+
+
+@register(
+    "histogram_event_values",
+    oracle="""
+SELECT event_type,
+       CAST(FLOOR(value / 25.0) AS INT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(value), 4) AS bucket_avg
+FROM events
+GROUP BY event_type, bucket
+""",
+)
+def histogram_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(
+        "event_type",
+        F.floor(F.col("value") / 25.0).cast("int").alias("bucket"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 4).alias("bucket_avg"),
+    )
+
+
+# --- hour-of-day activity profile (date-part grouping over events) ---
+
+
+@register(
+    "hourly_activity_profile",
+    oracle="""
+SELECT CAST(hour(ts) AS INT) AS hour_of_day,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 2) AS total_value
+FROM events
+GROUP BY hour_of_day, event_type
+""",
+)
+def hourly_activity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(
+        F.hour("ts").alias("hour_of_day"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
