@@ -129,42 +129,88 @@ class ActivePipeline:
             self.metrics["last_batch_seconds"] = time.perf_counter() - t_start
             return
 
-        # (3)+(4) evaluate every active rule over the buffer; emit only
-        # window_ends beyond the per-rule watermark. Evaluations and
-        # alerts are written distributed — only FIRED rows (the ECA
-        # control plane) are collected to the driver.
+        # (3)+(4) evaluate every active rule over the buffer as ONE
+        # unioned plan — per-batch Spark-job count stays constant as the
+        # rule set grows. Per-rule compile errors (e.g. a registered
+        # rule naming a field the schema lost) quarantine that rule
+        # instead of failing the batch. Emission is gated by the
+        # per-rule window_end watermark, applied as one combined filter.
+        per_rule = []
+        by_id: dict[int, Rule] = {}
         for rule in active:
-            evals = evaluate_rule(buffer, rule, ts_col=self.ts_col)
-            wm = self._emitted_wm.get(rule.query_id)
-            if wm is not None:
-                evals = evals.filter(F.unix_millis("window_end") > wm)
-            evals.persist()
             try:
-                evals.write.mode("append").parquet(self.evals_path)
-                max_end = evals.agg(F.max(F.unix_millis("window_end"))).head()[0]
-                fired = evals.filter("fired")
-                fired.write.mode("append").parquet(self.alerts_path + "/data")
-                n_fired = fired.count()
-                fired_rows = fired.collect() if (rule.alert_rules and n_fired) else []
-            finally:
-                evals.unpersist()
-            if max_end is not None:
-                self._emitted_wm[rule.query_id] = max(
-                    self._emitted_wm.get(rule.query_id, 0), int(max_end)
+                per_rule.append(evaluate_rule(buffer, rule, ts_col=self.ts_col))
+                by_id[rule.query_id] = rule
+            except Exception:
+                self.metrics["rule_errors"] = self.metrics.get("rule_errors", 0) + 1
+                self._quarantine(rule)
+        if not per_rule:
+            self.metrics["last_batch_seconds"] = time.perf_counter() - t_start
+            return
+        evals = per_rule[0]
+        for e in per_rule[1:]:
+            evals = evals.unionByName(e)
+        wm_pairs = [
+            (qid, self._emitted_wm[qid])
+            for qid in by_id
+            if qid in self._emitted_wm
+        ]
+        if wm_pairs:
+            gate = F.lit(True)
+            for qid, wm in wm_pairs:
+                gate = gate & (
+                    (F.col("query_id") != qid)
+                    | (F.unix_millis("window_end") > wm)
                 )
-            self.metrics["alerts_fired"] += n_fired
-            # (5) ECA spawning (C5-C7)
-            for row in fired_rows:
-                key_values = parse_composite_key(row.key)
-                for template in rule.alert_rules:
-                    if not self.throttle.allow(template.query_id, row.key):
-                        continue
-                    child = instantiate_child(
-                        template, key_values, rule.query_id, now, self.id_worker
-                    )
-                    self.registry.apply(child, now)
-                    self.metrics["rules_spawned"] += 1
+            evals = evals.filter(gate)
+
+        evals.persist()
+        try:
+            evals.write.mode("append").parquet(self.evals_path)
+            fired = evals.filter("fired")
+            fired.write.mode("append").parquet(self.alerts_path + "/data")
+            wm_rows = (
+                evals.groupBy("query_id")
+                .agg(F.max(F.unix_millis("window_end")).alias("max_end"))
+                .collect()
+            )
+            spawning_ids = [
+                qid for qid, r in by_id.items() if r.alert_rules
+            ]
+            fired_rows = (
+                fired.filter(F.col("query_id").isin(spawning_ids)).collect()
+                if spawning_ids
+                else []
+            )
+            self.metrics["alerts_fired"] += fired.count()
+        finally:
+            evals.unpersist()
+        for r in wm_rows:
+            if r.max_end is not None:
+                self._emitted_wm[r.query_id] = max(
+                    self._emitted_wm.get(r.query_id, 0), int(r.max_end)
+                )
+        # (5) ECA spawning (C5-C7)
+        for row in fired_rows:
+            rule = by_id[row.query_id]
+            key_values = parse_composite_key(row.key)
+            for template in rule.alert_rules:
+                if not self.throttle.allow(template.query_id, row.key):
+                    continue
+                child = instantiate_child(
+                    template, key_values, rule.query_id, now, self.id_worker
+                )
+                self.registry.apply(child, now)
+                self.metrics["rules_spawned"] += 1
         self.metrics["last_batch_seconds"] = time.perf_counter() - t_start
+
+    def _quarantine(self, rule: Rule) -> None:
+        """A rule whose plan no longer compiles is PAUSEd in place (it
+        stays visible for inspection) rather than killing the batch."""
+        from activedatawarehouseprototype_spark.rules.model import RuleState
+
+        rule.query_state = RuleState.PAUSE
+        self.registry.rules[rule.query_id] = rule
 
     # -- rule-source polling ----------------------------------------------------
 

@@ -500,3 +500,31 @@ def test_buffer_prune_preserves_semantics(spark, pipeline):
     )
     # trailing 1h window keeps everything: SUM must be 10,20,...,100
     assert [r.agg_value for r in evals] == [10.0 * (i + 1) for i in range(10)]
+
+
+def test_bad_rule_quarantined_not_fatal(spark, pipeline):
+    """A rule naming a nonexistent field is PAUSEd; healthy rules keep
+    evaluating in the same batch."""
+    reg = pipeline.registry
+    reg.apply_json(json.dumps(dict(SPEEDING_RULE, alertRules=[])))
+    reg.apply_json(
+        json.dumps(
+            {
+                "queryId": 66,
+                "queryState": "ACTIVE",
+                "lastTime": -1,
+                "windowMilliseconds": 10000,
+                "frequencyMilliseconds": 0,
+                "groupingKeyNames": ["no_such_column"],
+                "windowFilterRules": [],
+                "aggregatorFunctionType": "AVG",
+                "limitOperatorType": ">",
+                "limit": 1,
+                "aggregateFieldName": "speed",
+            }
+        )
+    )
+    pipeline.process_batch(car_df(spark, [(9, 1, 130.0)]), 0)
+    assert pipeline.metrics.get("rule_errors") == 1
+    assert pipeline.registry.rules[66].query_state.value == "PAUSE"
+    assert pipeline.alerts().filter("query_id = 1").count() > 0
