@@ -134,3 +134,48 @@ def hourly_activity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+# --- NULL semantics: aggregates skip nulls, COUNT(col) vs COUNT(*),
+# null-safe division — generated via NULLIF since the fixtures are
+# null-free; engines must agree on every null rule ---
+
+
+@register(
+    "null_semantics_aggs",
+    oracle="""
+WITH t AS (
+  SELECT o_orderstatus,
+         NULLIF(o_totalprice, 0.0) AS price_nz,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN NULL
+              ELSE o_totalprice END AS price_non_urgent
+  FROM orders
+)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_all,
+       CAST(COUNT(price_non_urgent) AS BIGINT) AS n_non_urgent,
+       ROUND(COALESCE(AVG(price_non_urgent), -1.0), 4) AS avg_non_urgent,
+       ROUND(SUM(price_nz) / NULLIF(COUNT(price_nz), 0), 4) AS manual_avg
+FROM t
+GROUP BY o_orderstatus
+""",
+)
+def null_semantics_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    t = o.select(
+        "o_orderstatus",
+        F.nullif("o_totalprice", F.lit(0.0)).alias("price_nz"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", None)
+        .otherwise(F.col("o_totalprice"))
+        .alias("price_non_urgent"),
+    )
+    return t.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.count("price_non_urgent").alias("n_non_urgent"),
+        F.round(F.coalesce(F.avg("price_non_urgent"), F.lit(-1.0)), 4).alias(
+            "avg_non_urgent"
+        ),
+        F.round(
+            F.sum("price_nz") / F.nullif(F.count("price_nz"), F.lit(0)), 4
+        ).alias("manual_avg"),
+    )

@@ -87,6 +87,28 @@ class ActivePipeline:
         if self.work_dir is None:
             self.work_dir = tempfile.mkdtemp(prefix="adw-pipeline-")
         os.makedirs(self.alerts_path, exist_ok=True)
+        # recovery: reload emission watermarks + detect an existing
+        # buffer so a restarted pipeline continues instead of
+        # re-emitting everything (the registry persists separately).
+        if os.path.exists(self._wm_path):
+            import json as _json
+
+            with open(self._wm_path) as f:
+                self._emitted_wm = {int(k): v for k, v in _json.load(f).items()}
+        if os.path.isdir(self.buffer_path) and os.listdir(self.buffer_path):
+            self._has_buffer = True
+
+    @property
+    def _wm_path(self) -> str:
+        return os.path.join(self.work_dir, "emitted_watermarks.json")
+
+    def _persist_watermarks(self) -> None:
+        import json as _json
+
+        tmp = self._wm_path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump({str(k): v for k, v in self._emitted_wm.items()}, f)
+        os.replace(tmp, self._wm_path)
 
     # -- paths ---------------------------------------------------------------
 
@@ -190,6 +212,7 @@ class ActivePipeline:
                 self._emitted_wm[r.query_id] = max(
                     self._emitted_wm.get(r.query_id, 0), int(r.max_end)
                 )
+        self._persist_watermarks()
         # (5) ECA spawning (C5-C7)
         for row in fired_rows:
             rule = by_id[row.query_id]

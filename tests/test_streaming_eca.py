@@ -528,3 +528,57 @@ def test_bad_rule_quarantined_not_fatal(spark, pipeline):
     assert pipeline.metrics.get("rule_errors") == 1
     assert pipeline.registry.rules[66].query_state.value == "PAUSE"
     assert pipeline.alerts().filter("query_id = 1").count() > 0
+
+
+def test_pipeline_restart_no_reemission(spark, tmp_path):
+    """A restarted pipeline (same work_dir + persisted registry) must
+    not re-emit evaluations already delivered before the restart."""
+    reg_path = str(tmp_path / "rules.jsonl")
+    wk = str(tmp_path / "wk")
+    reg = RuleRegistry(persist_path=reg_path)
+    reg.apply_json(json.dumps(dict(SPEEDING_RULE, alertRules=[])))
+    p1 = ActivePipeline(spark=spark, registry=reg, work_dir=wk)
+    p1.process_batch(car_df(spark, [(9, 1, 130.0)]), 0)
+    n_before = p1.evaluations().count()
+    assert n_before == 1
+
+    # restart: new pipeline object, reloaded registry, same work_dir
+    reg2 = RuleRegistry.load(reg_path)
+    p2 = ActivePipeline(spark=spark, registry=reg2, work_dir=wk)
+    p2.process_batch(car_df(spark, [(9, 2, 140.0)]), 1)
+    evals = sorted(p2.evaluations().collect(), key=lambda r: r.window_end)
+    # only ONE new evaluation (the t=2 event); the t=1 evaluation was
+    # not re-emitted even though the buffered event is still in window
+    assert len(evals) == 2
+    assert [round(r.agg_value, 1) for r in evals] == [130.0, 135.0]
+
+
+def test_fifty_rules_one_batch(spark, pipeline):
+    """Rule-set scalability: 50 rules evaluate in one unioned plan."""
+    reg = pipeline.registry
+    for i in range(50):
+        reg.apply_json(
+            json.dumps(
+                {
+                    "queryId": 1000 + i,
+                    "queryState": "ACTIVE",
+                    "lastTime": -1,
+                    "windowMilliseconds": 60000,
+                    "frequencyMilliseconds": None,
+                    "groupingKeyNames": ["carId"],
+                    "windowFilterRules": [
+                        {"field": "speed", "operator": ">", "value": str(i)}
+                    ],
+                    "aggregatorFunctionType": "MAX",
+                    "limitOperatorType": ">",
+                    "limit": 100,
+                    "aggregateFieldName": "speed",
+                }
+            )
+        )
+    pipeline.process_batch(car_df(spark, [(9, 1, 55.0), (7, 2, 120.0)]), 0)
+    evals = pipeline.evaluations().collect()
+    # rule i sees car 9 iff 55 > i (i<55 → all 50) and car 7 always
+    assert len(evals) == 50 + 50
+    fired = [r for r in evals if r.fired]
+    assert all(r.key == "{carId=7}" for r in fired) and len(fired) == 50
