@@ -12,6 +12,8 @@ filters and projections declaratively rather than materializing.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -40,16 +42,44 @@ def _ensure_session_conf(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
 
+def _nanos_ts_columns(path: str) -> list[str]:
+    """Columns stored as parquet timestamp[ns] (which Spark reads as
+    bigint under nanosAsLong). Inspected via pyarrow footer metadata."""
+    try:
+        import glob
+
+        import pyarrow.parquet as pq
+
+        target = path
+        if not path.endswith(".parquet") or os.path.isdir(path):
+            files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+            if not files:
+                return []
+            target = files[0]
+        schema = pq.read_schema(target)
+        return [f.name for f in schema if str(f.type) == "timestamp[ns]"]
+    except Exception:
+        return []
+
+
+def load_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Nanos-timestamp-safe parquet loader for ANY path: timestamp[ns]
+    columns (illegal for stock Spark) are read as epoch-nanos and
+    floored to micros with integer DIV — exact, and identical to
+    DuckDB's ns→µs truncation."""
+    _ensure_session_conf(spark)
+    df = spark.read.parquet(path)
+    dtypes = dict(df.dtypes)
+    for c in _nanos_ts_columns(path):
+        if dtypes.get(c) == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
+    return df
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    _ensure_session_conf(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # nanosAsLong reads timestamp[ns] as epoch-nanos; floor to micros
-        # (integer DIV — exact), matching DuckDB's ns→µs truncation.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    return df
+    return load_parquet(spark, f"{sf_dir}/{name}.parquet")
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

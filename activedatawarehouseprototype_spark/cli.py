@@ -1,0 +1,128 @@
+"""Command-line entry points for the engine.
+
+    python -m activedatawarehouseprototype_spark.cli eval \
+        --rule rule.json --events /data/events.parquet [--fired-only]
+
+    python -m activedatawarehouseprototype_spark.cli run \
+        --events-dir /data/stream --rules-dir /etc/rules --work-dir /var/adw
+
+    python -m activedatawarehouseprototype_spark.cli sql --rule rule.json
+
+``eval`` compiles one JSON rule and evaluates it over a parquet events
+table (batch). ``run`` starts the active pipeline: streaming parquet
+events, rules registered by dropping JSON files into --rules-dir,
+alerts appended under --work-dir/alerts. ``sql`` prints the rule's
+generated ANSI-SQL twin. This mirrors the reference's operational
+surface (Kafka topic + file sources) on files.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="adw-spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pe = sub.add_parser("eval", help="batch-evaluate one rule over parquet events")
+    pe.add_argument("--rule", required=True, help="path to rule JSON file")
+    pe.add_argument("--events", required=True, help="events parquet path")
+    pe.add_argument("--ts-col", default="ts")
+    pe.add_argument("--fired-only", action="store_true")
+    pe.add_argument("--limit", type=int, default=20, help="rows to print")
+
+    pr = sub.add_parser("run", help="run the active pipeline over a stream")
+    pr.add_argument("--events-dir", required=True, help="streaming parquet dir")
+    pr.add_argument("--rules-dir", required=True, help="watched rule-JSON dir")
+    pr.add_argument("--work-dir", required=True)
+    pr.add_argument("--ts-col", default="ts")
+    pr.add_argument(
+        "--once", action="store_true", help="availableNow trigger (drain + exit)"
+    )
+
+    ps = sub.add_parser("sql", help="print the rule's generated ANSI-SQL twin")
+    ps.add_argument("--rule", required=True)
+    ps.add_argument("--table", default="events")
+    ps.add_argument("--ts-col", default="ts")
+    ps.add_argument("--numeric-cols", default="", help="comma-separated")
+    ps.add_argument("--fired-only", action="store_true")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _build_parser().parse_args(argv)
+
+    if args.cmd == "sql":
+        from activedatawarehouseprototype_spark.rules.model import Rule
+        from activedatawarehouseprototype_spark.rules.sql_gen import rule_to_sql
+
+        with open(args.rule) as f:
+            rule = Rule.from_json(f.read())
+        print(
+            rule_to_sql(
+                rule,
+                table=args.table,
+                ts_col=args.ts_col,
+                numeric_cols=set(filter(None, args.numeric_cols.split(","))),
+                fired_only=args.fired_only,
+            )
+        )
+        return 0
+
+    from activedatawarehouseprototype_spark.session import get_spark
+
+    spark = get_spark(app_name=f"adw-{args.cmd}")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if args.cmd == "eval":
+        from activedatawarehouseprototype_spark.rules.compiler import evaluate_rule
+        from activedatawarehouseprototype_spark.rules.model import Rule
+
+        from activedatawarehouseprototype_spark.catalog import load_parquet
+
+        with open(args.rule) as f:
+            rule = Rule.from_json(f.read())
+        events = load_parquet(spark, args.events)
+        out = evaluate_rule(
+            events, rule, ts_col=args.ts_col, fired_only=args.fired_only
+        )
+        out.show(args.limit, truncate=False)
+        print(f"{out.count()} rows", file=sys.stderr)
+        return 0
+
+    if args.cmd == "run":
+        from activedatawarehouseprototype_spark.streaming.pipeline import (
+            ActivePipeline,
+        )
+        from activedatawarehouseprototype_spark.streaming.registry import RuleRegistry
+
+        import os
+
+        registry = RuleRegistry.load(os.path.join(args.work_dir, "rules.jsonl"))
+        registry.persist_path = os.path.join(args.work_dir, "rules.jsonl")
+        pipe = ActivePipeline(
+            spark=spark,
+            registry=registry,
+            ts_col=args.ts_col,
+            work_dir=args.work_dir,
+            rules_dir=args.rules_dir,
+        )
+        from activedatawarehouseprototype_spark.catalog import load_parquet
+
+        schema = spark.read.parquet(args.events_dir).schema
+        stream = spark.readStream.schema(schema).parquet(args.events_dir)
+        # note: nanos-ts streams should be pre-normalized (load_parquet
+        # + rewrite) — streaming schema inference can't rewrite columns
+        q = pipe.run_stream(stream, trigger_available_now=args.once)
+        q.awaitTermination()
+        print(json.dumps(pipe.metrics), file=sys.stderr)
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
