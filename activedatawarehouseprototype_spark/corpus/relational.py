@@ -427,3 +427,96 @@ def stringagg_statuses_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
             "statuses"
         )
     )
+
+
+# --- Full outer join (both-side null preservation) ---
+
+
+@register(
+    "join_full_outer_nation_activity",
+    oracle="""
+WITH cust_n AS (
+  SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY c_nationkey
+), supp_n AS (
+  SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY s_nationkey
+)
+SELECT COALESCE(c.nk, s.nk) AS nationkey,
+       CAST(COALESCE(c.n_cust, 0) AS BIGINT) AS n_customers,
+       CAST(COALESCE(s.n_supp, 0) AS BIGINT) AS n_suppliers
+FROM cust_n c FULL OUTER JOIN supp_n s ON c.nk = s.nk
+""",
+)
+def join_full_outer_nation_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk_c"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk_s"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return c.join(s, c.nk_c == s.nk_s, "full_outer").select(
+        F.coalesce("nk_c", "nk_s").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_suppliers"),
+    )
+
+
+# --- Correlated scalar subquery through the SQL front door ---
+
+
+@register(
+    "sql_correlated_subquery_share",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       ROUND(o_totalprice / (SELECT SUM(o2.o_totalprice) FROM orders o2
+                             WHERE o2.o_custkey = orders.o_custkey), 6) AS cust_share
+FROM orders
+WHERE o_totalprice > 400000
+""",
+)
+def sql_correlated_subquery_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey,
+               ROUND(o_totalprice / (SELECT SUM(o2.o_totalprice) FROM orders o2
+                                     WHERE o2.o_custkey = orders.o_custkey), 6)
+                   AS cust_share
+        FROM orders
+        WHERE o_totalprice > 400000
+        """
+    )
+
+
+# --- BETWEEN / IN composite date-range filtering ---
+
+
+@register(
+    "filter_between_in_dates",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(COALESCE(SUM(l_extendedprice), 0.0), 2) AS total,
+       CAST(COALESCE(MIN(epoch_ms(CAST(l_shipdate AS TIMESTAMP))), -1) AS BIGINT) AS first_ship_ms
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '2024-03-01' AND DATE '2024-06-30'
+  AND l_returnflag IN ('A', 'R')
+  AND l_quantity NOT IN (1.0, 2.0)
+""",
+)
+def filter_between_in_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    d = F.col("l_shipdate").cast("date")
+    return li.filter(
+        d.between("2024-03-01", "2024-06-30")
+        & F.col("l_returnflag").isin("A", "R")
+        & ~F.col("l_quantity").isin(1.0, 2.0)
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.coalesce(F.sum("l_extendedprice"), F.lit(0.0)), 2).alias("total"),
+        F.coalesce(
+            F.min(F.unix_millis(F.col("l_shipdate").cast("timestamp"))), F.lit(-1)
+        ).alias("first_ship_ms"),
+    )
