@@ -179,3 +179,83 @@ def null_semantics_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("price_nz") / F.nullif(F.count("price_nz"), F.lit(0)), 4
         ).alias("manual_avg"),
     )
+
+
+# --- Native pivot (df.groupBy().pivot()) — same result as the
+# CASE-pivot entry, exercising Spark's pivot operator itself ---
+
+
+@register(
+    "pivot_native_status_by_priority",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS F,
+       CAST(COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS O,
+       CAST(COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS P
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def pivot_native_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    out = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot emits null for empty cells; counts must be 0
+    return out.select(
+        "o_orderpriority",
+        F.coalesce("F", F.lit(0)).alias("F"),
+        F.coalesce("O", F.lit(0)).alias("O"),
+        F.coalesce("P", F.lit(0)).alias("P"),
+    )
+
+
+# --- Top bigram frequencies over documents (n-gram frequency table) ---
+
+
+@register(
+    "text_top_bigrams",
+    oracle="""
+WITH toks AS (
+  SELECT string_split(text, ' ') AS t FROM documents
+), grams AS (
+  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i+1])) AS bigram
+  FROM toks WHERE len(t) >= 2
+)
+SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+FROM grams
+GROUP BY bigram
+ORDER BY n DESC, bigram ASC
+LIMIT 20
+""",
+)
+def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from activedatawarehouseprototype_spark.operators.text import word_ngrams
+
+    d = _t(spark, sf_dir, "documents")
+    grams = d.select(word_ngrams("text", 2).alias("gs")).select(
+        F.explode("gs").alias("bigram")
+    )
+    return (
+        grams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(20)
+    )
+
+
+# --- Approximate sketches (rows-only: approximation algorithms differ
+# by engine; accuracy asserted in pytest instead) ---
+
+
+@register("sketch_approx_distinct_and_quantiles")
+def sketch_approx_distinct_and_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median"),
+        F.count(F.lit(1)).alias("n"),
+    )

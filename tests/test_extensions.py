@@ -153,3 +153,31 @@ def test_text_helpers(spark):
     assert out[2].sw == 0 and out[2].lang == "und"
     expected_fp = hashlib.md5(b"the cat sat on the mat").hexdigest()
     assert out[1].fp == expected_fp
+
+
+def test_approx_sketches_within_tolerance(spark):
+    """HLL distinct + approximate quantiles: within documented error of
+    exact answers (engine-specific algorithms → no SQL oracle)."""
+    from activedatawarehouseprototype_spark.corpus.stats import (
+        sketch_approx_distinct_and_quantiles,
+    )
+    from activedatawarehouseprototype_spark.catalog import load
+
+    li = load(spark, SF, "lineitem")
+    approx = {
+        r.l_returnflag: r
+        for r in sketch_approx_distinct_and_quantiles(spark, SF).collect()
+    }
+    exact = {
+        r.l_returnflag: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("d"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("m"),
+        )
+        .collect()
+    }
+    for flag, ex in exact.items():
+        ap = approx[flag]
+        assert abs(ap.approx_parts - ex.d) / ex.d < 0.1  # HLL ~2% rsd
+        assert abs(ap.approx_median - ex.m) / ex.m < 0.1
