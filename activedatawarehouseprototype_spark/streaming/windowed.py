@@ -61,3 +61,30 @@ def windowed_rule_stream(
         F.col("w.end").alias("window_end"),
         F.col("agg_value"),
     ).withColumn("fired", compile_having(rule, F.col("agg_value")))
+
+
+def session_rule_stream(
+    events: DataFrame,
+    rule: Rule,
+    gap_ms: int,
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Session-window variant (parity-plus: the reference has no session
+    windows — SURVEY §2.6): per-key sessions close after ``gap_ms`` of
+    inactivity; the rule's aggregate + threshold apply per session.
+    Batch equivalence: the gaps-and-islands plan in corpus/temporal.py."""
+    filtered = events.filter(compile_filter(rule, events)).withWatermark(
+        ts_col, watermark
+    )
+    win = F.session_window(F.col(ts_col), f"{gap_ms} milliseconds")
+    grouped = filtered.groupBy(win.alias("w"), *key_columns(rule)).agg(
+        compile_aggregate(rule).alias("agg_value")
+    )
+    return grouped.select(
+        F.lit(rule.query_id).cast("bigint").alias("query_id"),
+        composite_key(rule).alias("key"),
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        F.col("agg_value"),
+    ).withColumn("fired", compile_having(rule, F.col("agg_value")))

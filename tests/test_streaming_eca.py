@@ -582,3 +582,69 @@ def test_fifty_rules_one_batch(spark, pipeline):
     assert len(evals) == 50 + 50
     fired = [r for r in evals if r.fired]
     assert all(r.key == "{carId=7}" for r in fired) and len(fired) == 50
+
+
+def test_session_rule_stream_matches_gaps_and_islands(spark, tmp_path):
+    """Native streaming session_window sessions == batch
+    gaps-and-islands sessionization (same gap semantics)."""
+    from pyspark.sql import Window as W
+    from activedatawarehouseprototype_spark.streaming.windowed import (
+        session_rule_stream,
+    )
+
+    rule = Rule.from_dict(
+        {
+            "queryId": 88,
+            "queryState": "ACTIVE",
+            "windowMilliseconds": 1,  # unused by session variant
+            "groupingKeyNames": ["carId"],
+            "windowFilterRules": [],
+            "aggregatorFunctionType": "SUM",
+            "limitOperatorType": ">",
+            "limit": 200,
+            "aggregateFieldName": "speed",
+        }
+    )
+    gap_ms = 30000
+    rows = [
+        (1, 0, 100.0), (1, 10, 50.0),      # session A (gap 10s)
+        (1, 60, 80.0),                      # session B (gap 50s > 30s)
+        (2, 5, 300.0), (2, 100, 10.0),      # two sessions for car 2
+    ]
+    df = car_df(spark, rows)
+    data_dir = str(tmp_path / "sess")
+    df.repartition(1).write.parquet(data_dir)
+    stream = spark.readStream.schema(df.schema).parquet(data_dir)
+    q = (
+        session_rule_stream(stream, rule, gap_ms)
+        .writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "sesschk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.key, r.window_start): (r.agg_value, r.fired)
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    }
+    # batch gaps-and-islands on the same data
+    order = W.partitionBy("carId").orderBy("ts")
+    flagged = df.withColumn(
+        "is_start",
+        F.when(
+            (F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(order)) >= gap_ms)
+            | F.lag("ts").over(order).isNull(),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "sess", F.sum("is_start").over(order.rowsBetween(W.unboundedPreceding, 0))
+    )
+    want = {
+        (f"{{carId={r.carId}}}", r.start): (r.s, r.s > 200)
+        for r in flagged.groupBy("carId", "sess")
+        .agg(F.min("ts").alias("start"), F.sum("speed").alias("s"))
+        .collect()
+    }
+    assert got == want and len(got) == 4
