@@ -1,0 +1,174 @@
+"""Property-based testing of the rule compiler (SURVEY §5): for random
+rules and random event sets, the compiled DataFrame plan must agree
+with an independent pure-Python interpreter of the documented
+semantics (filters → grouping → W0/W1/W2/W3 window → agg → HAVING).
+
+The Python interpreter is deliberately naive (per-event loops, exact
+reference semantics incl. inclusive [t-w, t] bounds) — it shares no
+code with the compiler, so agreement is meaningful.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from activedatawarehouseprototype_spark.rules.compiler import evaluate_rule, window_mode
+from activedatawarehouseprototype_spark.rules.model import Rule
+
+BASE = dt.datetime(2024, 1, 1)
+BASE_MS = int(BASE.replace(tzinfo=dt.timezone.utc).timestamp() * 1000)
+
+OPS = ["=", "!=", ">", "<", ">=", "<="]
+AGGS = ["SUM", "AVG", "MIN", "MAX"]
+
+
+def _cmp(v, op, limit):
+    return {
+        "=": v == limit,
+        "!=": v != limit,
+        ">": v > limit,
+        "<": v < limit,
+        ">=": v >= limit,
+        "<=": v <= limit,
+    }[op]
+
+
+def _agg(vals, kind):
+    if kind == "COUNT":
+        return float(len(vals))
+    if kind == "SUM":
+        return float(sum(vals))
+    if kind == "AVG":
+        return sum(vals) / len(vals)
+    if kind == "MIN":
+        return float(min(vals))
+    return float(max(vals))
+
+
+def python_reference(events, rule: Rule):
+    """events: list of (user_id, ts_offset_sec, value). Returns the
+    multiset of (key, window_start_ms, window_end_ms, agg, fired)."""
+    filt = [
+        (u, BASE_MS + s * 1000, v)
+        for (u, s, v) in events
+        if all(
+            _cmp(
+                {"user_id": float(u), "value": v}[f.field],
+                f.operator.value,
+                float(f.value),
+            )
+            for f in rule.window_filter_rules
+        )
+    ]
+    kind = "COUNT" if rule.is_count else rule.aggregator_function_type.value
+    mode = window_mode(rule)
+    out = []
+    if mode == "W0":
+        for u, tms, v in filt:
+            out.append((f"{{user_id={u}}}", tms, tms, 0.0, False))
+        return sorted(out)
+    w = int(rule.window_milliseconds)
+    if mode == "W1":
+        for u, tms, v in filt:
+            in_win = [
+                v2 for (u2, t2, v2) in filt if u2 == u and tms - w <= t2 <= tms
+            ]
+            a = _agg(in_win, kind)
+            out.append(
+                (f"{{user_id={u}}}", tms - w, tms, a, _cmp(a, rule.limit_operator_type.value, rule.limit))
+            )
+        return sorted(out)
+    slide = w if mode == "W2" else int(rule.frequency_milliseconds)
+    buckets: dict = {}
+    for u, tms, v in filt:
+        lo = (tms - w) // slide * slide + slide
+        hi = tms // slide * slide
+        ws = lo
+        while ws <= hi:
+            buckets.setdefault((u, ws), []).append(v)
+            ws += slide
+    for (u, ws), vals in buckets.items():
+        a = _agg(vals, kind)
+        out.append(
+            (f"{{user_id={u}}}", ws, ws + w, a, _cmp(a, rule.limit_operator_type.value, rule.limit))
+        )
+    return sorted(out)
+
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # user_id
+        st.integers(min_value=0, max_value=240),  # seconds offset
+        st.sampled_from([1.0, 5.0, 10.0, 50.0, 100.0, -20.0]),  # value
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+rule_strategy = st.builds(
+    lambda flt_op, flt_val, agg, op, limit, w, f, use_filter, use_count: Rule.from_dict(
+        {
+            "queryId": 1,
+            "queryState": "ACTIVE",
+            "windowFilterRules": (
+                [{"field": "value", "operator": flt_op, "value": str(flt_val)}]
+                if use_filter
+                else []
+            ),
+            "groupingKeyNames": ["user_id"],
+            "aggregateFieldName": "COUNT_FLINK" if use_count else "value",
+            "aggregatorFunctionType": agg,
+            "limitOperatorType": op,
+            "limit": limit,
+            "windowMilliseconds": w,
+            "frequencyMilliseconds": f,
+        }
+    ),
+    flt_op=st.sampled_from(OPS),
+    flt_val=st.sampled_from([1.0, 10.0, 50.0]),
+    agg=st.sampled_from(AGGS),
+    op=st.sampled_from(OPS),
+    limit=st.sampled_from([0.0, 10.0, 55.0, 150.0]),
+    w=st.sampled_from([0, 30_000, 60_000, 120_000]),
+    f=st.sampled_from([None, 0, 30_000, 60_000]),
+    use_filter=st.booleans(),
+    use_count=st.booleans(),
+)
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(events=events_strategy, rule=rule_strategy)
+def test_compiler_matches_python_reference(spark, events, rule):
+    df = spark.createDataFrame(
+        [
+            (u, BASE + dt.timedelta(seconds=s), float(v))
+            for (u, s, v) in events
+        ],
+        "user_id int, ts timestamp, value double",
+    )
+    got = sorted(
+        (
+            r.key,
+            int(r.window_start.replace(tzinfo=dt.timezone.utc).timestamp() * 1000),
+            int(r.window_end.replace(tzinfo=dt.timezone.utc).timestamp() * 1000),
+            r.agg_value,
+            r.fired,
+        )
+        for r in evaluate_rule(df, rule).collect()
+    )
+    want = python_reference(events, rule)
+    assert len(got) == len(want)
+    for g, w_ in zip(got, want):
+        assert g[0] == w_[0] and g[1] == w_[1] and g[2] == w_[2], (g, w_)
+        assert math.isclose(g[3], w_[3], rel_tol=1e-9, abs_tol=1e-9), (g, w_)
+        assert g[4] == w_[4], (g, w_)
