@@ -127,7 +127,14 @@ def fan_out(events: DataFrame, rules_df: DataFrame) -> DataFrame:
         F.array_join(
             F.transform(
                 F.col("grouping_keys"),
-                lambda k: F.concat(k, F.lit("="), F.element_at(F.col("_strs"), k)),
+                # null key values render as "null" (String.valueOf
+                # parity with KeysExtractor) — without the coalesce,
+                # array_join would silently drop the null element.
+                lambda k: F.concat(
+                    k,
+                    F.lit("="),
+                    F.coalesce(F.element_at(F.col("_strs"), k), F.lit("null")),
+                ),
             ),
             ";",
         ),

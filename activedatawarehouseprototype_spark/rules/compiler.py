@@ -119,7 +119,9 @@ def compile_filter(rule: Rule, df: DataFrame) -> Column:
 def composite_key(rule: Rule) -> Column:
     """Composite grouping key string ``{k1=v1;k2=v2}`` — parity with
     ``operator/KeysExtractor.java:19-41``. Keys are sorted in rule
-    order (the reference preserves groupingKeyNames order)."""
+    order (the reference preserves groupingKeyNames order). NULL key
+    values render as ``null`` (String.valueOf parity) instead of
+    nulling the whole key via concat propagation."""
     names = [k[1:] if k.startswith("$") else k for k in rule.grouping_key_names]
     if not names:
         return F.lit("{}")
@@ -128,7 +130,7 @@ def composite_key(rule: Rule) -> Column:
         if i:
             parts.append(F.lit(";"))
         parts.append(F.lit(f"{name}="))
-        parts.append(F.col(name).cast("string"))
+        parts.append(F.coalesce(F.col(name).cast("string"), F.lit("null")))
     parts.append(F.lit("}"))
     return F.concat(*parts)
 

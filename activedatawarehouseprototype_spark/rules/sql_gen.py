@@ -13,8 +13,22 @@ at generation time); string-typed filter fields compare as strings.
 
 from __future__ import annotations
 
+import re
+
 from activedatawarehouseprototype_spark.rules.model import Rule, RuleState
 from activedatawarehouseprototype_spark.rules.compiler import window_mode
+
+
+_IDENT_OK = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _ident(name: str) -> str:
+    """Field names come from user-supplied rule JSON — refuse anything
+    that is not a plain identifier (the injection surface the string
+    escaping below can't close)."""
+    if not _IDENT_OK.match(name):
+        raise ValueError(f"unsafe field name in rule: {name!r}")
+    return name
 
 
 def _filters_sql(rule: Rule, numeric_cols: set[str]) -> str:
@@ -22,9 +36,10 @@ def _filters_sql(rule: Rule, numeric_cols: set[str]) -> str:
     for f in rule.window_filter_rules:
         op = "<>" if f.operator.value == "!=" else f.operator.value
         if f.field in numeric_cols:
-            parts.append(f"{f.field} {op} {float(f.value)}")
+            parts.append(f"{_ident(f.field)} {op} {float(f.value)}")
         else:
-            parts.append(f"{f.field} {op} '{f.value}'")
+            escaped = str(f.value).replace("'", "''")
+            parts.append(f"{_ident(f.field)} {op} '{escaped}'")
     return " AND ".join(parts) if parts else "TRUE"
 
 
@@ -32,8 +47,10 @@ def _key_sql(rule: Rule) -> str:
     names = [k[1:] if k.startswith("$") else k for k in rule.grouping_key_names]
     if not names:
         return "'{}'"
+    # COALESCE(..., 'null') matches the compiler's null-safe composite
+    # key (reference String.valueOf renders null keys as "null").
     inner = " || ';' || ".join(
-        f"'{n}=' || CAST({n} AS VARCHAR)" for n in names
+        f"'{n}=' || COALESCE(CAST({_ident(n)} AS VARCHAR), 'null')" for n in names
     )
     return f"'{{' || {inner} || '}}'"
 
@@ -42,7 +59,7 @@ def _agg_sql(rule: Rule) -> str:
     if rule.is_count:
         return "CAST(COUNT(*) AS DOUBLE)"
     fn = rule.aggregator_function_type.value
-    return f"CAST({fn}({rule.aggregate_field_name}) AS DOUBLE)"
+    return f"CAST({fn}({_ident(rule.aggregate_field_name)}) AS DOUBLE)"
 
 
 def _having_sql(rule: Rule, agg_expr: str) -> str:
@@ -71,7 +88,7 @@ def rule_to_sql(
     key = _key_sql(rule)
     qid = f"CAST({rule.query_id} AS BIGINT)"
     keys = ", ".join(
-        k[1:] if k.startswith("$") else k for k in rule.grouping_key_names
+        _ident(k[1:] if k.startswith("$") else k) for k in rule.grouping_key_names
     )
 
     if mode == "W0":
@@ -88,10 +105,11 @@ FROM {table} WHERE {where}"""
     fired = _having_sql(rule, agg)
 
     if mode == "W1":
-        field = "1" if rule.is_count else rule.aggregate_field_name
+        field = "1" if rule.is_count else _ident(rule.aggregate_field_name)
         fn = "COUNT" if rule.is_count else rule.aggregator_function_type.value
+        partition = f"PARTITION BY {keys} " if keys else ""
         over = (
-            f"{fn}({field}) OVER (PARTITION BY {keys} ORDER BY epoch_ms({ts_col}) "
+            f"{fn}({field}) OVER ({partition}ORDER BY epoch_ms({ts_col}) "
             f"RANGE BETWEEN {w} PRECEDING AND CURRENT ROW)"
         )
         inner = f"""
@@ -114,7 +132,7 @@ SELECT {qid} AS query_id, {key} AS key,
        {agg} AS agg_value,
        {fired} AS fired
 FROM {table} WHERE {where}
-GROUP BY {keys}, window_start_ms"""
+GROUP BY {f"{keys}, " if keys else ""}window_start_ms"""
     else:  # W3
         f_ms = int(rule.frequency_milliseconds)
         slide_sql = f"""
@@ -127,7 +145,7 @@ win AS (
 SELECT {qid} AS query_id, {key} AS key,
        ws AS window_start_ms, ws + {w} AS window_end_ms,
        {agg} AS agg_value, {fired} AS fired
-FROM win GROUP BY {keys}, ws"""
+FROM win GROUP BY {f"{keys}, " if keys else ""}ws"""
     return (
         f"SELECT * FROM ({slide_sql}\n) WHERE fired\n"
         if fired_only

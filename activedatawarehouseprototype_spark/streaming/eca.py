@@ -31,15 +31,41 @@ from activedatawarehouseprototype_spark.rules.model import Rule, WindowFilterRul
 from activedatawarehouseprototype_spark.rules.snowflake import SnowflakeIdWorker
 
 
-def parse_composite_key(key: str) -> dict[str, str]:
+def parse_composite_key(
+    key: str, key_names: list[str] | None = None
+) -> dict[str, str]:
     """Inverse of the ``{k1=v1;k2=v2}`` composite key
-    (operator/KeysExtractor.java:19-41)."""
+    (operator/KeysExtractor.java:19-41).
+
+    When ``key_names`` (the rule's groupingKeyNames, ``$`` allowed) is
+    given, values are delimited by the *known* ``;nextKey=`` markers, so
+    values containing ``;`` or ``=`` parse intact. Without it, falls
+    back to the naive split (only safe for values without those chars).
+    """
     body = key.strip()
     if body.startswith("{"):
         body = body[1:]
     if body.endswith("}"):
         body = body[:-1]
     out: dict[str, str] = {}
+    if key_names:
+        names = [n[1:] if n.startswith("$") else n for n in key_names]
+        pos = 0
+        for i, name in enumerate(names):
+            prefix = f"{name}=" if i == 0 else f";{name}="
+            start = body.find(prefix, pos)
+            if start < 0:
+                break
+            start += len(prefix)
+            if i + 1 < len(names):
+                end = body.find(f";{names[i + 1]}=", start)
+                if end < 0:
+                    end = len(body)
+            else:
+                end = len(body)
+            out[name] = body[start:end]
+            pos = end
+        return out
     for part in body.split(";"):
         if "=" in part:
             k, _, v = part.partition("=")

@@ -10,8 +10,14 @@ event buffer, evicted to ``[t_max - w, t_max]`` exactly like the
 reference's widest-window eviction, emission = one row per arriving
 event with the aggregate over the trailing inclusive window.
 
-Arrow-batched: each micro-batch's rows for a key arrive as one pandas
-frame — the per-event loop is NumPy-backed, not row-at-a-time Python.
+Vectorized: the whole Arrow batch is aggregated in O(n log n) numpy +
+pandas time-rolling (C kernels) — no per-event Python loop. The
+trailing ``[t - w, t]`` inclusive window (``isStateValueInWindow``,
+DynamicQueryFunction.java:277-280) is computed as a causal time-based
+rolling aggregate re-indexed to each timestamp's LAST peer position,
+which makes same-timestamp events see each other — bit-equal to the
+batch compiler's RANGE frame (peers included), the one place the old
+per-event loop diverged from it.
 
 State size is O(events in window) per key — identical to the
 reference's MapState footprint, but partitioned across executors and
@@ -21,8 +27,8 @@ RocksDB-spillable.
 from __future__ import annotations
 
 from collections.abc import Iterator
-from typing import Any
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -49,17 +55,74 @@ OUTPUT_SCHEMA = StructType(
 
 STATE_SCHEMA = "ts array<long>, vals array<double>"
 
+_FIRE_OPS = {
+    "=": np.equal,
+    "!=": np.not_equal,
+    ">": np.greater,
+    "<": np.less,
+    ">=": np.greater_equal,
+    "<=": np.less_equal,
+}
 
-def _agg(values: list[float], kind: str) -> float:
-    if kind == "SUM":
-        return float(sum(values))
-    if kind == "AVG":
-        return float(sum(values)) / len(values)
-    if kind == "MIN":
-        return float(min(values))
-    if kind == "MAX":
-        return float(max(values))
-    return float(len(values))  # COUNT
+
+def w1_batch_aggregate(
+    state_ts: np.ndarray,
+    state_val: np.ndarray,
+    new_ts: np.ndarray,
+    new_val: np.ndarray,
+    w_ms: int,
+    kind: str,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized core of the W1 streaming operator.
+
+    Merges the retained buffer with a batch of new events, computes the
+    trailing ``[t - w, t]`` inclusive aggregate for every NEW event, and
+    returns ``(out_ts, out_agg, kept_ts, kept_val)`` where the kept
+    arrays are the next state (evicted to ``[t_max - w, t_max]``).
+
+    O(n log n) for the sort; the rolling aggregate itself is a single
+    pandas time-window pass (C kernel) re-indexed to last-peer
+    positions so same-ts events aggregate together (RANGE-frame peer
+    semantics, matching the batch compiler exactly).
+    """
+    n_new = len(new_ts)
+    all_ts = np.concatenate([state_ts, new_ts])
+    all_val = np.concatenate([state_val, new_val])
+    is_new = np.concatenate(
+        [np.zeros(len(state_ts), dtype=bool), np.ones(n_new, dtype=bool)]
+    )
+    order = np.argsort(all_ts, kind="stable")
+    all_ts, all_val, is_new = all_ts[order], all_val[order], is_new[order]
+
+    idx = pd.to_datetime(all_ts, unit="ms")
+    window = pd.Timedelta(milliseconds=w_ms)
+    if kind == "COUNT":
+        ser = pd.Series(np.ones(len(all_ts)), index=idx)
+        causal = ser.rolling(window, closed="both", min_periods=1).sum()
+    else:
+        ser = pd.Series(all_val, index=idx)
+        roll = ser.rolling(window, closed="both", min_periods=1)
+        causal = {
+            "SUM": roll.sum,
+            "AVG": roll.mean,
+            "MIN": roll.min,
+            "MAX": roll.max,
+        }[kind]()
+    # causal rolling at row i covers rows [0..i] with ts >= t_i - w; the
+    # LAST peer of each timestamp therefore covers the full inclusive
+    # [t - w, t] set — broadcast its value back to every peer.
+    last_peer = np.searchsorted(all_ts, all_ts, side="right") - 1
+    agg = causal.to_numpy()[last_peer]
+
+    out_ts = all_ts[is_new]
+    out_agg = agg[is_new]
+
+    if len(all_ts):
+        keep = all_ts >= all_ts[-1] - w_ms
+        kept_ts, kept_val = all_ts[keep], all_val[keep]
+    else:
+        kept_ts, kept_val = all_ts, all_val
+    return out_ts, out_agg, kept_ts, kept_val
 
 
 def make_w1_processor(rule: Rule, ts_col: str = "ts", value_col: str = "value"):
@@ -69,62 +132,52 @@ def make_w1_processor(rule: Rule, ts_col: str = "ts", value_col: str = "value"):
     kind = "COUNT" if rule.is_count else rule.aggregator_function_type.value
     op = rule.limit_operator_type.value if rule.limit_operator_type else None
     limit = rule.limit
+    is_count = rule.is_count
 
-    def fire(v: float) -> bool:
+    def fire(agg: np.ndarray) -> np.ndarray:
         if op is None or limit is None:
-            return False
-        return {
-            "=": v == limit,
-            "!=": v != limit,
-            ">": v > limit,
-            "<": v < limit,
-            ">=": v >= limit,
-            "<=": v <= limit,
-        }[op]
+            return np.zeros(len(agg), dtype=bool)
+        return _FIRE_OPS[op](agg, float(limit))
 
     def process(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
             ts_buf, val_buf = state.get
-            ts_buf, val_buf = list(ts_buf), list(val_buf)
+            ts_buf = np.asarray(ts_buf, dtype=np.int64)
+            val_buf = np.asarray(val_buf, dtype=np.float64)
         else:
-            ts_buf, val_buf = [], []
+            ts_buf = np.empty(0, dtype=np.int64)
+            val_buf = np.empty(0, dtype=np.float64)
         key_str = "{" + ";".join(
             f"{n[1:] if n.startswith('$') else n}={v}"
             for n, v in zip(rule.grouping_key_names, key)
         ) + "}"
         for pdf in pdfs:
-            pdf = pdf.sort_values(ts_col)
-            out_ts: list[int] = []
-            out_val: list[float] = []
-            out_fired: list[bool] = []
-            for t, v in zip(
-                (pdf[ts_col].astype("int64") // 1_000_000).tolist(),
-                pdf[value_col].astype("float64").tolist(),
-            ):
-                ts_buf.append(int(t))
-                val_buf.append(float(v))
-                # evict strictly-older-than-window state
-                # (inclusive [t - w, t] — DynamicQueryFunction.java:277-280)
-                lo = t - w_ms
-                keep = [i for i, tt in enumerate(ts_buf) if tt >= lo]
-                ts_buf = [ts_buf[i] for i in keep]
-                val_buf = [val_buf[i] for i in keep]
-                in_win = [v2 for tt, v2 in zip(ts_buf, val_buf) if tt <= t]
-                a = _agg(in_win, kind)
-                out_ts.append(t)
-                out_val.append(a)
-                out_fired.append(fire(a))
+            new_ts = (pdf[ts_col].astype("int64") // 1_000_000).to_numpy(
+                dtype=np.int64
+            )
+            # COUNT-sentinel rules name no real value column
+            # (aggregateFieldName is the COUNT_FLINK marker) — the
+            # aggregate never reads values, so feed zeros.
+            if is_count:
+                new_val = np.zeros(len(pdf), dtype=np.float64)
+            else:
+                new_val = pdf[value_col].astype("float64").to_numpy(
+                    dtype=np.float64
+                )
+            out_ts, out_agg, ts_buf, val_buf = w1_batch_aggregate(
+                ts_buf, val_buf, new_ts, new_val, w_ms, kind
+            )
             yield pd.DataFrame(
                 {
                     "key": key_str,
                     "event_ts_ms": out_ts,
-                    "agg_value": out_val,
-                    "fired": out_fired,
+                    "agg_value": out_agg,
+                    "fired": fire(out_agg),
                 }
             )
-        state.update((ts_buf, val_buf))
+        state.update((ts_buf.tolist(), val_buf.tolist()))
 
     return process
 
@@ -134,7 +187,9 @@ def w1_stream(
 ) -> DataFrame:
     """Apply the W1 per-event trailing-window rule to a (streaming or
     batch-test) DataFrame. Keys = the rule's grouping columns."""
-    value_col = value_col or rule.aggregate_field_name
+    value_col = value_col or (
+        ts_col if rule.is_count else rule.aggregate_field_name
+    )
     keys = [k[1:] if k.startswith("$") else k for k in rule.grouping_key_names]
     processor = make_w1_processor(rule, ts_col=ts_col, value_col=value_col)
     return events.groupBy(*keys).applyInPandasWithState(
