@@ -54,3 +54,11 @@ def sort_merge_join_count(df: DataFrame) -> int:
 
 def has_take_ordered(df: DataFrame) -> bool:
     return "TakeOrderedAndProject" in formatted_plan(df)
+
+
+def parquet_scan_count(df: DataFrame) -> int:
+    """Number of parquet scans in the physical plan — the N-rules-one-
+    scan property of grouped rule evaluation is asserted with this.
+    Counts the numbered detail headers (each scan node appears twice in
+    the formatted explain: once in the tree, once as a detail)."""
+    return len(re.findall(r"\(\d+\) Scan parquet", formatted_plan(df)))

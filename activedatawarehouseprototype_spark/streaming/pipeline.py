@@ -10,19 +10,32 @@ threshold) → alerts + spawned rules. Here each ``foreachBatch``:
 2. Maintain the shared event buffer — the Spark analogue of the
    reference's per-key ``MapState`` buffer with widest-window eviction
    (DynamicQueryFunction.java:42-51,243-266): a parquet-backed table
-   pruned to ``max_event_ts - widest_active_window``.
-3. Compile + evaluate every ACTIVE rule over the buffer
-   (rules.compiler — one declarative plan per rule, Catalyst optimizes).
-4. Emit evaluation rows (K2 demo stream) and fired alerts (K1), both
-   filtered to NEW results via a per-rule high-watermark on window_end
-   (append semantics: each window emits once, when complete-so-far;
-   late data below the watermark is dropped — the documented
-   event-time upgrade over the reference's wall-clock timers).
+   pruned to ``prev_batch_max_event_ts - widest_active_window`` (the
+   one-batch lag guarantees a window closing THIS batch still has all
+   its events in the readable buffer).
+3. Evaluate every ACTIVE rule over the buffer in ONE fanned-out plan
+   (streaming/group_eval.py): one buffer scan + one broadcast join +
+   one shuffle for all W2/W3 rules — O(#modes) scans, not O(#rules),
+   matching the reference's single pass (DynamicKeyFunction.java:51-105).
+4. Emit evaluation rows (K2 demo stream) and fired alerts (K1):
+   - W2/W3 windows emit ONCE, when the event-time high watermark
+     (max event ts seen) passes their end — finalized windows, same
+     append semantics as the native ``windowed_rule_stream``; a window
+     straddling micro-batches waits until it closes instead of
+     freezing at its first partial aggregate.
+   - W0/W1 rows emit per event; a per-rule high-watermark on
+     window_end suppresses re-emission of buffered events (late data
+     below it is dropped — the documented event-time upgrade over the
+     reference's wall-clock timers).
 5. ECA: fired rows of rules with child templates spawn instantiated
-   children into the registry (C5-C7) — visible next micro-batch.
+   children into the registry (C5-C7) — visible next micro-batch. The
+   driver collects only DISTINCT (query_id, key) pairs, capped at
+   ``spawn_collect_cap`` — a rule firing on millions of keys cannot
+   OOM the driver (the reference throttles per event,
+   KafkaSender.java:65-79).
 
 Scale notes: the driver touches only rules and fired keys (control
-plane). Events flow scan → per-rule filtered agg; the buffer is
+plane). Events flow scan → fan-out → one shared shuffle; the buffer is
 columnar parquet, partition-prunable by ts; at cluster scale the
 buffer table becomes Delta/Iceberg with retention, same code shape.
 """
@@ -38,13 +51,17 @@ from dataclasses import dataclass, field as dc_field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from activedatawarehouseprototype_spark.rules.compiler import evaluate_rule
+from activedatawarehouseprototype_spark.rules.compiler import window_mode
 from activedatawarehouseprototype_spark.rules.model import Rule
 from activedatawarehouseprototype_spark.rules.snowflake import SnowflakeIdWorker
 from activedatawarehouseprototype_spark.streaming.eca import (
     SpawnThrottle,
     instantiate_child,
     parse_composite_key,
+)
+from activedatawarehouseprototype_spark.streaming.group_eval import (
+    evaluate_rules_grouped,
+    validate_rule_fields,
 )
 from activedatawarehouseprototype_spark.streaming.registry import RuleRegistry
 
@@ -65,10 +82,17 @@ class ActivePipeline:
     rules_dir: str | None = None
     throttle: SpawnThrottle = dc_field(default_factory=SpawnThrottle)
     id_worker: SnowflakeIdWorker = dc_field(default_factory=SnowflakeIdWorker)
+    # max DISTINCT (query_id, key) spawn triggers collected per batch —
+    # the driver-OOM guard for spawning rules that fire on huge key sets
+    spawn_collect_cap: int = 10_000
     # per-rule emission high-watermark: query_id -> max emitted window_end (ms)
     _emitted_wm: dict[int, int] = dc_field(default_factory=dict)
     _has_buffer: bool = False
     _batch_count: int = 0
+    # event-time high watermark: max event ts (ms) across all batches.
+    # Retention reads use the PREVIOUS batch's value so a window that
+    # closes this batch still has its full event set readable.
+    _max_event_ts: int | None = None
     # C8 metrics — the reference's numberOfActiveRules gauge
     # (DynamicKeyFunction.java:37-40,179-191) and alertsPerSecond meter
     # (DynamicQueryFunction.java:65-66,199) as driver-side counters.
@@ -94,7 +118,9 @@ class ActivePipeline:
             import json as _json
 
             with open(self._wm_path) as f:
-                self._emitted_wm = {int(k): v for k, v in _json.load(f).items()}
+                raw = _json.load(f)
+            self._max_event_ts = raw.pop("__max_event_ts__", None)
+            self._emitted_wm = {int(k): v for k, v in raw.items()}
         if os.path.isdir(self.buffer_path) and os.listdir(self.buffer_path):
             self._has_buffer = True
 
@@ -106,8 +132,11 @@ class ActivePipeline:
         import json as _json
 
         tmp = self._wm_path + ".tmp"
+        payload = {str(k): v for k, v in self._emitted_wm.items()}
+        if self._max_event_ts is not None:
+            payload["__max_event_ts__"] = self._max_event_ts
         with open(tmp, "w") as f:
-            _json.dump({str(k): v for k, v in self._emitted_wm.items()}, f)
+            _json.dump(payload, f)
         os.replace(tmp, self._wm_path)
 
     # -- paths ---------------------------------------------------------------
@@ -151,27 +180,43 @@ class ActivePipeline:
             self.metrics["last_batch_seconds"] = time.perf_counter() - t_start
             return
 
-        # (3)+(4) evaluate every active rule over the buffer as ONE
-        # unioned plan — per-batch Spark-job count stays constant as the
-        # rule set grows. Per-rule compile errors (e.g. a registered
-        # rule naming a field the schema lost) quarantine that rule
-        # instead of failing the batch. Emission is gated by the
-        # per-rule window_end watermark, applied as one combined filter.
-        per_rule = []
+        # (3) evaluate every active rule over the buffer in ONE
+        # fanned-out plan (group_eval): one buffer scan + one broadcast
+        # join + one shared shuffle for all W2/W3 rules — per-batch
+        # scan/job count stays O(#modes) as the rule set grows. Rules
+        # naming fields the schema lost quarantine instead of failing
+        # the batch (validated driver-side; the grouped plan would
+        # silently aggregate nulls otherwise).
+        dtypes = dict(buffer.dtypes)
         by_id: dict[int, Rule] = {}
         for rule in active:
             try:
-                per_rule.append(evaluate_rule(buffer, rule, ts_col=self.ts_col))
+                validate_rule_fields(rule, dtypes)
                 by_id[rule.query_id] = rule
             except Exception:
                 self.metrics["rule_errors"] = self.metrics.get("rule_errors", 0) + 1
                 self._quarantine(rule)
-        if not per_rule:
+        if not by_id:
             self.metrics["last_batch_seconds"] = time.perf_counter() - t_start
             return
-        evals = per_rule[0]
-        for e in per_rule[1:]:
-            evals = evals.unionByName(e)
+        evals = evaluate_rules_grouped(
+            buffer, list(by_id.values()), ts_col=self.ts_col
+        )
+
+        # (4) emission gates:
+        # - W2/W3: only windows CLOSED by the event-time high watermark
+        #   (window_end <= max event ts) — finalized-window append
+        #   semantics; open windows wait for later batches.
+        # - all modes: per-rule emitted-window_end watermark suppresses
+        #   re-emission of buffered events across batches.
+        closing_ids = [
+            qid for qid, r in by_id.items() if window_mode(r) in ("W2", "W3")
+        ]
+        if closing_ids and self._max_event_ts is not None:
+            evals = evals.filter(
+                (~F.col("query_id").isin(closing_ids))
+                | (F.unix_millis("window_end") <= self._max_event_ts)
+            )
         wm_pairs = [
             (qid, self._emitted_wm[qid])
             for qid in by_id
@@ -199,8 +244,14 @@ class ActivePipeline:
             spawning_ids = [
                 qid for qid, r in by_id.items() if r.alert_rules
             ]
-            fired_rows = (
-                fired.filter(F.col("query_id").isin(spawning_ids)).collect()
+            # Bounded control-plane collect: DISTINCT trigger pairs,
+            # capped — the driver never materializes the data plane.
+            spawn_rows = (
+                fired.filter(F.col("query_id").isin(spawning_ids))
+                .select("query_id", "key")
+                .distinct()
+                .limit(self.spawn_collect_cap)
+                .collect()
                 if spawning_ids
                 else []
             )
@@ -214,9 +265,9 @@ class ActivePipeline:
                 )
         self._persist_watermarks()
         # (5) ECA spawning (C5-C7)
-        for row in fired_rows:
+        for row in spawn_rows:
             rule = by_id[row.query_id]
-            key_values = parse_composite_key(row.key)
+            key_values = parse_composite_key(row.key, rule.grouping_key_names)
             for template in rule.alert_rules:
                 if not self.throttle.allow(template.query_id, row.key):
                     continue
@@ -265,34 +316,39 @@ class ActivePipeline:
         """Shared event buffer, widest-ACTIVE-window retention.
 
         Per-batch cost is O(new batch): the micro-batch APPENDS to the
-        buffer directory; retention is a read-side filter; the physical
-        rewrite (drop expired files' rows, compact small files) runs
-        every PRUNE_EVERY batches. This is the parquet stand-in for a
-        Delta table with retention — same shape, swap the writer."""
+        buffer directory; the event-time high watermark advances from
+        the BATCH's max ts (no full-buffer scan); retention is a
+        read-side filter at the PREVIOUS batch's watermark — the
+        one-batch lag guarantees a window closing this batch (end <=
+        current watermark, end > previous watermark) still has its
+        complete event set in the readable buffer, however far the new
+        batch jumped ahead in event time. The physical rewrite (drop
+        expired files' rows, compact small files) runs every
+        PRUNE_EVERY batches. This is the parquet stand-in for a Delta
+        table with retention — same shape, swap the writer."""
         batch_df.write.mode("append").parquet(self.buffer_path)
         self._has_buffer = True
         buffer = self.spark.read.parquet(self.buffer_path)
 
+        prev_wm = self._max_event_ts
+        batch_max = batch_df.agg(F.max(F.unix_millis(self.ts_col))).head()[0]
+        if batch_max is not None:
+            self._max_event_ts = max(prev_wm or 0, int(batch_max))
+
         widest = self.registry.widest_window_ms()
-        if widest > 0:
-            max_ts = buffer.agg(F.max(F.unix_millis(self.ts_col))).head()[0]
-            if max_ts is not None:
-                buffer = buffer.filter(
-                    F.unix_millis(self.ts_col) >= max_ts - widest
-                )
+        horizon = (prev_wm - widest) if (widest > 0 and prev_wm is not None) else None
+        if horizon is not None:
+            buffer = buffer.filter(F.unix_millis(self.ts_col) >= horizon)
         if self._batch_count % self.PRUNE_EVERY == 0:
             staging = self.buffer_path + ".next"
             buffer.write.mode("overwrite").parquet(staging)
             shutil.rmtree(self.buffer_path)
             os.replace(staging, self.buffer_path)
             buffer = self.spark.read.parquet(self.buffer_path)
-            if widest > 0:
+            if horizon is not None:
                 # keep the retention predicate on the compacted read so
                 # evaluation semantics don't depend on prune timing
-                buffer = buffer.filter(
-                    F.unix_millis(self.ts_col)
-                    >= (max_ts - widest if max_ts is not None else 0)
-                )
+                buffer = buffer.filter(F.unix_millis(self.ts_col) >= horizon)
         return buffer
 
     def _clear_buffer(self) -> None:
@@ -300,6 +356,7 @@ class ActivePipeline:
             shutil.rmtree(self.buffer_path)
         self._has_buffer = False
         self._emitted_wm.clear()
+        self._max_event_ts = None
 
     # -- sinks ------------------------------------------------------------------
 

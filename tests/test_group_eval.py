@@ -1,0 +1,187 @@
+"""Grouped (single-scan fan-out) N-rule evaluation must agree exactly
+with the per-rule compiled-plan union (rules/compiler.py), across all
+window modes — plus the driver-safety properties: bounded spawn
+collect, quarantine of invalid rules, delimiter-proof key parsing."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from activedatawarehouseprototype_spark.rules.compiler import evaluate_rules
+from activedatawarehouseprototype_spark.rules.model import Rule
+from activedatawarehouseprototype_spark.streaming.eca import parse_composite_key
+from activedatawarehouseprototype_spark.streaming.group_eval import (
+    evaluate_rules_grouped,
+    validate_rule_fields,
+)
+
+BASE = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def events_df(spark):
+    """Deterministic event mix: 3 cars, 2 types, 40 events over 2 min."""
+    rows = []
+    for i in range(40):
+        rows.append(
+            (
+                i % 3 + 1,
+                "a" if i % 2 == 0 else "b",
+                BASE + dt.timedelta(seconds=i * 3),
+                float((i * 37) % 100),
+            )
+        )
+    return spark.createDataFrame(rows, "carId int, kind string, ts timestamp, speed double")
+
+
+def mk(d):
+    return Rule.from_dict(
+        {
+            "queryState": "ACTIVE",
+            "windowFilterRules": [],
+            "groupingKeyNames": ["carId"],
+            "aggregateFieldName": "speed",
+            "aggregatorFunctionType": "AVG",
+            "limitOperatorType": ">",
+            "limit": 50,
+            **d,
+        }
+    )
+
+
+RULES = [
+    mk({"queryId": 1, "windowMilliseconds": 0}),  # W0
+    mk({"queryId": 2, "windowMilliseconds": 10_000, "frequencyMilliseconds": 0}),  # W1
+    mk({"queryId": 3, "windowMilliseconds": 30_000, "frequencyMilliseconds": 0,
+        "aggregatorFunctionType": "MAX", "limitOperatorType": ">=", "limit": 90}),  # W1'
+    mk({"queryId": 4, "windowMilliseconds": 60_000}),  # W2 AVG
+    mk({"queryId": 5, "windowMilliseconds": 60_000, "aggregatorFunctionType": "SUM",
+        "windowFilterRules": [{"field": "kind", "operator": "=", "value": "a"}]}),  # W2 filtered
+    mk({"queryId": 6, "windowMilliseconds": 60_000, "frequencyMilliseconds": 20_000,
+        "aggregatorFunctionType": "MIN", "limitOperatorType": "<", "limit": 10}),  # W3
+    mk({"queryId": 7, "windowMilliseconds": 30_000,
+        "aggregateFieldName": "COUNT_FLINK", "aggregatorFunctionType": "SUM",
+        "groupingKeyNames": ["kind", "carId"], "limitOperatorType": ">=",
+        "limit": 3}),  # W2 COUNT sentinel, composite key
+    mk({"queryId": 8, "windowMilliseconds": 20_000,
+        "windowFilterRules": [{"field": "speed", "operator": ">", "value": "40"}],
+        "groupingKeyNames": []}),  # W2 keyless
+]
+
+
+def canon(df):
+    return sorted(
+        (
+            r.query_id,
+            r.key,
+            r.window_start,
+            r.window_end,
+            None if r.agg_value is None else round(r.agg_value, 9),
+            r.fired,
+        )
+        for r in df.collect()
+    )
+
+
+def test_grouped_equals_per_rule_union(spark):
+    df = events_df(spark)
+    got = canon(evaluate_rules_grouped(df, RULES))
+    want = canon(evaluate_rules(df, RULES))
+    assert got == want and len(got) > 0
+
+
+def test_grouped_fired_only_alignment(spark):
+    df = events_df(spark)
+    grouped = evaluate_rules_grouped(df, RULES).filter("fired")
+    union = evaluate_rules(df, RULES, fired_only=True)
+    assert canon(grouped) == canon(union)
+
+
+def test_validate_rule_fields_rejects_unknowns(spark):
+    df = events_df(spark)
+    dtypes = dict(df.dtypes)
+    with pytest.raises(ValueError, match="unknown filter field"):
+        validate_rule_fields(
+            mk({"queryId": 9, "windowMilliseconds": 1000,
+                "windowFilterRules": [{"field": "nope", "operator": "=", "value": "1"}]}),
+            dtypes,
+        )
+    with pytest.raises(ValueError, match="unknown grouping key"):
+        validate_rule_fields(
+            mk({"queryId": 9, "windowMilliseconds": 1000,
+                "groupingKeyNames": ["nope"]}),
+            dtypes,
+        )
+    with pytest.raises(ValueError, match="not numeric"):
+        validate_rule_fields(
+            mk({"queryId": 9, "windowMilliseconds": 1000,
+                "aggregateFieldName": "kind"}),
+            dtypes,
+        )
+    # valid rule passes
+    validate_rule_fields(RULES[1], dtypes)
+
+
+def test_spawn_collect_bounded(spark, tmp_path):
+    """A spawning rule firing on ~20k distinct keys must hand the
+    driver at most spawn_collect_cap DISTINCT triggers — never the full
+    fired set."""
+    from activedatawarehouseprototype_spark.streaming.pipeline import ActivePipeline
+    from activedatawarehouseprototype_spark.streaming.registry import RuleRegistry
+
+    reg = RuleRegistry()
+    reg.apply_json(json.dumps({
+        "queryId": 1,
+        "queryState": "ACTIVE",
+        "lastTime": -1,
+        "windowMilliseconds": 10_000,
+        "frequencyMilliseconds": 0,
+        "groupingKeyNames": ["carId"],
+        "windowFilterRules": [],
+        "aggregatorFunctionType": "AVG",
+        "limitOperatorType": ">",
+        "limit": 0,  # fires on every event
+        "aggregateFieldName": "speed",
+        "alertRules": [{
+            "queryId": 2,
+            "queryState": "ACTIVE",
+            "lastTime": -1,
+            "windowMilliseconds": 5_000,
+            "frequencyMilliseconds": 0,
+            "groupingKeyNames": ["$carId"],
+            "windowFilterRules": [],
+            "aggregatorFunctionType": "MAX",
+            "limitOperatorType": ">",
+            "limit": 1e12,
+            "aggregateFieldName": "speed",
+        }],
+    }))
+    pipe = ActivePipeline(
+        spark=spark, registry=reg, work_dir=str(tmp_path / "wk"),
+        spawn_collect_cap=25,
+    )
+    n_keys = 20_000
+    events = spark.range(n_keys).select(
+        F.col("id").cast("int").alias("carId"),
+        F.lit(BASE).cast("timestamp").alias("ts"),
+        F.lit(99.0).alias("speed"),
+    )
+    pipe.process_batch(events, 0)
+    # every key fired, but the driver saw at most the cap
+    assert pipe.alerts().count() == n_keys
+    assert pipe.metrics["rules_spawned"] <= 25
+    assert len(reg.rules) <= 1 + 25
+
+
+def test_parse_composite_key_hostile_values():
+    # values containing the delimiters parse intact when key names known
+    assert parse_composite_key("{a=x=y;z;b=2}", ["a", "b"]) == {
+        "a": "x=y;z", "b": "2",
+    }
+    assert parse_composite_key("{u=a;b;c}", ["u"]) == {"u": "a;b;c"}
+    assert parse_composite_key("{carId=9}", ["$carId"]) == {"carId": "9"}
+    # naive fallback still works for clean values
+    assert parse_composite_key("{a=1;b=x}") == {"a": "1", "b": "x"}

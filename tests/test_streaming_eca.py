@@ -131,11 +131,19 @@ def test_readme_congestion_scenario_tumbling(spark, pipeline):
         car_df(spark, [(1, 0, 150.0), (1, 10, 110.0), (2, 20, 30.0), (1, 30, 10.0)]),
         0,
     )
+    # finalized-window append semantics: the [0,60s) window is still
+    # OPEN after batch 0 (max event ts 30s < window end) — nothing
+    # emitted yet, so a later event in the same window still counts.
+    assert pipeline.evaluations().count() == 0
+    # batch 1 advances the event-time watermark past 60s → closes it
+    pipeline.process_batch(car_df(spark, [(3, 70, 25.0)]), 1)
     evals = pipeline.evaluations().filter("query_id = 10").collect()
     by_key = {r.key: r for r in evals}
     assert by_key["{carId=1}"].agg_value == 130.0  # (150+110)/2; 10 filtered out
     assert by_key["{carId=1}"].fired is True
     assert by_key["{carId=2}"].fired is False
+    # car 3's own [60s,120s) window is still open → not emitted
+    assert "{carId=3}" not in by_key
 
 
 def test_ttl_expiry_and_retrigger_refresh(spark):
@@ -358,15 +366,18 @@ def test_mixed_mode_rules_one_pipeline(spark, pipeline):
         json.dumps(dict(base_rule, queryId=3, windowMilliseconds=60000))
     )  # W2
     pipeline.process_batch(car_df(spark, [(9, 1, 130.0), (9, 3, 110.0)]), 0)
+    # W2 windows wait until the event-time watermark closes them; a
+    # second batch past the 60s boundary closes [0,60s).
+    pipeline.process_batch(car_df(spark, [(9, 70, 50.0)]), 1)
     evals = pipeline.evaluations().collect()
     by_rule = {}
     for r in evals:
         by_rule.setdefault(r.query_id, []).append(r)
-    assert len(by_rule[1]) == 2  # W0: one row per event, never fired
+    assert len(by_rule[1]) == 3  # W0: one row per event, never fired
     assert all(not r.fired and r.agg_value == 0.0 for r in by_rule[1])
-    assert len(by_rule[2]) == 2  # W1: per-event trailing aggregate
-    assert {round(r.agg_value, 1) for r in by_rule[2]} == {130.0, 120.0}
-    assert len(by_rule[3]) == 1  # W2: one window row
+    assert len(by_rule[2]) == 3  # W1: per-event trailing aggregate
+    assert {round(r.agg_value, 1) for r in by_rule[2]} == {130.0, 120.0, 50.0}
+    assert len(by_rule[3]) == 1  # W2: the closed [0,60s) window only
     assert by_rule[3][0].agg_value == 120.0 and not by_rule[3][0].fired
 
 
@@ -576,9 +587,23 @@ def test_fifty_rules_one_batch(spark, pipeline):
                 }
             )
         )
+    # the whole 50-rule evaluation must be ONE buffer scan (the
+    # reference's single pass, DynamicKeyFunction.java:51-105)
+    from activedatawarehouseprototype_spark.plans.explain import parquet_scan_count
+    from activedatawarehouseprototype_spark.streaming.group_eval import (
+        evaluate_rules_grouped,
+    )
+
     pipeline.process_batch(car_df(spark, [(9, 1, 55.0), (7, 2, 120.0)]), 0)
+    buffer = spark.read.parquet(pipeline.buffer_path)
+    plan_df = evaluate_rules_grouped(buffer, pipeline.registry.active())
+    assert parquet_scan_count(plan_df) == 1
+
+    # batch 1 pushes the event-time watermark past 60s → closes [0,60s)
+    pipeline.process_batch(car_df(spark, [(5, 61, 200.0)]), 1)
     evals = pipeline.evaluations().collect()
-    # rule i sees car 9 iff 55 > i (i<55 → all 50) and car 7 always
+    # rule i sees car 9 iff 55 > i (i<55 → all 50) and car 7 always;
+    # car 5's [60s,120s) window is still open → absent
     assert len(evals) == 50 + 50
     fired = [r for r in evals if r.fired]
     assert all(r.key == "{carId=7}" for r in fired) and len(fired) == 50
