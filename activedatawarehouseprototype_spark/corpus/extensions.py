@@ -371,11 +371,32 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n"))
 
 
-# --- LSH-bucketed ANN (scale path; rows-only: bucketing SQL would
-# restate the plan rather than independently check it) ---
+# --- LSH-bucketed ANN (scale path). The oracle recomputes the
+# deterministic sign-LSH bucket (md5-derived ±1 plane signs — pure
+# math, reproducible in any engine) and the cosine within the query's
+# bucket, independently in DuckDB list SQL. ---
 
 
-@register("ann_lsh_bucket_topk")
+@register(
+    "ann_lsh_bucket_topk",
+    oracle="""
+WITH b AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         array_to_string(list_transform(range(0, 8), p ->
+           CASE WHEN list_sum(list_transform(range(1, 65), d ->
+                  v[d] * (CASE WHEN substr(md5(concat(p, ':', d)), 1, 1) >= '8'
+                          THEN 1.0 ELSE -1.0 END))) > 0
+           THEN '1' ELSE '0' END), '') AS bucket
+  FROM embeddings
+), q AS (SELECT bucket AS qbucket, v AS qv FROM b WHERE vec_id = 0)
+SELECT b.vec_id, b.bucket,
+       ROUND(list_cosine_similarity(b.v, q.qv), 6) AS score
+FROM b, q
+WHERE b.bucket = q.qbucket AND b.vec_id != 0
+ORDER BY score DESC, vec_id ASC
+LIMIT 5
+""",
+)
 def ann_lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     bucketed = emb.withColumn(
@@ -401,14 +422,41 @@ def ann_lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.col("score").desc(), F.col("vec_id").asc()).limit(5)
 
 
-# --- Multimodal plumbing (rows-only: real byte stats via mapInPandas) ---
+# --- Multimodal plumbing. The blob is the md5 digest bytes of the
+# text (attach_blobs), so the oracle re-derives the 16 byte values
+# from the md5 hex string and recomputes length / mean / Shannon
+# entropy in DuckDB list SQL — an independent check of the
+# mapInPandas byte path. Entropy is rounded to 6dp on both sides
+# (summation order over the byte histogram differs between engines). ---
 
 
-@register("multimodal_byte_stats")
+@register(
+    "multimodal_byte_stats",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, md5(text) AS h
+  FROM documents WHERE doc_id % 10 = 0
+), e AS (
+  SELECT doc_id,
+         list_transform(range(1, 17), i ->
+           16*(strpos('0123456789abcdef', substr(h, 2*i-1, 1)) - 1)
+             + (strpos('0123456789abcdef', substr(h, 2*i, 1)) - 1)) AS bs
+  FROM d
+)
+SELECT doc_id, CAST(len(bs) AS BIGINT) AS blob_len,
+       list_sum(bs) / 16.0 AS byte_mean,
+       ROUND(-list_sum(list_transform(list_distinct(bs), v ->
+           (len(list_filter(bs, x -> x = v)) / 16.0)
+           * log2(len(list_filter(bs, x -> x = v)) / 16.0))), 6) AS byte_entropy
+FROM e
+""",
+)
 def multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).filter(F.col("doc_id") % 10 == 0)
     blobs = multimodal.attach_blobs(d)
-    return multimodal.byte_stats(blobs)
+    return multimodal.byte_stats(blobs).withColumn(
+        "byte_entropy", F.round("byte_entropy", 6)
+    )
 
 
 # --- Array functions over the embedding column (size / element-wise
