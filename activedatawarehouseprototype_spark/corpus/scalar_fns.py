@@ -238,3 +238,70 @@ def geo_grid_cell_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("value"), 4).alias("avg_value"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# --- Geo path → grid-cell list (P5; GeoUtils.java:89-150
+# mapToGridCellsOnWay re-expressed as interpolation sampling — see
+# functions/geo.path_cells). The oracle recomputes the sampled cells
+# independently in DuckDB list SQL; per-path cell sets are compared as
+# exploded DISTINCT (path, cell) rows so element order is irrelevant. ---
+
+
+@register(
+    "geo_path_cells",
+    oracle=f"""
+WITH pts AS (
+  SELECT event_id,
+         -74.05 + (value % 10.0) * 0.035 AS lon1,
+         40.50 + CAST(user_id % 100 AS DOUBLE) * 0.005 AS lat1,
+         -74.05 + ((value + 3.0) % 10.0) * 0.035 AS lon2,
+         40.50 + CAST((user_id + 37) % 100 AS DOUBLE) * 0.005 AS lat2
+  FROM events WHERE event_type = 'purchase'
+), boxed AS (
+  SELECT * FROM pts
+  WHERE lon1 BETWEEN -74.05 AND -73.70 AND lat1 BETWEEN 40.50 AND 41.00
+    AND lon2 BETWEEN -74.05 AND -73.70 AND lat2 BETWEEN 40.50 AND 41.00
+), seg AS (
+  SELECT event_id, lon1, lat1, lon2, lat2,
+         GREATEST(ABS(FLOOR((lon2 - (-74.05)) / 0.0014)
+                      - FLOOR((lon1 - (-74.05)) / 0.0014)),
+                  ABS(FLOOR((41.0 - lat2) / 0.00125)
+                      - FLOOR((41.0 - lat1) / 0.00125)),
+                  1) AS n
+  FROM boxed
+), cells AS (
+  SELECT DISTINCT event_id,
+         CAST(FLOOR((41.0 - (lat1 + (lat2 - lat1) * (i / CAST(n AS DOUBLE))))
+                    / 0.00125) * {_CELLS_PER_ROW}
+              + FLOOR(((lon1 + (lon2 - lon1) * (i / CAST(n AS DOUBLE)))
+                       - (-74.05)) / 0.0014) AS BIGINT) AS cell
+  FROM seg, UNNEST(range(0, CAST(n AS BIGINT) + 1)) AS t(i)
+)
+SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_paths
+FROM cells
+GROUP BY cell
+""",
+)
+def geo_path_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    lon1 = F.lit(-74.05) + (F.col("value") % 10.0) * 0.035
+    lat1 = F.lit(40.50) + (F.col("user_id") % 100).cast("double") * 0.005
+    lon2 = F.lit(-74.05) + ((F.col("value") + 3.0) % 10.0) * 0.035
+    lat2 = F.lit(40.50) + ((F.col("user_id") + 37) % 100).cast("double") * 0.005
+    seg = e.select(
+        "event_id",
+        lon1.alias("lon1"), lat1.alias("lat1"),
+        lon2.alias("lon2"), lat2.alias("lat2"),
+    ).filter(
+        geo.in_box(F.col("lon1"), F.col("lat1"))
+        & geo.in_box(F.col("lon2"), F.col("lat2"))
+    )
+    cells = seg.select(
+        "event_id",
+        F.explode(
+            geo.path_cells(
+                F.col("lon1"), F.col("lat1"), F.col("lon2"), F.col("lat2")
+            )
+        ).alias("cell"),
+    )
+    return cells.groupBy("cell").agg(F.count(F.lit(1)).alias("n_paths"))

@@ -71,6 +71,37 @@ def cell_center_lat(cell: Column, grid: GridSpec = NYC_GRID) -> Column:
     return F.lit(grid.lat_north) - (y + F.lit(0.5)) * F.lit(grid.delta_lat)
 
 
+def path_cells(
+    lon1: Column, lat1: Column, lon2: Column, lat2: Column,
+    grid: GridSpec = NYC_GRID,
+) -> Column:
+    """Grid cells crossed by the direct path between two points
+    (``GeoUtils.java:89-150`` ``mapToGridCellsOnWay``), as a pure
+    Column expression: sample the segment at Chebyshev-distance-many
+    points in cell space (consecutive samples move at most one cell in
+    each axis → 8-connected coverage), map each sample to its cell,
+    keep first-occurrence-distinct ids.
+
+    Deliberate delta: the reference walks the grid imperatively with a
+    slope-dependent stepper (including a fall-through quirk in its
+    slope<0 branch); the interpolation form is declarative, codegen-
+    friendly, and visits the same cells for the same segment.
+    """
+    x1 = F.floor((lon1 - F.lit(grid.lon_west)) / F.lit(grid.delta_lon))
+    y1 = F.floor((F.lit(grid.lat_north) - lat1) / F.lit(grid.delta_lat))
+    x2 = F.floor((lon2 - F.lit(grid.lon_west)) / F.lit(grid.delta_lon))
+    y2 = F.floor((F.lit(grid.lat_north) - lat2) / F.lit(grid.delta_lat))
+    n = F.greatest(F.abs(x2 - x1), F.abs(y2 - y1), F.lit(1)).cast("bigint")
+
+    def cell_at(i: Column) -> Column:
+        t = i.cast("double") / n.cast("double")
+        lon = lon1 + (lon2 - lon1) * t
+        lat = lat1 + (lat2 - lat1) * t
+        return grid_cell(lon, lat, grid)
+
+    return F.array_distinct(F.transform(F.sequence(F.lit(0), n), cell_at))
+
+
 def euclid_distance(
     lon1: Column, lat1: Column, lon2: Column, lat2: Column
 ) -> Column:

@@ -79,6 +79,31 @@ def stream_car_files(
     return parse_car_lines(reader.load(path))
 
 
+def out_of_order_events(
+    spark: SparkSession,
+    n: int,
+    n_keys: int = 10,
+    base_ms: int = 1_700_000_000_000,
+    step_ms: int = 1_000,
+    max_delay_ms: int = 30_000,
+) -> DataFrame:
+    """S5: deterministic bounded-disorder generator (the reference's
+    ``common/TaxiRideGenerator.java:15-67`` emits rides whose events
+    arrive up to a bounded delay after their event time). ``id`` is the
+    ARRIVAL order; the event timestamp lags the arrival clock by a
+    per-row deterministic jitter in ``[0, max_delay_ms)`` — so event
+    time is out of order but the disorder is bounded, the contract
+    watermarks are built for. Pure column expressions, reproducible."""
+    v = F.col("id")
+    jitter = F.pmod(F.xxhash64(v), F.lit(max_delay_ms))
+    return spark.range(n).select(
+        (v % n_keys).cast("int").alias("carId"),
+        F.timestamp_millis(F.lit(base_ms) + v * step_ms - jitter).alias("ts"),
+        v.alias("arrival_seq"),
+        ((v * 7) % 160).cast("double").alias("speed"),
+    )
+
+
 def synthetic_car_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
     """S4 analogue: rate source + deterministic column expressions
     seeded by ``value`` (no Python generator thread)."""

@@ -130,7 +130,10 @@ def _select_agg(sum_c, avg_c, min_c, max_c, cnt_c) -> Column:
 
 
 def evaluate_rules_grouped(
-    events: DataFrame, rules: list[Rule], ts_col: str = "ts"
+    events: DataFrame,
+    rules: list[Rule],
+    ts_col: str = "ts",
+    salt_buckets: int | None = None,
 ) -> DataFrame:
     """Evaluate every ACTIVE rule over ``events`` with O(#modes) scans
     (ONE scan + ONE shuffle when all rules are W2/W3). Output schema and
@@ -138,6 +141,14 @@ def evaluate_rules_grouped(
 
     Rules must be pre-validated with ``validate_rule_fields`` — unknown
     fields here would aggregate nulls instead of raising.
+
+    ``salt_buckets`` spreads each hot (rule, key, window) group over N
+    sub-groups before the final merge (two-phase salted aggregation,
+    operators/warehouse.salted_agg pattern). Spark's map-side partial
+    aggregation already bounds reducer input to one partial per map
+    task, so salting only matters at extreme fan-in (tens of thousands
+    of map tasks hammering one composite key); results are identical up
+    to float summation order for SUM/AVG.
     """
     active = [r for r in rules if r.query_state is RuleState.ACTIVE]
     if not active:
@@ -215,18 +226,38 @@ def evaluate_rules_grouped(
             keyed.filter(F.col("mode").isin("W2", "W3"))
             .withColumn("ws", F.explode(ws_arr))
         )
-        grouped = w23.groupBy(
-            # window_ms/agg_fn/is_count/limit_* are functionally
-            # dependent on query_id — free riders in the grouping key.
+        # window_ms/agg_fn/is_count/limit_* are functionally dependent
+        # on query_id — free riders in the grouping key.
+        group_cols = [
             "query_id", "key", "ws",
             "window_ms", "agg_fn", "is_count", "limit_op", "limit_val",
-        ).agg(
-            F.sum("_value").alias("_sum"),
-            F.avg("_value").alias("_avg"),
-            F.min("_value").alias("_min"),
-            F.max("_value").alias("_max"),
-            F.count(F.lit(1)).cast("double").alias("_cnt"),
-        )
+        ]
+        if salt_buckets and salt_buckets > 1:
+            salted = w23.withColumn(
+                "_salt", F.pmod(F.crc32(F.col(ts_col).cast("string")), salt_buckets)
+            )
+            partial = salted.groupBy(*group_cols, "_salt").agg(
+                F.sum("_value").alias("_psum"),
+                F.count("_value").alias("_pvcnt"),
+                F.min("_value").alias("_pmin"),
+                F.max("_value").alias("_pmax"),
+                F.count(F.lit(1)).alias("_pcnt"),
+            )
+            grouped = partial.groupBy(*group_cols).agg(
+                F.sum("_psum").alias("_sum"),
+                (F.sum("_psum") / F.sum("_pvcnt")).alias("_avg"),
+                F.min("_pmin").alias("_min"),
+                F.max("_pmax").alias("_max"),
+                F.sum("_pcnt").cast("double").alias("_cnt"),
+            )
+        else:
+            grouped = w23.groupBy(*group_cols).agg(
+                F.sum("_value").alias("_sum"),
+                F.avg("_value").alias("_avg"),
+                F.min("_value").alias("_min"),
+                F.max("_value").alias("_max"),
+                F.count(F.lit(1)).cast("double").alias("_cnt"),
+            )
         agg = _select_agg(
             F.col("_sum"), F.col("_avg"), F.col("_min"), F.col("_max"), F.col("_cnt")
         )

@@ -76,15 +76,27 @@ class ActivePipeline:
     registry: RuleRegistry
     ts_col: str = "ts"
     work_dir: str | None = None
-    # S1/S3 analogue: a watched directory of rule-JSON files (one JSON
-    # object per line); new/modified files are applied at the start of
-    # each micro-batch, so rules register mid-stream without restart.
+    # S1/S3 analogue: rule ingestion behind the RuleSource seam
+    # (sources/rule_source.py) — a watched directory here, a Kafka
+    # consumer in a real deployment; applied at the start of each
+    # micro-batch, so rules register mid-stream without restart.
+    # ``rules_dir`` is sugar for rule_source=DirectoryRuleSource(dir).
     rules_dir: str | None = None
+    rule_source: "RuleSource | None" = None
     throttle: SpawnThrottle = dc_field(default_factory=SpawnThrottle)
     id_worker: SnowflakeIdWorker = dc_field(default_factory=SnowflakeIdWorker)
     # max DISTINCT (query_id, key) spawn triggers collected per batch —
     # the driver-OOM guard for spawning rules that fire on huge key sets
     spawn_collect_cap: int = 10_000
+    # K3 latency side-output (DynamicQueryFunction.java:81): when the
+    # batch carries this column, each event's ``latency_ms = now -
+    # process_ts`` is appended to ``latency_path`` and avg/max land in
+    # metrics via df.observe (no extra job — piggybacks the buffer write).
+    process_ts_col: str = "processTime"
+    # two-phase salted aggregation for hot composite keys (power-law
+    # key skew): spreads each (rule, key, window) group over N salts
+    # before the final merge. None = plain single-stage agg.
+    salt_buckets: int | None = None
     # per-rule emission high-watermark: query_id -> max emitted window_end (ms)
     _emitted_wm: dict[int, int] = dc_field(default_factory=dict)
     _has_buffer: bool = False
@@ -110,6 +122,12 @@ class ActivePipeline:
     def __post_init__(self) -> None:
         if self.work_dir is None:
             self.work_dir = tempfile.mkdtemp(prefix="adw-pipeline-")
+        if self.rule_source is None and self.rules_dir:
+            from activedatawarehouseprototype_spark.sources.rule_source import (
+                DirectoryRuleSource,
+            )
+
+            self.rule_source = DirectoryRuleSource(self.rules_dir)
         os.makedirs(self.alerts_path, exist_ok=True)
         # recovery: reload emission watermarks + detect an existing
         # buffer so a restarted pipeline continues instead of
@@ -153,6 +171,10 @@ class ActivePipeline:
     def evals_path(self) -> str:
         return os.path.join(self.work_dir, "evaluations")
 
+    @property
+    def latency_path(self) -> str:
+        return os.path.join(self.work_dir, "latency")
+
     # -- main entry: one micro-batch ------------------------------------------
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -171,8 +193,33 @@ class ActivePipeline:
             self._clear_buffer()
             self.registry.clear_state_requested = False
 
+        # (1b) K3 per-event latency side-output + observed batch metric
+        obs = None
+        if self.process_ts_col in batch_df.columns:
+            from pyspark.sql import Observation
+
+            lat = F.unix_millis(F.current_timestamp()) - F.unix_millis(
+                F.col(self.process_ts_col)
+            )
+            obs = Observation(f"latency_b{batch_id}")
+            batch_df = batch_df.observe(
+                obs,
+                F.avg(lat).alias("avg_ms"),
+                F.max(lat).alias("max_ms"),
+            )
+            batch_df.select(
+                F.col(self.ts_col).alias("event_ts"),
+                lat.alias("latency_ms"),
+            ).write.mode("append").parquet(self.latency_path)
+
         # (2) shared event buffer with widest-window retention
         buffer = self._update_buffer(batch_df)
+        if obs is not None:
+            # the side-output write above already ran the batch — the
+            # observation is populated without an extra action
+            vals = obs.get
+            self.metrics["latency_avg_ms"] = vals.get("avg_ms")
+            self.metrics["latency_max_ms"] = vals.get("max_ms")
 
         active = self.registry.active()
         self.metrics["active_rules"] = len(active)
@@ -200,7 +247,10 @@ class ActivePipeline:
             self.metrics["last_batch_seconds"] = time.perf_counter() - t_start
             return
         evals = evaluate_rules_grouped(
-            buffer, list(by_id.values()), ts_col=self.ts_col
+            buffer,
+            list(by_id.values()),
+            ts_col=self.ts_col,
+            salt_buckets=self.salt_buckets,
         )
 
         # (4) emission gates:
@@ -288,23 +338,13 @@ class ActivePipeline:
 
     # -- rule-source polling ----------------------------------------------------
 
-    _seen_rule_files: dict = dc_field(default_factory=dict)
-
     def _poll_rules_dir(self) -> None:
-        if not self.rules_dir or not os.path.isdir(self.rules_dir):
+        """Drain the rule-ingestion transport into the registry (S1/S3;
+        the Kafka analogue plugs in behind the same RuleSource.poll)."""
+        if self.rule_source is None:
             return
-        for fname in sorted(os.listdir(self.rules_dir)):
-            if not fname.endswith(".json"):
-                continue
-            path = os.path.join(self.rules_dir, fname)
-            mtime = os.path.getmtime(path)
-            if self._seen_rule_files.get(path) == mtime:
-                continue
-            self._seen_rule_files[path] = mtime
-            with open(path) as f:
-                for line in f:
-                    if line.strip():
-                        self.registry.apply_json(line)
+        for line in self.rule_source.poll():
+            self.registry.apply_json(line)
 
     # -- buffer management ------------------------------------------------------
 
@@ -374,6 +414,15 @@ class ActivePipeline:
             return self.spark.read.parquet(self.evals_path)
         except Exception:
             return self.alerts().limit(0)
+
+    def latency(self) -> DataFrame:
+        """K3 latency side-output stream (event_ts, latency_ms)."""
+        try:
+            return self.spark.read.parquet(self.latency_path)
+        except Exception:
+            return self.spark.createDataFrame(
+                [], "event_ts timestamp, latency_ms bigint"
+            )
 
     # -- streaming attach ---------------------------------------------------------
 

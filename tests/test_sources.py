@@ -43,3 +43,36 @@ def test_read_car_files(spark, tmp_path):
         "speed",
         "angle",
     }
+
+
+def test_out_of_order_events_bounded_disorder(spark):
+    """S5: event time is genuinely out of order in arrival order, but
+    the disorder is bounded by max_delay_ms (the watermark contract)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window as W
+
+    from activedatawarehouseprototype_spark.sources.car_data import (
+        out_of_order_events,
+    )
+
+    max_delay = 30_000
+    df = out_of_order_events(spark, 500, max_delay_ms=max_delay)
+    prefix_max = F.max(F.unix_millis("ts")).over(
+        W.orderBy("arrival_seq").rowsBetween(W.unboundedPreceding, 0)
+    )
+    rows = df.select(
+        "arrival_seq",
+        F.unix_millis("ts").alias("tms"),
+        prefix_max.alias("prefix_max"),
+    ).collect()
+    assert len(rows) == 500
+    # disorder exists...
+    assert any(r.tms < r.prefix_max for r in rows)
+    # ...and is bounded: no event lags the event-time frontier by more
+    # than the jitter bound (frontier row had jitter 0 at worst)
+    assert all(r.prefix_max - r.tms < max_delay for r in rows)
+    # deterministic (hash-seeded jitter, no RNG state)
+    again = out_of_order_events(spark, 500, max_delay_ms=max_delay).collect()
+    assert sorted((r.arrival_seq, r.tms) for r in rows) == sorted(
+        (r.arrival_seq, int(r.ts.timestamp() * 1000)) for r in again
+    )

@@ -673,3 +673,199 @@ def test_session_rule_stream_matches_gaps_and_islands(spark, tmp_path):
         .collect()
     }
     assert got == want and len(got) == 4
+
+
+def test_late_data_watermark_semantics(spark, tmp_path):
+    """S5 late-data contract on the native W2 stream: an event below
+    the watermark is DROPPED from its (already-closed) window; a late
+    event still above the watermark is aggregated into its window."""
+    from activedatawarehouseprototype_spark.streaming.windowed import (
+        windowed_rule_stream,
+    )
+
+    rule = Rule.from_dict(
+        {
+            "queryId": 55,
+            "queryState": "ACTIVE",
+            "windowMilliseconds": 60_000,
+            "frequencyMilliseconds": None,
+            "groupingKeyNames": ["carId"],
+            "windowFilterRules": [],
+            "aggregateFieldName": "COUNT_FLINK",
+            "aggregatorFunctionType": "SUM",
+            "limitOperatorType": ">",
+            "limit": 0,
+        }
+    )
+    data_dir = tmp_path / "late_events"
+    data_dir.mkdir()
+    out_dir = str(tmp_path / "late_out")
+    chk = str(tmp_path / "late_chk")
+    schema = "carId int, ts timestamp, speed double"
+
+    def run_once(rows, fname):
+        car_df(spark, rows).repartition(1).write.parquet(
+            str(data_dir / fname)
+        )
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(str(data_dir) + "/*")
+        q = (
+            windowed_rule_stream(stream, rule, watermark="5 seconds")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", chk)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # run 1: two events in [0,60s), frontier at 100s → watermark 95s
+    run_once([(1, 5, 10.0), (1, 20, 10.0), (1, 100, 10.0)], "f1")
+    # run 2: t=10s is BELOW the 95s watermark (its window is closed) →
+    # dropped; t=97s is late in arrival but ABOVE the watermark →
+    # aggregated into [60s,120s); t=130s advances the watermark to 125s
+    run_once([(1, 10, 10.0), (1, 97, 10.0), (1, 130, 10.0)], "f2")
+    # run 3: push the watermark past 120s windows' end so [60,120) emits
+    run_once([(1, 200, 10.0)], "f3")
+
+    base_s = int(
+        spark.sql("SELECT unix_seconds(TIMESTAMP '2024-01-01 12:00:00')").head()[0]
+    )
+    got = {
+        (
+            int(r.window_start.timestamp()) - base_s,
+            int(r.window_end.timestamp()) - base_s,
+        ): r.agg_value
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # [0,60): the late t=10 event was dropped → count stays 2
+    assert got[(0, 60)] == 2.0
+    # [60,120): contains t=100 (run 1) AND the late-but-accepted t=97
+    assert got[(60, 120)] == 2.0
+
+
+def test_latency_side_output_and_metric(spark, tmp_path):
+    """K3: per-event latency_ms side-output + observed batch metric
+    (DynamicQueryFunction.java:81 parity)."""
+    reg = RuleRegistry()
+    reg.apply_json(json.dumps(dict(SPEEDING_RULE, alertRules=[])))
+    pipe = ActivePipeline(
+        spark=spark, registry=reg, work_dir=str(tmp_path / "wk")
+    )
+    df = spark.createDataFrame(
+        [
+            (9, BASE, BASE - dt.timedelta(seconds=2), 130.0),
+            (7, BASE, BASE - dt.timedelta(seconds=5), 90.0),
+        ],
+        "carId int, ts timestamp, processTime timestamp, speed double",
+    )
+    pipe.process_batch(df, 0)
+    lat = pipe.latency().collect()
+    assert len(lat) == 2
+    # processTime is 2-5s in the past → latency at least that
+    assert all(r.latency_ms >= 2000 for r in lat)
+    assert pipe.metrics["latency_avg_ms"] >= 2000
+    assert pipe.metrics["latency_max_ms"] >= pipe.metrics["latency_avg_ms"]
+    # rule evaluation unaffected by the extra column
+    assert pipe.alerts().filter("query_id = 1").count() > 0
+
+
+def test_salted_agg_matches_unsalted(spark, tmp_path):
+    """Skew hardening: 90%-single-key skew, salted two-phase W2/W3
+    aggregation must equal the plain plan."""
+    from activedatawarehouseprototype_spark.streaming.group_eval import (
+        evaluate_rules_grouped,
+    )
+
+    rows = []
+    for i in range(1000):
+        car = 9 if i % 10 != 3 else i % 7  # ~90% of rows on carId=9
+        rows.append((car, i % 300, float(i % 83)))
+    df = car_df(spark, rows)
+    rules = [
+        Rule.from_dict(
+            {
+                "queryId": 70 + j,
+                "queryState": "ACTIVE",
+                "windowMilliseconds": 60_000,
+                "frequencyMilliseconds": f,
+                "groupingKeyNames": ["carId"],
+                "windowFilterRules": [],
+                "aggregatorFunctionType": fn,
+                "limitOperatorType": ">",
+                "limit": 40,
+                "aggregateFieldName": "speed",
+            }
+        )
+        for j, (fn, f) in enumerate(
+            [("AVG", None), ("SUM", 30_000), ("MIN", None), ("MAX", 30_000)]
+        )
+    ]
+    plain = evaluate_rules_grouped(df, rules)
+    salted = evaluate_rules_grouped(df, rules, salt_buckets=8)
+
+    def canon(d):
+        return sorted(
+            (r.query_id, r.key, r.window_start, r.window_end,
+             round(r.agg_value, 9), r.fired)
+            for r in d.collect()
+        )
+
+    assert canon(plain) == canon(salted)
+
+
+def test_rule_source_seam(spark, tmp_path):
+    """S1: rule ingestion is transport-agnostic — a StaticRuleSource
+    (in-memory stand-in for the Kafka consumer) drives the same
+    pipeline path as the watched directory."""
+    from activedatawarehouseprototype_spark.sources.rule_source import (
+        DirectoryRuleSource,
+        StaticRuleSource,
+    )
+
+    reg = RuleRegistry()
+    src = StaticRuleSource([json.dumps(dict(SPEEDING_RULE, alertRules=[]))])
+    pipe = ActivePipeline(
+        spark=spark, registry=reg, work_dir=str(tmp_path / "wk"),
+        rule_source=src,
+    )
+    pipe.process_batch(car_df(spark, [(9, 1, 130.0)]), 0)
+    assert len(reg.active()) == 1
+    assert pipe.alerts().count() == 1
+    # drained: second poll returns nothing, rule set unchanged
+    pipe.process_batch(car_df(spark, [(9, 2, 135.0)]), 1)
+    assert len(reg.active()) == 1
+
+    # directory transport: mtime-tracked re-reads
+    d = tmp_path / "rules"
+    d.mkdir()
+    dir_src = DirectoryRuleSource(str(d))
+    assert dir_src.poll() == []
+    (d / "r.json").write_text('{"queryId": 1}\n')
+    assert len(dir_src.poll()) == 1
+    assert dir_src.poll() == []  # unchanged file not re-read
+
+
+def test_w1_core_throughput_100k():
+    """The vectorized W1 core must chew a 100k-event key in well under
+    a second per batch (the old per-event loop was O(n^2): minutes)."""
+    import time
+
+    import numpy as np
+
+    from activedatawarehouseprototype_spark.streaming.per_event_window import (
+        w1_batch_aggregate,
+    )
+
+    rng = np.random.default_rng(1)
+    new_ts = np.sort(rng.integers(0, 10_000_000, 100_000)).astype(np.int64)
+    new_val = rng.normal(size=100_000)
+    t0 = time.perf_counter()
+    out_ts, out_agg, _, _ = w1_batch_aggregate(
+        np.empty(0, np.int64), np.empty(0), new_ts, new_val, 10_000, "AVG"
+    )
+    elapsed = time.perf_counter() - t0
+    assert len(out_ts) == 100_000
+    assert elapsed < 1.0, f"vectorized W1 took {elapsed:.2f}s for 100k events"
