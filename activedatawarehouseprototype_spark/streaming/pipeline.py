@@ -51,7 +51,12 @@ from dataclasses import dataclass, field as dc_field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from activedatawarehouseprototype_spark.rules.compiler import window_mode
+from functools import reduce
+
+from activedatawarehouseprototype_spark.rules.compiler import (
+    evaluate_rule,
+    window_mode,
+)
 from activedatawarehouseprototype_spark.rules.model import Rule
 from activedatawarehouseprototype_spark.rules.snowflake import SnowflakeIdWorker
 from activedatawarehouseprototype_spark.streaming.eca import (
@@ -97,6 +102,13 @@ class ActivePipeline:
     # key skew): spreads each (rule, key, window) group over N salts
     # before the final merge. None = plain single-stage agg.
     salt_buckets: int | None = None
+    # evaluation-path crossover: below this many rules, per-rule
+    # compiled plans (cheapest per-row: literal predicates, max
+    # pushdown — N scans is fine for constant-small N); at or above
+    # it, the single-scan fan-out plan (scan count stays O(#modes) as
+    # the rule set grows). Both paths are value-identical
+    # (tests/test_group_eval.py).
+    grouped_min_rules: int = 8
     # per-rule emission high-watermark: query_id -> max emitted window_end (ms)
     _emitted_wm: dict[int, int] = dc_field(default_factory=dict)
     _has_buffer: bool = False
@@ -246,12 +258,31 @@ class ActivePipeline:
         if not by_id:
             self.metrics["last_batch_seconds"] = time.perf_counter() - t_start
             return
-        evals = evaluate_rules_grouped(
-            buffer,
-            list(by_id.values()),
-            ts_col=self.ts_col,
-            salt_buckets=self.salt_buckets,
-        )
+        if len(by_id) >= self.grouped_min_rules:
+            evals = evaluate_rules_grouped(
+                buffer,
+                list(by_id.values()),
+                ts_col=self.ts_col,
+                salt_buckets=self.salt_buckets,
+            )
+        else:
+            # small rule set: compiled per-rule plans are the faster
+            # per-row path; compile failures beyond the schema checks
+            # above (e.g. unparseable numeric filter value) quarantine.
+            parts = []
+            for rule in list(by_id.values()):
+                try:
+                    parts.append(evaluate_rule(buffer, rule, ts_col=self.ts_col))
+                except Exception:
+                    self.metrics["rule_errors"] = (
+                        self.metrics.get("rule_errors", 0) + 1
+                    )
+                    del by_id[rule.query_id]
+                    self._quarantine(rule)
+            if not parts:
+                self.metrics["last_batch_seconds"] = time.perf_counter() - t_start
+                return
+            evals = reduce(lambda a, b: a.unionByName(b), parts)
 
         # (4) emission gates:
         # - W2/W3: only windows CLOSED by the event-time high watermark
