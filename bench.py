@@ -96,6 +96,59 @@ def streaming_events_per_sec(spark, n_events: int = 1_000_000) -> float:
     return n_events / elapsed
 
 
+def streaming_50rule_events_per_sec(spark, n_events: int = 200_000) -> float:
+    """Rule-set scalability metric: sustained events/s with FIFTY
+    standing W2 rules active at once. The grouped fan-out path
+    (streaming/group_eval.py) evaluates all of them in ONE buffer scan
+    + one shared shuffle — per-rule-plan unions would re-scan the
+    buffer 50 times per batch."""
+    import datetime as dt
+    import json as _json
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from activedatawarehouseprototype_spark.streaming.pipeline import ActivePipeline
+    from activedatawarehouseprototype_spark.streaming.registry import RuleRegistry
+
+    base = int(dt.datetime(2024, 1, 1).timestamp())
+    events = spark.range(n_events).select(
+        (F.col("id") % 5000).cast("int").alias("carId"),
+        F.timestamp_seconds(F.lit(base) + F.col("id") / 1000.0).alias("ts"),
+        (F.col("id") * 7 % 160).cast("double").alias("speed"),
+    ).persist()
+    events.count()
+    reg = RuleRegistry()
+    for i in range(50):
+        reg.apply_json(
+            _json.dumps(
+                {
+                    "queryId": 100 + i,
+                    "queryState": "ACTIVE",
+                    "lastTime": -1,
+                    "windowMilliseconds": 10000,
+                    "frequencyMilliseconds": None,
+                    "groupingKeyNames": ["carId"],
+                    "windowFilterRules": [
+                        {"field": "speed", "operator": ">", "value": str(i * 3)}
+                    ],
+                    "aggregatorFunctionType": "AVG",
+                    "limitOperatorType": ">",
+                    "limit": 120,
+                    "aggregateFieldName": "speed",
+                }
+            )
+        )
+    pipe = ActivePipeline(
+        spark=spark, registry=reg, work_dir=tempfile.mkdtemp(prefix="adw-bench50-")
+    )
+    t0 = time.perf_counter()
+    pipe.process_batch(events, 0)
+    elapsed = time.perf_counter() - t0
+    events.unpersist()
+    return n_events / elapsed
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -128,6 +181,7 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     eps = streaming_events_per_sec(spark)
+    eps50 = streaming_50rule_events_per_sec(spark)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -139,6 +193,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "streaming_events_per_sec": round(eps),
+                "streaming_50rule_events_per_sec": round(eps50),
             }
         )
     )
