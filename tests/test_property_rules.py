@@ -172,3 +172,43 @@ def test_compiler_matches_python_reference(spark, events, rule):
         assert g[0] == w_[0] and g[1] == w_[1] and g[2] == w_[2], (g, w_)
         assert math.isclose(g[3], w_[3], rel_tol=1e-9, abs_tol=1e-9), (g, w_)
         assert g[4] == w_[4], (g, w_)
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(events=events_strategy, rule=rule_strategy)
+def test_grouped_eval_matches_python_reference(spark, events, rule):
+    """The single-scan fan-out evaluator (streaming/group_eval.py) must
+    satisfy the same independent-interpreter property as the compiler —
+    it is the hot path for large rule sets."""
+    from activedatawarehouseprototype_spark.streaming.group_eval import (
+        evaluate_rules_grouped,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (u, BASE + dt.timedelta(seconds=s), float(v))
+            for (u, s, v) in events
+        ],
+        "user_id int, ts timestamp, value double",
+    )
+    got = sorted(
+        (
+            r.key,
+            int(r.window_start.replace(tzinfo=dt.timezone.utc).timestamp() * 1000),
+            int(r.window_end.replace(tzinfo=dt.timezone.utc).timestamp() * 1000),
+            r.agg_value,
+            r.fired,
+        )
+        for r in evaluate_rules_grouped(df, [rule]).collect()
+    )
+    want = python_reference(events, rule)
+    assert len(got) == len(want)
+    for g, w_ in zip(got, want):
+        assert g[0] == w_[0] and g[1] == w_[1] and g[2] == w_[2], (g, w_)
+        assert math.isclose(g[3], w_[3], rel_tol=1e-9, abs_tol=1e-9), (g, w_)
+        assert g[4] == w_[4], (g, w_)
