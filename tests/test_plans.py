@@ -51,3 +51,38 @@ def test_events_scan_prunes_unused_columns(spark):
     cols = scan_columns(df)
     for c in cols:
         assert "props" not in c and "event_id" not in c, cols
+
+
+def test_grouped_eval_scan_prunes_to_referenced_fields(spark):
+    """The single-scan N-rule plan must not widen the parquet scan: only
+    fields some rule references (plus the time column) are read."""
+    from activedatawarehouseprototype_spark.catalog import load
+    from activedatawarehouseprototype_spark.plans.explain import parquet_scan_count
+    from activedatawarehouseprototype_spark.rules.model import Rule
+    from activedatawarehouseprototype_spark.streaming.group_eval import (
+        evaluate_rules_grouped,
+    )
+
+    rules = [
+        Rule.from_dict(
+            {
+                "queryId": 900 + i,
+                "queryState": "ACTIVE",
+                "windowMilliseconds": 3_600_000,
+                "frequencyMilliseconds": None,
+                "groupingKeyNames": ["user_id"],
+                "windowFilterRules": [
+                    {"field": "value", "operator": ">", "value": str(i)}
+                ],
+                "aggregatorFunctionType": "AVG",
+                "limitOperatorType": ">",
+                "limit": 100,
+                "aggregateFieldName": "value",
+            }
+        )
+        for i in range(10)
+    ]
+    df = evaluate_rules_grouped(load(spark, SF, "events"), rules)
+    assert parquet_scan_count(df) == 1
+    for cols in scan_columns(df):
+        assert "props" not in cols and "event_id" not in cols, cols
