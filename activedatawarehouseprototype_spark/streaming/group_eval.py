@@ -10,9 +10,15 @@ re-scans the buffer N times, which is the #1 scale-killer at 100 TB.
 
 This module is the Spark analogue of the reference's topology:
 
-1. ``fan_out`` (operators/fanout.py): one scan of the events, one
-   BroadcastNestedLoopJoin against the tiny rules-as-data table; each
-   surviving row carries (query_id, key, _value).
+1. Compiled fan-out: ONE projection over ONE scan builds, per event,
+   an array of per-rule match structs — each guarded by that rule's
+   compiled LITERAL predicate (whole-stage codegen, pushdown-eligible)
+   — then ``array_compact`` + ``explode``. No join, no per-row field
+   maps; each surviving row carries (query_id, key, _value, window
+   metadata). foreachBatch rebuilds the plan every batch anyway, so
+   literal predicates cost nothing in flexibility; the rules-as-data
+   variant (operators/fanout.py, BroadcastNestedLoopJoin) remains for
+   fixed long-lived plans over mutable rule tables.
 2. ONE ``groupBy(query_id, key, window_start)`` for ALL W2/W3 rules at
    once — the window start is computed *data-driven* from the rule
    row's own window/frequency columns (epoch-millis integer math,
@@ -34,24 +40,16 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from activedatawarehouseprototype_spark.operators.fanout import fan_out
 from activedatawarehouseprototype_spark.rules.compiler import (
+    compile_filter,
+    composite_key,
     key_columns,
     window_mode,
 )
 from activedatawarehouseprototype_spark.rules.model import Rule, RuleState
-
-RULES_EVAL_SCHEMA = (
-    "query_id bigint, "
-    "filters array<struct<field:string, operator:string, value:string>>, "
-    "grouping_keys array<string>, "
-    "mode string, window_ms bigint, freq_ms bigint, "
-    "agg_fn string, agg_field string, is_count boolean, "
-    "limit_op string, limit_val double"
-)
 
 _NUMERIC_PREFIXES = ("int", "bigint", "smallint", "tinyint", "float", "double", "decimal")
 
@@ -78,30 +76,39 @@ def validate_rule_fields(rule: Rule, dtypes: dict[str, str]) -> None:
             )
 
 
-def rules_to_eval_df(spark: SparkSession, rules: list[Rule]) -> DataFrame:
-    """ACTIVE rules → broadcastable control table carrying everything
-    grouped evaluation needs (filters + keys for fan-out, window
-    geometry + aggregate + threshold for the shared groupBy)."""
-    rows = []
-    for r in rules:
-        if r.query_state is not RuleState.ACTIVE:
-            continue
-        rows.append(
-            (
-                r.query_id,
-                [(f.field, f.operator.value, f.value) for f in r.window_filter_rules],
-                key_columns(r),
-                window_mode(r),
-                int(r.window_milliseconds or 0),
-                int(r.frequency_milliseconds) if r.frequency_milliseconds else 0,
-                r.aggregator_function_type.value if r.aggregator_function_type else None,
-                None if r.is_count else r.aggregate_field_name,
-                bool(r.is_count),
-                r.limit_operator_type.value if r.limit_operator_type else None,
-                float(r.limit) if r.limit is not None else None,
-            )
-        )
-    return spark.createDataFrame(rows, RULES_EVAL_SCHEMA)
+def _rule_struct(rule: Rule, events: DataFrame) -> Column:
+    """Literal per-rule match struct: NULL when the rule's (compiled,
+    literal — full pushdown-eligible) filter rejects the row, else the
+    rule's id/key/value/window metadata. One array of these per event,
+    compacted and exploded, IS the fan-out — no join, no maps, pure
+    whole-stage codegen."""
+    if rule.is_count:
+        value = F.lit(None).cast("double")
+    else:
+        value = F.col(rule.aggregate_field_name).cast("double")
+    meta = F.struct(
+        F.lit(rule.query_id).cast("bigint").alias("query_id"),
+        composite_key(rule).alias("key"),
+        value.alias("_value"),
+        F.lit(window_mode(rule)).alias("mode"),
+        F.lit(int(rule.window_milliseconds or 0)).cast("bigint").alias("window_ms"),
+        F.lit(
+            int(rule.frequency_milliseconds) if rule.frequency_milliseconds else 0
+        ).cast("bigint").alias("freq_ms"),
+        F.lit(
+            rule.aggregator_function_type.value
+            if rule.aggregator_function_type
+            else None
+        ).cast("string").alias("agg_fn"),
+        F.lit(bool(rule.is_count)).alias("is_count"),
+        F.lit(
+            rule.limit_operator_type.value if rule.limit_operator_type else None
+        ).cast("string").alias("limit_op"),
+        F.lit(float(rule.limit) if rule.limit is not None else None)
+        .cast("double")
+        .alias("limit_val"),
+    )
+    return F.when(compile_filter(rule, events), meta)
 
 
 def _fired(agg: Column) -> Column:
@@ -153,10 +160,18 @@ def evaluate_rules_grouped(
     active = [r for r in rules if r.query_state is RuleState.ACTIVE]
     if not active:
         raise ValueError("no ACTIVE rules")
-    spark = events.sparkSession
     modes = {window_mode(r) for r in active}
-    rules_df = rules_to_eval_df(spark, active)
-    keyed = fan_out(events, rules_df, value_from="agg_field")
+    # Compiled fan-out: per-rule literal match structs in one projection
+    # over a single scan; foreachBatch rebuilds the plan every batch
+    # anyway, so literal predicates (codegen, pushdown-friendly) beat
+    # rules-as-data lookups here. The rules-as-data variant
+    # (operators/fanout.py) remains for fixed plans over dynamic tables.
+    keyed = events.select(
+        F.col(ts_col),
+        F.explode(
+            F.array_compact(F.array(*[_rule_struct(r, events) for r in active]))
+        ).alias("_r"),
+    ).select(ts_col, "_r.*")
 
     ts = F.col(ts_col)
     tsl = F.unix_millis(ts)
