@@ -460,10 +460,27 @@ class ActivePipeline:
     def run_stream(self, events_stream: DataFrame, trigger_available_now: bool = True):
         """Attach to a streaming DataFrame via foreachBatch (S2/S3
         analogue: the driver re-reads rules each batch, so rules can be
-        registered mid-stream)."""
-        writer = events_stream.writeStream.foreachBatch(
-            lambda df, bid: self.process_batch(df, bid)
-        ).option("checkpointLocation", os.path.join(self.work_dir, "chk"))
+        registered mid-stream). A CLEAR_STATE_ALL_STOP control verb
+        (C4) stops the query after the batch that observed it —
+        ``query.stop()`` is issued from a separate thread because
+        calling it inside the micro-batch thread would deadlock."""
+        import threading
+
+        holder: dict = {}
+
+        def _batch(df: DataFrame, bid: int) -> None:
+            self.process_batch(df, bid)
+            if self.registry.stop_requested and not holder.get("stopping"):
+                holder["stopping"] = True
+                q = holder.get("q")
+                if q is not None:
+                    threading.Thread(target=q.stop, daemon=True).start()
+
+        writer = events_stream.writeStream.foreachBatch(_batch).option(
+            "checkpointLocation", os.path.join(self.work_dir, "chk")
+        )
         if trigger_available_now:
             writer = writer.trigger(availableNow=True)
-        return writer.start()
+        query = writer.start()
+        holder["q"] = query
+        return query

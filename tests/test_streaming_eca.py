@@ -869,3 +869,43 @@ def test_w1_core_throughput_100k():
     elapsed = time.perf_counter() - t0
     assert len(out_ts) == 100_000
     assert elapsed < 1.0, f"vectorized W1 took {elapsed:.2f}s for 100k events"
+
+
+def test_clear_state_all_stop_stops_stream(spark, tmp_path):
+    """C4: the CLEAR_STATE_ALL_STOP control verb clears window state
+    AND terminates the running streaming query."""
+    events_dir = tmp_path / "stop_events"
+    events_dir.mkdir()
+    rules_dir = tmp_path / "stop_rules"
+    rules_dir.mkdir()
+    (rules_dir / "r1.json").write_text(
+        json.dumps(dict(SPEEDING_RULE, alertRules=[])) + "\n"
+    )
+    car_df(spark, [(9, 1, 130.0)]).repartition(1).write.parquet(
+        str(events_dir / "f1")
+    )
+    reg = RuleRegistry()
+    pipe = ActivePipeline(
+        spark=spark,
+        registry=reg,
+        work_dir=str(tmp_path / "wk"),
+        rules_dir=str(rules_dir),
+    )
+    stream = spark.readStream.schema("carId int, ts timestamp, speed double")\
+        .option("maxFilesPerTrigger", 1).parquet(str(events_dir) + "/*")
+    q = pipe.run_stream(stream, trigger_available_now=False)
+    # wait for the first batch to land an alert
+    deadline = time.time() + 60
+    while time.time() < deadline and pipe.alerts().count() == 0:
+        time.sleep(0.5)
+    assert pipe.alerts().count() > 0
+    # drop the STOP verb + one more event file to trigger a batch
+    (rules_dir / "stop.json").write_text(
+        '{"queryState":"CONTROL","controlType":"CLEAR_STATE_ALL_STOP"}\n'
+    )
+    car_df(spark, [(9, 2, 131.0)]).repartition(1).write.parquet(
+        str(events_dir / "f2")
+    )
+    q.awaitTermination(90)
+    assert not q.isActive
+    assert reg.stop_requested
