@@ -8,32 +8,40 @@ compiled plans (rules/compiler.py) are the right shape for standing
 batch queries — maximal per-rule pushdown — but unioning N of them
 re-scans the buffer N times, which is the #1 scale-killer at 100 TB.
 
-This module is the Spark analogue of the reference's topology:
+This module is the Spark analogue of the reference's topology, with a
+sharing layer on top:
 
-1. Compiled fan-out: ONE projection over ONE scan builds, per event,
-   an array of per-rule match structs — each guarded by that rule's
-   compiled LITERAL predicate (whole-stage codegen, pushdown-eligible)
-   — then ``array_compact`` + ``explode``. No join, no per-row field
-   maps; each surviving row carries (query_id, key, _value, window
-   metadata). foreachBatch rebuilds the plan every batch anyway, so
+1. Rules are grouped into SHAPES — identical (filters, grouping keys,
+   window, frequency, aggregate field). Alert-tier workloads (one
+   query registered at several thresholds, ECA children differing only
+   in aggregator) collapse to one shape: the expensive work is done
+   once per shape, never once per rule.
+2. Compiled fan-out: ONE projection over ONE scan builds, per event,
+   an array of per-SHAPE match structs — each guarded by that shape's
+   compiled LITERAL predicate (whole-stage codegen) — then
+   ``array_compact`` + ``explode``. No join, no per-row field maps;
+   each surviving row carries (shape_id, key, _value, window
+   geometry). foreachBatch rebuilds the plan every batch anyway, so
    literal predicates cost nothing in flexibility; the rules-as-data
    variant (operators/fanout.py, BroadcastNestedLoopJoin) remains for
    fixed long-lived plans over mutable rule tables.
-2. ONE ``groupBy(query_id, key, window_start)`` for ALL W2/W3 rules at
-   once — the window start is computed *data-driven* from the rule
+3. ONE ``groupBy(shape_id, key, window_start)`` for ALL W2/W3 shapes
+   at once — window starts are computed *data-driven* from the shape
    row's own window/frequency columns (epoch-millis integer math,
-   identical to rules/compiler.py and rules/sql_gen.py), so rules with
-   different window sizes still share the single shuffle.
-3. W1 (per-event slide) rules share the scan and get one RANGE-frame
+   identical to rules/compiler.py and rules/sql_gen.py), so shapes
+   with different window sizes still share the single shuffle. All
+   five aggregates (SUM/AVG/MIN/MAX/COUNT) are computed in that one
+   pass (map-side partial aggregation applies).
+4. The per-rule expansion is a BROADCAST join against the tiny
+   (shape_id → rule metadata) table: each rule selects its aggregate
+   from the five and applies its own threshold. Aggregation cost is
+   O(#shapes); only the final projection is O(#rules).
+5. W1 (per-event slide) shapes share the scan and get one RANGE-frame
    window pass per *distinct* window size (frame bounds must be plan
-   constants); W0 passthrough rules are a projection.
+   constants); W0 passthrough shapes are a projection.
 
-Per-batch Spark-job/scan count is therefore O(#modes), not O(#rules).
-
-All five aggregates (SUM/AVG/MIN/MAX/COUNT) are computed in the single
-shuffled aggregation (partial/map-side combine applies) and the rule's
-own aggregate is selected per-row afterwards — 5 columns of partial agg
-state per group versus N plans is the trade that buys the single scan.
+Per-batch Spark-job/scan count is therefore O(#modes), not O(#rules),
+and shuffle volume is O(#shapes), not O(#rules).
 """
 
 from __future__ import annotations
@@ -52,6 +60,11 @@ from activedatawarehouseprototype_spark.rules.compiler import (
 from activedatawarehouseprototype_spark.rules.model import Rule, RuleState
 
 _NUMERIC_PREFIXES = ("int", "bigint", "smallint", "tinyint", "float", "double", "decimal")
+
+RULE_META_SCHEMA = (
+    "shape_id bigint, query_id bigint, agg_fn string, is_count boolean, "
+    "limit_op string, limit_val double"
+)
 
 
 def validate_rule_fields(rule: Rule, dtypes: dict[str, str]) -> None:
@@ -76,39 +89,90 @@ def validate_rule_fields(rule: Rule, dtypes: dict[str, str]) -> None:
             )
 
 
-def _rule_struct(rule: Rule, events: DataFrame) -> Column:
-    """Literal per-rule match struct: NULL when the rule's (compiled,
-    literal — full pushdown-eligible) filter rejects the row, else the
-    rule's id/key/value/window metadata. One array of these per event,
-    compacted and exploded, IS the fan-out — no join, no maps, pure
-    whole-stage codegen."""
-    if rule.is_count:
+def shape_key(rule: Rule) -> tuple:
+    """Everything that determines WHICH values aggregate together —
+    rules equal on this tuple share one aggregation; they may still
+    differ in aggregator function and threshold (selected post-agg)."""
+    return (
+        tuple((f.field, f.operator.value, f.value) for f in rule.window_filter_rules),
+        tuple(key_columns(rule)),
+        int(rule.window_milliseconds or 0),
+        int(rule.frequency_milliseconds) if rule.frequency_milliseconds else 0,
+        window_mode(rule),
+        None if rule.is_count else rule.aggregate_field_name,
+    )
+
+
+def group_shapes(rules: list[Rule]) -> list[tuple[int, Rule, list[Rule]]]:
+    """(shape_id, representative rule, member rules) per distinct shape."""
+    out: list[tuple[int, Rule, list[Rule]]] = []
+    index: dict[tuple, int] = {}
+    for r in rules:
+        k = shape_key(r)
+        if k in index:
+            out[index[k]][2].append(r)
+        else:
+            index[k] = len(out)
+            out.append((len(out), r, [r]))
+    return out
+
+
+def _shape_struct(shape_id: int, rep: Rule, events: DataFrame) -> Column:
+    """Literal per-shape match struct: NULL when the shape's (compiled,
+    literal — whole-stage-codegen) filter rejects the row, else the
+    shape's id/key/value/window geometry. One array of these per event,
+    compacted and exploded, IS the fan-out — no join, no maps."""
+    if rep.is_count:
         value = F.lit(None).cast("double")
     else:
-        value = F.col(rule.aggregate_field_name).cast("double")
+        value = F.col(rep.aggregate_field_name).cast("double")
     meta = F.struct(
-        F.lit(rule.query_id).cast("bigint").alias("query_id"),
-        composite_key(rule).alias("key"),
+        F.lit(shape_id).cast("bigint").alias("shape_id"),
+        composite_key(rep).alias("key"),
         value.alias("_value"),
-        F.lit(window_mode(rule)).alias("mode"),
-        F.lit(int(rule.window_milliseconds or 0)).cast("bigint").alias("window_ms"),
+        F.lit(window_mode(rep)).alias("mode"),
+        F.lit(int(rep.window_milliseconds or 0)).cast("bigint").alias("window_ms"),
         F.lit(
-            int(rule.frequency_milliseconds) if rule.frequency_milliseconds else 0
+            int(rep.frequency_milliseconds) if rep.frequency_milliseconds else 0
         ).cast("bigint").alias("freq_ms"),
-        F.lit(
-            rule.aggregator_function_type.value
-            if rule.aggregator_function_type
-            else None
-        ).cast("string").alias("agg_fn"),
-        F.lit(bool(rule.is_count)).alias("is_count"),
-        F.lit(
-            rule.limit_operator_type.value if rule.limit_operator_type else None
-        ).cast("string").alias("limit_op"),
-        F.lit(float(rule.limit) if rule.limit is not None else None)
-        .cast("double")
-        .alias("limit_val"),
     )
-    return F.when(compile_filter(rule, events), meta)
+    return F.when(compile_filter(rep, events), meta)
+
+
+def shape_fanout(
+    events: DataFrame, shapes: list[tuple[int, Rule, list[Rule]]], ts_col: str = "ts"
+) -> DataFrame:
+    """One scan, one projection: per event, the compacted array of
+    matching shape structs, exploded to one row per (event, shape)."""
+    return events.select(
+        F.col(ts_col),
+        F.explode(
+            F.array_compact(
+                F.array(*[_shape_struct(sid, rep, events) for sid, rep, _ in shapes])
+            )
+        ).alias("_r"),
+    ).select(ts_col, "_r.*")
+
+
+def _rule_metas(spark, shapes: list[tuple[int, Rule, list[Rule]]]) -> DataFrame:
+    """Tiny broadcastable (shape_id → per-rule aggregate/threshold)
+    expansion table — the only place rule cardinality appears."""
+    rows = []
+    for sid, _, members in shapes:
+        for r in members:
+            rows.append(
+                (
+                    sid,
+                    r.query_id,
+                    r.aggregator_function_type.value
+                    if r.aggregator_function_type
+                    else None,
+                    bool(r.is_count),
+                    r.limit_operator_type.value if r.limit_operator_type else None,
+                    float(r.limit) if r.limit is not None else None,
+                )
+            )
+    return spark.createDataFrame(rows, RULE_META_SCHEMA)
 
 
 def _fired(agg: Column) -> Column:
@@ -136,6 +200,23 @@ def _select_agg(sum_c, avg_c, min_c, max_c, cnt_c) -> Column:
     ).cast("double")
 
 
+def _expand_rules(aggregated: DataFrame, metas: DataFrame) -> DataFrame:
+    """shape-level 5-aggregate rows × rule metadata → per-rule EVAL
+    rows (broadcast hash join on shape_id; build side is control data)."""
+    joined = aggregated.join(F.broadcast(metas), "shape_id")
+    agg = _select_agg(
+        F.col("_sum"), F.col("_avg"), F.col("_min"), F.col("_max"), F.col("_cnt")
+    )
+    return joined.select(
+        F.col("query_id"),
+        F.col("key"),
+        F.col("window_start"),
+        F.col("window_end"),
+        agg.alias("agg_value"),
+        _fired(agg).alias("fired"),
+    )
+
+
 def evaluate_rules_grouped(
     events: DataFrame,
     rules: list[Rule],
@@ -143,13 +224,14 @@ def evaluate_rules_grouped(
     salt_buckets: int | None = None,
 ) -> DataFrame:
     """Evaluate every ACTIVE rule over ``events`` with O(#modes) scans
-    (ONE scan + ONE shuffle when all rules are W2/W3). Output schema and
-    values match ``rules.compiler.evaluate_rules`` exactly.
+    (ONE scan + ONE shuffle when all rules are W2/W3) and O(#shapes)
+    aggregation work. Output schema and values match
+    ``rules.compiler.evaluate_rules`` exactly.
 
     Rules must be pre-validated with ``validate_rule_fields`` — unknown
     fields here would aggregate nulls instead of raising.
 
-    ``salt_buckets`` spreads each hot (rule, key, window) group over N
+    ``salt_buckets`` spreads each hot (shape, key, window) group over N
     sub-groups before the final merge (two-phase salted aggregation,
     operators/warehouse.salted_agg pattern). Spark's map-side partial
     aggregation already bounds reducer input to one partial per map
@@ -160,28 +242,23 @@ def evaluate_rules_grouped(
     active = [r for r in rules if r.query_state is RuleState.ACTIVE]
     if not active:
         raise ValueError("no ACTIVE rules")
-    modes = {window_mode(r) for r in active}
-    # Compiled fan-out: per-rule literal match structs in one projection
-    # over a single scan; foreachBatch rebuilds the plan every batch
-    # anyway, so literal predicates (codegen, pushdown-friendly) beat
-    # rules-as-data lookups here. The rules-as-data variant
-    # (operators/fanout.py) remains for fixed plans over dynamic tables.
-    keyed = events.select(
-        F.col(ts_col),
-        F.explode(
-            F.array_compact(F.array(*[_rule_struct(r, events) for r in active]))
-        ).alias("_r"),
-    ).select(ts_col, "_r.*")
+    spark = events.sparkSession
+    shapes = group_shapes(active)
+    metas = _rule_metas(spark, shapes)
+    modes = {window_mode(rep) for _, rep, _ in shapes}
+    keyed = shape_fanout(events, shapes, ts_col)
 
     ts = F.col(ts_col)
     tsl = F.unix_millis(ts)
-    qid = F.col("query_id")
     branches: list[DataFrame] = []
 
     if "W0" in modes:
+        # Per-event passthrough: agg=0, fired=false — the metas join
+        # only supplies each member rule's query_id.
+        w0 = keyed.filter(F.col("mode") == "W0").join(F.broadcast(metas), "shape_id")
         branches.append(
-            keyed.filter(F.col("mode") == "W0").select(
-                qid,
+            w0.select(
+                F.col("query_id"),
                 F.col("key"),
                 ts.alias("window_start"),
                 ts.alias("window_end"),
@@ -193,36 +270,32 @@ def evaluate_rules_grouped(
     if "W1" in modes:
         # RANGE frame bounds must be plan constants → one window pass
         # per DISTINCT window size (control-plane cardinality), all over
-        # the same fanned-out scan.
+        # the same fanned-out scan; the five aggregates are computed
+        # once per (shape, event), then expanded per rule.
         w1_sizes = sorted(
-            {int(r.window_milliseconds) for r in active if window_mode(r) == "W1"}
+            {
+                int(rep.window_milliseconds)
+                for _, rep, _ in shapes
+                if window_mode(rep) == "W1"
+            }
         )
         for w in w1_sizes:
             sub = keyed.filter((F.col("mode") == "W1") & (F.col("window_ms") == w))
             wspec = (
-                Window.partitionBy("query_id", "key").orderBy(tsl).rangeBetween(-w, 0)
+                Window.partitionBy("shape_id", "key").orderBy(tsl).rangeBetween(-w, 0)
             )
-            agg = _select_agg(
-                F.sum("_value").over(wspec),
-                F.avg("_value").over(wspec),
-                F.min("_value").over(wspec),
-                F.max("_value").over(wspec),
-                F.count(F.lit(1)).over(wspec).cast("double"),
-            )
-            out = sub.select(
-                qid,
+            aggd = sub.select(
+                F.col("shape_id"),
                 F.col("key"),
                 (ts - F.expr(f"INTERVAL {w} MILLISECONDS")).alias("window_start"),
                 ts.alias("window_end"),
-                agg.alias("agg_value"),
-                "limit_op",
-                "limit_val",
+                F.sum("_value").over(wspec).alias("_sum"),
+                F.avg("_value").over(wspec).alias("_avg"),
+                F.min("_value").over(wspec).alias("_min"),
+                F.max("_value").over(wspec).alias("_max"),
+                F.count(F.lit(1)).over(wspec).cast("double").alias("_cnt"),
             )
-            branches.append(
-                out.withColumn("fired", _fired(F.col("agg_value"))).drop(
-                    "limit_op", "limit_val"
-                )
-            )
+            branches.append(_expand_rules(aggd, metas))
 
     if "W2" in modes or "W3" in modes:
         w = F.col("window_ms")
@@ -241,12 +314,9 @@ def evaluate_rules_grouped(
             keyed.filter(F.col("mode").isin("W2", "W3"))
             .withColumn("ws", F.explode(ws_arr))
         )
-        # window_ms/agg_fn/is_count/limit_* are functionally dependent
-        # on query_id — free riders in the grouping key.
-        group_cols = [
-            "query_id", "key", "ws",
-            "window_ms", "agg_fn", "is_count", "limit_op", "limit_val",
-        ]
+        # window_ms is functionally dependent on shape_id — a free
+        # rider in the grouping key, needed for window_end.
+        group_cols = ["shape_id", "key", "ws", "window_ms"]
         if salt_buckets and salt_buckets > 1:
             salted = w23.withColumn(
                 "_salt", F.pmod(F.crc32(F.col(ts_col).cast("string")), salt_buckets)
@@ -273,17 +343,13 @@ def evaluate_rules_grouped(
                 F.max("_value").alias("_max"),
                 F.count(F.lit(1)).cast("double").alias("_cnt"),
             )
-        agg = _select_agg(
-            F.col("_sum"), F.col("_avg"), F.col("_min"), F.col("_max"), F.col("_cnt")
-        )
-        out = grouped.select(
-            qid,
+        aggd = grouped.select(
+            F.col("shape_id"),
             F.col("key"),
             F.timestamp_millis(F.col("ws")).alias("window_start"),
             F.timestamp_millis(F.col("ws") + F.col("window_ms")).alias("window_end"),
-            agg.alias("agg_value"),
-            _fired(agg).alias("fired"),
+            "_sum", "_avg", "_min", "_max", "_cnt",
         )
-        branches.append(out)
+        branches.append(_expand_rules(aggd, metas))
 
     return reduce(lambda a, b: a.unionByName(b), branches)

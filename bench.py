@@ -180,8 +180,10 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
 
-    eps = streaming_events_per_sec(spark)
-    eps50 = streaming_50rule_events_per_sec(spark)
+    # best of two, mirroring the corpus timings: the first run pays JVM
+    # codegen + shuffle-service warmup, which is noise, not engine cost.
+    eps = max(streaming_events_per_sec(spark) for _ in range(2))
+    eps50 = max(streaming_50rule_events_per_sec(spark) for _ in range(2))
 
     total = round(sum(timings.values()), 3)
     print(

@@ -185,3 +185,35 @@ def test_parse_composite_key_hostile_values():
     assert parse_composite_key("{carId=9}", ["$carId"]) == {"carId": "9"}
     # naive fallback still works for clean values
     assert parse_composite_key("{a=1;b=x}") == {"a": "1", "b": "x"}
+
+
+def test_same_shape_rules_share_aggregation(spark):
+    """Threshold-tier rules (same filter/keys/window/field, different
+    aggregator + threshold) must collapse to ONE shape: the fan-out
+    carries one row per (event, shape), not per (event, rule), and the
+    results still match the per-rule union exactly."""
+    from activedatawarehouseprototype_spark.streaming.group_eval import (
+        group_shapes,
+        shape_fanout,
+    )
+
+    df = events_df(spark)
+    tiers = [
+        mk({"queryId": 30 + i, "windowMilliseconds": 60_000,
+            "aggregatorFunctionType": fn, "limitOperatorType": op,
+            "limit": lim,
+            "windowFilterRules": [{"field": "kind", "operator": "=", "value": "a"}]})
+        for i, (fn, op, lim) in enumerate(
+            [("AVG", ">", 40), ("AVG", ">", 60), ("MAX", ">=", 90),
+             ("SUM", ">", 500), ("MIN", "<", 5)]
+        )
+    ]
+    shapes = group_shapes(tiers)
+    assert len(shapes) == 1  # five rules, one shape
+    n_fanout = shape_fanout(df, shapes).count()
+    n_match = df.filter("kind = 'a'").count()
+    assert n_fanout == n_match  # per (event, shape), NOT per (event, rule)
+
+    got = canon(evaluate_rules_grouped(df, tiers))
+    want = canon(evaluate_rules(df, tiers))
+    assert got == want and len(got) > 0
