@@ -229,6 +229,65 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Near-dup CLUSTERS: candidate pairs → connected components →
+# keeper per component (the decision step of dedup). The oracle
+# recomputes the same MinHash/LSH pairs and closes them transitively
+# with a recursive CTE — fully independent of the iterative Spark
+# label-propagation. ---
+
+
+@register(
+    "dedup_minhash_components",
+    oracle=f"""
+WITH RECURSIVE corpus AS ({_CORPUS_NEAR}),
+{_GRAMS_CAPPED},
+mh AS (
+  SELECT doc_id, s.i AS hash_idx,
+         MIN(md5(CAST(s.i AS VARCHAR) || ':' || shingle)) AS minhash
+  FROM grams, UNNEST(generate_series(0, 11)) AS s(i)
+  GROUP BY doc_id, s.i
+),
+bands AS (
+  SELECT doc_id, hash_idx // 4 AS band,
+         md5(string_agg(minhash, ',' ORDER BY minhash)) AS band_sig
+  FROM mh GROUP BY doc_id, band
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+              AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT e.a, r.b FROM edges e JOIN reach r ON e.b = r.a
+)
+SELECT CAST(a AS BIGINT) AS doc_id, CAST(MIN(b) AS BIGINT) AS component
+FROM reach GROUP BY a
+""",
+)
+def dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup.lsh_candidates(
+        _near_corpus(spark, sf_dir),
+        "doc_id",
+        "text",
+        n=_NGRAM,
+        k=12,
+        bands=3,
+        max_doc_freq=_MAX_DOC_FREQ,
+    )
+    comps = dedup.connected_components(pairs)
+    return comps.select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("component")
+    )
+
+
 # --- SimHash-16 collision groups ---
 
 _SIMHASH_BITS_SQL = ",\n".join(

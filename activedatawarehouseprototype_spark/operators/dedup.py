@@ -194,6 +194,69 @@ def lsh_candidates(
     )
 
 
+def connected_components(
+    pairs: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 25
+) -> DataFrame:
+    """(id, component) over the undirected candidate-pair graph;
+    component id = smallest member id. This is the step that turns
+    near-dup PAIRS into dedup DECISIONS: every document in a component
+    except the min-id keeper is a duplicate.
+
+    Plan: min-label propagation — each iteration, every vertex adopts
+    the minimum of its own and its neighbors' labels (one join + one
+    aggregate per iteration, all distributed; lineage is cut per
+    iteration with ``localCheckpoint`` so the plan stays constant
+    size). Converges in <= graph-diameter iterations; near-dup
+    clusters are near-cliques (diameter ~2), so this is a handful of
+    passes in practice. At extreme scale with long chain topologies,
+    the alternating small-star/large-star variant brings worst-case
+    rounds to O(log n) — same join shape, more bookkeeping.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = edges.select(F.col("a").alias("id")).distinct().select(
+        "id", F.col("id").alias("comp")
+    )
+    try:
+        for _ in range(max_iter):
+            neighbor_min = (
+                edges.join(
+                    labels.select(
+                        F.col("id").alias("b"), F.col("comp").alias("bcomp")
+                    ),
+                    "b",
+                )
+                .groupBy(F.col("a").alias("id"))
+                .agg(F.min("bcomp").alias("ncomp"))
+            )
+            new_labels = (
+                labels.join(neighbor_min, "id", "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("comp"), F.coalesce("ncomp", F.col("comp"))
+                    ).alias("comp"),
+                )
+                .localCheckpoint()
+            )
+            changed = (
+                new_labels.select("id", F.col("comp").alias("ncomp2"))
+                .join(labels, "id")
+                .filter(F.col("ncomp2") != F.col("comp"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+    finally:
+        edges.unpersist()
+    return labels
+
+
 def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """16-bit SimHash per document from per-token md5 bits.
 

@@ -181,3 +181,41 @@ def test_approx_sketches_within_tolerance(spark):
         ap = approx[flag]
         assert abs(ap.approx_parts - ex.d) / ex.d < 0.1  # HLL ~2% rsd
         assert abs(ap.approx_median - ex.m) / ex.m < 0.1
+
+
+def test_connected_components_matches_union_find(spark):
+    """Distributed min-label propagation vs an independent union-find
+    on assorted topologies (chain, clique, singletons-in-pairs, star)."""
+    from activedatawarehouseprototype_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = [
+        (1, 2), (2, 3), (3, 4), (4, 5),        # chain (diameter 4)
+        (10, 11), (10, 12), (11, 12),          # triangle
+        (20, 21),                              # isolated pair
+        (30, 31), (30, 32), (30, 33), (30, 34) # star
+    ]
+    df = spark.createDataFrame(pairs, "id_a bigint, id_b bigint")
+    got = {
+        (r.id, r.comp) for r in connected_components(df).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in pairs:
+        union(a, b)
+    want = {(v, find(v)) for v in parent}
+    assert got == want
