@@ -288,6 +288,46 @@ def dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Deterministic train/val/test split (curation primitive): the
+# split is a pure function of md5(salt:doc_id), so any engine assigns
+# every document to the same split on every run — the property that
+# keeps train/test contamination out of multi-tool pipelines. Exact
+# totals (no rounding: counts + char sums). ---
+
+
+@register(
+    "sample_split_stats",
+    oracle="""
+WITH f AS (
+  SELECT lang, length(text) AS lc,
+         CAST(concat('0x', substr(md5('s1:' || CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) / 4294967296.0 AS frac
+  FROM documents
+)
+SELECT CASE WHEN frac < 0.8 THEN 'train'
+            WHEN frac < 0.9 THEN 'val'
+            ELSE 'test' END AS split,
+       lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(lc) AS BIGINT) AS total_chars
+FROM f
+GROUP BY split, lang
+""",
+)
+def sample_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from activedatawarehouseprototype_spark.operators import sampling
+
+    d = _docs(spark, sf_dir)
+    return (
+        d.withColumn("split", sampling.assign_split(["doc_id"]))
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+        )
+    )
+
+
 # --- SimHash-16 collision groups ---
 
 _SIMHASH_BITS_SQL = ",\n".join(

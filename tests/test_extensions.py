@@ -219,3 +219,43 @@ def test_connected_components_matches_union_find(spark):
         union(a, b)
     want = {(v, find(v)) for v in parent}
     assert got == want
+
+
+def test_deterministic_sampling_properties(spark):
+    """Hash sampling: stable across partitionings, rates nest, observed
+    rate within tolerance, splits partition the corpus."""
+    from activedatawarehouseprototype_spark.operators import sampling
+
+    df = spark.range(10_000).withColumnRenamed("id", "doc_id")
+    s10 = sampling.deterministic_sample(df, 0.10, ["doc_id"])
+    s20 = sampling.deterministic_sample(df, 0.20, ["doc_id"])
+    ids10 = {r.doc_id for r in s10.collect()}
+    ids20 = {r.doc_id for r in s20.collect()}
+    assert ids10 <= ids20                     # rates nest
+    assert abs(len(ids10) / 10_000 - 0.10) < 0.02
+    assert abs(len(ids20) / 10_000 - 0.20) < 0.02
+    # partitioning-independent
+    ids10b = {
+        r.doc_id
+        for r in sampling.deterministic_sample(
+            df.repartition(17), 0.10, ["doc_id"]
+        ).collect()
+    }
+    assert ids10b == ids10
+    # independent salt draws a different sample
+    ids10c = {
+        r.doc_id
+        for r in sampling.deterministic_sample(
+            df, 0.10, ["doc_id"], salt="other"
+        ).collect()
+    }
+    assert ids10c != ids10
+    # splits cover every row exactly once
+    splits = (
+        df.withColumn("split", sampling.assign_split(["doc_id"]))
+        .groupBy("split")
+        .count()
+        .collect()
+    )
+    assert sum(r["count"] for r in splits) == 10_000
+    assert {r.split for r in splits} == {"train", "val", "test"}
