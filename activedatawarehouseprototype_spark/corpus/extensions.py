@@ -521,6 +521,63 @@ def ann_lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.col("score").desc(), F.col("vec_id").asc()).limit(5)
 
 
+# --- IVF-flat ANN (the second scale path next to the LSH buckets):
+# deterministic coarse quantizer (k lowest-id vectors as centroids),
+# search probes only the query's cell. The oracle recomputes the
+# assignment (min squared-L2, ties by centroid id) and the in-cell
+# top-k independently. ---
+
+
+@register(
+    "ann_ivf_topk",
+    oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+seeds AS (SELECT vec_id AS sid, v AS sv FROM e ORDER BY vec_id LIMIT 16),
+dists AS (
+  SELECT e.vec_id, s.sid,
+         list_sum(list_transform(range(1, 65),
+             d -> (e.v[d] - s.sv[d]) * (e.v[d] - s.sv[d]))) AS dist
+  FROM e, seeds s
+),
+cells AS (
+  SELECT vec_id, sid AS cell FROM dists
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, sid) = 1
+),
+q AS (
+  SELECT c.cell AS qcell, e.v AS qv
+  FROM cells c JOIN e USING (vec_id) WHERE vec_id = 0
+)
+SELECT e.vec_id, c.cell,
+       ROUND(list_cosine_similarity(e.v, q.qv), 6) AS score
+FROM e JOIN cells c USING (vec_id), q
+WHERE c.cell = q.qcell AND e.vec_id != 0
+ORDER BY score DESC, vec_id ASC
+LIMIT 5
+""",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assigned = similarity.ivf_assign(_emb(spark, sf_dir), k=16)
+    # Parameter fetch (1 row): the query's cell + vector are inputs.
+    qrow = assigned.filter(F.col("vec_id") == 0).head()
+    qv = [float(x) for x in qrow["embedding"]]
+    qcell = int(qrow["cell"])
+    cands = assigned.filter(
+        (F.col("cell") == qcell) & (F.col("vec_id") != 0)
+    )
+    scored = cands.select(
+        "vec_id",
+        "cell",
+        F.round(
+            similarity.cosine(
+                similarity.as_double_array(F.col("embedding")),
+                F.array(*[F.lit(x) for x in qv]),
+            ),
+            6,
+        ).alias("score"),
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("vec_id").asc()).limit(5)
+
+
 # --- Multimodal plumbing. The blob is the md5 digest bytes of the
 # text (attach_blobs), so the oracle re-derives the 16 byte values
 # from the md5 hex string and recomputes length / mean / Shannon

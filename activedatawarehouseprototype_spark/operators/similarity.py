@@ -92,6 +92,48 @@ def random_hyperplane_bucket(
     return F.concat(*bits)
 
 
+def sq_dist(a: Column, b: Column) -> Column:
+    """Squared L2 distance — sequential left-fold, deterministic order."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantizer: assign every vector to its nearest of k
+    centroids (min squared-L2, ties by centroid id). Centroids here are
+    the k lowest-id vectors — deterministic, so the DuckDB oracle can
+    recompute the assignment; in a real deployment swap in k-means
+    centroids (same plumbing: centroids are control data, broadcast as
+    literals into one codegen projection — no join, no shuffle).
+
+    The ANN search path then probes only the query's cell (or its few
+    nearest cells), cutting the scan from |corpus| to |corpus|/k per
+    query — the standard IVF-flat trade."""
+    seeds = [
+        (int(r[id_col]), [float(x) for x in r[vec_col]])
+        for r in df.orderBy(id_col).limit(k).collect()
+    ]
+    v = as_double_array(F.col(vec_col))
+    pairs = [
+        F.struct(
+            sq_dist(v, F.array(*[F.lit(x) for x in sv])).alias("dist"),
+            F.lit(sid).cast("bigint").alias("sid"),
+        )
+        for sid, sv in seeds
+    ]
+    # lexicographic struct ordering == (min dist, then min centroid id)
+    best = F.sort_array(F.array(*pairs))[0]
+    return df.withColumn("cell", best["sid"])
+
+
 def blocked_pairs_cosine(
     df: DataFrame,
     block_col: str,

@@ -259,3 +259,20 @@ def test_deterministic_sampling_properties(spark):
     )
     assert sum(r["count"] for r in splits) == 10_000
     assert {r.split for r in splits} == {"train", "val", "test"}
+
+
+def test_ivf_assign_properties(spark):
+    """Coarse quantizer: every vector gets a cell, cells come from the
+    seed set, and each seed vector is assigned to itself (distance 0)."""
+    from activedatawarehouseprototype_spark.catalog import load
+    from activedatawarehouseprototype_spark.operators.similarity import ivf_assign
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    assigned = ivf_assign(emb, k=8)
+    rows = assigned.select("vec_id", "cell").collect()
+    assert len(rows) == emb.count()
+    seed_ids = {r.vec_id for r in emb.orderBy("vec_id").limit(8).collect()}
+    assert {r.cell for r in rows} <= seed_ids
+    for r in rows:
+        if r.vec_id in seed_ids:
+            assert r.cell == r.vec_id  # a seed's nearest centroid is itself
