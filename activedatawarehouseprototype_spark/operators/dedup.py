@@ -194,6 +194,24 @@ def lsh_candidates(
     )
 
 
+def stream_exact_dedup(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: emit the FIRST arrival of each key,
+    suppress re-arrivals within the watermark horizon
+    (``dropDuplicatesWithinWatermark`` — keyed state store holds one
+    entry per key, GC'd once the watermark passes, so state is bounded
+    by keys-per-horizon, not keys-ever). The ingestion-side half of the
+    dedup family: batch exact/minhash passes dedup the corpus at rest;
+    this keeps the firehose clean before it lands."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
 def connected_components(
     pairs: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 25
 ) -> DataFrame:

@@ -276,3 +276,42 @@ def test_ivf_assign_properties(spark):
     for r in rows:
         if r.vec_id in seed_ids:
             assert r.cell == r.vec_id  # a seed's nearest centroid is itself
+
+
+def test_stream_exact_dedup(spark, tmp_path):
+    """Streaming dedup emits the first arrival per key and suppresses
+    re-arrivals within the watermark horizon, across micro-batches."""
+    import datetime as dt
+
+    from activedatawarehouseprototype_spark.operators.dedup import (
+        stream_exact_dedup,
+    )
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows1 = [("a", base, 1.0), ("b", base, 2.0), ("a", base, 3.0)]
+    rows2 = [("a", base, 4.0), ("c", base, 5.0)]
+    d = tmp_path / "dedup_events"
+    d.mkdir()
+    schema = "k string, ts timestamp, v double"
+    spark.createDataFrame(rows1, schema).repartition(1).write.parquet(
+        str(d / "f1")
+    )
+    spark.createDataFrame(rows2, schema).repartition(1).write.parquet(
+        str(d / "f2")
+    )
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(d) + "/*")
+    q = (
+        stream_exact_dedup(stream, ["k"], watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM dedup_out").collect()
+    # one row per key, regardless of intra- and inter-batch repeats
+    assert sorted(r.k for r in out) == ["a", "b", "c"]
