@@ -470,6 +470,81 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n"))
 
 
+# --- Reason-coded quality filter (curation gate): the first failing
+# rule names the drop reason; the CASE priority order is the contract,
+# repeated verbatim in the oracle. ---
+
+
+@register(
+    "text_quality_filter",
+    oracle=f"""
+WITH r AS (
+  SELECT length(text) AS lc,
+         CASE WHEN len(string_split(text, ' ')) < 20 THEN 'too_short'
+              WHEN n_chars > 450 THEN 'too_long'
+              WHEN CAST(len(list_filter(string_split(text, ' '), t -> t IN {{SW}})) AS DOUBLE)
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE) < 0.04 THEN 'low_stopword'
+              ELSE 'kept' END AS reason
+  FROM documents
+)
+SELECT reason, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(lc) AS BIGINT) AS total_chars
+FROM r GROUP BY reason
+""".replace("{SW}", _SW_SQL),
+)
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    reason = F.coalesce(
+        T.filter_reason(
+            F.col("text"),
+            F.col("n_chars"),
+            min_tokens=20,
+            max_chars=450,
+            min_stopword_ratio=0.04,
+        ),
+        F.lit("kept"),
+    )
+    return (
+        d.groupBy(reason.alias("reason"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+# --- Intra-document repetition (boilerplate / degenerate-text signal):
+# 1 - distinct/total word trigrams, exact IEEE division both sides. ---
+
+
+@register(
+    "text_repetition",
+    oracle="""
+WITH g AS (
+  SELECT doc_id,
+         CASE WHEN len(string_split(text, ' ')) < 3 THEN []
+              ELSE list_transform(
+                  range(0, len(string_split(text, ' ')) - 2),
+                  i -> string_split(text, ' ')[i + 1] || ' '
+                    || string_split(text, ' ')[i + 2] || ' '
+                    || string_split(text, ' ')[i + 3])
+         END AS grams
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN len(grams) <= 0 THEN 0.0
+            ELSE 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                       / CAST(len(grams) AS DOUBLE) END AS rep_ratio
+FROM g
+""",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return d.select(
+        "doc_id", T.repeated_ngram_ratio("text", 3).alias("rep_ratio")
+    )
+
+
 # --- LSH-bucketed ANN (scale path). The oracle recomputes the
 # deterministic sign-LSH bucket (md5-derived ±1 plane signs — pure
 # math, reproducible in any engine) and the cosine within the query's

@@ -90,6 +90,38 @@ def fingerprint(text: Column) -> Column:
     return F.md5(normalize(text).cast("binary"))
 
 
+def repeated_ngram_ratio(text_col: str, n: int = 3) -> Column:
+    """1 - distinct/total word n-grams: the intra-document repetition
+    signal quality pipelines filter on (boilerplate, template spam, and
+    model-degenerate text repeat themselves). 0 = no repetition; →1 as
+    the doc degenerates into a loop. Pure Column expression; docs
+    shorter than n grams score 0."""
+    grams = word_ngrams(text_col, n)
+    total = F.size(grams)
+    return F.when(total <= 0, F.lit(0.0)).otherwise(
+        F.lit(1.0)
+        - F.size(F.array_distinct(grams)).cast("double") / total.cast("double")
+    )
+
+
+def filter_reason(
+    text: Column,
+    n_chars: Column,
+    min_tokens: int = 5,
+    max_chars: int = 2_000,
+    min_stopword_ratio: float = 0.05,
+) -> Column:
+    """Reason-coded quality gate: the FIRST failing rule names the drop
+    reason, NULL means kept. Priority order is the contract (mirrored
+    verbatim in the SQL twin): too_short → too_long → low_stopword."""
+    return (
+        F.when(token_count(text) < min_tokens, "too_short")
+        .when(n_chars > max_chars, "too_long")
+        .when(stopword_ratio(text) < min_stopword_ratio, "low_stopword")
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
 def word_ngrams(text_col: str, n: int = 3) -> Column:
     """Word n-gram shingles as an array<string> (basis for Jaccard /
     MinHash dedup). Pure SQL expression over a named column — no UDF,
