@@ -470,6 +470,46 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n"))
 
 
+# --- Sequence packing (docs → fixed-capacity context bins):
+# shard-parallel start-bin packing, capacity 512 tokens. The oracle
+# recomputes the sharding, the per-shard running totals, and the bin
+# rule verbatim; per-bin totals are exact integer sums. ---
+
+
+@register(
+    "pack_sequences_stats",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+         CAST(concat('0x', substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 2))
+              AS INT) % 16 AS shard
+  FROM documents
+), p AS (
+  SELECT shard,
+         (SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) - n_tok) // 512 AS bin,
+         n_tok
+  FROM t
+)
+SELECT shard, CAST(bin AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+FROM p GROUP BY shard, bin
+""",
+)
+def pack_sequences_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from activedatawarehouseprototype_spark.operators import packing
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", T.token_count(F.col("text")).alias("n_tok")
+    )
+    packed = packing.pack_sequences(d, capacity=512, token_col="n_tok")
+    return packed.groupBy("shard", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+    )
+
+
 # --- Reason-coded quality filter (curation gate): the first failing
 # rule names the drop reason; the CASE priority order is the contract,
 # repeated verbatim in the oracle. ---

@@ -315,3 +315,44 @@ def test_stream_exact_dedup(spark, tmp_path):
     out = spark.sql("SELECT * FROM dedup_out").collect()
     # one row per key, regardless of intra- and inter-batch repeats
     assert sorted(r.k for r in out) == ["a", "b", "c"]
+
+
+def test_pack_sequences_properties(spark):
+    """Start-bin packing invariants: deterministic, every doc binned,
+    bins fill to capacity with overflow bounded by one document."""
+    from pyspark.sql import functions as F2
+
+    from activedatawarehouseprototype_spark.operators.packing import pack_sequences
+
+    df = spark.range(2000).select(
+        F2.col("id").alias("doc_id"),
+        (F2.pmod(F2.col("id") * 37, F2.lit(90)) + 10).alias("n_tok"),  # 10..99
+    )
+    cap = 512
+    packed = pack_sequences(df, capacity=cap, token_col="n_tok")
+    rows = packed.collect()
+    assert len(rows) == 2000
+    bins = (
+        packed.groupBy("shard", "bin")
+        .agg(F2.sum("n_tok").alias("tot"), F2.max("n_tok").alias("mx"))
+        .collect()
+    )
+    # overflow bounded: a bin holds < capacity before its last doc starts
+    assert all(r.tot < cap + r.mx for r in bins)
+    # deterministic across partitionings
+    again = {
+        (r.doc_id, r.shard, r.bin)
+        for r in pack_sequences(
+            df.repartition(13), capacity=cap, token_col="n_tok"
+        ).collect()
+    }
+    assert again == {(r.doc_id, r.shard, r.bin) for r in rows}
+    # fill efficiency: average non-final-bin fill is >= 80% of capacity
+    per_shard_max = {
+        (r.shard, r.bin): r.tot for r in bins
+    }
+    non_final = [
+        tot for (sh, b), tot in per_shard_max.items()
+        if any(b2 > b for (sh2, b2) in per_shard_max if sh2 == sh)
+    ]
+    assert sum(non_final) / len(non_final) >= 0.8 * cap
