@@ -1,7 +1,8 @@
 """Deduplication operators for large-scale corpora.
 
-Four families, all shuffle-friendly (no all-pairs comparison, no
-driver-side state), each with an exact SQL twin in the corpus:
+Candidate generation (four families), clustering, and streaming — all
+shuffle-friendly (no all-pairs comparison, no driver-side state), each
+with an exact SQL twin in the corpus or an e2e streaming test:
 
 - ``exact_dedup``: hash-groupBy on the text (or fingerprint) — one
   shuffle, keeper = min id.
@@ -16,6 +17,10 @@ driver-side state), each with an exact SQL twin in the corpus:
   collisions.
 - ``simhash16``: 16-bit SimHash from per-token md5 bits (hex char >=
   '8' ⇔ high bit); near-dups collide on the signature.
+- ``connected_components``: candidate pairs → clusters with a keeper
+  each (distributed min-label propagation) — the decision step.
+- ``stream_exact_dedup``: first-arrival-wins dedup on a live stream
+  (watermark-bounded keyed state).
 
 At 100 TB: shingle explosion is the dominant shuffle; the
 ``max_doc_freq`` cap drops shingles that occur in more than N

@@ -172,8 +172,11 @@ def main() -> None:
         fn = QUERIES.get(name)
         if fn is None:
             continue
+        # the md5-bound dedup queries are the most sensitive to
+        # co-tenant CPU noise — give them a third sample.
+        n_runs = 3 if name.startswith("dedup_") else 2
         best = None
-        for _ in range(2):
+        for _ in range(n_runs):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
