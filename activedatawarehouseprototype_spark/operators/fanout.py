@@ -70,25 +70,42 @@ def _event_maps(
     return F.create_map(*str_entries), F.create_map(*num_entries)
 
 
-def referenced_fields(rules_df: DataFrame) -> set[str]:
+def referenced_fields(
+    rules_df: DataFrame, value_from: str | None = None
+) -> set[str]:
     """Distinct field names any rule filters or groups on (one tiny
-    driver-side job over the control-plane rules table)."""
-    rows = rules_df.select(
-        F.array_union(
-            F.transform("filters", lambda f: f["field"]), F.col("grouping_keys")
-        ).alias("fs")
-    ).collect()
+    driver-side job over the control-plane rules table). ``value_from``
+    names a rules_df column holding an extra per-rule field name to
+    include (the aggregate field, for grouped evaluation)."""
+    arr = F.array_union(
+        F.transform("filters", lambda f: f["field"]), F.col("grouping_keys")
+    )
+    if value_from is not None:
+        arr = F.array_union(
+            arr, F.filter(F.array(F.col(value_from)), lambda x: x.isNotNull())
+        )
+    rows = rules_df.select(arr.alias("fs")).collect()
     out: set[str] = set()
     for r in rows:
         out.update(r.fs)
     return out
 
 
-def fan_out(events: DataFrame, rules_df: DataFrame) -> DataFrame:
+def fan_out(
+    events: DataFrame, rules_df: DataFrame, value_from: str | None = None
+) -> DataFrame:
     """events x matching-rules: one output row per (event, rule) whose
     filter conjunction holds, carrying query_id + composite key
-    (Keyed<event, key, ruleId> analogue, common/Keyed.java:14-18)."""
-    fields = referenced_fields(rules_df)
+    (Keyed<event, key, ruleId> analogue, common/Keyed.java:14-18).
+
+    Rules are DATA here, so the plan is O(1) in rule count — the path
+    for very large dynamic rule sets, where a compiled literal plan
+    would pay per-batch Catalyst analysis proportional to #rules
+    (streaming/group_eval.py switches between the two). ``value_from``
+    names a rules_df column holding the rule's aggregate field name;
+    when set, each output row also carries ``_value`` = that field's
+    numeric value for the row's rule."""
+    fields = referenced_fields(rules_df, value_from)
     numeric_cols = [
         n for n, t in events.dtypes
         if t.startswith(_NUMERIC_PREFIXES) and n in fields
@@ -141,8 +158,9 @@ def fan_out(events: DataFrame, rules_df: DataFrame) -> DataFrame:
         F.lit("}"),
     )
 
-    return (
-        ev.join(F.broadcast(rules_df), matches, "inner")
-        .withColumn("key", key)
-        .drop("_strs", "_nums", "filters", "grouping_keys")
-    )
+    joined = ev.join(F.broadcast(rules_df), matches, "inner").withColumn("key", key)
+    if value_from is not None:
+        joined = joined.withColumn(
+            "_value", F.element_at(F.col("_nums"), F.col(value_from))
+        )
+    return joined.drop("_strs", "_nums", "filters", "grouping_keys")

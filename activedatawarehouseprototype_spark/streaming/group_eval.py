@@ -139,19 +139,66 @@ def _shape_struct(shape_id: int, rep: Rule, events: DataFrame) -> Column:
     return F.when(compile_filter(rep, events), meta)
 
 
+SHAPE_RULES_SCHEMA = (
+    "shape_id bigint, "
+    "filters array<struct<field:string, operator:string, value:string>>, "
+    "grouping_keys array<string>, "
+    "mode string, window_ms bigint, freq_ms bigint, agg_field string"
+)
+
+# Above this many shapes, the compiled literal projection's per-batch
+# Catalyst analysis cost (proportional to #shapes; ~16 s at 500 shapes
+# on local[32]) outweighs its per-row win — switch to the rules-as-data
+# BroadcastNestedLoopJoin, whose plan is O(1) in shape count.
+LITERAL_MAX_SHAPES = 150
+
+
 def shape_fanout(
     events: DataFrame, shapes: list[tuple[int, Rule, list[Rule]]], ts_col: str = "ts"
 ) -> DataFrame:
-    """One scan, one projection: per event, the compacted array of
-    matching shape structs, exploded to one row per (event, shape)."""
-    return events.select(
-        F.col(ts_col),
-        F.explode(
-            F.array_compact(
-                F.array(*[_shape_struct(sid, rep, events) for sid, rep, _ in shapes])
-            )
-        ).alias("_r"),
-    ).select(ts_col, "_r.*")
+    """One scan → one row per (event, matching shape) carrying
+    (shape_id, key, _value, mode, window_ms, freq_ms).
+
+    Two physical strategies, same semantics (equivalence-tested):
+    - ≤ LITERAL_MAX_SHAPES: one projection building the compacted array
+      of per-shape literal match structs (whole-stage codegen, no join;
+      plan size grows with #shapes).
+    - above it: shapes become a broadcast DATA table evaluated by
+      ``operators.fanout.fan_out`` (plan size constant; per-row map
+      lookups instead of literals).
+    """
+    if len(shapes) <= LITERAL_MAX_SHAPES:
+        return events.select(
+            F.col(ts_col),
+            F.explode(
+                F.array_compact(
+                    F.array(
+                        *[_shape_struct(sid, rep, events) for sid, rep, _ in shapes]
+                    )
+                )
+            ).alias("_r"),
+        ).select(ts_col, "_r.*")
+
+    from activedatawarehouseprototype_spark.operators.fanout import fan_out
+
+    spark = events.sparkSession
+    rows = [
+        (
+            sid,
+            [(f.field, f.operator.value, f.value) for f in rep.window_filter_rules],
+            key_columns(rep),
+            window_mode(rep),
+            int(rep.window_milliseconds or 0),
+            int(rep.frequency_milliseconds) if rep.frequency_milliseconds else 0,
+            None if rep.is_count else rep.aggregate_field_name,
+        )
+        for sid, rep, _ in shapes
+    ]
+    rules_df = spark.createDataFrame(rows, SHAPE_RULES_SCHEMA)
+    keyed = fan_out(events, rules_df, value_from="agg_field")
+    return keyed.select(
+        ts_col, "shape_id", "key", "_value", "mode", "window_ms", "freq_ms"
+    )
 
 
 def _rule_metas(spark, shapes: list[tuple[int, Rule, list[Rule]]]) -> DataFrame:

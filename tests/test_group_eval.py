@@ -217,3 +217,15 @@ def test_same_shape_rules_share_aggregation(spark):
     got = canon(evaluate_rules_grouped(df, tiers))
     want = canon(evaluate_rules(df, tiers))
     assert got == want and len(got) > 0
+
+
+def test_data_driven_fanout_path_equals_literal(spark, monkeypatch):
+    """Above LITERAL_MAX_SHAPES the fan-out switches to the
+    rules-as-data broadcast join — results must be identical."""
+    import activedatawarehouseprototype_spark.streaming.group_eval as ge
+
+    df = events_df(spark)
+    want = canon(evaluate_rules_grouped(df, RULES))
+    monkeypatch.setattr(ge, "LITERAL_MAX_SHAPES", 0)  # force BNLJ path
+    got = canon(evaluate_rules_grouped(df, RULES))
+    assert got == want and len(got) > 0
