@@ -152,3 +152,48 @@ def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("prio_a").alias("priority"))
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+# --- Python UDTF (table function) registration tier: one input row →
+# many output rows through a registered, LATERAL-joinable function.
+# Row-at-a-time Python like the SQL UDF above — registration-surface
+# coverage, deliberately off hot paths (the columnar equivalent is
+# posexplode over split()). ---
+
+
+def _make_token_explode():
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string, token_len int")
+    class TokenExplode:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, tok in enumerate(text.split(" ")):
+                yield i, tok, len(tok)
+
+    return TokenExplode
+
+
+@register(
+    "udtf_token_explode",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks
+  FROM documents WHERE doc_id % 100 = 0
+)
+SELECT doc_id, CAST(t.i AS INT) AS pos,
+       toks[t.i + 1] AS token,
+       CAST(length(toks[t.i + 1]) AS INT) AS token_len
+FROM d, UNNEST(range(0, len(toks))) AS t(i)
+""",
+)
+def udtf_token_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.udtf.register("token_explode", _make_token_explode())
+    _load(spark, sf_dir, "documents").filter(F.col("doc_id") % 100 == 0).select(
+        "doc_id", "text"
+    ).createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        "SELECT d.doc_id, t.pos, t.token, t.token_len "
+        "FROM udtf_docs d, LATERAL token_explode(d.text) t"
+    )
