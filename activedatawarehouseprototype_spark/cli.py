@@ -8,12 +8,21 @@
 
     python -m activedatawarehouseprototype_spark.cli sql --rule rule.json
 
+    python -m activedatawarehouseprototype_spark.cli dedup \
+        --input /data/docs.parquet --output /data/clusters [--mode minhash]
+
+    python -m activedatawarehouseprototype_spark.cli sample \
+        --input /data/docs.parquet --output /data/splits --key doc_id
+
 ``eval`` compiles one JSON rule and evaluates it over a parquet events
 table (batch). ``run`` starts the active pipeline: streaming parquet
 events, rules registered by dropping JSON files into --rules-dir,
 alerts appended under --work-dir/alerts. ``sql`` prints the rule's
-generated ANSI-SQL twin. This mirrors the reference's operational
-surface (Kafka topic + file sources) on files.
+generated ANSI-SQL twin. ``dedup`` writes near-dup clusters (exact |
+minhash modes); ``sample`` writes deterministic hash-based
+train/val/test split assignments. This mirrors the reference's
+operational surface (Kafka topic + file sources) on files, plus the
+curation operators.
 """
 
 from __future__ import annotations
@@ -49,6 +58,24 @@ def _build_parser() -> argparse.ArgumentParser:
     ps.add_argument("--ts-col", default="ts")
     ps.add_argument("--numeric-cols", default="", help="comma-separated")
     ps.add_argument("--fired-only", action="store_true")
+
+    pd_ = sub.add_parser("dedup", help="write near-dup clusters for a corpus")
+    pd_.add_argument("--input", required=True, help="documents parquet path")
+    pd_.add_argument("--output", required=True, help="output parquet path")
+    pd_.add_argument("--id-col", default="doc_id")
+    pd_.add_argument("--text-col", default="text")
+    pd_.add_argument("--mode", choices=["exact", "minhash"], default="minhash")
+    pd_.add_argument("--k", type=int, default=12, help="minhash functions")
+    pd_.add_argument("--bands", type=int, default=3)
+
+    pm = sub.add_parser(
+        "sample", help="write deterministic train/val/test split assignments"
+    )
+    pm.add_argument("--input", required=True, help="parquet path")
+    pm.add_argument("--output", required=True, help="output parquet path")
+    pm.add_argument("--key", required=True, help="comma-separated key columns")
+    pm.add_argument("--weights", default="train=0.8,val=0.1,test=0.1")
+    pm.add_argument("--salt", default="s1")
     return p
 
 
@@ -91,6 +118,51 @@ def main(argv: list[str] | None = None) -> int:
         )
         out.show(args.limit, truncate=False)
         print(f"{out.count()} rows", file=sys.stderr)
+        return 0
+
+    if args.cmd == "dedup":
+        from pyspark.sql import functions as F
+
+        from activedatawarehouseprototype_spark.catalog import load_parquet
+        from activedatawarehouseprototype_spark.operators import dedup, text
+
+        docs = load_parquet(spark, args.input)
+        if args.mode == "exact":
+            out = dedup.exact_dedup(
+                docs.withColumn("_fp", text.fingerprint(docs[args.text_col])),
+                args.id_col,
+                "_fp",
+            )
+        else:
+            pairs = dedup.lsh_candidates(
+                docs, args.id_col, args.text_col, k=args.k, bands=args.bands
+            )
+            out = dedup.connected_components(pairs).select(
+                F.col("id").alias(args.id_col),
+                F.col("comp").alias("component"),
+            )
+        out.write.mode("overwrite").parquet(args.output)
+        print(f"{out.count()} rows -> {args.output}", file=sys.stderr)
+        return 0
+
+    if args.cmd == "sample":
+        from pyspark.sql import functions as F
+
+        from activedatawarehouseprototype_spark.catalog import load_parquet
+        from activedatawarehouseprototype_spark.operators import sampling
+
+        weights = {}
+        for part in args.weights.split(","):
+            name, w = part.split("=")
+            weights[name] = float(w)
+        df = load_parquet(spark, args.input)
+        out = df.withColumn(
+            "split",
+            sampling.assign_split(args.key.split(","), weights, salt=args.salt),
+        )
+        out.write.mode("overwrite").parquet(args.output)
+        counts = {r.split: r["count"] for r in out.groupBy("split").count().collect()}
+        print(json.dumps(counts), file=sys.stderr)
         return 0
 
     if args.cmd == "run":

@@ -356,3 +356,23 @@ def test_pack_sequences_properties(spark):
         if any(b2 > b for (sh2, b2) in per_shard_max if sh2 == sh)
     ]
     assert sum(non_final) / len(non_final) >= 0.8 * cap
+
+
+def test_cli_dedup_and_sample_subcommands(spark, tmp_path):
+    """The curation CLI surface writes real parquet outputs."""
+    from activedatawarehouseprototype_spark.cli import main
+
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    out1 = str(tmp_path / "clusters")
+    assert main(["dedup", "--input", docs, "--output", out1]) == 0
+    clusters = spark.read.parquet(out1)
+    assert set(clusters.columns) == {"doc_id", "component"}
+    assert clusters.count() > 0
+
+    out2 = str(tmp_path / "splits")
+    assert main(["sample", "--input", docs, "--output", out2,
+                 "--key", "doc_id"]) == 0
+    splits = spark.read.parquet(out2)
+    counts = {r.split: r["count"] for r in splits.groupBy("split").count().collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / splits.count() - 0.8) < 0.1
