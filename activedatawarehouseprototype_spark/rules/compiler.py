@@ -206,7 +206,12 @@ def evaluate_rule(
         raise ValueError(f"rule {rule.query_id} is not ACTIVE")
 
     mode = window_mode(rule)
-    filtered = df.filter(compile_filter(rule, df))
+    # An event without event time cannot be placed in any window — it is
+    # excluded in every mode (the reference would NPE on it; dropping is
+    # the documented contract of this event-time engine).
+    filtered = df.filter(
+        compile_filter(rule, df) & F.col(ts_col).isNotNull()
+    )
     if dedup_same_ts:
         filtered = filtered.dropDuplicates()
     key = composite_key(rule)

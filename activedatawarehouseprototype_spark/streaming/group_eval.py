@@ -289,6 +289,9 @@ def evaluate_rules_grouped(
     active = [r for r in rules if r.query_state is RuleState.ACTIVE]
     if not active:
         raise ValueError("no ACTIVE rules")
+    # null event time ⇒ no window ⇒ excluded in every mode (same
+    # contract as rules/compiler.evaluate_rule)
+    events = events.filter(F.col(ts_col).isNotNull())
     spark = events.sparkSession
     shapes = group_shapes(active)
     metas = _rule_metas(spark, shapes)

@@ -32,6 +32,7 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     BooleanType,
@@ -192,6 +193,8 @@ def w1_stream(
     )
     keys = [k[1:] if k.startswith("$") else k for k in rule.grouping_key_names]
     processor = make_w1_processor(rule, ts_col=ts_col, value_col=value_col)
+    # null event time ⇒ excluded (compiler contract)
+    events = events.filter(F.col(ts_col).isNotNull())
     return events.groupBy(*keys).applyInPandasWithState(
         processor,
         outputStructType=OUTPUT_SCHEMA,

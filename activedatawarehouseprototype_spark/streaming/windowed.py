@@ -48,9 +48,9 @@ def windowed_rule_stream(
             f"{w_ms} milliseconds",
             f"{int(rule.frequency_milliseconds)} milliseconds",
         )
-    filtered = events.filter(compile_filter(rule, events)).withWatermark(
-        ts_col, watermark
-    )
+    filtered = events.filter(
+        compile_filter(rule, events) & F.col(ts_col).isNotNull()
+    ).withWatermark(ts_col, watermark)
     grouped = filtered.groupBy(win.alias("w"), *key_columns(rule)).agg(
         compile_aggregate(rule).alias("agg_value")
     )

@@ -38,7 +38,11 @@ SPEEDING_RULE = {
         {
             "queryId": 2,
             "queryState": "ACTIVE",
-            "lastTime": 10000,
+            # generous TTL: wall-clock expiry is tested separately with
+            # an explicit clock (test_ttl_expiry_and_retrigger_refresh);
+            # a short TTL here makes the scenario racy under slow JVM
+            # warmup (the child would be swept before its batch).
+            "lastTime": 300000,
             "windowMilliseconds": 5000,
             "frequencyMilliseconds": 0,
             "groupingKeyNames": ["$carId"],
@@ -909,3 +913,20 @@ def test_clear_state_all_stop_stops_stream(spark, tmp_path):
     q.awaitTermination(90)
     assert not q.isActive
     assert reg.stop_requested
+
+
+def test_null_timestamp_events_excluded_not_fatal(spark, pipeline):
+    """Events with NULL timestamps can't be windowed: they are excluded
+    from windowed aggregation without failing the batch (the reference
+    would NPE on a null processTime)."""
+    reg = pipeline.registry
+    reg.apply_json(json.dumps(dict(SPEEDING_RULE, alertRules=[])))
+    rows = [
+        (9, BASE, 130.0),
+        (9, None, 999.0),  # null ts — excluded from the trailing window
+    ]
+    df = spark.createDataFrame(rows, "carId int, ts timestamp, speed double")
+    pipeline.process_batch(df, 0)
+    evals = pipeline.evaluations().collect()
+    assert len(evals) == 1  # only the timestamped event evaluated
+    assert evals[0].agg_value == 130.0  # the 999 never entered the window
