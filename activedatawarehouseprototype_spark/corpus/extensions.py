@@ -470,6 +470,34 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n"))
 
 
+# --- Blocked fuzzy matching (entity resolution): same-brand part
+# names within edit distance 3. Levenshtein with unit costs is
+# engine-standard, so the distances compare exactly; the Spark side
+# uses the thresholded variant (DP short-circuits past the bound). ---
+
+
+@register(
+    "fuzzy_part_name_pairs",
+    oracle="""
+SELECT a.p_brand AS brand,
+       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM part a
+JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 3
+GROUP BY brand, dist
+""",
+)
+def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from activedatawarehouseprototype_spark.operators.dedup import fuzzy_pairs
+
+    p = _load(spark, sf_dir, "part")
+    pairs = fuzzy_pairs(p, ["p_brand"], "p_partkey", "p_name", max_dist=3)
+    return pairs.groupBy(
+        F.col("p_brand").alias("brand"), F.col("dist").cast("int").alias("dist")
+    ).agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
 # --- Sequence packing (docs → fixed-capacity context bins):
 # shard-parallel start-bin packing, capacity 512 tokens. The oracle
 # recomputes the sharding, the per-shard running totals, and the bin

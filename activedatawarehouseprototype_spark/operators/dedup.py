@@ -199,6 +199,46 @@ def lsh_candidates(
     )
 
 
+def fuzzy_pairs(
+    df: DataFrame,
+    block_cols: list[str],
+    id_col: str,
+    text_col: str,
+    max_dist: int = 2,
+) -> DataFrame:
+    """Entity resolution by bounded edit distance WITHIN blocks:
+    (id_a, id_b, dist) for pairs sharing the blocking key with
+    levenshtein(text_a, text_b) <= max_dist.
+
+    Scale shape: the join key is the block (one shuffle, pairs never
+    cross blocks — same discipline as blocked_pairs_cosine), and the
+    thresholded ``levenshtein(l, r, threshold)`` short-circuits the DP
+    once the bound is exceeded, so per-pair cost is O(max_dist·len)
+    instead of O(len²). Never all-pairs: block on something with
+    bounded cardinality per value (brand, domain, zip...)."""
+    a = df.select(
+        *[F.col(c).alias(f"blk_{i}") for i, c in enumerate(block_cols)],
+        F.col(id_col).alias("id_a"),
+        F.col(text_col).alias("txt_a"),
+    )
+    b = df.select(
+        *[F.col(c).alias(f"blk_{i}") for i, c in enumerate(block_cols)],
+        F.col(id_col).alias("id_b"),
+        F.col(text_col).alias("txt_b"),
+    )
+    dist = F.levenshtein(F.col("txt_a"), F.col("txt_b"), max_dist)
+    return (
+        a.join(b, [f"blk_{i}" for i in range(len(block_cols))])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist", dist)
+        .filter(F.col("dist") >= 0)  # -1 = threshold exceeded
+        .select(
+            *[F.col(f"blk_{i}").alias(c) for i, c in enumerate(block_cols)],
+            "id_a", "id_b", "dist",
+        )
+    )
+
+
 def stream_exact_dedup(
     events: DataFrame,
     key_cols: list[str],

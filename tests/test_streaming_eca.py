@@ -930,3 +930,55 @@ def test_null_timestamp_events_excluded_not_fatal(spark, pipeline):
     evals = pipeline.evaluations().collect()
     assert len(evals) == 1  # only the timestamped event evaluated
     assert evals[0].agg_value == 130.0  # the 999 never entered the window
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Parity-plus (§2.5): watermarked stream-stream interval join —
+    purchases attach to a same-user click at most 30s earlier."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def write(rows, schema, name):
+        spark.createDataFrame(rows, schema).repartition(1).write.parquet(
+            str(tmp_path / name)
+        )
+        return (
+            spark.readStream.schema(schema).parquet(str(tmp_path / name))
+        )
+
+    clicks = write(
+        [(1, base, "c1"), (2, base + dt.timedelta(seconds=5), "c2"),
+         (1, base + dt.timedelta(seconds=100), "c3")],
+        "user int, cts timestamp, click_id string",
+        "clicks",
+    )
+    purchases = write(
+        [(1, base + dt.timedelta(seconds=10), "p1"),   # joins c1
+         (2, base + dt.timedelta(seconds=50), "p2"),   # outside 30s of c2
+         (1, base + dt.timedelta(seconds=110), "p3")], # joins c3
+        "user int, pts timestamp, purchase_id string",
+        "purch",
+    )
+    joined = (
+        clicks.withWatermark("cts", "10 seconds")
+        .join(
+            purchases.withWatermark("pts", "10 seconds"),
+            (clicks.user == purchases.user)
+            & (purchases.pts >= clicks.cts)
+            & (purchases.pts <= clicks.cts + F.expr("INTERVAL 30 SECONDS")),
+            "inner",
+        )
+        .select("click_id", "purchase_id")
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ssj_chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.click_id, r.purchase_id) for r in spark.sql("SELECT * FROM ssj_out").collect()}
+    assert got == {("c1", "p1"), ("c3", "p3")}
