@@ -470,6 +470,85 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n"))
 
 
+# --- Stratified (per-stratum rate) sampling: the corpus-mixing /
+# source-re-weighting primitive; same md5-hash decision as the splits,
+# so mixes are stable across runs and engines. ---
+
+
+@register(
+    "stratified_sample_by_lang",
+    oracle="""
+WITH f AS (
+  SELECT lang,
+         CAST(concat('0x', substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) / 4294967296.0 AS frac
+  FROM documents
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept
+FROM f
+WHERE frac < (CASE WHEN lang = 'en' THEN 0.5
+                   WHEN lang = 'de' THEN 1.0
+                   ELSE 0.2 END)
+GROUP BY lang
+""",
+)
+def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from activedatawarehouseprototype_spark.operators import sampling
+
+    d = _docs(spark, sf_dir)
+    kept = sampling.stratified_sample(
+        d, {"en": 0.5, "de": 1.0}, "lang", ["doc_id"],
+        default_rate=0.2, salt="mix",
+    )
+    return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+# --- int8 embedding quantization (4x storage/IO for the 100 TB
+# embedding store): floor-form rounding (engine-identical on IEEE
+# doubles), reconstruction MSE rounded 6dp (order-dependent sum). ---
+
+
+@register(
+    "emb_quantized_int8_stats",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), s AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+  FROM e
+), q AS (
+  SELECT vec_id, v, scale,
+         list_transform(v, x -> CASE WHEN scale = 0.0 THEN 0
+             ELSE CAST(FLOOR(x / scale + 0.5) AS INT) END) AS qv
+  FROM s
+)
+SELECT vec_id,
+       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+       ROUND(list_sum(list_transform(range(1, len(v) + 1),
+           i -> (v[i] - qv[i] * scale) * (v[i] - qv[i] * scale)))
+           / len(v), 6) AS mse
+FROM q
+""",
+)
+def emb_quantized_int8_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    qs = e.select("vec_id", "embedding", similarity.quantize_int8(F.col("embedding")).alias("qz"))
+    v = similarity.as_double_array(F.col("embedding"))
+    scale = F.col("qz.scale")
+    qv = F.col("qz.q")
+    err_sq = F.zip_with(
+        v, qv, lambda x, qi: (x - qi.cast("double") * scale) * (x - qi.cast("double") * scale)
+    )
+    return qs.select(
+        "vec_id",
+        F.aggregate(qv, F.lit(0).cast("bigint"), lambda a, x: a + x).alias("q_sum"),
+        F.round(
+            F.aggregate(err_sq, F.lit(0.0), lambda a, x: a + x) / F.size(v), 6
+        ).alias("mse"),
+    )
+
+
 # --- Blocked fuzzy matching (entity resolution): same-brand part
 # names within edit distance 3. Levenshtein with unit costs is
 # engine-standard, so the distances compare exactly; the Spark side

@@ -45,6 +45,27 @@ def deterministic_sample(
     return df.filter(hash_fraction(key_cols, salt) < rate)
 
 
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str,
+    key_cols: list[str],
+    default_rate: float = 0.0,
+    salt: str = "s1",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the corpus-mixing /
+    source-re-weighting primitive ("keep 100% of books, 10% of
+    common-crawl"). Same hash-fraction decision as
+    ``deterministic_sample``, so per-stratum samples are stable across
+    runs and nest across rate changes; strata not named in ``rates``
+    fall back to ``default_rate``."""
+    frac = hash_fraction(key_cols, salt)
+    rate = F.lit(float(default_rate))
+    for name, r in rates.items():
+        rate = F.when(F.col(strata_col) == name, float(r)).otherwise(rate)
+    return df.filter(frac < rate)
+
+
 def assign_split(
     key_cols: list[str],
     weights: dict[str, float] | None = None,

@@ -376,3 +376,50 @@ def test_cli_dedup_and_sample_subcommands(spark, tmp_path):
     counts = {r.split: r["count"] for r in splits.groupBy("split").count().collect()}
     assert set(counts) == {"train", "val", "test"}
     assert abs(counts["train"] / splits.count() - 0.8) < 0.1
+
+
+def test_quantize_int8_bounds(spark):
+    """int8 quantization invariants: q in [-127,127], per-component
+    reconstruction error <= scale/2 (+ float eps)."""
+    from pyspark.sql import functions as F2
+
+    from activedatawarehouseprototype_spark.catalog import load
+    from activedatawarehouseprototype_spark.operators import similarity
+
+    e = load(spark, "/root/testdata/sf0.001", "embeddings")
+    qz = e.select(
+        similarity.as_double_array(F2.col("embedding")).alias("v"),
+        similarity.quantize_int8(F2.col("embedding")).alias("qz"),
+    )
+    rows = qz.select(
+        F2.array_max(F2.transform("qz.q", lambda x: F2.abs(x))).alias("qmax"),
+        F2.array_max(
+            F2.zip_with(
+                "v", "qz.q",
+                lambda x, q: F2.abs(x - q.cast("double") * F2.col("qz.scale")),
+            )
+        ).alias("err_max"),
+        F2.col("qz.scale").alias("scale"),
+    ).collect()
+    assert all(r.qmax <= 127 for r in rows)
+    assert all(r.err_max <= r.scale / 2 + 1e-12 for r in rows)
+
+
+def test_stratified_sample_rates(spark):
+    """Per-stratum rates hold approximately and are deterministic."""
+    from pyspark.sql import functions as F2
+
+    from activedatawarehouseprototype_spark.operators import sampling
+
+    df = spark.range(30_000).select(
+        F2.col("id").alias("doc_id"),
+        F2.when(F2.col("id") % 3 == 0, "a").when(F2.col("id") % 3 == 1, "b")
+        .otherwise("c").alias("src"),
+    )
+    kept = sampling.stratified_sample(
+        df, {"a": 1.0, "b": 0.3}, "src", ["doc_id"], default_rate=0.0
+    )
+    counts = {r.src: r["count"] for r in kept.groupBy("src").count().collect()}
+    assert counts["a"] == 10_000            # rate 1.0 keeps everything
+    assert abs(counts["b"] / 10_000 - 0.3) < 0.03
+    assert "c" not in counts                # default 0.0 drops the rest
