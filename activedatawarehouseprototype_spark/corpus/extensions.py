@@ -549,10 +549,12 @@ def emb_quantized_int8_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- Blocked fuzzy matching (entity resolution): same-brand part
-# names within edit distance 3. Levenshtein with unit costs is
+# --- Blocked fuzzy matching (entity resolution): same-(brand, type)
+# part names within edit distance 3. Levenshtein with unit costs is
 # engine-standard, so the distances compare exactly; the Spark side
-# uses the thresholded variant (DP short-circuits past the bound). ---
+# uses the thresholded variant (DP short-circuits past the bound).
+# Blocking on two keys instead of one is the scale lever: pair count
+# drops ~6x here while keeping tens of thousands of candidates. ---
 
 
 @register(
@@ -562,7 +564,8 @@ SELECT a.p_brand AS brand,
        CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist,
        CAST(COUNT(*) AS BIGINT) AS n_pairs
 FROM part a
-JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+JOIN part b ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+           AND a.p_partkey < b.p_partkey
 WHERE levenshtein(a.p_name, b.p_name) <= 3
 GROUP BY brand, dist
 """,
@@ -571,7 +574,9 @@ def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from activedatawarehouseprototype_spark.operators.dedup import fuzzy_pairs
 
     p = _load(spark, sf_dir, "part")
-    pairs = fuzzy_pairs(p, ["p_brand"], "p_partkey", "p_name", max_dist=3)
+    pairs = fuzzy_pairs(
+        p, ["p_brand", "p_type"], "p_partkey", "p_name", max_dist=3
+    )
     return pairs.groupBy(
         F.col("p_brand").alias("brand"), F.col("dist").cast("int").alias("dist")
     ).agg(F.count(F.lit(1)).alias("n_pairs"))

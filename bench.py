@@ -35,8 +35,13 @@ HEADLINE = [
     "window_top3_orders_per_customer",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_minhash_components",
+    "fuzzy_part_name_pairs",
     "ann_topk_cosine",
+    "ann_ivf_topk",
     "text_stats",
+    "sample_split_stats",
+    "pack_sequences_stats",
 ]
 
 
@@ -93,6 +98,59 @@ def streaming_events_per_sec(spark, n_events: int = 1_000_000) -> float:
     elapsed = time.perf_counter() - t0
     for h in halves:
         h.unpersist()
+    return n_events / elapsed
+
+
+def streaming_w1_events_per_sec(spark, n_events: int = 500_000) -> float:
+    """Per-event-slide (W1) streaming throughput: the reference's
+    signature mode, here via applyInPandasWithState with the vectorized
+    numpy core — state-store reads/writes and Arrow transfer included."""
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from activedatawarehouseprototype_spark.rules.model import Rule
+    from activedatawarehouseprototype_spark.streaming.per_event_window import (
+        w1_stream,
+    )
+
+    base = int(dt.datetime(2024, 1, 1).timestamp())
+    work = tempfile.mkdtemp(prefix="adw-w1bench-")
+    events = spark.range(n_events).select(
+        (F.col("id") % 5000).cast("int").alias("carId"),
+        F.timestamp_seconds(F.lit(base) + F.col("id") / 1000.0).alias("ts"),
+        (F.col("id") * 7 % 160).cast("double").alias("speed"),
+    )
+    events.write.mode("overwrite").parquet(f"{work}/events")
+    rule = Rule.from_dict(
+        {
+            "queryId": 1,
+            "queryState": "ACTIVE",
+            "windowMilliseconds": 10_000,
+            "frequencyMilliseconds": 0,  # W1 per-event
+            "groupingKeyNames": ["carId"],
+            "windowFilterRules": [],
+            "aggregatorFunctionType": "AVG",
+            "limitOperatorType": ">",
+            "limit": 120,
+            "aggregateFieldName": "speed",
+        }
+    )
+    stream = spark.readStream.schema(events.schema).parquet(f"{work}/events")
+    t0 = time.perf_counter()
+    q = (
+        w1_stream(stream, rule)
+        .writeStream.format("noop")
+        .option("checkpointLocation", f"{work}/chk")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    elapsed = time.perf_counter() - t0
+    shutil.rmtree(work, ignore_errors=True)
     return n_events / elapsed
 
 
@@ -187,6 +245,7 @@ def main() -> None:
     # codegen + shuffle-service warmup, which is noise, not engine cost.
     eps = max(streaming_events_per_sec(spark) for _ in range(2))
     eps50 = max(streaming_50rule_events_per_sec(spark) for _ in range(2))
+    eps_w1 = max(streaming_w1_events_per_sec(spark) for _ in range(2))
 
     total = round(sum(timings.values()), 3)
     print(
@@ -199,6 +258,7 @@ def main() -> None:
                 "sf": sf,
                 "streaming_events_per_sec": round(eps),
                 "streaming_50rule_events_per_sec": round(eps50),
+                "streaming_w1_events_per_sec": round(eps_w1),
             }
         )
     )
