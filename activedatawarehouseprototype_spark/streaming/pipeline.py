@@ -194,7 +194,6 @@ class ActivePipeline:
         t_start = time.perf_counter()
         self._batch_count += 1
         self.metrics["batches"] = self._batch_count
-        self.metrics["events_ingested"] += batch_df.count()
 
         # (0) pick up rules registered mid-stream (S1/S3)
         self._poll_rules_dir()
@@ -205,20 +204,21 @@ class ActivePipeline:
             self._clear_buffer()
             self.registry.clear_state_requested = False
 
-        # (1b) K3 per-event latency side-output + observed batch metric
-        obs = None
-        if self.process_ts_col in batch_df.columns:
-            from pyspark.sql import Observation
+        # (1b) observed batch metrics (ingest count + K3 latency) —
+        # df.observe piggybacks the buffer write below, so NO extra
+        # per-batch job touches the events.
+        from pyspark.sql import Observation
 
+        obs = Observation(f"batch_{batch_id}")
+        obs_cols = [F.count(F.lit(1)).alias("n_events")]
+        has_latency = self.process_ts_col in batch_df.columns
+        if has_latency:
             lat = F.unix_millis(F.current_timestamp()) - F.unix_millis(
                 F.col(self.process_ts_col)
             )
-            obs = Observation(f"latency_b{batch_id}")
-            batch_df = batch_df.observe(
-                obs,
-                F.avg(lat).alias("avg_ms"),
-                F.max(lat).alias("max_ms"),
-            )
+            obs_cols += [F.avg(lat).alias("avg_ms"), F.max(lat).alias("max_ms")]
+        batch_df = batch_df.observe(obs, *obs_cols)
+        if has_latency:
             batch_df.select(
                 F.col(self.ts_col).alias("event_ts"),
                 lat.alias("latency_ms"),
@@ -226,10 +226,9 @@ class ActivePipeline:
 
         # (2) shared event buffer with widest-window retention
         buffer = self._update_buffer(batch_df)
-        if obs is not None:
-            # the side-output write above already ran the batch — the
-            # observation is populated without an extra action
-            vals = obs.get
+        vals = obs.get  # populated by the buffer/latency writes above
+        self.metrics["events_ingested"] += vals.get("n_events", 0)
+        if has_latency:
             self.metrics["latency_avg_ms"] = vals.get("avg_ms")
             self.metrics["latency_max_ms"] = vals.get("max_ms")
 
@@ -303,7 +302,8 @@ class ActivePipeline:
             for qid in by_id
             if qid in self._emitted_wm
         ]
-        if wm_pairs:
+        if 0 < len(wm_pairs) <= 32:
+            # small rule sets: one literal predicate, no extra join
             gate = F.lit(True)
             for qid, wm in wm_pairs:
                 gate = gate & (
@@ -311,6 +311,21 @@ class ActivePipeline:
                     | (F.unix_millis("window_end") > wm)
                 )
             evals = evals.filter(gate)
+        elif wm_pairs:
+            # large rule sets: an O(N)-term predicate bloats every
+            # batch's plan — gate via a broadcast join against the tiny
+            # watermark table instead (plan size constant).
+            wm_df = self.spark.createDataFrame(
+                wm_pairs, "query_id bigint, _wm bigint"
+            )
+            evals = (
+                evals.join(F.broadcast(wm_df), "query_id", "left")
+                .filter(
+                    F.col("_wm").isNull()
+                    | (F.unix_millis("window_end") > F.col("_wm"))
+                )
+                .drop("_wm")
+            )
 
         evals.persist()
         try:

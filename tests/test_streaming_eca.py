@@ -612,6 +612,15 @@ def test_fifty_rules_one_batch(spark, pipeline):
     fired = [r for r in evals if r.fired]
     assert all(r.key == "{carId=7}" for r in fired) and len(fired) == 50
 
+    # batch 2: with 50 per-rule emission watermarks now active (the
+    # join-based gate path), closing [60s,120s) emits ONLY car 5's
+    # window rows — nothing from [0,60s) re-emits
+    pipeline.process_batch(car_df(spark, [(6, 121, 30.0)]), 2)
+    evals2 = pipeline.evaluations().collect()
+    assert len(evals2) == 100 + 50  # + car 5's [60,120) row per rule
+    new_rows = [r for r in evals2 if r.key == "{carId=5}"]
+    assert len(new_rows) == 50 and all(r.agg_value == 200.0 for r in new_rows)
+
 
 def test_session_rule_stream_matches_gaps_and_islands(spark, tmp_path):
     """Native streaming session_window sessions == batch
