@@ -991,3 +991,40 @@ def test_stream_stream_interval_join(spark, tmp_path):
     q.awaitTermination(120)
     got = {(r.click_id, r.purchase_id) for r in spark.sql("SELECT * FROM ssj_out").collect()}
     assert got == {("c1", "p1"), ("c3", "p3")}
+
+
+def test_streaming_query_listener_collects_progress(spark, tmp_path):
+    """C8: query-level metrics arrive via StreamingQueryListener
+    (rows/sec, input rows, durations) alongside the df.observe
+    batch metrics."""
+    from activedatawarehouseprototype_spark.streaming.listener import (
+        PipelineMetricsListener,
+    )
+
+    listener = PipelineMetricsListener()
+    spark.streams.addListener(listener)
+    try:
+        events_dir = tmp_path / "lst_events"
+        events_dir.mkdir()
+        car_df(spark, [(9, 1, 130.0), (7, 2, 90.0)]).repartition(1)\
+            .write.parquet(str(events_dir / "f1"))
+        reg = RuleRegistry()
+        reg.apply_json(json.dumps(dict(SPEEDING_RULE, alertRules=[])))
+        pipe = ActivePipeline(
+            spark=spark, registry=reg, work_dir=str(tmp_path / "wk")
+        )
+        stream = spark.readStream.schema(
+            "carId int, ts timestamp, speed double"
+        ).parquet(str(events_dir) + "/*")
+        q = pipe.run_stream(stream)
+        q.awaitTermination(120)
+        # listener callbacks are async — poll briefly
+        deadline = time.time() + 30
+        while time.time() < deadline and listener.total_input_rows() < 2:
+            time.sleep(0.5)
+        assert listener.started
+        assert listener.total_input_rows() >= 2
+        assert any(p["duration_ms"] for p in listener.progress)
+        assert pipe.metrics["events_ingested"] == 2  # df.observe layer
+    finally:
+        spark.streams.removeListener(listener)

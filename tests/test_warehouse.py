@@ -65,3 +65,51 @@ def test_salted_agg_matches_plain(spark):
         .collect()
     }
     assert salted == plain
+
+
+def test_rules_table_merge_roundtrip(spark, tmp_path):
+    """Rules-as-a-table (C1 MERGE mapping): upserts, deletes, and
+    restart recovery through the warehouse table, queryable with SQL."""
+    import json
+
+    from activedatawarehouseprototype_spark.streaming.registry import RuleRegistry
+    from activedatawarehouseprototype_spark.streaming.rule_table import (
+        load_rules_table,
+        save_rules_table,
+    )
+
+    path = str(tmp_path / "rules_table")
+
+    def rule(qid, limit):
+        return json.dumps({
+            "queryId": qid, "queryState": "ACTIVE", "lastTime": -1,
+            "windowMilliseconds": 10_000, "frequencyMilliseconds": 0,
+            "groupingKeyNames": ["carId"], "windowFilterRules": [],
+            "aggregatorFunctionType": "AVG", "limitOperatorType": ">",
+            "limit": limit, "aggregateFieldName": "speed",
+        })
+
+    reg = RuleRegistry()
+    reg.apply_json(rule(1, 100))
+    reg.apply_json(rule(2, 200))
+    save_rules_table(spark, reg, path)
+    assert spark.read.parquet(path).count() == 2
+
+    # upsert rule 1 (new threshold), delete rule 2, insert rule 3
+    reg.apply_json(rule(1, 150))
+    del reg.rules[2]
+    reg.apply_json(rule(3, 300))
+    save_rules_table(spark, reg, path)
+
+    table = spark.read.parquet(path)
+    assert {r.query_id for r in table.collect()} == {1, 3}
+    # the table is plain data: SQL over it works
+    table.createOrReplaceTempView("rules_tbl")
+    assert spark.sql(
+        "SELECT COUNT(*) AS n FROM rules_tbl WHERE query_state = 'ACTIVE'"
+    ).head().n == 2
+
+    # restart recovery
+    reg2 = load_rules_table(spark, path)
+    assert set(reg2.rules) == {1, 3}
+    assert reg2.rules[1].limit == 150.0
