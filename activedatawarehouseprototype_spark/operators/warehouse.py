@@ -61,6 +61,83 @@ def merge_upsert(
     _atomic_swap(spark, merged, target_path)
 
 
+def scd2_upsert(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    tracked_cols: list[str],
+    effective_ts_col: str,
+) -> None:
+    """Type-2 slowly-changing-dimension MERGE: history is preserved.
+
+    For each incoming key at ``effective_ts``:
+    - no current version exists → insert an open version
+      (valid_from = effective_ts, valid_to = NULL, is_current = true);
+    - the current version differs on any tracked column → close it
+      (valid_to = effective_ts, is_current = false) and insert the new
+      open version;
+    - identical tracked values → no-op (idempotent re-delivery).
+
+    Plan shape: one join of the CURRENT slice against the updates (the
+    history slice is untouched pass-through), then a union — the same
+    cost class as ``merge_upsert``; with Delta this is the two-branch
+    MERGE INTO idiom. Updates must carry one row per key (pre-aggregate
+    upstream if not).
+    """
+    upd = updates.select(
+        *key_cols,
+        *tracked_cols,
+        F.col(effective_ts_col).alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    if not os.path.exists(target_path):
+        _atomic_swap(spark, upd, target_path)
+        return
+    target = spark.read.parquet(target_path)
+    history = target.filter(~F.col("is_current"))
+    current = target.filter(F.col("is_current"))
+
+    changed_pred = None
+    for c in tracked_cols:
+        p = ~F.col(f"cur.{c}").eqNullSafe(F.col(f"upd.{c}"))
+        changed_pred = p if changed_pred is None else (changed_pred | p)
+
+    joined = current.alias("cur").join(
+        upd.alias("upd"), key_cols, "full_outer"
+    )
+    # current rows: keep as-is when no differing update; close when changed
+    kept_current = joined.filter(
+        F.col("upd.valid_from").isNull() | ~changed_pred
+    ).filter(F.col("cur.valid_from").isNotNull()).select("cur.*")
+    closed = (
+        joined.filter(F.col("cur.valid_from").isNotNull() & changed_pred)
+        .select(
+            *[F.col(f"cur.{c}") for c in key_cols + tracked_cols],
+            F.col("cur.valid_from"),
+            F.col("upd.valid_from").alias("valid_to"),
+            F.lit(False).alias("is_current"),
+        )
+    )
+    inserted = (
+        joined.filter(
+            F.col("upd.valid_from").isNotNull()
+            & (F.col("cur.valid_from").isNull() | changed_pred)
+        )
+        .select(
+            *[F.col(f"upd.{c}") for c in key_cols + tracked_cols],
+            F.col("upd.valid_from"),
+            F.lit(None).cast("timestamp").alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+    )
+    merged = history.unionByName(kept_current).unionByName(closed).unionByName(
+        inserted
+    )
+    _atomic_swap(spark, merged, target_path)
+
+
 def delete_where(spark: SparkSession, target_path: str, condition: str) -> int:
     """DELETE FROM target WHERE condition; returns rows deleted."""
     if not os.path.exists(target_path):

@@ -113,3 +113,43 @@ def test_rules_table_merge_roundtrip(spark, tmp_path):
     reg2 = load_rules_table(spark, path)
     assert set(reg2.rules) == {1, 3}
     assert reg2.rules[1].limit == 150.0
+
+
+def test_scd2_upsert_history(spark, tmp_path):
+    """Type-2 SCD: changes close the current version and open a new
+    one; identical re-delivery is a no-op; history accumulates."""
+    import datetime as dt
+
+    from activedatawarehouseprototype_spark.operators.warehouse import scd2_upsert
+
+    path = str(tmp_path / "dim_customer")
+    t0 = dt.datetime(2024, 1, 1)
+    t1 = dt.datetime(2024, 2, 1)
+
+    def upd(rows, ts):
+        return spark.createDataFrame(
+            [(k, seg, ts) for k, seg in rows],
+            "cust_id int, segment string, eff_ts timestamp",
+        )
+
+    scd2_upsert(spark, path, upd([(1, "gold"), (2, "silver")], t0),
+                ["cust_id"], ["segment"], "eff_ts")
+    assert spark.read.parquet(path).count() == 2
+
+    # 1 changes, 2 unchanged (re-delivered), 3 is new
+    scd2_upsert(spark, path, upd([(1, "platinum"), (2, "silver"), (3, "bronze")], t1),
+                ["cust_id"], ["segment"], "eff_ts")
+    rows = {(r.cust_id, r.segment): r for r in spark.read.parquet(path).collect()}
+    assert len(rows) == 4  # closed gold + open platinum + silver + bronze
+    closed = rows[(1, "gold")]
+    assert closed.is_current is False and closed.valid_to == t1
+    open_new = rows[(1, "platinum")]
+    assert open_new.is_current is True and open_new.valid_to is None
+    assert rows[(2, "silver")].is_current is True  # untouched, still t0
+    assert rows[(2, "silver")].valid_from == t0
+    assert rows[(3, "bronze")].valid_from == t1
+
+    # idempotent re-delivery of the same batch changes nothing
+    scd2_upsert(spark, path, upd([(1, "platinum"), (2, "silver"), (3, "bronze")], t1),
+                ["cust_id"], ["segment"], "eff_ts")
+    assert spark.read.parquet(path).count() == 4
