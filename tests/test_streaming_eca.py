@@ -1028,3 +1028,36 @@ def test_streaming_query_listener_collects_progress(spark, tmp_path):
         assert pipe.metrics["events_ingested"] == 2  # df.observe layer
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_two_hundred_rules_pipeline_bnlj_path(spark, pipeline):
+    """Above LITERAL_MAX_SHAPES the pipeline's evaluation runs through
+    the rules-as-data fan-out — e2e check with 200 distinct-shape W2
+    rules: finalized-window emission, firing, and watermark gating all
+    hold on that path."""
+    reg = pipeline.registry
+    for i in range(200):
+        reg.apply_json(json.dumps({
+            "queryId": 5000 + i,
+            "queryState": "ACTIVE",
+            "lastTime": -1,
+            "windowMilliseconds": 60_000,
+            "frequencyMilliseconds": None,
+            "groupingKeyNames": ["carId"],
+            "windowFilterRules": [
+                {"field": "speed", "operator": ">", "value": str(i / 2.0)}
+            ],
+            "aggregatorFunctionType": "MAX",
+            "limitOperatorType": ">",
+            "limit": 100,
+            "aggregateFieldName": "speed",
+        }))
+    pipeline.process_batch(car_df(spark, [(9, 1, 55.0), (7, 2, 120.0)]), 0)
+    assert pipeline.evaluations().count() == 0  # windows still open
+    pipeline.process_batch(car_df(spark, [(5, 61, 10.0)]), 1)
+    evals = pipeline.evaluations().collect()
+    # rule i sees car 9 iff 55 > i/2 (i < 110) and car 7 iff 120 > i/2
+    # (i < 240 → all 200)
+    assert len(evals) == 110 + 200
+    fired = [r for r in evals if r.fired]
+    assert all(r.key == "{carId=7}" for r in fired) and len(fired) == 200
