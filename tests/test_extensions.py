@@ -423,3 +423,37 @@ def test_stratified_sample_rates(spark):
     assert counts["a"] == 10_000            # rate 1.0 keeps everything
     assert abs(counts["b"] / 10_000 - 0.3) < 0.03
     assert "c" not in counts                # default 0.0 drops the rest
+
+
+def test_cli_run_subcommand_e2e(spark, tmp_path):
+    """`cli run --once` drains a parquet stream through the active
+    pipeline with rules from the watched dir and writes alerts."""
+    import datetime as dt
+    import json as _json
+
+    from activedatawarehouseprototype_spark.cli import main
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    events_dir = tmp_path / "ev"
+    spark.createDataFrame(
+        [(9, base, 130.0), (7, base + dt.timedelta(seconds=1), 90.0)],
+        "carId int, ts timestamp, speed double",
+    ).repartition(1).write.parquet(str(events_dir))
+    rules_dir = tmp_path / "rules"
+    rules_dir.mkdir()
+    (rules_dir / "r.json").write_text(_json.dumps({
+        "queryId": 1, "queryState": "ACTIVE", "lastTime": -1,
+        "windowMilliseconds": 10_000, "frequencyMilliseconds": 0,
+        "groupingKeyNames": ["carId"], "windowFilterRules": [],
+        "aggregatorFunctionType": "AVG", "limitOperatorType": ">",
+        "limit": 120, "aggregateFieldName": "speed",
+    }) + "\n")
+    work = tmp_path / "work"
+    work.mkdir()
+    rc = main([
+        "run", "--events-dir", str(events_dir), "--rules-dir", str(rules_dir),
+        "--work-dir", str(work), "--once",
+    ])
+    assert rc == 0
+    alerts = spark.read.parquet(str(work / "alerts" / "data"))
+    assert {r.key for r in alerts.collect()} == {"{carId=9}"}
