@@ -240,6 +240,67 @@ def geo_grid_cell_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Geo cell geometry (P5: GeoUtils.getGridCellCenterLon/Lat
+# :155-180, distance :208-212, direction angle :227-234): for each
+# occupied cell, its center coordinates, planar distance and bearing
+# from the box center. atan2/degrees are transcendental → rounded 6dp
+# both sides; the rest is IEEE-exact arithmetic. ---
+
+
+@register(
+    "geo_cell_geometry",
+    oracle=f"""
+WITH pts AS (
+  SELECT -74.05 + (value % 10.0) * 0.035 AS lon,
+         40.50 + CAST(user_id % 100 AS DOUBLE) * 0.005 AS lat
+  FROM events
+), cells AS (
+  SELECT DISTINCT CAST(FLOOR((41.0 - lat) / 0.00125) * {_CELLS_PER_ROW}
+             + FLOOR((lon - (-74.05)) / 0.0014) AS BIGINT) AS cell
+  FROM pts
+  WHERE lon BETWEEN -74.05 AND -73.70 AND lat BETWEEN 40.50 AND 41.00
+), c AS (
+  SELECT cell,
+         -74.05 + ((cell % {_CELLS_PER_ROW}) + 0.5) * 0.0014 AS clon,
+         41.0 - (FLOOR(cell / {_CELLS_PER_ROW}) + 0.5) * 0.00125 AS clat
+  FROM cells
+)
+SELECT cell, ROUND(clon, 6) AS center_lon, ROUND(clat, 6) AS center_lat,
+       ROUND(SQRT(POW(clon - (-73.875), 2) + POW(clat - 40.75, 2)), 6)
+           AS dist_deg,
+       ROUND(CASE WHEN DEGREES(ATAN2(clat - 40.75, clon - (-73.875))) < 0
+                  THEN DEGREES(ATAN2(clat - 40.75, clon - (-73.875))) + 360.0
+                  ELSE DEGREES(ATAN2(clat - 40.75, clon - (-73.875))) END, 6)
+           AS bearing_deg
+FROM c
+""",
+)
+def geo_cell_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    lon = F.lit(-74.05) + (F.col("value") % 10.0) * 0.035
+    lat = F.lit(40.50) + (F.col("user_id") % 100).cast("double") * 0.005
+    pts = e.select(lon.alias("lon"), lat.alias("lat"))
+    cells = (
+        pts.filter(geo.in_box(F.col("lon"), F.col("lat")))
+        .select(geo.grid_cell(F.col("lon"), F.col("lat")).alias("cell"))
+        .distinct()
+    )
+    clon = geo.cell_center_lon(F.col("cell"))
+    clat = geo.cell_center_lat(F.col("cell"))
+    ref_lon, ref_lat = F.lit(-73.875), F.lit(40.75)
+    return cells.select(
+        "cell",
+        F.round(clon, 6).alias("center_lon"),
+        F.round(clat, 6).alias("center_lat"),
+        F.round(geo.euclid_distance(clon, clat, ref_lon, ref_lat), 6).alias(
+            "dist_deg"
+        ),
+        F.round(geo.direction_angle(ref_lon, ref_lat, clon, clat), 6).alias(
+            "bearing_deg"
+        ),
+    )
+
+
 # --- Geo path → grid-cell list (P5; GeoUtils.java:89-150
 # mapToGridCellsOnWay re-expressed as interpolation sampling — see
 # functions/geo.path_cells). The oracle recomputes the sampled cells
