@@ -115,3 +115,52 @@ def test_source_format_roundtrips(spark, tmp_path):
             r = r.schema(schema)  # declared schema, as a pipeline would
         got = canon(r.load(p))
         assert got == want, fmt
+
+
+def test_stream_car_files_parses_live(spark, tmp_path):
+    """S2 streaming surface: the telemetry wire format parses through a
+    real file stream (maxFilesPerTrigger throttle)."""
+    from activedatawarehouseprototype_spark.sources.car_data import stream_car_files
+
+    p = tmp_path / "telemetry"
+    p.mkdir()
+    (p / "a.txt").write_text(GOOD + "\n" + DIRTY + "\n")
+    (p / "b.txt").write_text(GOOD + "\n")
+    q = (
+        stream_car_files(spark, str(p), max_files_per_trigger=1)
+        .writeStream.format("memory")
+        .queryName("car_stream_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM car_stream_out").collect()
+    assert len(rows) == 2  # dirty row dropped in both files
+    assert all(r.carId == 270 for r in rows)
+
+
+def test_synthetic_car_stream_contract(spark):
+    """S4 generator: a genuine unbounded streaming source with the car
+    telemetry schema (deterministic exprs over the rate source)."""
+    from activedatawarehouseprototype_spark.sources.car_data import (
+        synthetic_car_stream,
+    )
+
+    df = synthetic_car_stream(spark, rows_per_second=10)
+    assert df.isStreaming
+    assert [f.name for f in df.schema.fields] == [
+        "carId", "eventTime", "processTime", "lon", "lat", "speed", "angle",
+    ]
+
+
+def test_catalog_register_views_sql(spark):
+    """catalog.register_views: every fixture table becomes SQL-visible."""
+    from activedatawarehouseprototype_spark.catalog import load_all, register_views
+
+    register_views(spark, "/root/testdata/sf0.001")
+    n = spark.sql("SELECT COUNT(*) AS n FROM region").head().n
+    assert n == 5
+    dfs = load_all(spark, "/root/testdata/sf0.001")
+    assert set(dfs) >= {"region", "events", "documents", "embeddings"}
