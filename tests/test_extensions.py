@@ -457,3 +457,60 @@ def test_cli_run_subcommand_e2e(spark, tmp_path):
     assert rc == 0
     alerts = spark.read.parquet(str(work / "alerts" / "data"))
     assert {r.key for r in alerts.collect()} == {"{carId=9}"}
+
+
+def test_curation_pipeline_end_to_end(spark):
+    """The full training-data curation chain over the documents table:
+    quality gate → near-dup removal (keeper per cluster) → stratified
+    mix → split assignment → sequence packing. Deterministic, no
+    collects in the data plane, every stage an operator tested above."""
+    from pyspark.sql import functions as F2
+
+    from activedatawarehouseprototype_spark.catalog import load
+    from activedatawarehouseprototype_spark.operators import (
+        dedup, packing, sampling, text,
+    )
+
+    docs = load(spark, "/root/testdata/sf0.01", "documents")
+    n_raw = docs.count()
+
+    # 1. quality gate (kept = no failing rule)
+    kept = docs.filter(
+        text.filter_reason(
+            F2.col("text"), F2.col("n_chars"),
+            min_tokens=20, max_chars=450, min_stopword_ratio=0.04,
+        ).isNull()
+    )
+    n_kept = kept.count()
+    assert 0 < n_kept < n_raw
+
+    # 2. near-dup removal: drop every non-keeper cluster member
+    pairs = dedup.lsh_candidates(kept, "doc_id", "text", k=12, bands=3,
+                                 max_doc_freq=50)
+    comps = dedup.connected_components(pairs)
+    dupes = comps.filter(F2.col("id") != F2.col("comp")).select(
+        F2.col("id").alias("doc_id")
+    )
+    deduped = kept.join(dupes, "doc_id", "left_anti")
+    n_deduped = deduped.count()
+    assert n_deduped <= n_kept
+
+    # 3. stratified mix + 4. split + 5. packing
+    mixed = sampling.stratified_sample(
+        deduped, {"en": 1.0}, "lang", ["doc_id"], default_rate=0.5
+    )
+    final = mixed.withColumn("split", sampling.assign_split(["doc_id"]))
+    packed = packing.pack_sequences(
+        final.withColumn("n_tok", text.token_count(F2.col("text"))),
+        capacity=512, token_col="n_tok",
+    )
+    out = packed.select("doc_id", "lang", "split", "shard", "bin")
+    rows = out.collect()
+    assert len(rows) == mixed.count()
+    assert {r.split for r in rows} <= {"train", "val", "test"}
+    # deterministic end-to-end: a second run yields identical assignments
+    again = packing.pack_sequences(
+        final.withColumn("n_tok", text.token_count(F2.col("text"))),
+        capacity=512, token_col="n_tok",
+    ).select("doc_id", "lang", "split", "shard", "bin").collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
