@@ -514,3 +514,37 @@ def test_curation_pipeline_end_to_end(spark):
         capacity=512, token_col="n_tok",
     ).select("doc_id", "lang", "split", "shard", "bin").collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_misra_gries_heavy_hitters(spark):
+    """Distributed Misra-Gries: planted heavy hitters (zipf-ish skew)
+    must surface in the top-k with counts within the MG bound."""
+    from pyspark.sql import functions as F2
+
+    from activedatawarehouseprototype_spark.operators.sketches import (
+        approx_heavy_hitters,
+        misra_gries_partials,
+    )
+
+    # local summary property: a strict majority item always survives
+    import pandas as pd
+
+    s = pd.Series(["a"] * 60 + ["b"] * 25 + [f"x{i}" for i in range(15)])
+    counters = misra_gries_partials(s, k=4)
+    assert "a" in counters
+
+    # distributed: token frequencies ~ id % pattern, heavy head planted
+    n = 200_000
+    df = spark.range(n).select(
+        F2.when(F2.col("id") % 4 == 0, "hot1")        # 25%
+        .when(F2.col("id") % 4 == 1, "hot2")          # 25%
+        .otherwise(F2.concat(F2.lit("tail"), (F2.col("id") % 5000).cast("string")))
+        .alias("tok")
+    ).repartition(16)
+    top = approx_heavy_hitters(df, "tok", k=64, top=5)
+    rows = {r.item: r.approx_count for r in top.collect()}
+    assert {"hot1", "hot2"} <= set(rows)
+    # under-estimate bound: merged count >= true - partitions * batch/(k+1)
+    true = n // 4
+    assert all(rows[h] <= true for h in ("hot1", "hot2"))
+    assert all(rows[h] >= true * 0.5 for h in ("hot1", "hot2"))
