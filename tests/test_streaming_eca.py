@@ -1061,3 +1061,61 @@ def test_two_hundred_rules_pipeline_bnlj_path(spark, pipeline):
     assert len(evals) == 110 + 200
     fired = [r for r in evals if r.fired]
     assert all(r.key == "{carId=7}" for r in fired) and len(fired) == 200
+
+
+def test_w1_stream_checkpoint_recovery(spark, tmp_path):
+    """applyInPandasWithState state survives a query restart: the
+    trailing window spans events delivered before and after the
+    restart (same checkpoint)."""
+    from activedatawarehouseprototype_spark.streaming.per_event_window import (
+        w1_stream,
+    )
+
+    rule = Rule.from_dict(
+        {
+            "queryId": 42,
+            "queryState": "ACTIVE",
+            "windowMilliseconds": 60_000,
+            "frequencyMilliseconds": 0,
+            "groupingKeyNames": ["carId"],
+            "windowFilterRules": [],
+            "aggregatorFunctionType": "SUM",
+            "limitOperatorType": ">",
+            "limit": 1e9,
+            "aggregateFieldName": "speed",
+        }
+    )
+    data_dir = tmp_path / "w1rec"
+    data_dir.mkdir()
+    out_dir = str(tmp_path / "w1rec_out")
+    chk = str(tmp_path / "w1rec_chk")
+    schema = "carId int, ts timestamp, speed double"
+
+    def run(rows, fname):
+        car_df(spark, rows).repartition(1).write.parquet(str(data_dir / fname))
+        stream = spark.readStream.schema(schema).parquet(str(data_dir) + "/*")
+        q = (
+            w1_stream(stream, rule)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", chk)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run([(9, 0, 10.0), (9, 10, 20.0)], "f1")
+    # restart with a new event inside the same 60s trailing window:
+    # the recovered state must contribute (sum = 10+20+30)
+    run([(9, 20, 30.0)], "f2")
+    got = {
+        r.event_ts_ms: r.agg_value
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    base_ms = int(
+        spark.sql("SELECT unix_millis(TIMESTAMP '2024-01-01 12:00:00')").head()[0]
+    )
+    assert got[base_ms] == 10.0
+    assert got[base_ms + 10_000] == 30.0
+    assert got[base_ms + 20_000] == 60.0  # state recovered across restart
