@@ -212,3 +212,76 @@ def test_grouped_eval_matches_python_reference(spark, events, rule):
         assert g[0] == w_[0] and g[1] == w_[1] and g[2] == w_[2], (g, w_)
         assert math.isclose(g[3], w_[3], rel_tol=1e-9, abs_tol=1e-9), (g, w_)
         assert g[4] == w_[4], (g, w_)
+
+
+keyless_rule_strategy = st.builds(
+    lambda agg, op, limit, w, f, use_count, keyless: Rule.from_dict(
+        {
+            "queryId": 7,
+            "queryState": "ACTIVE",
+            "windowFilterRules": [],
+            "groupingKeyNames": [] if keyless else ["user_id"],
+            "aggregateFieldName": "COUNT_FLINK" if use_count else "value",
+            "aggregatorFunctionType": agg,
+            "limitOperatorType": op,
+            "limit": limit,
+            "windowMilliseconds": w,
+            "frequencyMilliseconds": f,
+        }
+    ),
+    agg=st.sampled_from(AGGS),
+    op=st.sampled_from(OPS),
+    limit=st.sampled_from([0.0, 10.0, 55.0]),
+    w=st.sampled_from([30_000, 60_000, 120_000]),
+    f=st.sampled_from([None, 0, 30_000]),
+    use_count=st.booleans(),
+    keyless=st.booleans(),
+)
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(events=events_strategy, rule=keyless_rule_strategy)
+def test_sql_twin_matches_compiled_plan_property(spark, events, rule, tmp_path_factory):
+    """Property form of the SQL-generator check: for random rules —
+    including KEYLESS ones — the generated ANSI SQL run on DuckDB must
+    agree with the compiled DataFrame plan."""
+    import duckdb
+
+    from activedatawarehouseprototype_spark.rules.sql_gen import rule_to_sql
+
+    df = spark.createDataFrame(
+        [(u, BASE + dt.timedelta(seconds=s), float(v)) for (u, s, v) in events],
+        "user_id int, ts timestamp, value double",
+    )
+    pdf = df.toPandas()
+    con = duckdb.connect()
+    con.register("events", pdf)
+    sql = rule_to_sql(
+        rule, table="events", ts_col="ts", numeric_cols={"user_id", "value"}
+    )
+    # SQL columns: query_id, key, window_start_ms, window_end_ms,
+    # agg_value, fired
+    oracle = sorted(
+        (str(row[1]), int(row[2]), int(row[3]), round(float(row[4]), 9), bool(row[5]))
+        for row in con.execute(sql).fetchall()
+    )
+    got = sorted(
+        (
+            r.key,
+            int(r.window_start.replace(tzinfo=dt.timezone.utc).timestamp() * 1000),
+            int(r.window_end.replace(tzinfo=dt.timezone.utc).timestamp() * 1000),
+            round(r.agg_value, 9),
+            r.fired,
+        )
+        for r in evaluate_rule(df, rule).collect()
+    )
+    assert len(got) == len(oracle)
+    for g, o in zip(got, oracle):
+        assert g[0] == o[0] and g[1] == o[1] and g[2] == o[2], (g, o)
+        assert math.isclose(g[3], o[3], rel_tol=1e-9, abs_tol=1e-9), (g, o)
+        assert g[4] == o[4], (g, o)
