@@ -296,23 +296,22 @@ def connected_components(
                 .groupBy(F.col("a").alias("id"))
                 .agg(F.min("bcomp").alias("ncomp"))
             )
-            new_labels = (
+            # carry the previous label through the checkpoint so the
+            # convergence check is a filter over the materialized frame,
+            # not another join per iteration
+            stepped = (
                 labels.join(neighbor_min, "id", "left")
                 .select(
                     "id",
                     F.least(
                         F.col("comp"), F.coalesce("ncomp", F.col("comp"))
                     ).alias("comp"),
+                    F.col("comp").alias("prev"),
                 )
                 .localCheckpoint()
             )
-            changed = (
-                new_labels.select("id", F.col("comp").alias("ncomp2"))
-                .join(labels, "id")
-                .filter(F.col("ncomp2") != F.col("comp"))
-                .count()
-            )
-            labels = new_labels
+            changed = stepped.filter(F.col("comp") != F.col("prev")).count()
+            labels = stepped.drop("prev")
             if changed == 0:
                 break
     finally:
