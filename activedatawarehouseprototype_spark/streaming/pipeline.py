@@ -98,6 +98,13 @@ class ActivePipeline:
     # process_ts`` is appended to ``latency_path`` and avg/max land in
     # metrics via df.observe (no extra job — piggybacks the buffer write).
     process_ts_col: str = "processTime"
+    # allowed lateness (the ``withWatermark`` delay of this foreachBatch
+    # engine): W2/W3 windows close only when the event-time high
+    # watermark passes window_end + lateness_ms, so out-of-order events
+    # up to this far behind the frontier still land in their window.
+    # Size it to the source's disorder bound (e.g. out_of_order_events'
+    # max_delay_ms); 0 = close windows at the frontier.
+    lateness_ms: int = 0
     # two-phase salted aggregation for hot composite keys (power-law
     # key skew): spreads each (rule, key, window) group over N salts
     # before the final merge. None = plain single-stage agg.
@@ -293,9 +300,10 @@ class ActivePipeline:
             qid for qid, r in by_id.items() if window_mode(r) in ("W2", "W3")
         ]
         if closing_ids and self._max_event_ts is not None:
+            close_wm = self._max_event_ts - self.lateness_ms
             evals = evals.filter(
                 (~F.col("query_id").isin(closing_ids))
-                | (F.unix_millis("window_end") <= self._max_event_ts)
+                | (F.unix_millis("window_end") <= close_wm)
             )
         wm_pairs = [
             (qid, self._emitted_wm[qid])
@@ -422,7 +430,11 @@ class ActivePipeline:
             self._max_event_ts = max(prev_wm or 0, int(batch_max))
 
         widest = self.registry.widest_window_ms()
-        horizon = (prev_wm - widest) if (widest > 0 and prev_wm is not None) else None
+        horizon = (
+            (prev_wm - widest - self.lateness_ms)
+            if (widest > 0 and prev_wm is not None)
+            else None
+        )
         if horizon is not None:
             buffer = buffer.filter(F.unix_millis(self.ts_col) >= horizon)
         if self._batch_count % self.PRUNE_EVERY == 0:

@@ -1119,3 +1119,55 @@ def test_w1_stream_checkpoint_recovery(spark, tmp_path):
     assert got[base_ms] == 10.0
     assert got[base_ms + 10_000] == 30.0
     assert got[base_ms + 20_000] == 60.0  # state recovered across restart
+
+
+def test_pipeline_ooo_soak_exactly_once_and_complete(spark, tmp_path):
+    """Soak over 12 out-of-order micro-batches: every CLOSED (rule,
+    key, window) emits exactly once, with exactly the batch-computed
+    aggregate — lateness_ms >= the source's disorder bound guarantees
+    stragglers land in their window before it closes."""
+    from activedatawarehouseprototype_spark.sources.car_data import (
+        out_of_order_events,
+    )
+
+    max_delay = 5_000
+    events = out_of_order_events(
+        spark, 600, n_keys=5, step_ms=1_000, max_delay_ms=max_delay
+    ).select("carId", "ts", "speed", "arrival_seq").persist()
+    reg = RuleRegistry()
+    reg.apply_json(json.dumps({
+        "queryId": 1, "queryState": "ACTIVE", "lastTime": -1,
+        "windowMilliseconds": 60_000, "frequencyMilliseconds": None,
+        "groupingKeyNames": ["carId"], "windowFilterRules": [],
+        "aggregatorFunctionType": "SUM", "limitOperatorType": ">",
+        "limit": 3_000, "aggregateFieldName": "speed",
+    }))
+    pipe = ActivePipeline(
+        spark=spark, registry=reg, work_dir=str(tmp_path / "wk"),
+        lateness_ms=10_000,
+    )
+    for b in range(12):
+        batch = events.filter(
+            (F.col("arrival_seq") >= b * 50) & (F.col("arrival_seq") < (b + 1) * 50)
+        ).drop("arrival_seq")
+        pipe.process_batch(batch, b)
+
+    emitted = pipe.evaluations().collect()
+    # exactly-once: no (rule, key, window) appears twice
+    keys = [(r.query_id, r.key, r.window_start) for r in emitted]
+    assert len(keys) == len(set(keys))
+
+    # completeness + value-exactness for every closed window
+    max_ts = events.agg(F.max(F.unix_millis("ts"))).head()[0]
+    close_wm = max_ts - 10_000
+    want = {
+        (r.query_id, r.key, r.window_start): (r.agg_value, r.fired)
+        for r in evaluate_rule(events.drop("arrival_seq"), reg.rules[1]).collect()
+        if int(r.window_end.timestamp() * 1000) <= close_wm
+    }
+    got = {
+        (r.query_id, r.key, r.window_start): (r.agg_value, r.fired)
+        for r in emitted
+    }
+    assert got == want and len(got) > 10
+    events.unpersist()
