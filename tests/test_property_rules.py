@@ -285,3 +285,126 @@ def test_sql_twin_matches_compiled_plan_property(spark, events, rule, tmp_path_f
         assert g[0] == o[0] and g[1] == o[1] and g[2] == o[2], (g, o)
         assert math.isclose(g[3], o[3], rel_tol=1e-9, abs_tol=1e-9), (g, o)
         assert g[4] == o[4], (g, o)
+
+
+def python_reference_two_key(events, rule: Rule):
+    """Two-key variant of the interpreter: events are
+    (user_id, kind, ts_offset_sec, value); key = {user_id=..;kind=..}."""
+    filt = [
+        (u, k, BASE_MS + s * 1000, v)
+        for (u, k, s, v) in events
+        if all(
+            _cmp(
+                {"user_id": float(u), "value": v}[f.field],
+                f.operator.value,
+                float(f.value),
+            )
+            for f in rule.window_filter_rules
+        )
+    ]
+    kind_agg = "COUNT" if rule.is_count else rule.aggregator_function_type.value
+    w = int(rule.window_milliseconds)
+    slide = (
+        w
+        if (rule.frequency_milliseconds is None or rule.frequency_milliseconds > w)
+        else int(rule.frequency_milliseconds)
+    )
+    buckets: dict = {}
+    for u, k, tms, v in filt:
+        lo = (tms - w) // slide * slide + slide
+        hi = tms // slide * slide
+        ws = lo
+        while ws <= hi:
+            buckets.setdefault((u, k, ws), []).append(v)
+            ws += slide
+    out = []
+    for (u, k, ws), vals in buckets.items():
+        a = _agg(vals, kind_agg)
+        out.append(
+            (
+                f"{{user_id={u};kind={k}}}",
+                ws,
+                ws + w,
+                a,
+                _cmp(a, rule.limit_operator_type.value, rule.limit),
+            )
+        )
+    return sorted(out)
+
+
+two_key_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),
+        st.sampled_from(["x", "y"]),
+        st.integers(min_value=0, max_value=240),
+        st.sampled_from([1.0, 5.0, 50.0, 100.0]),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+two_key_rule = st.builds(
+    lambda agg, op, limit, w, f, use_count: Rule.from_dict(
+        {
+            "queryId": 9,
+            "queryState": "ACTIVE",
+            "windowFilterRules": [],
+            "groupingKeyNames": ["user_id", "kind"],
+            "aggregateFieldName": "COUNT_FLINK" if use_count else "value",
+            "aggregatorFunctionType": agg,
+            "limitOperatorType": op,
+            "limit": limit,
+            "windowMilliseconds": w,
+            "frequencyMilliseconds": f,
+        }
+    ),
+    agg=st.sampled_from(AGGS),
+    op=st.sampled_from(OPS),
+    limit=st.sampled_from([0.0, 10.0, 55.0]),
+    w=st.sampled_from([30_000, 60_000]),
+    f=st.sampled_from([None, 30_000]),
+    use_count=st.booleans(),
+)
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(events=two_key_events, rule=two_key_rule)
+def test_composite_key_rules_match_reference(spark, events, rule):
+    """P4 composite keys under the property harness: both the compiler
+    and the grouped evaluator agree with the two-key interpreter."""
+    from activedatawarehouseprototype_spark.streaming.group_eval import (
+        evaluate_rules_grouped,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (u, k, BASE + dt.timedelta(seconds=s), float(v))
+            for (u, k, s, v) in events
+        ],
+        "user_id int, kind string, ts timestamp, value double",
+    )
+    want = python_reference_two_key(events, rule)
+    for evaluator in (
+        lambda: evaluate_rule(df, rule),
+        lambda: evaluate_rules_grouped(df, [rule]),
+    ):
+        got = sorted(
+            (
+                r.key,
+                int(r.window_start.replace(tzinfo=dt.timezone.utc).timestamp() * 1000),
+                int(r.window_end.replace(tzinfo=dt.timezone.utc).timestamp() * 1000),
+                r.agg_value,
+                r.fired,
+            )
+            for r in evaluator().collect()
+        )
+        assert len(got) == len(want)
+        for g, w_ in zip(got, want):
+            assert g[0] == w_[0] and g[1] == w_[1] and g[2] == w_[2], (g, w_)
+            assert math.isclose(g[3], w_[3], rel_tol=1e-9, abs_tol=1e-9), (g, w_)
+            assert g[4] == w_[4], (g, w_)
