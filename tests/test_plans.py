@@ -86,3 +86,9 @@ def test_grouped_eval_scan_prunes_to_referenced_fields(spark):
     assert parquet_scan_count(df) == 1
     for cols in scan_columns(df):
         assert "props" not in cols and "event_id" not in cols, cols
+
+
+def test_q5_broadcasts_all_dims_no_smj(spark):
+    df = QUERIES["tpch_q5_local_supplier_volume"](spark, SF)
+    assert broadcast_join_count(df) >= 4  # customer, supplier, nation, region
+    assert sort_merge_join_count(df) == 0
