@@ -8,10 +8,11 @@ plant deterministic ones INSIDE the query (a union of modified copies
 of every k-th document) identically on both engines — results are
 non-trivial and still oracle-checkable.
 
-``ann_lsh_bucket_topk`` and ``multimodal_byte_stats`` have no SQL
-oracle (LSH bucketing SQL would just re-state the Spark plan; DuckDB
-has no byte-histogram primitives) — the driver records rows-only
-checks for them; pytest covers their semantics instead.
+Every query here has a DuckDB oracle, including ``ann_lsh_bucket_topk``
+(the deterministic sign-LSH buckets restate cleanly as SQL sign
+expressions), ``ann_ivf_topk`` (centroids are deterministic seed rows,
+so the oracle recomputes the same assignment) and
+``multimodal_byte_stats`` (byte stats via DuckDB blob functions).
 """
 
 from __future__ import annotations
