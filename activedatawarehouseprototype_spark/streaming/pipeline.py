@@ -109,6 +109,12 @@ class ActivePipeline:
     # key skew): spreads each (rule, key, window) group over N salts
     # before the final merge. None = plain single-stage agg.
     salt_buckets: int | None = None
+    # event-time partition granularity of the on-disk buffer: events
+    # land in hour directories (``_bucket=<floor(ts_ms / bucket_ms)>``)
+    # so widest-window retention prunes whole FILES via partition
+    # pruning instead of filtering rows out of every live footer — at
+    # 100 TB the read-side retention filter must not scan expired data.
+    buffer_bucket_ms: int = 3_600_000
     # evaluation-path crossover: below this many rules, per-rule
     # compiled plans (cheapest per-row: literal predicates, max
     # pushdown — N scans is fine for constant-small N); at or above
@@ -405,6 +411,14 @@ class ActivePipeline:
     # physically rewrite the buffer only every N batches; logical
     # retention is applied on read every batch.
     PRUNE_EVERY = 8
+    # derived event-time partition column of the on-disk buffer layout
+    # (never visible to rule evaluation — dropped before return)
+    BUCKET_COL = "_bucket"
+
+    def _bucket_expr(self):
+        return F.floor(
+            F.unix_millis(self.ts_col) / F.lit(self.buffer_bucket_ms)
+        ).cast("bigint")
 
     def _update_buffer(self, batch_df: DataFrame) -> DataFrame:
         """Shared event buffer, widest-ACTIVE-window retention.
@@ -416,11 +430,23 @@ class ActivePipeline:
         one-batch lag guarantees a window closing this batch (end <=
         current watermark, end > previous watermark) still has its
         complete event set in the readable buffer, however far the new
-        batch jumped ahead in event time. The physical rewrite (drop
-        expired files' rows, compact small files) runs every
-        PRUNE_EVERY batches. This is the parquet stand-in for a Delta
-        table with retention — same shape, swap the writer."""
-        batch_df.write.mode("append").parquet(self.buffer_path)
+        batch jumped ahead in event time.
+
+        Layout: the buffer is PARTITIONED by event-time bucket
+        (``_bucket = floor(ts_ms / buffer_bucket_ms)``, hour
+        directories by default) and the retention predicate is pushed
+        onto the partition column, so expired data is skipped at file
+        granularity (partition pruning) — the every-batch read never
+        opens footers behind the horizon, which is what survives a
+        100-TB buffer. The exact row-level ``ts >= horizon`` filter
+        stays on top for within-bucket precision. The physical rewrite
+        (drop expired partitions, compact the per-batch small files)
+        runs every PRUNE_EVERY batches. This is the parquet stand-in
+        for a Delta table partitioned by event date with retention —
+        same shape, swap the writer."""
+        batch_df.withColumn(self.BUCKET_COL, self._bucket_expr()).write.mode(
+            "append"
+        ).partitionBy(self.BUCKET_COL).parquet(self.buffer_path)
         self._has_buffer = True
         buffer = self.spark.read.parquet(self.buffer_path)
 
@@ -435,19 +461,30 @@ class ActivePipeline:
             if (widest > 0 and prev_wm is not None)
             else None
         )
-        if horizon is not None:
-            buffer = buffer.filter(F.unix_millis(self.ts_col) >= horizon)
-        if self._batch_count % self.PRUNE_EVERY == 0:
+
+        def _retained(df: DataFrame) -> DataFrame:
+            if horizon is None:
+                return df
+            # partition predicate first (file pruning), exact ts second
+            return df.filter(
+                (F.col(self.BUCKET_COL) >= horizon // self.buffer_bucket_ms)
+                & (F.unix_millis(self.ts_col) >= horizon)
+            )
+
+        buffer = _retained(buffer)
+        if self._batch_count % self.PRUNE_EVERY == 0 and not buffer.isEmpty():
+            # (isEmpty guard: a partitioned write of 0 rows emits no
+            # files, and the re-read below couldn't infer a schema)
             staging = self.buffer_path + ".next"
-            buffer.write.mode("overwrite").parquet(staging)
+            buffer.write.mode("overwrite").partitionBy(self.BUCKET_COL).parquet(
+                staging
+            )
             shutil.rmtree(self.buffer_path)
             os.replace(staging, self.buffer_path)
-            buffer = self.spark.read.parquet(self.buffer_path)
-            if horizon is not None:
-                # keep the retention predicate on the compacted read so
-                # evaluation semantics don't depend on prune timing
-                buffer = buffer.filter(F.unix_millis(self.ts_col) >= horizon)
-        return buffer
+            # keep the retention predicate on the compacted read so
+            # evaluation semantics don't depend on prune timing
+            buffer = _retained(self.spark.read.parquet(self.buffer_path))
+        return buffer.drop(self.BUCKET_COL)
 
     def _clear_buffer(self) -> None:
         if os.path.exists(self.buffer_path):

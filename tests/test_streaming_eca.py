@@ -517,6 +517,68 @@ def test_buffer_prune_preserves_semantics(spark, pipeline):
     assert [r.agg_value for r in evals] == [10.0 * (i + 1) for i in range(10)]
 
 
+def test_buffer_event_time_partition_pruning(spark, tmp_path):
+    """The buffer is partitioned by event-time bucket and retention is
+    pushed onto the partition column: once the watermark advances, the
+    readable buffer touches FEWER FILES than live in the directory
+    (file-granularity pruning, not row filtering) — the property that
+    keeps the every-batch buffer read O(live window) at 100 TB."""
+    import os as _os
+
+    reg = RuleRegistry(persist_path=str(tmp_path / "rules.jsonl"))
+    p = ActivePipeline(
+        spark=spark,
+        registry=reg,
+        work_dir=str(tmp_path / "wk"),
+        buffer_bucket_ms=1000,  # 1s buckets so a short test spans many
+    )
+    reg.apply_json(
+        json.dumps(
+            {
+                "queryId": 1,
+                "queryState": "ACTIVE",
+                "lastTime": -1,
+                "windowMilliseconds": 2000,
+                "frequencyMilliseconds": 0,
+                "groupingKeyNames": ["carId"],
+                "windowFilterRules": [],
+                "aggregatorFunctionType": "MAX",
+                "limitOperatorType": ">",
+                "limit": 1e12,
+                "aggregateFieldName": "speed",
+            }
+        )
+    )
+    p.process_batch(car_df(spark, [(1, 0, 10.0), (1, 1, 20.0)]), 0)
+    p.process_batch(car_df(spark, [(1, 10, 30.0)]), 1)
+    p.process_batch(car_df(spark, [(1, 20, 40.0)]), 2)
+    # 4th append outside process_batch so we can inspect the returned
+    # readable buffer (mirror the batch-count bump process_batch does)
+    p._batch_count += 1
+    buf = p._update_buffer(car_df(spark, [(1, 30, 50.0)]))
+
+    # retention semantics: horizon = prev_wm(30s... no: 20s) - 2s window
+    # → only the 20s and 30s events remain readable
+    secs = sorted((r.ts - BASE).total_seconds() for r in buf.collect())
+    assert secs == [20.0, 30.0]
+    assert p.BUCKET_COL not in buf.columns
+
+    # file-granularity pruning: the directory holds buckets 0,1,10,20,30
+    # but the retained read may only touch the 20s/30s buckets
+    all_files = [
+        f
+        for _, _, fs in _os.walk(p.buffer_path)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    touched = buf.select(F.input_file_name()).distinct().count()
+    assert touched < len(all_files), (touched, len(all_files))
+
+    # plan-level: the retention predicate reached PartitionFilters
+    plan = buf._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and p.BUCKET_COL in plan
+
+
 def test_bad_rule_quarantined_not_fatal(spark, pipeline):
     """A rule naming a nonexistent field is PAUSEd; healthy rules keep
     evaluating in the same batch."""
