@@ -73,6 +73,9 @@ _NEVER_DRIVER_CHECKED = [
     # bucketed ANN + multimodal (corpus/extensions.py)
     "ann_lsh_bucket_topk",
     "ann_ivf_topk",
+    # new in round 3 (no prior driver row by construction)
+    "ann_lsh_batch_multiprobe_topk",
+    "ann_ivf_batch_topk",
     "multimodal_byte_stats",
     "array_embedding_stats",
     # relational / temporal rotations that were r1-green but fell past the cap

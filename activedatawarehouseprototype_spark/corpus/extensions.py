@@ -806,6 +806,94 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.col("score").desc(), F.col("vec_id").asc()).limit(5)
 
 
+# --- Batch-query ANN (the many-queries form): top-k for EVERY row of
+# a query set in ONE plan — queries broadcast into a bucket/cell equi
+# join, no per-query driver roundtrip. Multi-probe (LSH: own bucket +
+# all Hamming-1 neighbors; IVF: top-2 centroids) fixes the recall lost
+# at bucket boundaries; the oracle recomputes the same probe set. ---
+
+
+@register(
+    "ann_lsh_batch_multiprobe_topk",
+    oracle="""
+WITH b AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         array_to_string(list_transform(range(0, 8), p ->
+           CASE WHEN list_sum(list_transform(range(1, 65), d ->
+                  v[d] * (CASE WHEN substr(md5(concat(p, ':', d)), 1, 1) >= '8'
+                          THEN 1.0 ELSE -1.0 END))) > 0
+           THEN '1' ELSE '0' END), '') AS bucket
+  FROM embeddings
+),
+q AS (SELECT vec_id AS qid, v AS qv, bucket AS qb FROM b WHERE vec_id < 3),
+probes AS (
+  SELECT qid, qv, unnest(list_prepend(qb,
+    list_transform(range(0, 8), i ->
+      substr(qb, 1, i) ||
+      (CASE WHEN substr(qb, i + 1, 1) = '1' THEN '0' ELSE '1' END) ||
+      substr(qb, i + 2, 8)))) AS pb
+  FROM q
+),
+cand AS (
+  SELECT p.qid, b.vec_id,
+         ROUND(list_cosine_similarity(b.v, p.qv), 6) AS score
+  FROM b JOIN probes p ON b.bucket = p.pb
+  WHERE b.vec_id != p.qid
+)
+SELECT qid, vec_id, score FROM cand
+QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) <= 5
+""",
+)
+def ann_lsh_batch_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return similarity.lsh_topk_for_queries(emb, queries, k=5, probes=2)
+
+
+@register(
+    "ann_ivf_batch_topk",
+    oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+seeds AS (SELECT vec_id AS sid, v AS sv FROM e ORDER BY vec_id LIMIT 16),
+dists AS (
+  SELECT e.vec_id, s.sid,
+         list_sum(list_transform(range(1, 65),
+             d -> (e.v[d] - s.sv[d]) * (e.v[d] - s.sv[d]))) AS dist
+  FROM e, seeds s
+),
+cells AS (
+  SELECT vec_id, sid AS cell FROM dists
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, sid) = 1
+),
+qprobes AS (
+  SELECT d.vec_id AS qid, e.v AS qv, d.sid AS pcell
+  FROM dists d JOIN e USING (vec_id)
+  WHERE d.vec_id < 3
+  QUALIFY row_number() OVER (PARTITION BY d.vec_id ORDER BY d.dist, d.sid) <= 2
+),
+cand AS (
+  SELECT p.qid, e.vec_id,
+         ROUND(list_cosine_similarity(e.v, p.qv), 6) AS score
+  FROM e JOIN cells c USING (vec_id)
+  JOIN qprobes p ON c.cell = p.pcell
+  WHERE e.vec_id != p.qid
+)
+SELECT qid, vec_id, score FROM cand
+QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC) <= 5
+""",
+)
+def ann_ivf_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return similarity.ivf_topk_for_queries(
+        emb, queries, k=5, n_centroids=16, probes=2
+    )
+
+
 # --- Multimodal plumbing. The blob is the md5 digest bytes of the
 # text (attach_blobs), so the oracle re-derives the 16 byte values
 # from the md5 hex string and recomputes length / mean / Shannon

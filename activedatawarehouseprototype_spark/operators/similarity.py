@@ -17,7 +17,7 @@ wrong for point lookups; there the LSH/IVF bucket prunes the scan.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -92,6 +92,82 @@ def random_hyperplane_bucket(
     return F.concat(*bits)
 
 
+def lsh_probe_buckets(bucket: Column, n_planes: int = 8, probes: int = 1) -> Column:
+    """Probe set for multi-probe LSH: the query's own bucket, plus all
+    Hamming-1 neighbor buckets when ``probes > 1``. Near-neighbors that
+    straddle one hyperplane land one bit away — probing those buckets
+    recovers the recall a single-bucket lookup loses at boundaries, at
+    (1 + n_planes)x candidate cost instead of a full scan."""
+    if probes <= 1:
+        return F.array(bucket)
+    flips = [
+        F.concat(
+            F.substring(bucket, 1, i),
+            F.when(F.substring(bucket, i + 1, 1) == "1", "0").otherwise("1"),
+            F.substring(bucket, i + 2, n_planes),
+        )
+        for i in range(n_planes)
+    ]
+    return F.array(bucket, *flips)
+
+
+def lsh_topk_for_queries(
+    corpus_df: DataFrame,
+    queries_df: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    probes: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Batch ANN: top-k cosine neighbors for EVERY row of ``queries_df``
+    in one plan — the realistic training-data-pipeline shape (dedup vs
+    index, contamination checks run thousands of queries, not one).
+
+    Shape: bucket the corpus once, bucket + probe-expand the queries
+    (own bucket, plus Hamming-1 neighbors when ``probes > 1``),
+    broadcast the small query side into a bucket-equi join, then one
+    per-query window rank. No per-query driver roundtrip; the corpus
+    is scanned once regardless of query count. Each corpus vector has
+    exactly ONE bucket, so a candidate matches at most one probe bucket
+    per query — no post-join dedup needed."""
+    bucketed = corpus_df.select(
+        F.col(id_col),
+        as_double_array(F.col(vec_col)).alias("_v"),
+        random_hyperplane_bucket(F.col(vec_col), n_planes, dim).alias("_bkt"),
+    )
+    q = queries_df.select(
+        F.col(qid_col),
+        as_double_array(F.col(qvec_col)).alias("_qv"),
+        F.explode(
+            lsh_probe_buckets(
+                random_hyperplane_bucket(F.col(qvec_col), n_planes, dim),
+                n_planes,
+                probes,
+            )
+        ).alias("_pbkt"),
+    )
+    cand = bucketed.join(
+        F.broadcast(q), F.col("_bkt") == F.col("_pbkt")
+    ).filter(F.col(id_col) != F.col(qid_col))
+    scored = cand.select(
+        qid_col,
+        id_col,
+        F.round(cosine(F.col("_v"), F.col("_qv")), 6).alias("score"),
+    )
+    w = Window.partitionBy(qid_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .drop("rnk")
+    )
+
+
 def sq_dist(a: Column, b: Column) -> Column:
     """Squared L2 distance — sequential left-fold, deterministic order."""
     return F.aggregate(
@@ -117,11 +193,27 @@ def ivf_assign(
     The ANN search path then probes only the query's cell (or its few
     nearest cells), cutting the scan from |corpus| to |corpus|/k per
     query — the standard IVF-flat trade."""
-    seeds = [
+    seeds = ivf_seed_centroids(df, k, id_col=id_col, vec_col=vec_col)
+    best = _ivf_sorted_cells(F.col(vec_col), seeds)[0]
+    return df.withColumn("cell", best["sid"])
+
+
+def ivf_seed_centroids(
+    df: DataFrame, k: int = 16, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> list[tuple[int, list[float]]]:
+    """Bounded control-plane fetch (k rows): the deterministic seed
+    centroids. Swap in k-means output in a real deployment."""
+    return [
         (int(r[id_col]), [float(x) for x in r[vec_col]])
         for r in df.orderBy(id_col).limit(k).collect()
     ]
-    v = as_double_array(F.col(vec_col))
+
+
+def _ivf_sorted_cells(vec_col: Column, seeds) -> Column:
+    """Array of struct(dist, sid), ascending — centroids broadcast as
+    literals into one codegen projection; lexicographic struct ordering
+    == (min dist, then min centroid id)."""
+    v = as_double_array(vec_col)
     pairs = [
         F.struct(
             sq_dist(v, F.array(*[F.lit(x) for x in sv])).alias("dist"),
@@ -129,9 +221,59 @@ def ivf_assign(
         )
         for sid, sv in seeds
     ]
-    # lexicographic struct ordering == (min dist, then min centroid id)
-    best = F.sort_array(F.array(*pairs))[0]
-    return df.withColumn("cell", best["sid"])
+    return F.sort_array(F.array(*pairs))
+
+
+def ivf_topk_for_queries(
+    corpus_df: DataFrame,
+    queries_df: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    probes: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Batch IVF-flat ANN: top-k cosine for every query row in one plan.
+
+    The corpus is assigned to its nearest centroid once; each query
+    probes its ``probes`` nearest centroids (top-2 fixes recall for
+    queries sitting on a cell boundary). Queries join broadcast on the
+    cell id — scan cost |corpus| once + candidates, independent of the
+    number of queries; no per-query driver roundtrip (the only collect
+    is the bounded ``n_centroids``-row seed fetch)."""
+    seeds = ivf_seed_centroids(corpus_df, n_centroids, id_col, vec_col)
+    assigned = corpus_df.select(
+        F.col(id_col),
+        as_double_array(F.col(vec_col)).alias("_v"),
+        _ivf_sorted_cells(F.col(vec_col), seeds)[0]["sid"].alias("cell"),
+    )
+    qcells = F.transform(
+        F.slice(_ivf_sorted_cells(F.col(qvec_col), seeds), 1, probes),
+        lambda s: s["sid"],
+    )
+    q = queries_df.select(
+        F.col(qid_col),
+        as_double_array(F.col(qvec_col)).alias("_qv"),
+        F.explode(qcells).alias("_pcell"),
+    )
+    cand = assigned.join(
+        F.broadcast(q), F.col("cell") == F.col("_pcell")
+    ).filter(F.col(id_col) != F.col(qid_col))
+    scored = cand.select(
+        qid_col,
+        id_col,
+        F.round(cosine(F.col("_v"), F.col("_qv")), 6).alias("score"),
+    )
+    w = Window.partitionBy(qid_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .drop("rnk")
+    )
 
 
 def quantize_int8(vec: Column) -> Column:

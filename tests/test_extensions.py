@@ -95,6 +95,74 @@ def test_ann_lsh_scores_subset_of_brute_force(spark, emb):
         assert bucket_mean >= global_mean - 0.05
 
 
+def _planted_ann_corpus(spark, emb, n_queries=40):
+    """Corpus + a planted near-neighbor (id+100000) for each of the
+    first n_queries vectors: q scaled by 0.9 with a deterministic
+    md5-derived ±8% per-dim perturbation — close in cosine (top-1 by
+    brute force) but noisy enough that some planted rows cross one
+    hyperplane/cell boundary, which is exactly what multi-probe exists
+    to recover."""
+    base = {
+        int(r.vec_id): [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id") < n_queries).collect()
+    }
+    planted = []
+    for vid, v in base.items():
+        noisy = [
+            x * 0.9
+            + 0.08
+            * abs(x)
+            * (1 if hashlib.md5(f"{vid}:{d}".encode()).digest()[0] >= 128 else -1)
+            for d, x in enumerate(v)
+        ]
+        planted.append((vid + 100000, noisy))
+    extra = spark.createDataFrame(planted, "vec_id long, embedding array<double>")
+    corpus = emb.select(
+        "vec_id", similarity.as_double_array(F.col("embedding")).alias("embedding")
+    ).unionByName(extra)
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return corpus, queries, n_queries
+
+
+def _recall(topk_rows, n_queries):
+    hits = {
+        r.qid for r in topk_rows if int(r.vec_id) == int(r.qid) + 100000
+    }
+    return len(hits) / n_queries
+
+
+def test_lsh_multiprobe_recall_beats_single_probe(spark, emb):
+    corpus, queries, n = _planted_ann_corpus(spark, emb)
+    r1 = _recall(
+        similarity.lsh_topk_for_queries(corpus, queries, k=5, probes=1).collect(), n
+    )
+    r2 = _recall(
+        similarity.lsh_topk_for_queries(corpus, queries, k=5, probes=2).collect(), n
+    )
+    assert r2 >= 0.9, f"multi-probe LSH recall {r2} below 0.9 (single: {r1})"
+    assert r2 >= r1
+
+
+def test_ivf_multiprobe_recall_beats_single_probe(spark, emb):
+    corpus, queries, n = _planted_ann_corpus(spark, emb)
+    r1 = _recall(
+        similarity.ivf_topk_for_queries(
+            corpus, queries, k=5, n_centroids=16, probes=1
+        ).collect(),
+        n,
+    )
+    r2 = _recall(
+        similarity.ivf_topk_for_queries(
+            corpus, queries, k=5, n_centroids=16, probes=2
+        ).collect(),
+        n,
+    )
+    assert r2 >= 0.9, f"multi-probe IVF recall {r2} below 0.9 (single: {r1})"
+    assert r2 >= r1
+
+
 def test_cosine_matches_python(spark, emb):
     rows = emb.filter(F.col("vec_id").isin(1, 2)).collect()
     v1 = [float(x) for x in rows[0]["embedding"]]
