@@ -128,10 +128,24 @@ def main(argv: list[str] | None = None) -> int:
 
         docs = load_parquet(spark, args.input)
         if args.mode == "exact":
-            out = dedup.exact_dedup(
+            # same (id, component) cluster schema as minhash mode: the
+            # duplicate group's keeper id is the component label, one
+            # row per member of a multi-copy group
+            groups = dedup.exact_dedup(
                 docs.withColumn("_fp", text.fingerprint(docs[args.text_col])),
                 args.id_col,
                 "_fp",
+            )
+            fp = docs.select(
+                F.col(args.id_col),
+                text.fingerprint(docs[args.text_col]).alias("dup_key"),
+            )
+            # plain equi-join on the fingerprint (AQE broadcasts when
+            # the duplicate-group side is small; at corpus scale it may
+            # not be, so no forced broadcast)
+            out = fp.join(groups.select("dup_key", "keeper_id"), "dup_key").select(
+                F.col(args.id_col),
+                F.col("keeper_id").alias("component"),
             )
         else:
             pairs = dedup.lsh_candidates(

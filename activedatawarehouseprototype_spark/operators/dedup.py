@@ -258,23 +258,41 @@ def stream_exact_dedup(
 
 
 def connected_components(
-    pairs: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 25
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+    on_non_convergence: str = "raise",
 ) -> DataFrame:
     """(id, component) over the undirected candidate-pair graph;
     component id = smallest member id. This is the step that turns
     near-dup PAIRS into dedup DECISIONS: every document in a component
     except the min-id keeper is a duplicate.
 
-    Plan: min-label propagation — each iteration, every vertex adopts
-    the minimum of its own and its neighbors' labels (one join + one
-    aggregate per iteration, all distributed; lineage is cut per
-    iteration with ``localCheckpoint`` so the plan stays constant
-    size). Converges in <= graph-diameter iterations; near-dup
-    clusters are near-cliques (diameter ~2), so this is a handful of
-    passes in practice. At extreme scale with long chain topologies,
-    the alternating small-star/large-star variant brings worst-case
-    rounds to O(log n) — same join shape, more bookkeeping.
+    Plan: min-label propagation with POINTER DOUBLING — each iteration,
+    every vertex adopts the minimum of its own, its neighbors', and its
+    current label's label (label-of-label = path-halving step, the same
+    acceleration small-star/large-star gets from star contraction).
+    Labels therefore reach graph distance 2^k after k iterations: a
+    chain of length L converges in O(log L) rounds, not O(L) — at
+    max_iter=25 anything up to ~2^25-diameter resolves, so
+    non-convergence is pathological, not merely "long chain". Each
+    iteration is two joins + one aggregate, all distributed; lineage is
+    cut per iteration with ``localCheckpoint`` so the plan stays
+    constant size; the driver sees one scalar count per round.
+
+    ``on_non_convergence``: ``"raise"`` (default) raises RuntimeError
+    if labels are still changing after ``max_iter`` iterations —
+    returning split components would be a silently wrong dedup answer;
+    ``"warn"`` emits a warning and returns the partial labels (callers
+    that prefer over-splitting to failing, e.g. best-effort batch
+    jobs).
     """
+    if on_non_convergence not in ("raise", "warn"):
+        raise ValueError(
+            f"on_non_convergence must be 'raise' or 'warn', got "
+            f"{on_non_convergence!r}"
+        )
     edges = (
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -284,6 +302,7 @@ def connected_components(
     labels = edges.select(F.col("a").alias("id")).distinct().select(
         "id", F.col("id").alias("comp")
     )
+    converged = False
     try:
         for _ in range(max_iter):
             neighbor_min = (
@@ -296,15 +315,23 @@ def connected_components(
                 .groupBy(F.col("a").alias("id"))
                 .agg(F.min("bcomp").alias("ncomp"))
             )
+            # pointer doubling: also look up the label OF the current
+            # label, so label chains halve every round (O(log diameter))
+            label_of_label = labels.select(
+                F.col("id").alias("comp"), F.col("comp").alias("ccomp")
+            )
             # carry the previous label through the checkpoint so the
             # convergence check is a filter over the materialized frame,
             # not another join per iteration
             stepped = (
                 labels.join(neighbor_min, "id", "left")
+                .join(label_of_label, "comp", "left")
                 .select(
                     "id",
                     F.least(
-                        F.col("comp"), F.coalesce("ncomp", F.col("comp"))
+                        F.col("comp"),
+                        F.coalesce("ncomp", F.col("comp")),
+                        F.coalesce("ccomp", F.col("comp")),
                     ).alias("comp"),
                     F.col("comp").alias("prev"),
                 )
@@ -313,9 +340,22 @@ def connected_components(
             changed = stepped.filter(F.col("comp") != F.col("prev")).count()
             labels = stepped.drop("prev")
             if changed == 0:
+                converged = True
                 break
     finally:
         edges.unpersist()
+    if not converged:
+        msg = (
+            f"connected_components did not converge within {max_iter} "
+            f"iterations — labels were still changing; the returned "
+            f"components would be over-split. Raise max_iter or inspect "
+            f"the candidate graph for pathological topology."
+        )
+        if on_non_convergence == "raise":
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels
 
 

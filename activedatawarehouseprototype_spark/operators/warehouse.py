@@ -82,9 +82,36 @@ def scd2_upsert(
     Plan shape: one join of the CURRENT slice against the updates (the
     history slice is untouched pass-through), then a union — the same
     cost class as ``merge_upsert``; with Delta this is the two-branch
-    MERGE INTO idiom. Updates must carry one row per key (pre-aggregate
-    upstream if not).
+    MERGE INTO idiom.
+
+    Input contract (validated, not assumed): ``tracked_cols`` must be
+    non-empty (SCD2 with nothing tracked is undefined — the change
+    predicate would vanish), and ``updates`` must carry ONE row per key
+    — duplicate keys in a single batch would fan out the full-outer
+    join and silently write overlapping open versions. Pre-aggregate
+    upstream (e.g. keep the latest row per key) before calling.
     """
+    if not tracked_cols:
+        raise ValueError(
+            "scd2_upsert: tracked_cols must be non-empty — with no "
+            "tracked columns there is no change to detect; use "
+            "merge_upsert for untracked overwrites"
+        )
+    dup = (
+        updates.groupBy(*key_cols)
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        key_repr = {c: dup[0][c] for c in key_cols}
+        raise ValueError(
+            f"scd2_upsert: updates carry more than one row for key "
+            f"{key_repr} — one row per key required (deduplicate to the "
+            f"latest effective_ts upstream, e.g. row_number() over key "
+            f"ordered by {effective_ts_col} desc = 1)"
+        )
     upd = updates.select(
         *key_cols,
         *tracked_cols,

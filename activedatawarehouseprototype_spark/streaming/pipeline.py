@@ -130,6 +130,23 @@ class ActivePipeline:
     # Retention reads use the PREVIOUS batch's value so a window that
     # closes this batch still has its full event set readable.
     _max_event_ts: int | None = None
+    # highest retention horizon ever applied at a PHYSICAL buffer
+    # rewrite: events before it are gone from disk, so no later widening
+    # of the logical horizon can bring them back. Coverage bookkeeping
+    # for the mid-stream-registration gate below.
+    _pruned_to: int | None = None
+    # rules that have been through at least one evaluation batch. A rule
+    # first seen AFTER the buffer has been pruned gets a registration
+    # watermark: windows that started before the buffer's coverage
+    # horizon would aggregate truncated data, so they must not emit as
+    # "final" (the round-3 known wrong-answer edge). Emission floor =
+    # coverage_start + window_ms - 1 on window_end, i.e. only windows
+    # whose full [start, end] span lies inside the readable buffer emit.
+    _seen_rules: set[int] = dc_field(default_factory=set)
+    # buffer coverage start for the CURRENT batch's evaluation read:
+    # max(logical retention horizon, highest physical prune horizon).
+    # None = buffer still covers the whole stream history.
+    _cov_start: int | None = None
     # C8 metrics — the reference's numberOfActiveRules gauge
     # (DynamicKeyFunction.java:37-40,179-191) and alertsPerSecond meter
     # (DynamicQueryFunction.java:65-66,199) as driver-side counters.
@@ -163,9 +180,10 @@ class ActivePipeline:
             with open(self._wm_path) as f:
                 raw = _json.load(f)
             self._max_event_ts = raw.pop("__max_event_ts__", None)
+            self._pruned_to = raw.pop("__pruned_to__", None)
+            self._seen_rules = set(raw.pop("__seen_rules__", []))
             self._emitted_wm = {int(k): v for k, v in raw.items()}
-        if os.path.isdir(self.buffer_path) and os.listdir(self.buffer_path):
-            self._has_buffer = True
+        self._has_buffer = self._buffer_data_exists()
 
     @property
     def _wm_path(self) -> str:
@@ -178,6 +196,10 @@ class ActivePipeline:
         payload = {str(k): v for k, v in self._emitted_wm.items()}
         if self._max_event_ts is not None:
             payload["__max_event_ts__"] = self._max_event_ts
+        if self._pruned_to is not None:
+            payload["__pruned_to__"] = self._pruned_to
+        if self._seen_rules:
+            payload["__seen_rules__"] = sorted(self._seen_rules)
         with open(tmp, "w") as f:
             _json.dump(payload, f)
         os.replace(tmp, self._wm_path)
@@ -270,6 +292,27 @@ class ActivePipeline:
         if not by_id:
             self.metrics["last_batch_seconds"] = time.perf_counter() - t_start
             return
+
+        # (3a) mid-stream registration gate: a rule first evaluated
+        # AFTER the buffer stopped covering full stream history must not
+        # emit windows that started before the coverage horizon — those
+        # would aggregate a truncated event set yet be labeled final
+        # (the reference shares one pruned buffer across all rules, so
+        # it has the same truncation; this engine refuses to emit the
+        # wrong answer). Floor = cov + w - 1 on window_end keeps exactly
+        # the windows whose full [start, end] span is covered: W2/W3
+        # end = start + w, W1 end = event ts with trailing [ts-w, ts].
+        cov = self._cov_start
+        for qid, rule in by_id.items():
+            if qid in self._seen_rules:
+                continue
+            self._seen_rules.add(qid)
+            w_ms = int(rule.window_milliseconds or 0)
+            if cov is None or w_ms <= 0:
+                continue  # full history covered, or W0 (no aggregation)
+            floor = cov + w_ms - 1
+            self._emitted_wm[qid] = max(self._emitted_wm.get(qid, 0), floor)
+
         if len(by_id) >= self.grouped_min_rules:
             evals = evaluate_rules_grouped(
                 buffer,
@@ -420,6 +463,17 @@ class ActivePipeline:
             F.unix_millis(self.ts_col) / F.lit(self.buffer_bucket_ms)
         ).cast("bigint")
 
+    def _buffer_data_exists(self) -> bool:
+        """True iff the buffer directory holds at least one partition of
+        actual data. A partitioned write of 0 rows creates the directory
+        with only _SUCCESS — no data files, so a parquet read of it
+        cannot infer a schema."""
+        try:
+            entries = os.listdir(self.buffer_path)
+        except FileNotFoundError:
+            return False
+        return any(e.startswith(self.BUCKET_COL + "=") for e in entries)
+
     def _update_buffer(self, batch_df: DataFrame) -> DataFrame:
         """Shared event buffer, widest-ACTIVE-window retention.
 
@@ -447,8 +501,7 @@ class ActivePipeline:
         batch_df.withColumn(self.BUCKET_COL, self._bucket_expr()).write.mode(
             "append"
         ).partitionBy(self.BUCKET_COL).parquet(self.buffer_path)
-        self._has_buffer = True
-        buffer = self.spark.read.parquet(self.buffer_path)
+        self._has_buffer = self._buffer_data_exists()
 
         prev_wm = self._max_event_ts
         batch_max = batch_df.agg(F.max(F.unix_millis(self.ts_col))).head()[0]
@@ -461,6 +514,17 @@ class ActivePipeline:
             if (widest > 0 and prev_wm is not None)
             else None
         )
+        cov_candidates = [h for h in (horizon, self._pruned_to) if h is not None]
+        self._cov_start = max(cov_candidates) if cov_candidates else None
+
+        if not self._has_buffer:
+            # Empty first micro-batch: nothing was ever written, so the
+            # directory has no data files and the read below would fail
+            # with 'Unable to infer schema'. The batch-shaped empty
+            # frame IS the buffer.
+            return batch_df.limit(0)
+
+        buffer = self.spark.read.parquet(self.buffer_path)
 
         def _retained(df: DataFrame) -> DataFrame:
             if horizon is None:
@@ -481,6 +545,12 @@ class ActivePipeline:
             )
             shutil.rmtree(self.buffer_path)
             os.replace(staging, self.buffer_path)
+            if horizon is not None:
+                # events behind the horizon are now physically gone —
+                # record it so a later widening of the logical horizon
+                # (a wider rule registering) doesn't claim coverage of
+                # data that no longer exists
+                self._pruned_to = max(self._pruned_to or 0, horizon)
             # keep the retention predicate on the compacted read so
             # evaluation semantics don't depend on prune timing
             buffer = _retained(self.spark.read.parquet(self.buffer_path))
@@ -492,6 +562,9 @@ class ActivePipeline:
         self._has_buffer = False
         self._emitted_wm.clear()
         self._max_event_ts = None
+        self._pruned_to = None
+        self._cov_start = None
+        self._seen_rules.clear()
 
     # -- sinks ------------------------------------------------------------------
 

@@ -616,3 +616,69 @@ def test_misra_gries_heavy_hitters(spark):
     true = n // 4
     assert all(rows[h] <= true for h in ("hot1", "hot2"))
     assert all(rows[h] >= true * 0.5 for h in ("hot1", "hot2"))
+
+
+def test_connected_components_long_chain_pointer_doubling(spark):
+    """A 200-node chain (diameter 199) must converge well within
+    max_iter=25: pointer doubling reaches distance 2^k after k rounds,
+    so O(log n) rounds suffice — the round-3 silent-exit edge is gone."""
+    from activedatawarehouseprototype_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = [(i, i + 1) for i in range(200)]
+    df = spark.createDataFrame(pairs, "id_a bigint, id_b bigint")
+    got = {(r.id, r.comp) for r in connected_components(df).collect()}
+    assert got == {(i, 0) for i in range(201)}
+
+
+def test_connected_components_non_convergence_signal(spark):
+    """Exiting with labels still changing must raise (default) or warn
+    (opt-in) — never silently return over-split components."""
+    import pytest
+
+    from activedatawarehouseprototype_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = [(i, i + 1) for i in range(30)]
+    df = spark.createDataFrame(pairs, "id_a bigint, id_b bigint")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=1)
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        partial = connected_components(df, max_iter=1, on_non_convergence="warn")
+    # partial labels still cover every vertex
+    assert partial.count() == 31
+    with pytest.raises(ValueError, match="on_non_convergence"):
+        connected_components(df, on_non_convergence="nope")
+
+
+def test_cli_dedup_exact_mode_cluster_schema(spark, tmp_path):
+    """`dedup --mode exact` emits the SAME (id, component) cluster
+    schema as minhash mode (round-3 ADVICE: the modes used to write
+    different shapes and only minhash was tested)."""
+    from pyspark.sql import functions as F2
+
+    from activedatawarehouseprototype_spark.cli import main
+
+    src = spark.createDataFrame(
+        [
+            (1, "the quick brown fox"),
+            (2, "The  quick brown FOX"),   # fingerprint-equal to 1
+            (3, "entirely different text"),
+            (4, "the quick brown fox"),    # exact copy of 1
+        ],
+        "doc_id bigint, text string",
+    )
+    docs = str(tmp_path / "docs")
+    src.write.parquet(docs)
+    out = str(tmp_path / "clusters_exact")
+    assert main(["dedup", "--input", docs, "--output", out,
+                 "--mode", "exact"]) == 0
+    clusters = spark.read.parquet(out)
+    assert set(clusters.columns) == {"doc_id", "component"}
+    got = {(r.doc_id, r.component) for r in clusters.collect()}
+    # docs 1,2,4 share a fingerprint → component = keeper id 1;
+    # doc 3 is unique → not emitted (consistent with minhash mode,
+    # which only emits members of multi-doc components)
+    assert got == {(1, 1), (2, 1), (4, 1)}

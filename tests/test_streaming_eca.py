@@ -821,6 +821,116 @@ def test_late_data_watermark_semantics(spark, tmp_path):
     assert got[(60, 120)] == 2.0
 
 
+def test_empty_first_batch_not_fatal(spark, pipeline):
+    """An EMPTY first micro-batch must not crash the buffer update: a
+    partitioned write of 0 rows emits no parquet data files, so the
+    buffer read has nothing to infer a schema from (round-3 ADVICE
+    regression). The pipeline must treat it as a no-op batch and keep
+    working on the next, non-empty batch."""
+    reg = pipeline.registry
+    reg.apply_json(json.dumps(dict(SPEEDING_RULE, alertRules=[])))
+    empty = car_df(spark, []).limit(0)
+    pipeline.process_batch(empty, 0)  # must not raise
+    assert pipeline.evaluations().count() == 0
+    # several empty batches in a row stay harmless
+    pipeline.process_batch(empty, 1)
+    # first real data evaluates normally
+    pipeline.process_batch(car_df(spark, [(9, 1, 130.0)]), 2)
+    assert pipeline.alerts().filter("query_id = 1").count() == 1
+
+
+def test_midstream_rule_no_truncated_final_windows(spark, pipeline):
+    """A rule registered AFTER the buffer stopped covering full stream
+    history must not emit its oldest historical windows as final: those
+    would aggregate a truncated event set (the round-2/3 known
+    wrong-answer edge). Only windows whose full span lies inside the
+    buffer's coverage may emit."""
+    reg = pipeline.registry
+    # batches 0-1: events flow with NO rules → nothing retained beyond
+    # the raw appends, watermark advances to 70s
+    pipeline.process_batch(
+        car_df(spark, [(1, 0, 10.0), (1, 10, 10.0), (1, 20, 10.0)]), 0
+    )
+    pipeline.process_batch(car_df(spark, [(1, 70, 10.0)]), 1)
+
+    # batch 2: a 60s tumbling SUM rule registers mid-stream. Retention
+    # now reads the buffer from horizon = prev_wm(70s) - 60s = 10s, so
+    # the [0,60s) window would aggregate only the 10s/20s events
+    # (sum 20, truncated — the full answer is 30). It must NOT emit.
+    reg.apply_json(json.dumps({
+        "queryId": 300, "queryState": "ACTIVE", "lastTime": -1,
+        "windowMilliseconds": 60_000, "frequencyMilliseconds": None,
+        "groupingKeyNames": ["carId"], "windowFilterRules": [],
+        "aggregatorFunctionType": "SUM", "limitOperatorType": ">",
+        "limit": 1e9, "aggregateFieldName": "speed",
+    }))
+    pipeline.process_batch(car_df(spark, [(1, 80, 10.0)]), 2)
+    assert pipeline.evaluations().count() == 0  # [0,60) suppressed, [60,120) open
+
+    # batch 3 closes [60s,120s) — fully covered (start 60s >= cov 10s),
+    # so it emits, with the COMPLETE aggregate
+    pipeline.process_batch(car_df(spark, [(1, 130, 10.0)]), 3)
+    evals = pipeline.evaluations().collect()
+    assert len(evals) == 1
+    r = evals[0]
+    assert (r.window_start - BASE).total_seconds() == 60.0
+    assert r.agg_value == 20.0  # the 70s + 80s events
+
+
+def test_midstream_registration_in_ooo_soak(spark, tmp_path):
+    """OOO soak + mid-stream registration: a rule registered at batch 6
+    emits only windows whose aggregate equals the full-data batch
+    recompute — no truncated window sneaks out as final — and emits
+    each exactly once."""
+    from activedatawarehouseprototype_spark.sources.car_data import (
+        out_of_order_events,
+    )
+
+    events = out_of_order_events(
+        spark, 600, n_keys=5, step_ms=1_000, max_delay_ms=5_000
+    ).select("carId", "ts", "speed", "arrival_seq").persist()
+    reg = RuleRegistry()
+    reg.apply_json(json.dumps({
+        "queryId": 1, "queryState": "ACTIVE", "lastTime": -1,
+        "windowMilliseconds": 60_000, "frequencyMilliseconds": None,
+        "groupingKeyNames": ["carId"], "windowFilterRules": [],
+        "aggregatorFunctionType": "SUM", "limitOperatorType": ">",
+        "limit": 3_000, "aggregateFieldName": "speed",
+    }))
+    late_rule = {
+        "queryId": 2, "queryState": "ACTIVE", "lastTime": -1,
+        "windowMilliseconds": 30_000, "frequencyMilliseconds": None,
+        "groupingKeyNames": ["carId"], "windowFilterRules": [],
+        "aggregatorFunctionType": "AVG", "limitOperatorType": ">",
+        "limit": 50, "aggregateFieldName": "speed",
+    }
+    pipe = ActivePipeline(
+        spark=spark, registry=reg, work_dir=str(tmp_path / "wk"),
+        lateness_ms=10_000,
+    )
+    for b in range(12):
+        if b == 6:
+            reg.apply_json(json.dumps(late_rule))
+        batch = events.filter(
+            (F.col("arrival_seq") >= b * 50) & (F.col("arrival_seq") < (b + 1) * 50)
+        ).drop("arrival_seq")
+        pipe.process_batch(batch, b)
+
+    emitted = [r for r in pipe.evaluations().collect() if r.query_id == 2]
+    assert emitted, "the late-registered rule must emit some closed windows"
+    keys = [(r.key, r.window_start) for r in emitted]
+    assert len(keys) == len(set(keys))  # exactly-once
+    # value-exactness vs FULL-data recompute: any truncated window
+    # emitted as final would mismatch here
+    want = {
+        (r.key, r.window_start): (round(r.agg_value, 9), r.fired)
+        for r in evaluate_rule(events.drop("arrival_seq"), reg.rules[2]).collect()
+    }
+    for r in emitted:
+        assert want[(r.key, r.window_start)] == (round(r.agg_value, 9), r.fired)
+    events.unpersist()
+
+
 def test_latency_side_output_and_metric(spark, tmp_path):
     """K3: per-event latency_ms side-output + observed batch metric
     (DynamicQueryFunction.java:81 parity)."""

@@ -153,3 +153,33 @@ def test_scd2_upsert_history(spark, tmp_path):
     scd2_upsert(spark, path, upd([(1, "platinum"), (2, "silver"), (3, "bronze")], t1),
                 ["cust_id"], ["segment"], "eff_ts")
     assert spark.read.parquet(path).count() == 4
+
+
+def test_scd2_upsert_input_validation(spark, tmp_path):
+    """SCD2 input contract: empty tracked_cols raises (the change
+    predicate would vanish), and >1 update row per key raises instead
+    of silently writing overlapping open versions."""
+    import datetime as dt
+
+    import pytest
+
+    from activedatawarehouseprototype_spark.operators.warehouse import scd2_upsert
+
+    path = str(tmp_path / "dim_bad")
+    t0 = dt.datetime(2024, 1, 1)
+    upd = spark.createDataFrame(
+        [(1, "gold", t0)], "cust_id int, segment string, eff_ts timestamp"
+    )
+    with pytest.raises(ValueError, match="tracked_cols"):
+        scd2_upsert(spark, path, upd, ["cust_id"], [], "eff_ts")
+
+    dup = spark.createDataFrame(
+        [(1, "gold", t0), (1, "silver", t0), (2, "gold", t0)],
+        "cust_id int, segment string, eff_ts timestamp",
+    )
+    with pytest.raises(ValueError, match="more than one row"):
+        scd2_upsert(spark, path, dup, ["cust_id"], ["segment"], "eff_ts")
+    # nothing was written by either rejected call
+    import os
+
+    assert not os.path.exists(path)
