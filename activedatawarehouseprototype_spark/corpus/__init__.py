@@ -48,58 +48,62 @@ from activedatawarehouseprototype_spark.corpus import stats  # noqa: E402,F401
 #
 # The CORRECTNESS driver runs exactly the FIRST 50 entries of ``queries()``
 # (verified in round 2: the first-50 set == the CORRECTNESS_r02 key set).
-# Registration order above is module-grouped, which left 27 queries —
-# the whole UDF/UDAF/UDTF tier, both bucketed ANN paths, multimodal, the
-# stats family, and 10 round-1-green rotations — past the cap with no
-# driver evidence.  We therefore re-order the dicts explicitly:
+# Registration order above is module-grouped, so without explicit
+# re-ordering the same ~50 queries would be checked every round and the
+# rest would go stale.  We therefore re-order the dicts explicitly:
 #
-#   1. ``_NEVER_DRIVER_CHECKED`` — queries with no driver row in any round
-#      (plus queries newly added this round), first so they earn rows now.
+#   1. ``_DRIVER_ROTATION`` — this round's rotation: the queries whose
+#      driver evidence is OLDEST (or that are new this round), first so
+#      they earn fresh rows now.
 #   2. ``_STABLE_CORE`` — one representative per operator family, kept
 #      inside the window every round as a regression canary.
-#   3. Everything else (driver-green in a prior round; covered locally by
-#      the pytest DuckDB-oracle mirror in tests/test_corpus_oracles.py).
+#   3. Everything else (driver-green in a recent round; additionally
+#      covered locally every round by the pytest DuckDB-oracle mirror in
+#      tests/test_corpus_oracle.py, which runs the FULL corpus).
 #
 # Rotate across rounds by editing the two lists; test_registry_order.py
 # asserts the first-50 composition so a refactor can't silently undo this.
+#
+# Round-4 rotation: the 29 entries below all have r2 driver rows but
+# missed the round-3 window (round 3 prioritized the 27 never-checked
+# entries + 2 new ANN queries, all now green in CORRECTNESS_r03).  After
+# this round every registry entry's driver evidence is <= 2 rounds old.
 # ---------------------------------------------------------------------------
 
-_NEVER_DRIVER_CHECKED = [
-    # UDF/UDAF/UDTF registration tier (corpus/udfs.py)
-    "udf_pandas_log_score",
-    "udaf_weighted_avg_price",
-    "udf_sql_registered_brand_code",
-    "udtf_token_explode",
-    # bucketed ANN + multimodal (corpus/extensions.py)
-    "ann_lsh_bucket_topk",
-    "ann_ivf_topk",
-    # new in round 3 (no prior driver row by construction)
-    "ann_lsh_batch_multiprobe_topk",
-    "ann_ivf_batch_topk",
-    "multimodal_byte_stats",
-    "array_embedding_stats",
-    # relational / temporal rotations that were r1-green but fell past the cap
-    "range_join_price_bands",
-    "asof_click_latest_purchase",
-    "session_windows_per_user",
-    "tpch_q6_revenue_delta",
-    "tpch_q3_shipping_priority",
-    "percentile_order_prices",
-    "pivot_status_by_priority",
-    "grouping_sets_orders",
-    "window_running_order_totals",
-    # stats / analytics family (corpus/stats.py, corpus/analytics.py)
-    "stats_price_quantity",
-    "bool_aggs_per_segment",
-    "regexp_part_type_tokens",
-    "histogram_event_values",
-    "hourly_activity_profile",
-    "null_semantics_aggs",
-    "pivot_native_status_by_priority",
-    "text_top_bigrams",
-    "text_repetition",
-    # rows-only check (no SQL-expressible oracle) — still worth a driver row
-    "sketch_approx_distinct_and_quantiles",
+_DRIVER_ROTATION = [
+    # rule engine / relational (corpus/rule_engine.py, corpus/relational.py)
+    "rule_union_alerts",
+    "join_revenue_by_nation",
+    "join_left_order_counts",
+    "join_semi_customers_with_open_orders",
+    "join_anti_customers_without_orders",
+    "setop_union_intersect_except",
+    "window_order_price_delta",
+    "cube_orders_status_priority",
+    "distinct_suppliers_per_flag",
+    "sql_subquery_above_avg_orders",
+    "stringagg_statuses_per_flag",
+    "filter_between_in_dates",
+    # scalar function families (corpus/scalar_fns.py)
+    "scalar_date_fns",
+    "scalar_math_fns",
+    "scalar_conditional_fns",
+    "dirty_date_filter",
+    # geo (corpus/extensions.py)
+    "geo_cell_geometry",
+    "geo_path_cells",
+    # LLM-pipeline extensions (corpus/extensions.py)
+    "dedup_fingerprint",
+    "dedup_ngram_jaccard",
+    "sample_split_stats",
+    "dedup_simhash16",
+    "emb_blocked_cosine_hist",
+    "text_stats",
+    "text_lang_id",
+    "stratified_sample_by_lang",
+    "emb_quantized_int8_stats",
+    "fuzzy_part_name_pairs",
+    "pack_sequences_stats",
 ]
 
 _STABLE_CORE = [
@@ -133,10 +137,10 @@ _STABLE_CORE = [
 
 
 def _driver_order(queries: dict, oracles: dict) -> None:
-    """Re-order QUERIES/ORACLES in place: never-checked first, then the
-    stable core, then the remainder in registration order."""
-    first = [n for n in _NEVER_DRIVER_CHECKED + _STABLE_CORE if n in queries]
-    missing = [n for n in _NEVER_DRIVER_CHECKED + _STABLE_CORE if n not in queries]
+    """Re-order QUERIES/ORACLES in place: this round's rotation first,
+    then the stable core, then the remainder in registration order."""
+    first = [n for n in _DRIVER_ROTATION + _STABLE_CORE if n in queries]
+    missing = [n for n in _DRIVER_ROTATION + _STABLE_CORE if n not in queries]
     if missing:  # a rename upstream must fail loudly, not silently demote
         raise KeyError(f"driver-order lists reference unknown queries: {missing}")
     ordered = first + [n for n in queries if n not in set(first)]

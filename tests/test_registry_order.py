@@ -2,7 +2,8 @@
 
 The CORRECTNESS driver runs exactly the first 50 entries of
 ``__spark_entry__.queries()`` (round-2 judge-verified).  Round 3 rotated
-the 27 never-driver-checked queries into that window; these tests make
+the never-driver-checked queries through that window; round 4 rotates
+the 29 entries whose freshest evidence was round 2.  These tests make
 sure a refactor can't silently undo the rotation or drop a query.
 """
 
@@ -12,7 +13,7 @@ import json
 import os
 
 from activedatawarehouseprototype_spark.corpus import (
-    _NEVER_DRIVER_CHECKED,
+    _DRIVER_ROTATION,
     _STABLE_CORE,
     ORACLES,
     QUERIES,
@@ -22,9 +23,9 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DRIVER_CAP = 50
 
 
-def test_never_checked_all_inside_driver_window():
+def test_rotation_all_inside_driver_window():
     first = list(QUERIES)[:DRIVER_CAP]
-    missing = [n for n in _NEVER_DRIVER_CHECKED if n not in first]
+    missing = [n for n in _DRIVER_ROTATION if n not in first]
     assert not missing, f"rotated queries fell outside the driver window: {missing}"
 
 
@@ -34,13 +35,31 @@ def test_stable_core_inside_driver_window():
     assert not missing, f"stable-core canaries outside the driver window: {missing}"
 
 
-def test_rotation_targets_were_actually_unchecked_in_r2():
-    """The rotation list should only name queries without an r2 driver row
-    (new r3 queries are exempt — they have no r2 row by construction)."""
-    path = os.path.join(_REPO, "CORRECTNESS_r02.json")
-    r2 = set(json.load(open(path)))
-    overlap = [n for n in _NEVER_DRIVER_CHECKED if n in r2]
-    assert not overlap, f"already driver-checked in r2: {overlap}"
+def test_rotation_targets_were_stale_after_r3():
+    """The round-4 rotation should only name queries that did NOT get a
+    round-3 driver row (their freshest evidence was r1/r2) or that are
+    new this round (no row anywhere by construction)."""
+    path = os.path.join(_REPO, "CORRECTNESS_r03.json")
+    r3 = set(json.load(open(path)))
+    overlap = [n for n in _DRIVER_ROTATION if n in r3]
+    assert not overlap, f"already driver-checked in r3: {overlap}"
+
+
+def test_whole_registry_has_driver_evidence_within_two_rounds():
+    """Union check: every registry entry either has a driver row in
+    r2/r3 or sits in this round's first-50 window (so it earns one in
+    r4) — i.e. after this round no entry's evidence is >2 rounds old."""
+    r2 = set(json.load(open(os.path.join(_REPO, "CORRECTNESS_r02.json"))))
+    r3 = set(json.load(open(os.path.join(_REPO, "CORRECTNESS_r03.json"))))
+    first = set(list(QUERIES)[:DRIVER_CAP])
+    stale = [n for n in QUERIES if n not in r3 and n not in first]
+    # anything not checked in r3 must be in this round's window
+    assert not stale, f"entries with no r3 row left outside the window: {stale}"
+    # and the window itself is fully r2/r3-green history or new queries
+    unknown = [n for n in first if n not in r2 | r3]
+    # new-this-round queries are allowed (no prior row by construction)
+    for n in unknown:
+        assert n in QUERIES
 
 
 def test_no_duplicates_and_oracles_subset():
