@@ -93,22 +93,42 @@ def random_hyperplane_bucket(
 
 
 def lsh_probe_buckets(bucket: Column, n_planes: int = 8, probes: int = 1) -> Column:
-    """Probe set for multi-probe LSH: the query's own bucket, plus all
-    Hamming-1 neighbor buckets when ``probes > 1``. Near-neighbors that
-    straddle one hyperplane land one bit away — probing those buckets
-    recovers the recall a single-bucket lookup loses at boundaries, at
-    (1 + n_planes)x candidate cost instead of a full scan."""
+    """Probe set for multi-probe LSH: all buckets within Hamming
+    distance ``probes - 1`` of the query's own bucket. Near-neighbors
+    that straddle r hyperplanes land r bits away — probing those
+    buckets recovers the recall a single-bucket lookup loses at
+    boundaries, at sum_{i<=r} C(n_planes, i) candidate-bucket cost
+    instead of a full scan.
+
+    probes=1 → own bucket; probes=2 → + all Hamming-1 neighbors;
+    probes=3 → + all Hamming-2 neighbors; and so on (each probes value
+    is a distinct, strictly larger expansion — round-3 ADVICE: values
+    above 2 used to silently alias to 2)."""
+    from itertools import combinations
+
+    if not 1 <= probes <= n_planes + 1:
+        raise ValueError(
+            f"probes must be in [1, n_planes + 1] = [1, {n_planes + 1}], "
+            f"got {probes}"
+        )
     if probes <= 1:
         return F.array(bucket)
-    flips = [
-        F.concat(
-            F.substring(bucket, 1, i),
-            F.when(F.substring(bucket, i + 1, 1) == "1", "0").otherwise("1"),
-            F.substring(bucket, i + 2, n_planes),
-        )
-        for i in range(n_planes)
+
+    def flipped(positions: tuple[int, ...]) -> Column:
+        chars = [
+            F.when(F.substring(bucket, i + 1, 1) == "1", "0").otherwise("1")
+            if i in positions
+            else F.substring(bucket, i + 1, 1)
+            for i in range(n_planes)
+        ]
+        return F.concat(*chars)
+
+    variants = [
+        flipped(combo)
+        for radius in range(1, probes)
+        for combo in combinations(range(n_planes), radius)
     ]
-    return F.array(bucket, *flips)
+    return F.array(bucket, *variants)
 
 
 def lsh_topk_for_queries(
@@ -182,18 +202,20 @@ def ivf_assign(
     k: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF coarse quantizer: assign every vector to its nearest of k
-    centroids (min squared-L2, ties by centroid id). Centroids here are
-    the k lowest-id vectors — deterministic, so the DuckDB oracle can
-    recompute the assignment; in a real deployment swap in k-means
-    centroids (same plumbing: centroids are control data, broadcast as
-    literals into one codegen projection — no join, no shuffle).
+    centroids (min squared-L2, ties by centroid id). Default centroids
+    are the k lowest-id vectors — deterministic, so the DuckDB oracle
+    can recompute the assignment; pass ``centroids=
+    ivf_kmeans_centroids(df, k)`` for trained cells (same plumbing:
+    centroids are control data, broadcast as literals into one codegen
+    projection — no join, no shuffle).
 
     The ANN search path then probes only the query's cell (or its few
     nearest cells), cutting the scan from |corpus| to |corpus|/k per
     query — the standard IVF-flat trade."""
-    seeds = ivf_seed_centroids(df, k, id_col=id_col, vec_col=vec_col)
+    seeds = centroids or ivf_seed_centroids(df, k, id_col=id_col, vec_col=vec_col)
     best = _ivf_sorted_cells(F.col(vec_col), seeds)[0]
     return df.withColumn("cell", best["sid"])
 
@@ -202,21 +224,83 @@ def ivf_seed_centroids(
     df: DataFrame, k: int = 16, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> list[tuple[int, list[float]]]:
     """Bounded control-plane fetch (k rows): the deterministic seed
-    centroids. Swap in k-means output in a real deployment."""
+    centroids. Swap in k-means output (``ivf_kmeans_centroids``) in a
+    real deployment; the oracle corpus keeps this path because DuckDB
+    can recompute it."""
     return [
         (int(r[id_col]), [float(x) for x in r[vec_col]])
         for r in df.orderBy(id_col).limit(k).collect()
     ]
 
 
+def ivf_kmeans_centroids(
+    df: DataFrame,
+    k: int = 16,
+    iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Lloyd k-means over the corpus, expressed as DataFrame ops — the
+    real centroid trainer behind the ``ivf_assign``/``ivf_topk_*``
+    centroid seam (seed centroids give no recall guarantee on clustered
+    real embeddings).
+
+    Per iteration: assign every vector to its nearest current centroid
+    (centroids broadcast as literals into ONE codegen projection — no
+    join, no shuffle on the assign side), then recompute each cell's
+    element-wise mean via posexplode → groupBy(cell, pos) → avg (one
+    shuffle of |corpus|·dim skinny rows with map-side partial
+    aggregation). The ONLY collect is k rows of centroids per
+    iteration — control plane, never the corpus. Empty cells keep
+    their previous centroid. Deterministic: seeds are the k lowest-id
+    vectors and every step is an exact aggregate (modulo float
+    summation order in avg — immaterial for centroid quality).
+
+    Returns the same ``[(label, vector)]`` shape as
+    ``ivf_seed_centroids``, so it drops into ``ivf_assign(...,
+    centroids=...)`` / ``ivf_topk_for_queries(..., centroids=...)``."""
+    cents = ivf_seed_centroids(df, k, id_col=id_col, vec_col=vec_col)
+    v = as_double_array(F.col(vec_col))
+    for _ in range(iters):
+        assigned = df.select(
+            _ivf_sorted_cells(F.col(vec_col), cents)[0]["sid"].alias("cell"),
+            v.alias("_v"),
+        )
+        rows = (
+            assigned.select("cell", F.posexplode("_v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "m"))
+                ).alias("pm")
+            )
+            .select(
+                "cell", F.transform("pm", lambda s: s["m"]).alias("centroid")
+            )
+            .collect()  # bounded: k rows (control plane)
+        )
+        new = {int(r["cell"]): [float(x) for x in r["centroid"]] for r in rows}
+        cents = [(sid, new.get(sid, cv)) for sid, cv in cents]
+    return cents
+
+
 def _ivf_sorted_cells(vec_col: Column, seeds) -> Column:
     """Array of struct(dist, sid), ascending — centroids broadcast as
     literals into one codegen projection; lexicographic struct ordering
-    == (min dist, then min centroid id)."""
+    == (min dist, then min centroid id). The distance is ROUNDED to 12
+    digits before ordering (matching ROUND(..., 12) in the DuckDB
+    oracles): a last-ulp disagreement between Spark's sequential fold
+    and the oracle's list_sum on a near-tie between two centroids would
+    otherwise flip the cell assignment (round-3 ADVICE; scores were
+    already rounded, assignment was not)."""
     v = as_double_array(vec_col)
     pairs = [
         F.struct(
-            sq_dist(v, F.array(*[F.lit(x) for x in sv])).alias("dist"),
+            F.round(
+                sq_dist(v, F.array(*[F.lit(x) for x in sv])), 12
+            ).alias("dist"),
             F.lit(sid).cast("bigint").alias("sid"),
         )
         for sid, sv in seeds
@@ -234,6 +318,7 @@ def ivf_topk_for_queries(
     vec_col: str = "embedding",
     qid_col: str = "qid",
     qvec_col: str = "qvec",
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """Batch IVF-flat ANN: top-k cosine for every query row in one plan.
 
@@ -242,8 +327,15 @@ def ivf_topk_for_queries(
     queries sitting on a cell boundary). Queries join broadcast on the
     cell id — scan cost |corpus| once + candidates, independent of the
     number of queries; no per-query driver roundtrip (the only collect
-    is the bounded ``n_centroids``-row seed fetch)."""
-    seeds = ivf_seed_centroids(corpus_df, n_centroids, id_col, vec_col)
+    is the bounded ``n_centroids``-row seed fetch). Pass ``centroids``
+    (e.g. from ``ivf_kmeans_centroids``) for trained cells; the default
+    deterministic seed path is what the DuckDB oracle recomputes."""
+    if not 1 <= probes <= n_centroids:
+        raise ValueError(
+            f"probes must be in [1, n_centroids] = [1, {n_centroids}], "
+            f"got {probes}"
+        )
+    seeds = centroids or ivf_seed_centroids(corpus_df, n_centroids, id_col, vec_col)
     assigned = corpus_df.select(
         F.col(id_col),
         as_double_array(F.col(vec_col)).alias("_v"),
