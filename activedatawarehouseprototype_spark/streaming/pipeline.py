@@ -135,14 +135,17 @@ class ActivePipeline:
     # of the logical horizon can bring them back. Coverage bookkeeping
     # for the mid-stream-registration gate below.
     _pruned_to: int | None = None
-    # rules that have been through at least one evaluation batch. A rule
-    # first seen AFTER the buffer has been pruned gets a registration
-    # watermark: windows that started before the buffer's coverage
-    # horizon would aggregate truncated data, so they must not emit as
-    # "final" (the round-3 known wrong-answer edge). Emission floor =
+    # rules that were evaluated in the PREVIOUS batch. A rule ENTERING
+    # evaluation (first registration, or reactivation after a pause /
+    # quarantine) while the buffer no longer covers full stream history
+    # gets a registration watermark: windows that started before the
+    # coverage horizon would aggregate truncated data, so they must not
+    # emit as "final" (the round-3 known wrong-answer edge; re-flooring
+    # on REENTRY matters because retention shrinks to the widest ACTIVE
+    # window while a wide rule is paused). Emission floor =
     # coverage_start + window_ms - 1 on window_end, i.e. only windows
     # whose full [start, end] span lies inside the readable buffer emit.
-    _seen_rules: set[int] = dc_field(default_factory=set)
+    _watching: set[int] = dc_field(default_factory=set)
     # buffer coverage start for the CURRENT batch's evaluation read:
     # max(logical retention horizon, highest physical prune horizon).
     # None = buffer still covers the whole stream history.
@@ -181,7 +184,7 @@ class ActivePipeline:
                 raw = _json.load(f)
             self._max_event_ts = raw.pop("__max_event_ts__", None)
             self._pruned_to = raw.pop("__pruned_to__", None)
-            self._seen_rules = set(raw.pop("__seen_rules__", []))
+            self._watching = set(raw.pop("__watching__", []))
             self._emitted_wm = {int(k): v for k, v in raw.items()}
         self._has_buffer = self._buffer_data_exists()
 
@@ -198,8 +201,8 @@ class ActivePipeline:
             payload["__max_event_ts__"] = self._max_event_ts
         if self._pruned_to is not None:
             payload["__pruned_to__"] = self._pruned_to
-        if self._seen_rules:
-            payload["__seen_rules__"] = sorted(self._seen_rules)
+        if self._watching:
+            payload["__watching__"] = sorted(self._watching)
         with open(tmp, "w") as f:
             _json.dump(payload, f)
         os.replace(tmp, self._wm_path)
@@ -270,6 +273,8 @@ class ActivePipeline:
         active = self.registry.active()
         self.metrics["active_rules"] = len(active)
         if not active:
+            self._watching = set()  # nothing evaluated this batch
+            self._persist_watermarks()
             self.metrics["last_batch_seconds"] = time.perf_counter() - t_start
             return
 
@@ -290,28 +295,35 @@ class ActivePipeline:
                 self.metrics["rule_errors"] = self.metrics.get("rule_errors", 0) + 1
                 self._quarantine(rule)
         if not by_id:
+            self._watching = set()  # nothing evaluated this batch
+            self._persist_watermarks()
             self.metrics["last_batch_seconds"] = time.perf_counter() - t_start
             return
 
-        # (3a) mid-stream registration gate: a rule first evaluated
-        # AFTER the buffer stopped covering full stream history must not
-        # emit windows that started before the coverage horizon — those
-        # would aggregate a truncated event set yet be labeled final
-        # (the reference shares one pruned buffer across all rules, so
-        # it has the same truncation; this engine refuses to emit the
-        # wrong answer). Floor = cov + w - 1 on window_end keeps exactly
-        # the windows whose full [start, end] span is covered: W2/W3
-        # end = start + w, W1 end = event ts with trailing [ts-w, ts].
+        # (3a) registration/reentry gate: a rule ENTERING evaluation
+        # (not evaluated last batch — newly registered, unpaused, or
+        # un-quarantined) while the buffer no longer covers full stream
+        # history must not emit windows that started before the
+        # coverage horizon — those would aggregate a truncated event
+        # set yet be labeled final (the reference shares one pruned
+        # buffer across all rules, so it has the same truncation; this
+        # engine refuses to emit the wrong answer). Floor = cov + w - 1
+        # on window_end keeps exactly the windows whose full [start,
+        # end] span is covered: W2/W3 end = start + w, W1 end = event
+        # ts with trailing [ts-w, ts]. Continuously-watched rules need
+        # no floor: their earlier windows emitted when they closed,
+        # under the retention invariant that closing windows are fully
+        # readable.
         cov = self._cov_start
         for qid, rule in by_id.items():
-            if qid in self._seen_rules:
+            if qid in self._watching:
                 continue
-            self._seen_rules.add(qid)
             w_ms = int(rule.window_milliseconds or 0)
             if cov is None or w_ms <= 0:
                 continue  # full history covered, or W0 (no aggregation)
             floor = cov + w_ms - 1
             self._emitted_wm[qid] = max(self._emitted_wm.get(qid, 0), floor)
+        self._watching = set(by_id)
 
         if len(by_id) >= self.grouped_min_rules:
             evals = evaluate_rules_grouped(
@@ -564,7 +576,7 @@ class ActivePipeline:
         self._max_event_ts = None
         self._pruned_to = None
         self._cov_start = None
-        self._seen_rules.clear()
+        self._watching.clear()
 
     # -- sinks ------------------------------------------------------------------
 

@@ -931,6 +931,187 @@ def test_midstream_registration_in_ooo_soak(spark, tmp_path):
     events.unpersist()
 
 
+def test_pause_reactivate_no_truncated_windows(spark, pipeline):
+    """Reentry gate: while a WIDE rule is paused, retention shrinks to
+    the widest ACTIVE window; on reactivation the rule must not emit
+    windows whose span the buffer no longer covers (they would be
+    truncated aggregates labeled final). Windows fully covered at
+    reactivation still emit, with complete values."""
+    reg = pipeline.registry
+    wide = {
+        "queryId": 400, "queryState": "ACTIVE", "lastTime": -1,
+        "windowMilliseconds": 60_000, "frequencyMilliseconds": None,
+        "groupingKeyNames": ["carId"], "windowFilterRules": [],
+        "aggregatorFunctionType": "SUM", "limitOperatorType": ">",
+        "limit": 1e9, "aggregateFieldName": "speed",
+    }
+    narrow = {
+        "queryId": 401, "queryState": "ACTIVE", "lastTime": -1,
+        "windowMilliseconds": 10_000, "frequencyMilliseconds": 0,
+        "groupingKeyNames": ["carId"], "windowFilterRules": [],
+        "aggregatorFunctionType": "MAX", "limitOperatorType": ">",
+        "limit": 1e9, "aggregateFieldName": "speed",
+    }
+    reg.apply_json(json.dumps(wide))
+    reg.apply_json(json.dumps(narrow))
+    pipeline.process_batch(
+        car_df(spark, [(1, 0, 10.0), (1, 10, 10.0), (1, 20, 10.0)]), 0
+    )
+    # batch 1 closes [0,60) for the wide rule — complete (sum 30)
+    pipeline.process_batch(car_df(spark, [(1, 65, 10.0), (1, 70, 10.0)]), 1)
+    # pause the wide rule; the narrow 10s rule now bounds retention
+    reg.apply_json(json.dumps(dict(wide, queryState="PAUSE")))
+    pipeline.process_batch(car_df(spark, [(1, 80, 10.0)]), 2)
+    pipeline.process_batch(car_df(spark, [(1, 130, 10.0)]), 3)
+    # reactivate: buffer coverage now starts at 130s - 60s = 70s, so
+    # [60s,120s) (true sum 30: events 65,70,80; readable only 70,80)
+    # must be SUPPRESSED; [120s,180s) is fully covered and emits
+    reg.apply_json(json.dumps(wide))
+    pipeline.process_batch(car_df(spark, [(1, 190, 10.0)]), 4)
+
+    wide_evals = {
+        (r.window_start - BASE).total_seconds(): r.agg_value
+        for r in pipeline.evaluations().collect()
+        if r.query_id == 400
+    }
+    assert wide_evals.get(0.0) == 30.0         # closed while watched
+    assert 60.0 not in wide_evals              # truncated span suppressed
+    assert wide_evals.get(120.0) == 10.0       # covered span, complete
+
+
+def test_rule_lifecycle_concurrency_soak(spark, tmp_path):
+    """22-batch soak interleaving the whole control plane: ECA spawns,
+    mid-stream registration, TTL expiry, PAUSE/reactivate, rules-table
+    MERGE sync each batch, a mid-soak restart recovered FROM the rules
+    table, an EXPORT verb, and a DELETE verb.
+
+    Invariants: no duplicate query_ids in the rules table; exactly one
+    spawned child per (parent, trigger key) across the restart (the
+    refreshed spawn reuses the id, C2); no (rule, key, window) emitted
+    twice; every emitted windowed aggregate equals the full-data batch
+    recompute; expired and deleted rules are gone from registry AND
+    table."""
+    from activedatawarehouseprototype_spark.streaming.rule_table import (
+        load_rules_table,
+        save_rules_table,
+    )
+
+    table = str(tmp_path / "rules_table")
+    wk = str(tmp_path / "wk")
+    r1 = {
+        "queryId": 1, "queryState": "ACTIVE", "lastTime": -1,
+        "windowMilliseconds": 10_000, "frequencyMilliseconds": 0,
+        "groupingKeyNames": ["carId"], "windowFilterRules": [],
+        "aggregatorFunctionType": "AVG", "limitOperatorType": ">",
+        "limit": 120, "aggregateFieldName": "speed",
+        "alertRules": [{
+            "queryId": 900, "queryState": "ACTIVE", "lastTime": 600_000,
+            "windowMilliseconds": 5_000, "frequencyMilliseconds": 0,
+            "groupingKeyNames": ["$carId"], "windowFilterRules": [],
+            "aggregatorFunctionType": "MAX", "limitOperatorType": ">",
+            "limit": 2_000, "aggregateFieldName": "speed",
+        }],
+    }
+    r2 = {
+        "queryId": 2, "queryState": "ACTIVE", "lastTime": -1,
+        "windowMilliseconds": 60_000, "frequencyMilliseconds": None,
+        "groupingKeyNames": ["carId"], "windowFilterRules": [],
+        "aggregatorFunctionType": "SUM", "limitOperatorType": ">",
+        "limit": 1e9, "aggregateFieldName": "speed",
+    }
+
+    reg = RuleRegistry()
+    pipe = ActivePipeline(spark=spark, registry=reg, work_dir=wk)
+    reg.apply_json(json.dumps(r1))
+
+    all_rows = []
+    child_ids_seen = set()
+    for b in range(22):
+        if b == 3:
+            reg.apply_json(json.dumps(r2))
+        if b == 5:
+            now = int(time.time() * 1000)
+            reg.apply_json(json.dumps({
+                "queryId": 3, "queryState": "ACTIVE", "lastTime": 1_500,
+                "activeTime": now + 1_500, "windowMilliseconds": 30_000,
+                "frequencyMilliseconds": None, "groupingKeyNames": ["carId"],
+                "windowFilterRules": [], "aggregateFieldName": "COUNT_FLINK",
+                "aggregatorFunctionType": "SUM", "limitOperatorType": ">",
+                "limit": 1e9,
+            }))
+        if b == 7:
+            reg.apply_json(json.dumps(dict(r2, queryState="PAUSE")))
+        if b == 10:
+            # restart: recover the registry FROM the rules table and
+            # rebuild the pipeline on the same work_dir (fresh throttle)
+            reg = load_rules_table(spark, table)
+            pipe = ActivePipeline(spark=spark, registry=reg, work_dir=wk)
+        if b == 12:
+            reg.apply_json(json.dumps(r2))  # reactivate
+        if b == 13:
+            reg.apply_json(
+                '{"queryState":"CONTROL","controlType":"EXPORT_RULES_CURRENT"}'
+            )
+            assert {r.query_id for r in reg.exported} >= {1}
+        if b == 15:
+            reg.apply_json('{"queryId": 2, "queryState": "DELETE"}')
+
+        rows = [(1, b * 10, 130.0), (2, b * 10, 50.0), (3, b * 10, 80.0)]
+        all_rows.extend(rows)
+        pipe.process_batch(car_df(spark, rows), b)
+        save_rules_table(spark, reg, table)
+        child_ids_seen |= {
+            r.query_id for r in reg.rules.values() if r.active_id == 1
+        }
+
+    # -- invariants ---------------------------------------------------------
+    tbl = spark.read.parquet(table)
+    # no duplicate query_ids in the table; table == registry
+    assert tbl.groupBy("query_id").count().filter("count > 1").count() == 0
+    assert {r.query_id for r in tbl.collect()} == set(reg.rules)
+
+    # exactly one child ever existed for (parent 1, carId=1), id stable
+    # across restart + re-fires (throttle + C2 id reuse)
+    assert len(child_ids_seen) == 1
+    children = [r for r in reg.rules.values() if r.active_id == 1]
+    assert len(children) == 1 and children[0].query_id in child_ids_seen
+
+    # TTL'd rule 3 and DELETEd rule 2 are gone from registry and table
+    assert 3 not in reg.rules and 2 not in reg.rules
+
+    # exactly-once: no (rule, key, window) emitted twice across restart
+    emitted = pipe.evaluations().collect()
+    keys = [(r.query_id, r.key, r.window_start, r.window_end) for r in emitted]
+    assert len(keys) == len(set(keys))
+
+    # value-exactness: every emitted aggregate (all rules incl. the
+    # spawned child and the paused/reactivated R2) equals the full-data
+    # recompute — truncation or double-counting would mismatch
+    events = car_df(spark, all_rows)
+    for qid in {r.query_id for r in emitted}:
+        rule = reg.rules.get(qid)
+        if rule is None:  # R2/R3 removed later; rebuild from the spec
+            rule = Rule.from_dict(r2 if qid == 2 else {
+                **r2, "queryId": 3, "windowMilliseconds": 30_000,
+                "aggregateFieldName": "COUNT_FLINK",
+            })
+            rule.query_state = RuleState.ACTIVE
+        want = {
+            (r.key, r.window_start, r.window_end): round(r.agg_value, 9)
+            for r in evaluate_rule(events, rule).collect()
+        }
+        for r in emitted:
+            if r.query_id != qid:
+                continue
+            assert want[(r.key, r.window_start, r.window_end)] == round(
+                r.agg_value, 9
+            ), (qid, r.key, r.window_start)
+
+    # R1 fired on car 1 only, every batch
+    fired = [r for r in emitted if r.fired and r.query_id == 1]
+    assert fired and all(r.key == "{carId=1}" for r in fired)
+
+
 def test_latency_side_output_and_metric(spark, tmp_path):
     """K3: per-event latency_ms side-output + observed batch metric
     (DynamicQueryFunction.java:81 parity)."""
