@@ -37,8 +37,13 @@ sharing layer on top:
    from the five and applies its own threshold. Aggregation cost is
    O(#shapes); only the final projection is O(#rules).
 5. W1 (per-event slide) shapes share the scan and get one RANGE-frame
-   window pass per *distinct* window size (frame bounds must be plan
-   constants); W0 passthrough shapes are a projection.
+   window pass per *distinct* window size when sizes are few (frame
+   bounds must be plan constants — cheapest JVM path); at
+   ``W1_FUSE_MIN_SIZES`` or more distinct sizes, ALL W1 shapes fuse
+   into ONE shuffle + ONE Arrow ``applyInPandas`` pass whose trailing
+   window is data-driven per shape (the same carry-the-geometry trick
+   the W2/W3 branch uses), so the W1 scan/pass count stays O(1) as the
+   size population grows. W0 passthrough shapes are a projection.
 
 Per-batch Spark-job/scan count is therefore O(#modes), not O(#rules),
 and shuffle volume is O(#shapes), not O(#rules).
@@ -151,6 +156,66 @@ SHAPE_RULES_SCHEMA = (
 # on local[32]) outweighs its per-row win — switch to the rules-as-data
 # BroadcastNestedLoopJoin, whose plan is O(1) in shape count.
 LITERAL_MAX_SHAPES = 150
+
+# At this many DISTINCT W1 window sizes, the per-size JVM RANGE passes
+# (each re-executing the fan-out subtree) lose to one fused Arrow pass
+# whose window size is data-driven per shape. Below it, the pure-JVM
+# window exec wins on per-row cost.
+W1_FUSE_MIN_SIZES = 4
+
+_W1_FUSED_SCHEMA = (
+    "shape_id bigint, key string, window_ms bigint, _tsl bigint, "
+    "_sum double, _avg double, _min double, _max double, _cnt double"
+)
+
+
+def _w1_fused_group(pdf):
+    """Per-(shape, key) trailing-window aggregates for the fused W1
+    path: one pandas time-rolling pass per aggregate, window size read
+    from the group's own ``window_ms`` (constant within a shape).
+    Inclusive [t - w, t] bounds re-indexed to last-peer positions —
+    identical boundary semantics to the RANGE-frame path and to
+    ``per_event_window.w1_batch_aggregate`` (integer-ms datetime index:
+    boundary inclusion is exact; float SUM/AVG may differ from the
+    JVM's summation order in the last ulp, the repo-wide float
+    discipline). Group memory is O(events per key per batch) — the same
+    bound as the JVM window exec's per-partition sort buffer."""
+    import numpy as np
+    import pandas as pd
+
+    w = int(pdf["window_ms"].iloc[0])
+    ts = pdf["_tsl"].to_numpy(np.int64)
+    order = np.argsort(ts, kind="stable")
+    ts = ts[order]
+    vals = pdf["_value"].to_numpy(np.float64)[order]
+    idx = pd.to_datetime(ts, unit="ms")
+    window = pd.Timedelta(milliseconds=w)
+    roll = pd.Series(vals, index=idx).rolling(window, closed="both", min_periods=1)
+    ones = pd.Series(np.ones(len(ts)), index=idx).rolling(
+        window, closed="both", min_periods=1
+    )
+    # causal rolling at row i covers rows [0..i]; the LAST peer of each
+    # timestamp covers the full inclusive [t - w, t] set — broadcast it
+    # back to every peer (RANGE-frame peer semantics)
+    last_peer = np.searchsorted(ts, ts, side="right") - 1
+    out = {}
+    for name, series in (
+        ("_sum", roll.sum()),
+        ("_avg", roll.mean()),
+        ("_min", roll.min()),
+        ("_max", roll.max()),
+        ("_cnt", ones.sum()),
+    ):
+        out[name] = series.to_numpy()[last_peer]
+    return pd.DataFrame(
+        {
+            "shape_id": pdf["shape_id"].iloc[0],
+            "key": pdf["key"].iloc[0],
+            "window_ms": w,
+            "_tsl": ts,
+            **out,
+        }
+    )
 
 
 def shape_fanout(
@@ -318,10 +383,6 @@ def evaluate_rules_grouped(
         )
 
     if "W1" in modes:
-        # RANGE frame bounds must be plan constants → one window pass
-        # per DISTINCT window size (control-plane cardinality), all over
-        # the same fanned-out scan; the five aggregates are computed
-        # once per (shape, event), then expanded per rule.
         w1_sizes = sorted(
             {
                 int(rep.window_milliseconds)
@@ -329,21 +390,59 @@ def evaluate_rules_grouped(
                 if window_mode(rep) == "W1"
             }
         )
-        for w in w1_sizes:
-            sub = keyed.filter((F.col("mode") == "W1") & (F.col("window_ms") == w))
-            wspec = (
-                Window.partitionBy("shape_id", "key").orderBy(tsl).rangeBetween(-w, 0)
+        if len(w1_sizes) < W1_FUSE_MIN_SIZES:
+            # RANGE frame bounds must be plan constants → one window
+            # pass per DISTINCT window size (control-plane cardinality),
+            # all over the same fanned-out scan; the five aggregates are
+            # computed once per (shape, event), then expanded per rule.
+            # Cheapest per-row path (pure JVM window exec) while the
+            # size population is small.
+            for w in w1_sizes:
+                sub = keyed.filter(
+                    (F.col("mode") == "W1") & (F.col("window_ms") == w)
+                )
+                wspec = (
+                    Window.partitionBy("shape_id", "key")
+                    .orderBy(tsl)
+                    .rangeBetween(-w, 0)
+                )
+                aggd = sub.select(
+                    F.col("shape_id"),
+                    F.col("key"),
+                    (ts - F.expr(f"INTERVAL {w} MILLISECONDS")).alias(
+                        "window_start"
+                    ),
+                    ts.alias("window_end"),
+                    F.sum("_value").over(wspec).alias("_sum"),
+                    F.avg("_value").over(wspec).alias("_avg"),
+                    F.min("_value").over(wspec).alias("_min"),
+                    F.max("_value").over(wspec).alias("_max"),
+                    F.count(F.lit(1)).over(wspec).cast("double").alias("_cnt"),
+                )
+                branches.append(_expand_rules(aggd, metas))
+        else:
+            # Many distinct sizes: ONE shuffle on (shape, key) + ONE
+            # Arrow pass computes every shape's trailing aggregates with
+            # the window size read from the row's own window_ms column —
+            # pass count stays O(1) however many W1 sizes are live.
+            sub = keyed.filter(F.col("mode") == "W1").select(
+                "shape_id",
+                "key",
+                "window_ms",
+                tsl.alias("_tsl"),
+                "_value",
             )
-            aggd = sub.select(
+            fused = sub.groupBy("shape_id", "key").applyInPandas(
+                _w1_fused_group, _W1_FUSED_SCHEMA
+            )
+            aggd = fused.select(
                 F.col("shape_id"),
                 F.col("key"),
-                (ts - F.expr(f"INTERVAL {w} MILLISECONDS")).alias("window_start"),
-                ts.alias("window_end"),
-                F.sum("_value").over(wspec).alias("_sum"),
-                F.avg("_value").over(wspec).alias("_avg"),
-                F.min("_value").over(wspec).alias("_min"),
-                F.max("_value").over(wspec).alias("_max"),
-                F.count(F.lit(1)).over(wspec).cast("double").alias("_cnt"),
+                F.timestamp_millis(
+                    F.col("_tsl") - F.col("window_ms")
+                ).alias("window_start"),
+                F.timestamp_millis(F.col("_tsl")).alias("window_end"),
+                "_sum", "_avg", "_min", "_max", "_cnt",
             )
             branches.append(_expand_rules(aggd, metas))
 

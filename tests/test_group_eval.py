@@ -229,3 +229,61 @@ def test_data_driven_fanout_path_equals_literal(spark, monkeypatch):
     monkeypatch.setattr(ge, "LITERAL_MAX_SHAPES", 0)  # force BNLJ path
     got = canon(evaluate_rules_grouped(df, RULES))
     assert got == want and len(got) > 0
+
+
+def test_w1_fused_many_sizes_equals_union(spark, tmp_path):
+    """At >= W1_FUSE_MIN_SIZES distinct W1 window sizes the grouped
+    evaluator fuses ALL W1 shapes into ONE shuffle + ONE Arrow pass
+    (window size data-driven per shape). Values must equal the
+    per-rule compiled union; the plan must scan the source ONCE and
+    contain exactly one Arrow stage (the per-size RANGE path scanned
+    once per distinct size)."""
+    from activedatawarehouseprototype_spark.plans.explain import (
+        parquet_scan_count,
+    )
+    from activedatawarehouseprototype_spark.streaming.group_eval import (
+        W1_FUSE_MIN_SIZES,
+    )
+
+    sizes = [5_000, 10_000, 20_000, 30_000, 45_000, 60_000]
+    assert len(sizes) >= W1_FUSE_MIN_SIZES
+    aggs = ["AVG", "SUM", "MIN", "MAX"]
+    w1_rules = [
+        mk({
+            "queryId": 100 + i,
+            "windowMilliseconds": w,
+            "frequencyMilliseconds": 0,
+            "aggregatorFunctionType": aggs[i % 4],
+        })
+        for i, w in enumerate(sizes)
+    ] + [
+        # same-size second rule (shares the shape-level aggregation)
+        mk({"queryId": 200, "windowMilliseconds": 10_000,
+            "frequencyMilliseconds": 0, "limit": 70}),
+        # a COUNT-sentinel W1 (null _value path through the fused pass)
+        mk({"queryId": 201, "windowMilliseconds": 20_000,
+            "frequencyMilliseconds": 0,
+            "aggregateFieldName": "COUNT_FLINK",
+            "aggregatorFunctionType": "SUM", "limitOperatorType": ">=",
+            "limit": 3}),
+    ]
+    df = events_df(spark)
+    got = canon(evaluate_rules_grouped(df, w1_rules))
+    want = canon(evaluate_rules(df, w1_rules))
+    assert got == want and len(got) > 0
+
+    # plan shape: one source scan, one Arrow (FlatMapGroupsInPandas)
+    pq = str(tmp_path / "w1events")
+    df.write.parquet(pq)
+    plan_df = evaluate_rules_grouped(spark.read.parquet(pq), w1_rules)
+    assert parquet_scan_count(plan_df) == 1
+    phys = plan_df._jdf.queryExecution().executedPlan().toString()
+    assert phys.count("FlatMapGroupsInPandas") == 1
+
+    # below the threshold the JVM RANGE path still runs (no Arrow stage)
+    few = w1_rules[: W1_FUSE_MIN_SIZES - 1]
+    plan_few = evaluate_rules_grouped(spark.read.parquet(pq), few)
+    assert "FlatMapGroupsInPandas" not in (
+        plan_few._jdf.queryExecution().executedPlan().toString()
+    )
+    assert canon(plan_few) == canon(evaluate_rules(spark.read.parquet(pq), few))
