@@ -104,6 +104,8 @@ _DRIVER_ROTATION = [
     "emb_quantized_int8_stats",
     "fuzzy_part_name_pairs",
     "pack_sequences_stats",
+    # new in round 4 (no prior driver row by construction)
+    "decontaminate_ngram_overlap",
 ]
 
 _STABLE_CORE = [

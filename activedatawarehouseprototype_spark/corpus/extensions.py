@@ -193,6 +193,83 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard")
 
 
+# --- Benchmark decontamination: containment of a benchmark doc's
+# n-grams in training docs (the pre-training leak check). Bench = every
+# 53rd doc; train = all docs (the full-copy leak, overlap 1.0) plus a
+# 12-token truncation of each bench doc (partial leak — flagged only
+# when it still covers >= half the bench doc's shingles). ---
+
+@register(
+    "decontaminate_ngram_overlap",
+    oracle=f"""
+WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 53 = 0),
+train AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id,
+         array_to_string(string_split(text, ' ')[1:12], ' ') AS text
+  FROM documents
+  WHERE doc_id % 53 = 0 AND len(string_split(text, ' ')) >= 15
+),
+tg_all AS (
+  SELECT doc_id, unnest(list_distinct(
+           list_transform(generate_series(1, len(string_split(text, ' ')) - {_NGRAM - 1}),
+             i -> {" || ' ' || ".join(f"string_split(text, ' ')[i+{j}]" for j in range(_NGRAM))})))
+         AS shingle
+  FROM train
+  WHERE len(string_split(text, ' ')) >= {_NGRAM}
+),
+hot AS (
+  SELECT shingle FROM (
+    SELECT shingle, COUNT(*) AS df_ FROM tg_all GROUP BY shingle
+  ) WHERE df_ > {_MAX_DOC_FREQ}
+),
+tg AS (SELECT * FROM tg_all WHERE shingle NOT IN (SELECT shingle FROM hot)),
+bg_all AS (
+  SELECT doc_id, unnest(list_distinct(
+           list_transform(generate_series(1, len(string_split(text, ' ')) - {_NGRAM - 1}),
+             i -> {" || ' ' || ".join(f"string_split(text, ' ')[i+{j}]" for j in range(_NGRAM))})))
+         AS shingle
+  FROM bench
+  WHERE len(string_split(text, ' ')) >= {_NGRAM}
+),
+bg AS (SELECT * FROM bg_all WHERE shingle NOT IN (SELECT shingle FROM hot)),
+bsz AS (SELECT doc_id, COUNT(*) AS n_bench FROM bg GROUP BY doc_id),
+inter AS (
+  SELECT t.doc_id AS train_id, b.doc_id AS bench_id, COUNT(*) AS n_inter
+  FROM tg t JOIN bg b USING (shingle)
+  GROUP BY 1, 2
+)
+SELECT CAST(train_id AS BIGINT) AS train_id,
+       CAST(bench_id AS BIGINT) AS bench_id,
+       CAST(n_inter AS BIGINT) AS n_inter,
+       CAST(bsz.n_bench AS BIGINT) AS n_bench,
+       CAST(n_inter AS DOUBLE) / CAST(bsz.n_bench AS DOUBLE) AS overlap
+FROM inter JOIN bsz ON bsz.doc_id = inter.bench_id
+WHERE CAST(n_inter AS DOUBLE) / CAST(bsz.n_bench AS DOUBLE) >= 0.5
+""",
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 53 == 0)
+    planted = bench.filter(F.size(F.split(F.col("text"), " ")) >= 15).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.array_join(F.slice(F.split(F.col("text"), " "), 1, 12), " ").alias(
+            "text"
+        ),
+    )
+    train = d.unionByName(planted)
+    return dedup.contamination_pairs(
+        train,
+        bench,
+        "doc_id",
+        "text",
+        n=_NGRAM,
+        threshold=0.5,
+        max_doc_freq=_MAX_DOC_FREQ,
+    )
+
+
 # --- MinHash + LSH candidate pairs (the 100 TB dedup path) ---
 
 

@@ -239,6 +239,63 @@ def fuzzy_pairs(
     )
 
 
+def contamination_pairs(
+    train_df: DataFrame,
+    bench_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Benchmark decontamination: flag (train_id, bench_id) pairs where
+    a training document contains >= ``threshold`` of a benchmark
+    document's distinct word n-grams — the standard n-gram-overlap
+    contamination check run before training so eval sets aren't leaked
+    into the corpus. CONTAINMENT (n_inter / n_bench), not Jaccard: a
+    train doc that embeds a whole benchmark item inside a larger page
+    must still score 1.0.
+
+    Plan: inverted-index join on the shingle (never all-pairs; the
+    bench side is small, AQE broadcasts it) → per-pair intersection
+    counts → divide by the bench doc's shingle count. ``max_doc_freq``
+    drops shingles whose TRAIN-side document frequency exceeds the cap
+    from BOTH sides including the denominator (hot boilerplate shingles
+    are the quadratic-pair blow-up AND carry no containment signal) —
+    same anti-skew contract as ``ngram_jaccard_pairs``. At 100 TB the
+    cost is one pass over train shingles + |matches|."""
+    tr = shingle_table(train_df, id_col, text_col, n).select(
+        F.col("sid").alias("train_id"), "shingle"
+    )
+    be = shingle_table(bench_df, id_col, text_col, n).select(
+        F.col("sid").alias("bench_id"), "shingle"
+    )
+    if max_doc_freq is not None:
+        hot = (
+            tr.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df_"))
+            .filter(F.col("df_") > max_doc_freq)
+            .select("shingle")
+        )
+        tr = tr.join(hot, "shingle", "left_anti")
+        be = be.join(hot, "shingle", "left_anti")
+    bsizes = be.groupBy("bench_id").agg(F.count(F.lit(1)).alias("n_bench"))
+    inter = (
+        tr.join(be, "shingle")
+        .groupBy("train_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(bsizes, "bench_id")
+        .withColumn(
+            "overlap",
+            F.col("n_inter").cast("double") / F.col("n_bench").cast("double"),
+        )
+        .filter(F.col("overlap") >= threshold)
+        .select("train_id", "bench_id", "n_inter", "n_bench", "overlap")
+    )
+
+
 def stream_exact_dedup(
     events: DataFrame,
     key_cols: list[str],

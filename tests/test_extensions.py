@@ -682,3 +682,34 @@ def test_cli_dedup_exact_mode_cluster_schema(spark, tmp_path):
     # doc 3 is unique → not emitted (consistent with minhash mode,
     # which only emits members of multi-doc components)
     assert got == {(1, 1), (2, 1), (4, 1)}
+
+
+def test_contamination_pairs_containment_semantics(spark):
+    """Decontamination is CONTAINMENT, not Jaccard: a train doc that
+    embeds a whole benchmark item inside a larger page scores 1.0; a
+    partial copy scores its covered fraction; unrelated text is absent."""
+    from activedatawarehouseprototype_spark.operators.dedup import (
+        contamination_pairs,
+    )
+
+    bench = spark.createDataFrame(
+        [(1, "q w e r t y u i")],  # 8 tokens -> 6 trigram shingles
+        "doc_id bigint, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (10, "PAGE HEader q w e r t y u i FOOTER text"),  # embeds all
+            (11, "q w e r t"),                                # 3 of 6 shingles
+            (12, "completely unrelated content here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r.train_id: (r.n_inter, r.n_bench, r.overlap)
+        for r in contamination_pairs(
+            train, bench, "doc_id", "text", n=3, threshold=0.5
+        ).collect()
+    }
+    assert got[10] == (6, 6, 1.0)
+    assert got[11] == (3, 6, 0.5)
+    assert 12 not in got
