@@ -25,6 +25,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
     DoubleType,
     LongType,
     StringType,
@@ -97,12 +99,106 @@ def byte_stats(df: DataFrame) -> DataFrame:
     return df.mapInPandas(batches, FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame", BinaryType()),
+        StructField("frame_len", LongType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame, frame_bytes: int = 4, stride: int = 2
+) -> DataFrame:
+    """Frame-sampling plumbing (the video-keyframe shape: ONE blob row
+    in → MANY frame rows out). The blob is treated as a dense sequence
+    of ``frame_bytes``-sized frames and every ``stride``-th frame is
+    emitted as its own binary row — with real codecs the chunking step
+    becomes the decoder's frame iterator, the fan-out/batching/schema
+    stay identical. Arrow-batched; output volume is
+    |blob| / (frame_bytes * stride) rows per input row, all computed
+    partition-local (no shuffle introduced by the sampling itself)."""
+    if frame_bytes <= 0 or stride <= 0:
+        raise ValueError("frame_bytes and stride must be positive")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids: list[int] = []
+            idxs: list[int] = []
+            frames: list[bytes] = []
+            for did, blob in zip(pdf["doc_id"], pdf["content"]):
+                b = bytes(blob)
+                n_frames = len(b) // frame_bytes
+                for k in range(0, n_frames, stride):
+                    ids.append(int(did))
+                    idxs.append(k)
+                    frames.append(b[k * frame_bytes : (k + 1) * frame_bytes])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame": pd.Series(frames, dtype="object"),
+                    "frame_len": pd.Series(
+                        [len(f) for f in frames], dtype="int64"
+                    ),
+                }
+            )
+
+    return df.mapInPandas(batches, FRAME_SCHEMA)
+
+
+EMBED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("feature", ArrayType(DoubleType())),
+    ]
+)
+
+
+def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
+    """Deterministic fixed-width feature vector per blob (the
+    embed-the-image shape: binary in → ``array<double>`` out). The fake
+    "model" is the L1-normalized byte histogram folded to ``dim``
+    buckets — deterministic so tests pin exact values; swap the body
+    for a real vision/audio encoder (ONNX/torch in a predict_batch
+    UDF), the Arrow batching and output schema are the contract. The
+    output column drops straight into the similarity operators
+    (``topk_brute_force`` / LSH / IVF), closing the multimodal → ANN
+    pipeline without leaving DataFrame land."""
+    if dim <= 0:
+        raise ValueError("dim must be positive")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            feats: list[list[float]] = []
+            for blob in pdf["content"]:
+                b = np.frombuffer(bytes(blob), dtype=np.uint8)
+                if b.size == 0:
+                    feats.append([0.0] * dim)
+                    continue
+                hist = np.bincount(b % dim, minlength=dim).astype(np.float64)
+                feats.append((hist / hist.sum()).tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "feature": pd.Series(feats, dtype="object"),
+                }
+            )
+
+    return df.mapInPandas(batches, EMBED_SCHEMA)
+
+
 def decode_image(df: DataFrame) -> DataFrame:
     """STUB: image decode requires codecs not present in this
     container. The signature and schema are the contract; swap the
     body for PIL/libvips in a real deployment."""
     raise NotImplementedError(
         "image decode needs an image codec library (e.g. PIL); "
-        "not available in this environment — byte_stats() demonstrates "
-        "the identical mapInPandas plumbing on raw bytes"
+        "not available in this environment — byte_stats(), "
+        "sample_frames() and extract_features() demonstrate the "
+        "identical mapInPandas plumbing on raw bytes"
     )

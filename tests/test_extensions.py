@@ -713,3 +713,51 @@ def test_contamination_pairs_containment_semantics(spark):
     assert got[10] == (6, 6, 1.0)
     assert got[11] == (3, 6, 0.5)
     assert 12 not in got
+
+
+def test_multimodal_frame_sampling_and_features(spark):
+    """Frame-sampling (1 blob row -> N frame rows) and fixed-width
+    feature extraction over binary blobs: schema contract, exact
+    deterministic values, and the multimodal -> ANN integration."""
+    import hashlib
+
+    from pyspark.sql import functions as F2
+
+    from activedatawarehouseprototype_spark.operators import multimodal, similarity
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "alpha beta")],
+        "doc_id bigint, text string",
+    )
+    blobs = multimodal.attach_blobs(docs)  # 16-byte md5 digests
+
+    # frames: 16 bytes / frame_bytes=4 -> 4 frames; stride 2 -> idx 0, 2
+    frames = multimodal.sample_frames(blobs, frame_bytes=4, stride=2)
+    rows = frames.collect()
+    assert {(r.doc_id, r.frame_idx) for r in rows} == {
+        (d, k) for d in (1, 2, 3) for k in (0, 2)
+    }
+    digest = hashlib.md5("alpha beta".encode()).digest()
+    by_key = {(r.doc_id, r.frame_idx): bytes(r.frame) for r in rows}
+    assert by_key[(1, 0)] == digest[0:4]
+    assert by_key[(1, 2)] == digest[8:12]
+    assert all(r.frame_len == 4 for r in rows)
+
+    # features: L1-normalized folded byte histogram, deterministic
+    feats = multimodal.extract_features(blobs, dim=8)
+    frows = {r.doc_id: r.feature for r in feats.collect()}
+    assert all(abs(sum(v) - 1.0) < 1e-12 for v in frows.values())
+    assert frows[1] == frows[3]  # same text -> same blob -> same feature
+    assert frows[1] != frows[2]
+
+    # integration: the feature column drives the ANN brute-force top-k
+    emb = feats.select(
+        F2.col("doc_id").alias("vec_id"), F2.col("feature").alias("embedding")
+    )
+    top = similarity.topk_brute_force(emb, frows[1], k=2, exclude_id=1).collect()
+    assert [r.vec_id for r in top] == [3, 2]  # identical blob first
+
+    with pytest.raises(ValueError):
+        multimodal.sample_frames(blobs, frame_bytes=0)
+    with pytest.raises(ValueError):
+        multimodal.extract_features(blobs, dim=0)
