@@ -840,8 +840,8 @@ WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 seeds AS (SELECT vec_id AS sid, v AS sv FROM e ORDER BY vec_id LIMIT 16),
 dists AS (
   SELECT e.vec_id, s.sid,
-         ROUND(list_sum(list_transform(range(1, 65),
-             d -> (e.v[d] - s.sv[d]) * (e.v[d] - s.sv[d]))), 12) AS dist
+         CAST(FLOOR(list_sum(list_transform(range(1, 65),
+             d -> (e.v[d] - s.sv[d]) * (e.v[d] - s.sv[d]))) * 1e12) AS BIGINT) AS dist
   FROM e, seeds s
 ),
 cells AS (
@@ -936,8 +936,8 @@ WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 seeds AS (SELECT vec_id AS sid, v AS sv FROM e ORDER BY vec_id LIMIT 16),
 dists AS (
   SELECT e.vec_id, s.sid,
-         ROUND(list_sum(list_transform(range(1, 65),
-             d -> (e.v[d] - s.sv[d]) * (e.v[d] - s.sv[d]))), 12) AS dist
+         CAST(FLOOR(list_sum(list_transform(range(1, 65),
+             d -> (e.v[d] - s.sv[d]) * (e.v[d] - s.sv[d]))) * 1e12) AS BIGINT) AS dist
   FROM e, seeds s
 ),
 cells AS (

@@ -361,7 +361,7 @@ def connected_components(
     )
     converged = False
     try:
-        for _ in range(max_iter):
+        for it in range(max_iter):
             neighbor_min = (
                 edges.join(
                     labels.select(
@@ -372,28 +372,34 @@ def connected_components(
                 .groupBy(F.col("a").alias("id"))
                 .agg(F.min("bcomp").alias("ncomp"))
             )
-            # pointer doubling: also look up the label OF the current
-            # label, so label chains halve every round (O(log diameter))
-            label_of_label = labels.select(
-                F.col("id").alias("comp"), F.col("comp").alias("ccomp")
-            )
+            stepped = labels.join(neighbor_min, "id", "left")
+            if it > 0:
+                # pointer doubling: also look up the label OF the
+                # current label, so label chains halve every round
+                # (O(log diameter)). Skipped in iteration 0, where
+                # labels are still the identity map and the lookup is
+                # a no-op join.
+                label_of_label = labels.select(
+                    F.col("id").alias("comp"), F.col("comp").alias("ccomp")
+                )
+                stepped = stepped.join(label_of_label, "comp", "left")
+                new_comp = F.least(
+                    F.col("comp"),
+                    F.coalesce("ncomp", F.col("comp")),
+                    F.coalesce("ccomp", F.col("comp")),
+                )
+            else:
+                new_comp = F.least(
+                    F.col("comp"), F.coalesce("ncomp", F.col("comp"))
+                )
             # carry the previous label through the checkpoint so the
             # convergence check is a filter over the materialized frame,
             # not another join per iteration
-            stepped = (
-                labels.join(neighbor_min, "id", "left")
-                .join(label_of_label, "comp", "left")
-                .select(
-                    "id",
-                    F.least(
-                        F.col("comp"),
-                        F.coalesce("ncomp", F.col("comp")),
-                        F.coalesce("ccomp", F.col("comp")),
-                    ).alias("comp"),
-                    F.col("comp").alias("prev"),
-                )
-                .localCheckpoint()
-            )
+            stepped = stepped.select(
+                "id",
+                new_comp.alias("comp"),
+                F.col("comp").alias("prev"),
+            ).localCheckpoint()
             changed = stepped.filter(F.col("comp") != F.col("prev")).count()
             labels = stepped.drop("prev")
             if changed == 0:

@@ -289,18 +289,23 @@ def ivf_kmeans_centroids(
 def _ivf_sorted_cells(vec_col: Column, seeds) -> Column:
     """Array of struct(dist, sid), ascending — centroids broadcast as
     literals into one codegen projection; lexicographic struct ordering
-    == (min dist, then min centroid id). The distance is ROUNDED to 12
-    digits before ordering (matching ROUND(..., 12) in the DuckDB
-    oracles): a last-ulp disagreement between Spark's sequential fold
-    and the oracle's list_sum on a near-tie between two centroids would
-    otherwise flip the cell assignment (round-3 ADVICE; scores were
-    already rounded, assignment was not)."""
+    == (min dist, then min centroid id). The distance is QUANTIZED to
+    1e-12 (``floor(dist * 1e12)``) before ordering, matching
+    ``FLOOR(... * 1e12)`` in the DuckDB oracles: a last-ulp
+    disagreement between Spark's sequential fold and the oracle's
+    list_sum on a near-tie between two centroids would otherwise flip
+    the cell assignment (round-3 ADVICE; scores were already rounded,
+    assignment was not). Multiply-floor rather than ROUND because the
+    two engines round decimals differently (Spark: BigDecimal HALF_UP;
+    DuckDB: binary) while multiply+floor is the same IEEE ops on both —
+    and it stays integer math inside codegen instead of a per-value
+    BigDecimal conversion (~15% of the query wall at sf0.1)."""
     v = as_double_array(vec_col)
     pairs = [
         F.struct(
-            F.round(
-                sq_dist(v, F.array(*[F.lit(x) for x in sv])), 12
-            ).alias("dist"),
+            F.floor(
+                sq_dist(v, F.array(*[F.lit(x) for x in sv])) * F.lit(1e12)
+            ).cast("bigint").alias("dist"),
             F.lit(sid).cast("bigint").alias("sid"),
         )
         for sid, sv in seeds
