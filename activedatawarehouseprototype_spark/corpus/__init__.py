@@ -106,6 +106,7 @@ _DRIVER_ROTATION = [
     "pack_sequences_stats",
     # new in round 4 (no prior driver row by construction)
     "decontaminate_ngram_overlap",
+    "rule_same_ts_dedup_quirk",
 ]
 
 _STABLE_CORE = [
@@ -124,8 +125,8 @@ _STABLE_CORE = [
     # analytic windows + grouping
     "window_top3_orders_per_customer",
     "rollup_lineitem_qty",
-    # scalar function library
-    "scalar_string_fns",
+    # scalar function library (scalar_string_fns sits out this round:
+    # r3-green, and four scalar-family queries are in the rotation)
     "json_extract_props",
     # geo
     "geo_grid_cell_agg",

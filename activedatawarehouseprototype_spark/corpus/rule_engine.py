@@ -375,3 +375,57 @@ def rule_fanout_match_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _events(spark, sf_dir)
     keyed = fan_out(events, rules_to_df(spark, FANOUT_RULES))
     return keyed.groupBy("query_id", "key").agg(F.count(F.lit(1)).alias("n"))
+
+
+# --- A7 same-timestamp dedup quirk (opt-in): the reference's per-key
+# state is a HashSet per millisecond, so value-equal events at the same
+# timestamp collapse before aggregation (common/utils/ProcessUtils.java
+# :16-25, lombok @Data equals on SHCarRide). Exercised by re-delivering
+# a deterministic slice of the events table: with dedup_same_ts=True
+# the duplicates count ONCE; the oracle applies SELECT DISTINCT * as
+# the pre-pass. ---
+
+RULE_SAME_TS_DEDUP = Rule.from_dict(
+    {
+        "queryId": 151,
+        "queryState": "ACTIVE",
+        "windowFilterRules": [
+            {"field": "event_type", "operator": "=", "value": "click"}
+        ],
+        "groupingKeyNames": ["user_id"],
+        "aggregateFieldName": "COUNT_FLINK",
+        "aggregatorFunctionType": "SUM",
+        "limitOperatorType": ">=",
+        "limit": 3,
+        "windowMilliseconds": 6 * HOUR_MS,
+    }
+)
+
+
+@register(
+    "rule_same_ts_dedup_quirk",
+    oracle=f"""
+WITH corpus AS (
+  SELECT * FROM events
+  UNION ALL
+  SELECT * FROM events WHERE user_id % 7 = 0
+), d AS (
+  SELECT DISTINCT * FROM corpus WHERE event_type = 'click'
+)
+SELECT CAST(151 AS BIGINT) AS query_id,
+       '{{user_id=' || CAST(user_id AS VARCHAR) || '}}' AS key,
+       (epoch_ms(ts) // {6 * HOUR_MS}) * {6 * HOUR_MS} AS window_start_ms,
+       (epoch_ms(ts) // {6 * HOUR_MS}) * {6 * HOUR_MS} + {6 * HOUR_MS} AS window_end_ms,
+       CAST(COUNT(*) AS DOUBLE) AS agg_value,
+       COUNT(*) >= 3 AS fired
+FROM d
+GROUP BY user_id, window_start_ms
+""",
+)
+def rule_same_ts_dedup_quirk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    corpus = e.unionByName(e.filter(F.col("user_id") % 7 == 0))
+    return _project_eval(
+        evaluate_rule(corpus, RULE_SAME_TS_DEDUP, dedup_same_ts=True),
+        round_agg=None,
+    )
