@@ -11,6 +11,9 @@
     python -m activedatawarehouseprototype_spark.cli dedup \
         --input /data/docs.parquet --output /data/clusters [--mode minhash]
 
+    python -m activedatawarehouseprototype_spark.cli decontaminate \
+        --train /data/docs.parquet --bench /data/eval.parquet --output /data/contam
+
     python -m activedatawarehouseprototype_spark.cli sample \
         --input /data/docs.parquet --output /data/splits --key doc_id
 
@@ -19,7 +22,8 @@ table (batch). ``run`` starts the active pipeline: streaming parquet
 events, rules registered by dropping JSON files into --rules-dir,
 alerts appended under --work-dir/alerts. ``sql`` prints the rule's
 generated ANSI-SQL twin. ``dedup`` writes near-dup clusters (exact |
-minhash modes); ``sample`` writes deterministic hash-based
+minhash modes); ``decontaminate`` writes the benchmark-contamination
+pairs table; ``sample`` writes deterministic hash-based
 train/val/test split assignments. This mirrors the reference's
 operational surface (Kafka topic + file sources) on files, plus the
 curation operators.
@@ -67,6 +71,21 @@ def _build_parser() -> argparse.ArgumentParser:
     pd_.add_argument("--mode", choices=["exact", "minhash"], default="minhash")
     pd_.add_argument("--k", type=int, default=12, help="minhash functions")
     pd_.add_argument("--bands", type=int, default=3)
+
+    pc = sub.add_parser(
+        "decontaminate",
+        help="flag training docs containing a benchmark doc's n-grams",
+    )
+    pc.add_argument("--train", required=True, help="training-docs parquet path")
+    pc.add_argument("--bench", required=True, help="benchmark-docs parquet path")
+    pc.add_argument("--output", required=True, help="output parquet path")
+    pc.add_argument("--id-col", default="doc_id")
+    pc.add_argument("--text-col", default="text")
+    pc.add_argument("--n", type=int, default=5, help="n-gram size")
+    pc.add_argument("--threshold", type=float, default=0.5,
+                    help="min fraction of bench n-grams contained")
+    pc.add_argument("--max-doc-freq", type=int, default=None,
+                    help="drop shingles in more than this many train docs")
 
     pm = sub.add_parser(
         "sample", help="write deterministic train/val/test split assignments"
@@ -157,6 +176,23 @@ def main(argv: list[str] | None = None) -> int:
             )
         out.write.mode("overwrite").parquet(args.output)
         print(f"{out.count()} rows -> {args.output}", file=sys.stderr)
+        return 0
+
+    if args.cmd == "decontaminate":
+        from activedatawarehouseprototype_spark.catalog import load_parquet
+        from activedatawarehouseprototype_spark.operators import dedup
+
+        out = dedup.contamination_pairs(
+            load_parquet(spark, args.train),
+            load_parquet(spark, args.bench),
+            args.id_col,
+            args.text_col,
+            n=args.n,
+            threshold=args.threshold,
+            max_doc_freq=args.max_doc_freq,
+        )
+        out.write.mode("overwrite").parquet(args.output)
+        print(f"{out.count()} contaminated pairs -> {args.output}", file=sys.stderr)
         return 0
 
     if args.cmd == "sample":

@@ -761,3 +761,28 @@ def test_multimodal_frame_sampling_and_features(spark):
         multimodal.sample_frames(blobs, frame_bytes=0)
     with pytest.raises(ValueError):
         multimodal.extract_features(blobs, dim=0)
+
+
+def test_cli_decontaminate_subcommand(spark, tmp_path):
+    """`decontaminate` CLI writes the (train_id, bench_id, n_inter,
+    n_bench, overlap) contamination table."""
+    from activedatawarehouseprototype_spark.cli import main
+
+    bench = spark.createDataFrame(
+        [(1, "q w e r t y u i")], "doc_id bigint, text string"
+    )
+    train = spark.createDataFrame(
+        [(10, "header q w e r t y u i footer"), (11, "unrelated stuff here")],
+        "doc_id bigint, text string",
+    )
+    bpath, tpath = str(tmp_path / "bench"), str(tmp_path / "train")
+    bench.write.parquet(bpath)
+    train.write.parquet(tpath)
+    out = str(tmp_path / "contam")
+    assert main([
+        "decontaminate", "--train", tpath, "--bench", bpath,
+        "--output", out, "--n", "3",
+    ]) == 0
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1
+    assert (rows[0].train_id, rows[0].bench_id, rows[0].overlap) == (10, 1, 1.0)
