@@ -1112,6 +1112,45 @@ def test_rule_lifecycle_concurrency_soak(spark, tmp_path):
     assert fired and all(r.key == "{carId=1}" for r in fired)
 
 
+def test_pipeline_many_w1_sizes_fused_path(spark, pipeline):
+    """E2E through the active loop with 10 W1 rules over 6 distinct
+    window sizes (>= W1_FUSE_MIN_SIZES → the fused Arrow path inside
+    evaluate_rules_grouped): per-event emission, the watermark gate and
+    values must match the per-rule batch recompute exactly-once."""
+    reg = pipeline.registry
+    sizes = [5_000, 10_000, 20_000, 30_000, 45_000, 60_000]
+    for i, w in enumerate(sizes + sizes[:4]):
+        reg.apply_json(json.dumps({
+            "queryId": 600 + i, "queryState": "ACTIVE", "lastTime": -1,
+            "windowMilliseconds": w, "frequencyMilliseconds": 0,
+            "groupingKeyNames": ["carId"], "windowFilterRules": [],
+            "aggregatorFunctionType": ["AVG", "SUM", "MAX", "MIN"][i % 4],
+            "limitOperatorType": ">", "limit": 60,
+            "aggregateFieldName": "speed",
+        }))
+    rows1 = [(c, s, float((c * 7 + s * 13) % 90)) for c in (1, 2) for s in (0, 5, 20)]
+    rows2 = [(c, s, float((c * 11 + s * 3) % 90)) for c in (1, 2) for s in (40, 65)]
+    pipeline.process_batch(car_df(spark, rows1), 0)
+    pipeline.process_batch(car_df(spark, rows2), 1)
+
+    all_events = car_df(spark, rows1 + rows2)
+    emitted = pipeline.evaluations().collect()
+    keys = [(r.query_id, r.key, r.window_end) for r in emitted]
+    assert len(keys) == len(set(keys))  # exactly-once across batches
+    assert len(emitted) == 10 * len(rows1 + rows2)  # every rule, every event
+    for qid in range(600, 610):
+        want = {
+            (r.key, r.window_end): (round(r.agg_value, 9), r.fired)
+            for r in evaluate_rule(all_events, reg.rules[qid]).collect()
+        }
+        got = {
+            (r.key, r.window_end): (round(r.agg_value, 9), r.fired)
+            for r in emitted
+            if r.query_id == qid
+        }
+        assert got == want, qid
+
+
 def test_latency_side_output_and_metric(spark, tmp_path):
     """K3: per-event latency_ms side-output + observed batch metric
     (DynamicQueryFunction.java:81 parity)."""
