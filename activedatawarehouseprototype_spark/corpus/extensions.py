@@ -270,6 +270,97 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Winnowing (rolling-hash) fingerprint overlap: the MOSS local-
+# fingerprinting family. Plant a PARTIAL copy (first 14 tokens of every
+# 103rd doc + a junk tail) — whole-doc hashing misses it, but the
+# shared 14-token run (>= w + k - 1 = 8) guarantees shared winnowed
+# fingerprints. The oracle recomputes k-gram md5s, window-mins and the
+# df-cap independently in DuckDB list SQL. ---
+
+_WINNOW_W = 4  # window size over the k-gram hash sequence (k = _NGRAM)
+
+_5GRAM_MD5 = "md5(" + " || ' ' || ".join(
+    f"string_split(text, ' ')[i+{j}]" for j in range(1, _NGRAM + 1)
+) + ")"
+
+
+@register(
+    "dedup_winnow_overlap",
+    oracle=f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 3000000 AS doc_id,
+         array_to_string(string_split(text, ' ')[1:14], ' ')
+           || ' qq1 qq2 qq3 qq4 qq5 qq6' AS text
+  FROM documents
+  WHERE doc_id % 103 = 0 AND len(string_split(text, ' ')) >= 20
+),
+h AS (
+  SELECT doc_id,
+         CASE WHEN len(string_split(text, ' ')) < {_NGRAM} THEN []
+              ELSE list_transform(
+                  range(0, len(string_split(text, ' ')) - {_NGRAM - 1}),
+                  i -> {_5GRAM_MD5})
+         END AS hs
+  FROM corpus
+),
+fp_arr AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) <= 0 THEN []
+              WHEN len(hs) < {_WINNOW_W} THEN [list_min(hs)]
+              ELSE list_distinct(list_transform(
+                  range(1, len(hs) - {_WINNOW_W - 2}),
+                  i -> list_min(hs[i : i + {_WINNOW_W - 1}])))
+         END AS fps
+  FROM h
+),
+fps_all AS (SELECT doc_id, unnest(fps) AS fp FROM fp_arr),
+hot AS (
+  SELECT fp FROM (SELECT fp, COUNT(*) AS df_ FROM fps_all GROUP BY fp)
+  WHERE df_ > {_MAX_DOC_FREQ}
+),
+fps AS (SELECT * FROM fps_all WHERE fp NOT IN (SELECT fp FROM hot)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM fps GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT CAST(id_a AS BIGINT) AS id_a,
+       CAST(id_b AS BIGINT) AS id_b,
+       CAST(n_shared AS BIGINT) AS n_shared,
+       CAST(sa.n AS BIGINT) AS n_a,
+       CAST(sb.n AS BIGINT) AS n_b,
+       CAST(n_shared AS DOUBLE) / CAST(LEAST(sa.n, sb.n) AS DOUBLE) AS containment
+FROM shared
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_shared AS DOUBLE) / CAST(LEAST(sa.n, sb.n) AS DOUBLE) >= 0.3
+""",
+)
+def dedup_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    planted = d.filter(
+        (F.col("doc_id") % 103 == 0) & (F.size(F.split("text", " ")) >= 20)
+    ).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.concat(
+            F.array_join(F.slice(F.split("text", " "), 1, 14), " "),
+            F.lit(" qq1 qq2 qq3 qq4 qq5 qq6"),
+        ).alias("text"),
+    )
+    return dedup.winnow_overlap_pairs(
+        d.unionByName(planted),
+        "doc_id",
+        "text",
+        k=_NGRAM,
+        w=_WINNOW_W,
+        threshold=0.3,
+        max_doc_freq=_MAX_DOC_FREQ,
+    )
+
+
 # --- MinHash + LSH candidate pairs (the 100 TB dedup path) ---
 
 

@@ -127,6 +127,88 @@ def ngram_jaccard_pairs(
     )
 
 
+def winnow_fingerprint_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    w: int = 4,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """(id, fp) inverted-index table of winnowed fingerprints
+    (text.winnow_fingerprints): each document contributes ~2/(w+1) of
+    its k-gram hashes, so the index is a fraction of the full shingle
+    table's size — the winnowing scale advantage. Same explicit
+    repartition + df-cap discipline as ``shingle_table`` (explode
+    amplifies CPU far beyond the scan's parallelism; hot fingerprints
+    are the quadratic pair blow-up)."""
+    from activedatawarehouseprototype_spark.operators.text import (
+        winnow_fingerprints,
+    )
+
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    fps = (
+        df.repartition(n_parts)
+        .select(
+            F.col(id_col).alias("sid"),
+            winnow_fingerprints(text_col, k, w).alias("fps"),
+        )
+        .select("sid", F.explode("fps").alias("fp"))
+    )
+    if max_doc_freq is not None:
+        df_counts = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df_"))
+        fps = fps.join(df_counts.filter(F.col("df_") <= max_doc_freq), "fp").select(
+            "sid", "fp"
+        )
+    return fps
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    w: int = 4,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Partial-overlap pairs by shared winnowed fingerprints: the
+    rolling-hash dedup family (plagiarism / quote / near-copy
+    detection). Two documents sharing any token run >= w + k - 1 long
+    share a fingerprint, so candidate generation is an equi-join on the
+    (small) fingerprint index — never all-pairs, and cheaper than the
+    full-shingle Jaccard join by the winnowing density factor.
+
+    ``containment`` = shared / min(|A|, |B|): a short document copied
+    into a long one scores ~1.0 (Jaccard would dilute it toward 0 —
+    the reason containment is the contamination metric of choice).
+    """
+    fps = winnow_fingerprint_table(df, id_col, text_col, k, w, max_doc_freq)
+    sizes = fps.groupBy("sid").agg(F.count(F.lit(1)).alias("n_fps"))
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    fps_spread = fps.repartition(n_parts, "fp")
+    a = fps_spread.alias("a")
+    b = fps_spread.alias("b")
+    shared = (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.sid") < F.col("b.sid")))
+        .groupBy(F.col("a.sid").alias("id_a"), F.col("b.sid").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("sid").alias("id_a"), F.col("n_fps").alias("n_a"))
+    sb = sizes.select(F.col("sid").alias("id_b"), F.col("n_fps").alias("n_b"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "containment",
+            F.col("n_shared").cast("double")
+            / F.least("n_a", "n_b").cast("double"),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "n_shared", "n_a", "n_b", "containment")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,

@@ -122,6 +122,43 @@ def filter_reason(
     )
 
 
+def kgram_hashes(text_col: str, k: int = 5) -> Column:
+    """md5 of every word k-gram, in document order — the rolling hash
+    sequence winnowing selects from. (md5-of-string is the repo's
+    engine-portable hash: DuckDB's md5(varchar) matches Spark's
+    md5(cast as binary) byte for byte.)"""
+    return F.transform(word_ngrams(text_col, k), lambda g: F.md5(g.cast("binary")))
+
+
+def winnow_fingerprints(text_col: str, k: int = 5, w: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS local-fingerprinting algorithm) as one pure
+    Column expression: hash every word k-gram, slide a w-hash window,
+    keep each window's MINIMUM hash, return the sorted distinct
+    selections.
+
+    Guarantee: any shared token run of length >= w + k - 1 between two
+    documents puts at least one IDENTICAL fingerprint in both sets — so
+    a fingerprint equi-join finds PARTIAL overlap that whole-document
+    hashing (``fingerprint``) misses — while keeping only ~2/(w+1) of
+    the k-gram hashes, which is what keeps the inverted fingerprint
+    index tractable at 100 TB (vs indexing every shingle).
+
+    Edge contract (mirrored in the SQL twin): < k tokens → empty set;
+    fewer hashes than one window → the single global minimum.
+    """
+    h = kgram_hashes(text_col, k)
+    mins = F.transform(
+        F.sequence(F.lit(1), F.size(h) - F.lit(w - 1)),
+        lambda i: F.array_min(F.slice(h, i, w)),
+    )
+    return (
+        F.when(F.size(h) <= 0, F.array().cast("array<string>"))
+        .when(F.size(h) < w, F.array(F.array_min(h)))
+        .otherwise(F.array_sort(F.array_distinct(mins)))
+    )
+
+
 def word_ngrams(text_col: str, n: int = 3) -> Column:
     """Word n-gram shingles as an array<string> (basis for Jaccard /
     MinHash dedup). Pure SQL expression over a named column — no UDF,
