@@ -791,6 +791,37 @@ def pack_sequences_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Overlapping context-window chunking (docs → stride-overlapped
+# token chunks, the other half of context shaping next to packing).
+# Chunk 32 / overlap 8 → stride 24; the oracle recomputes chunk count,
+# offsets, and the chunk text itself via lateral unnest. ---
+
+
+@register(
+    "chunk_documents_tokens",
+    oracle="""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+n AS (
+  SELECT doc_id, t, len(t) AS n_tok,
+         CASE WHEN len(t) <= 32 THEN 1
+              ELSE (len(t) - 32 + 23) // 24 + 1 END AS nc
+  FROM d WHERE len(t) > 0
+)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_idx,
+       array_to_string(t[i*24 + 1 : i*24 + 32], ' ') AS chunk_text,
+       CAST(LEAST(32, n_tok - i*24) AS BIGINT) AS n_tokens
+FROM n, UNNEST(range(0, nc)) AS u(i)
+""",
+)
+def chunk_documents_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from activedatawarehouseprototype_spark.operators import packing
+
+    return packing.chunk_documents(
+        _docs(spark, sf_dir), "doc_id", "text", chunk_tokens=32, overlap=8
+    )
+
+
 # --- Reason-coded quality filter (curation gate): the first failing
 # rule names the drop reason; the CASE priority order is the contract,
 # repeated verbatim in the oracle. ---
@@ -831,6 +862,72 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(F.length("text")).cast("bigint").alias("total_chars"),
         )
+    )
+
+
+# --- PII redaction (privacy scrub before data leaves curation):
+# planted emails / IPv4s / phone tokens are replaced by typed tags and
+# counted. PII_PATTERNS is the single source of truth — the oracle SQL
+# interpolates the same regexes (ASCII \b and \d behave identically in
+# Java regex and RE2) and replays the same replace order with 'g'. ---
+
+_PII_PLANT = """
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' contact u' || CAST(doc_id AS VARCHAR)
+                      || '@ex.com from 10.0.' || CAST(doc_id % 250 AS VARCHAR) || '.7'
+                 ELSE '' END
+         || CASE WHEN doc_id % 13 = 0 THEN ' call 555-867-5309' ELSE '' END AS text
+  FROM documents
+"""
+
+_PII_REDACT_SQL = "text"
+for _name, _pat, _repl in T.PII_PATTERNS:
+    _PII_REDACT_SQL = (
+        f"regexp_replace({_PII_REDACT_SQL}, '{_pat}', '{_repl}', 'g')"
+    )
+
+_PII_COUNT_SQL = ", ".join(
+    f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
+    for name, pat, _ in T.PII_PATTERNS
+)
+
+
+@register(
+    "pii_redaction_scrub",
+    oracle=f"""
+WITH corpus AS ({_PII_PLANT})
+SELECT doc_id,
+       {_PII_REDACT_SQL} AS redacted,
+       {_PII_COUNT_SQL}
+FROM corpus
+""",
+)
+def pii_redaction_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact u"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@ex.com from 10.0."),
+                    (F.col("doc_id") % 250).cast("string"),
+                    F.lit(".7"),
+                ),
+            ).otherwise(""),
+            F.when(F.col("doc_id") % 13 == 0, " call 555-867-5309").otherwise(
+                ""
+            ),
+        ).alias("text"),
+    )
+    return d.select(
+        "doc_id",
+        T.redact_pii(F.col("text")).alias("redacted"),
+        *T.pii_counts(F.col("text")),
     )
 
 
@@ -915,6 +1012,64 @@ def ann_lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("score"),
     )
     return scored.orderBy(F.col("score").desc(), F.col("vec_id").asc()).limit(5)
+
+
+# --- Embedding-cosine near-dup (semantic dedup): sign-LSH bucket
+# restriction + thresholded cosine. Planted: scaled copies (x*1.5 —
+# same bucket BY CONSTRUCTION since plane sums scale positively,
+# cosine 1.0) and additively perturbed copies (x+0.02 — near-dup that
+# may straddle a plane; whatever bucket it lands in, the oracle
+# recomputes the identical assignment). ---
+
+
+@register(
+    "emb_near_dup_pairs",
+    oracle="""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.5) AS v
+  FROM embeddings WHERE vec_id % 11 = 0
+  UNION ALL
+  SELECT vec_id + 2000000 AS vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.02) AS v
+  FROM embeddings WHERE vec_id % 17 = 0
+),
+b AS (
+  SELECT vec_id, v,
+         array_to_string(list_transform(range(0, 8), p ->
+           CASE WHEN list_sum(list_transform(range(1, 65), d ->
+                  v[d] * (CASE WHEN substr(md5(concat(p, ':', d)), 1, 1) >= '8'
+                          THEN 1.0 ELSE -1.0 END))) > 0
+           THEN '1' ELSE '0' END), '') AS bucket
+  FROM base
+)
+SELECT CAST(a.vec_id AS BIGINT) AS id_a,
+       CAST(bb.vec_id AS BIGINT) AS id_b,
+       a.bucket AS bucket,
+       ROUND(list_cosine_similarity(a.v, bb.v), 6) AS score
+FROM b a
+JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+WHERE ROUND(list_cosine_similarity(a.v, bb.v), 6) >= 0.95
+""",
+)
+def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir).select(
+        "vec_id", similarity.as_double_array(F.col("embedding")).alias("v")
+    )
+    scaled = e.filter(F.col("vec_id") % 11 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("v", lambda x: x * F.lit(1.5)).alias("v"),
+    )
+    shifted = e.filter(F.col("vec_id") % 17 == 0).select(
+        (F.col("vec_id") + 2000000).alias("vec_id"),
+        F.transform("v", lambda x: x + F.lit(0.02)).alias("v"),
+    )
+    base = e.unionByName(scaled).unionByName(shifted)
+    return similarity.embedding_near_dup_pairs(
+        base, "vec_id", "v", n_planes=8, dim=64, threshold=0.95
+    )
 
 
 # --- IVF-flat ANN (the second scale path next to the LSH buckets):

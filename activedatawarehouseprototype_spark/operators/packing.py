@@ -39,6 +39,68 @@ def shard_of(id_col: str, n_shards: int = 16, salt: str = "pack") -> Column:
     return F.pmod(F.conv(hex2, 16, 10).cast("int"), F.lit(n_shards))
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    context-window shaping step of a training/RAG pipeline (long docs
+    become stride-overlapped chunks so no span is lost at a boundary).
+
+    Chunk i covers tokens [i*stride, i*stride + chunk_tokens) with
+    stride = chunk_tokens - overlap; the last chunk may be short; a
+    document that fits in one window yields exactly one chunk. All
+    integer arithmetic + one explode — no UDFs, no shuffle (chunking
+    is embarrassingly parallel per document), so it runs scan-local at
+    any scale. Output: (id, chunk_idx, chunk_text, n_tokens).
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"need 0 <= overlap < chunk_tokens, got {overlap} / {chunk_tokens}"
+        )
+    stride = chunk_tokens - overlap
+    toks = F.split(F.col(text_col), " ")
+    n_tok = F.size(toks)
+    # ceil((L - chunk) / stride) + 1 in pure integer math
+    n_chunks = F.when(n_tok <= chunk_tokens, F.lit(1)).otherwise(
+        F.floor(
+            (n_tok - F.lit(chunk_tokens) + F.lit(stride - 1)) / F.lit(stride)
+        ).cast("bigint")
+        + F.lit(1)
+    )
+    start = F.col("chunk_idx") * stride  # 0-based token offset
+    return (
+        df.filter(n_tok > 0)
+        .select(
+            F.col(id_col),
+            toks.alias("_toks"),
+            n_tok.alias("_n_tok"),
+            n_chunks.alias("_n_chunks"),
+        )
+        .select(
+            id_col,
+            "_toks",
+            "_n_tok",
+            F.explode(F.sequence(F.lit(0), F.col("_n_chunks") - 1)).alias(
+                "chunk_idx"
+            ),
+        )
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            F.array_join(
+                F.slice(F.col("_toks"), start + 1, chunk_tokens), " "
+            ).alias("chunk_text"),
+            F.least(F.lit(chunk_tokens), F.col("_n_tok") - start)
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     capacity: int,

@@ -393,6 +393,50 @@ def quantize_int8(vec: Column) -> Column:
     return F.struct(scale.alias("scale"), q.alias("q"))
 
 
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the semantic-dedup
+    family (exact/minhash dedup misses paraphrases; embeddings catch
+    them). Candidates are restricted to a shared sign-LSH bucket
+    (deterministic hyperplanes, no stored model), then scored by
+    cosine and thresholded.
+
+    Scale shape: the self-join key is the bucket, so pair generation
+    is Σ_b |bucket_b|² — never |corpus|²; raise ``n_planes`` as the
+    corpus grows to keep buckets bounded (each plane halves expected
+    bucket size). Cost of that restriction is recall at bucket
+    boundaries; near-dups at cosine >= 0.95 flip few plane signs, and
+    the multi-probe expansion (``lsh_probe_buckets``) is the recall
+    knob if needed. Scores round to 6 (engine-stable ordering rule).
+    """
+    b = df.select(
+        F.col(id_col),
+        as_double_array(F.col(vec_col)).alias("_v"),
+        random_hyperplane_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
+    )
+    a, c = b.alias("a"), b.alias("b")
+    return (
+        a.join(
+            c,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.bucket").alias("bucket"),
+            F.round(cosine(F.col("a._v"), F.col("b._v")), 6).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )
+
+
 def blocked_pairs_cosine(
     df: DataFrame,
     block_col: str,

@@ -122,6 +122,38 @@ def filter_reason(
     )
 
 
+# PII scrub patterns (public-format regexes, ASCII word boundaries —
+# valid in both Java regex (Spark) and RE2 (DuckDB), which is the
+# portability contract that lets the oracle re-run the scrub verbatim).
+# Order is part of the contract: email first (an email contains no IP /
+# phone match, but scrubbing it first keeps the rule unambiguous).
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "[PHONE]"),
+)
+
+
+def pii_counts(text: Column) -> list[Column]:
+    """Per-pattern match counts (before redaction), one bigint column
+    per PII_PATTERNS entry, aliased n_<name>."""
+    return [
+        F.regexp_count(text, F.lit(pat)).cast("bigint").alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+
+
+def redact_pii(text: Column) -> Column:
+    """Scrub emails / IPv4s / phone-shaped tokens to typed placeholder
+    tags — the privacy pass every training-data pipeline runs before
+    anything leaves curation. Chained regexp_replace (JVM-side, no
+    UDF); patterns and order are the contract shared with the SQL twin."""
+    out = text
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
 def kgram_hashes(text_col: str, k: int = 5) -> Column:
     """md5 of every word k-gram, in document order — the rolling hash
     sequence winnowing selects from. (md5-of-string is the repo's

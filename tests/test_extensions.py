@@ -786,3 +786,149 @@ def test_cli_decontaminate_subcommand(spark, tmp_path):
     rows = spark.read.parquet(out).collect()
     assert len(rows) == 1
     assert (rows[0].train_id, rows[0].bench_id, rows[0].overlap) == (10, 1, 1.0)
+
+
+def test_winnow_fingerprints_guarantee_and_density(spark):
+    """The winnowing contract: (a) any shared token run >= w + k - 1
+    long yields >= 1 identical fingerprint in both documents; (b) the
+    fingerprint set is a strict subset of the k-gram hash set, ~2/(w+1)
+    dense on random text (we assert the loose bound < 60%); (c) edge
+    cases: < k tokens -> empty, < w hashes -> the global min."""
+    k, w = 5, 4
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 = w+k-1
+    df = spark.createDataFrame(
+        [
+            (1, f"one two three {shared} four five six seven"),
+            (2, f"{shared} nine ten eleven twelve thirteen"),
+            (3, "tiny doc"),  # < k tokens
+            (4, "a b c d e f"),  # 2 k-grams < w -> single global min
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r.doc_id: (r.fps, r.nh)
+        for r in df.select(
+            "doc_id",
+            T.winnow_fingerprints("text", k, w).alias("fps"),
+            F.size(T.kgram_hashes("text", k)).alias("nh"),
+        ).collect()
+    }
+    assert set(out[1][0]) & set(out[2][0]), "shared 8-token run must share a fingerprint"
+    assert out[3] == ([], 0)
+    assert len(out[4][0]) == 1 and out[4][1] == 2
+    # density on a longer random-ish doc: winnowed set ≪ full hash set
+    long_doc = " ".join(f"tok{(i * 7919) % 997}" for i in range(200))
+    row = (
+        spark.createDataFrame([(9, long_doc)], "doc_id bigint, text string")
+        .select(
+            F.size(T.winnow_fingerprints("text", k, w)).alias("nf"),
+            F.size(T.kgram_hashes("text", k)).alias("nh"),
+        )
+        .head()
+    )
+    assert 0 < row.nf < 0.6 * row.nh, f"winnowing not sparse: {row.nf}/{row.nh}"
+
+
+def test_winnow_overlap_pairs_partial_copy(spark):
+    """A 14-token prefix copied into junk is found by winnow overlap
+    (whole-doc fingerprinting misses it) with high containment."""
+    src = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 tail1 tail2 tail3 tail4"
+    cp = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 junk1 junk2 junk3"
+    other = "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11 x12"
+    df = spark.createDataFrame(
+        [(1, src), (2, cp), (3, other)], "doc_id bigint, text string"
+    )
+    pairs = dedup.winnow_overlap_pairs(df, "doc_id", "text", threshold=0.3).collect()
+    found = {(r.id_a, r.id_b): r.containment for r in pairs}
+    assert (1, 2) in found and found[(1, 2)] >= 0.5
+    assert not any(3 in p for p in found)
+    # whole-doc fingerprint indeed misses it
+    fps = df.select(T.fingerprint(F.col("text")).alias("fp")).collect()
+    assert len({r.fp for r in fps}) == 3
+
+
+def test_chunk_documents_reconstruction_and_bounds(spark):
+    """Chunk text reproduces the document: chunk 0 verbatim + each
+    later chunk minus its overlap prefix; token counts per chunk are
+    within [1, chunk_tokens]; short docs give exactly one chunk."""
+    from activedatawarehouseprototype_spark.operators import packing
+
+    docs = [
+        (1, " ".join(f"t{i}" for i in range(75))),
+        (2, " ".join(f"s{i}" for i in range(32))),   # == chunk -> 1 chunk
+        (3, " ".join(f"u{i}" for i in range(33))),   # chunk+1 -> 2 chunks
+        (4, "single"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    chunk_tokens, overlap = 32, 8
+    stride = chunk_tokens - overlap
+    out = packing.chunk_documents(df, "doc_id", "text", chunk_tokens, overlap)
+    rows = sorted(
+        [(r.doc_id, r.chunk_idx, r.chunk_text, r.n_tokens) for r in out.collect()]
+    )
+    by_doc: dict[int, list] = {}
+    for d, i, txt, n in rows:
+        assert 1 <= n <= chunk_tokens
+        assert n == len(txt.split(" "))
+        by_doc.setdefault(d, []).append((i, txt))
+    assert len(by_doc[2]) == 1 and len(by_doc[3]) == 2 and len(by_doc[4]) == 1
+    for d, text in docs:
+        toks = text.split(" ")
+        rebuilt: list[str] = []
+        for i, txt in sorted(by_doc[d]):
+            ctoks = txt.split(" ")
+            rebuilt.extend(ctoks if i == 0 else ctoks[overlap:])
+        assert rebuilt == toks, f"doc {d} not reconstructable from chunks"
+        # consecutive chunks agree on the overlap region
+        chunks = [txt.split(" ") for _, txt in sorted(by_doc[d])]
+        for a, b in zip(chunks, chunks[1:]):
+            assert a[stride : stride + overlap] == b[: len(a) - stride]
+    with pytest.raises(ValueError):
+        packing.chunk_documents(df, "doc_id", "text", 32, 32)
+
+
+def test_redact_pii_scrubs_all_patterns(spark):
+    """After redaction no PII pattern matches; counts see the planted
+    occurrences; PII-free text passes through byte-identical."""
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b-c_9@sub.example.org and 10.0.3.7 then 555-123-4567 ok"),
+            (2, "no pii here at all"),
+            (3, "two mails x@y.io z@w.ai and ip 192.168.0.1"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = df.select(
+        "doc_id",
+        F.col("text"),
+        T.redact_pii(F.col("text")).alias("red"),
+        *T.pii_counts(F.col("text")),
+    )
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[1].n_email == 1 and rows[1].n_ipv4 == 1 and rows[1].n_phone == 1
+    assert rows[2].red == rows[2].text
+    assert rows[3].n_email == 2 and rows[3].n_ipv4 == 1
+    # nothing left to match after the scrub
+    residue = out.select(*[c.alias(f"r{i}") for i, c in enumerate(T.pii_counts(F.col("red")))]).collect()
+    assert all(v == 0 for r in residue for v in r)
+    assert "[EMAIL]" in rows[1].red and "[IP]" in rows[1].red and "[PHONE]" in rows[1].red
+
+
+def test_embedding_near_dup_finds_scaled_copy(spark, emb):
+    """A positively-scaled copy shares its source's bucket by
+    construction and scores cosine 1.0 -> always recovered."""
+    e = emb.select(
+        "vec_id", similarity.as_double_array(F.col("embedding")).alias("v")
+    ).limit(100)
+    planted = e.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("v", lambda x: x * F.lit(2.0)).alias("v"),
+    )
+    planted_ids = [r.vec_id - 1000000 for r in planted.select("vec_id").collect()]
+    pairs = similarity.embedding_near_dup_pairs(
+        e.unionByName(planted), "vec_id", "v", threshold=0.99
+    )
+    found = {(r.id_a, r.id_b): r.score for r in pairs.collect()}
+    for pid in planted_ids:
+        assert (pid, pid + 1000000) in found, f"scaled copy of {pid} missed"
+        assert found[(pid, pid + 1000000)] == 1.0
