@@ -62,3 +62,14 @@ def parquet_scan_count(df: DataFrame) -> int:
     Counts the numbered detail headers (each scan node appears twice in
     the formatted explain: once in the tree, once as a detail)."""
     return len(re.findall(r"\(\d+\) Scan parquet", formatted_plan(df)))
+
+
+def exchange_count(df: DataFrame) -> int:
+    """Number of shuffle exchanges — 0 asserts an operator is
+    scan-local (embarrassingly parallel, no data movement), the
+    strongest scale property a transform can have. Broadcast exchanges
+    don't count (they move only the small side)."""
+    plan = formatted_plan(df)
+    return len(re.findall(r"\(\d+\) Exchange", plan)) - len(
+        re.findall(r"\(\d+\) BroadcastExchange", plan)
+    )

@@ -36,6 +36,8 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_minhash_components",
+    "dedup_winnow_overlap",
+    "emb_near_dup_pairs",
     "fuzzy_part_name_pairs",
     "ann_topk_cosine",
     "ann_ivf_topk",

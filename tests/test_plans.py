@@ -92,3 +92,29 @@ def test_q5_broadcasts_all_dims_no_smj(spark):
     df = QUERIES["tpch_q5_local_supplier_volume"](spark, SF)
     assert broadcast_join_count(df) >= 4  # customer, supplier, nation, region
     assert sort_merge_join_count(df) == 0
+
+
+def test_chunking_and_pii_are_shuffle_free(spark):
+    """Per-document transforms (chunking, PII scrub) must be
+    scan-local: zero shuffle exchanges, and the documents scan pruned
+    to (doc_id, text)."""
+    from activedatawarehouseprototype_spark.plans.explain import exchange_count
+
+    for name in ("chunk_documents_tokens", "pii_redaction_scrub"):
+        df = QUERIES[name](spark, SF)
+        assert exchange_count(df) == 0, f"{name} shuffles"
+        for cols in scan_columns(df):
+            assert cols <= {"doc_id", "text"}, (name, cols)
+
+
+def test_winnow_index_smaller_than_shingle_index(spark):
+    """The winnowing scale claim, measured: the exploded fingerprint
+    index carries well under half the rows of the full shingle index
+    on the same corpus (theory ~2/(w+1) = 40% at w=4)."""
+    from activedatawarehouseprototype_spark.catalog import load
+    from activedatawarehouseprototype_spark.operators import dedup
+
+    docs = load(spark, SF, "documents").select("doc_id", "text")
+    n_shingles = dedup.shingle_table(docs, "doc_id", "text", n=5).count()
+    n_fps = dedup.winnow_fingerprint_table(docs, "doc_id", "text", k=5, w=4).count()
+    assert 0 < n_fps < 0.55 * n_shingles, (n_fps, n_shingles)
