@@ -1281,3 +1281,152 @@ def array_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.array_max(v), 6).alias("max_elem"),
         F.round(total / F.size("embedding"), 6).alias("mean_elem"),
     )
+
+
+# --- Token-budget corpus mixing: sample each source down to a TOKEN
+# budget (the "200B tokens of web, 30B of code" recipe shape), selection
+# ranked by the deterministic hash fraction so budgets nest. The oracle
+# replays the identical window cumsum; the registered query uses the
+# exact (window) variant — token_budget_threshold is the skew-safe
+# 100 TB path, equivalence-tested in tests/test_extensions.py. ---
+
+
+@register(
+    "token_budget_mix_stats",
+    oracle="""
+WITH t AS (
+  SELECT source, doc_id, len(string_split(text, ' ')) AS tok,
+         CAST(concat('0x', substr(md5('s1:' || CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) / 4294967296.0 AS frac
+  FROM documents
+), c AS (
+  SELECT source, tok,
+         SUM(tok) OVER (PARTITION BY source ORDER BY frac, doc_id
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+       CAST(SUM(tok) AS BIGINT) AS tokens_kept
+FROM c
+WHERE cum <= CASE source WHEN 'src0' THEN 2000.0
+                         WHEN 'src1' THEN 500.0
+                         ELSE 800.0 END
+GROUP BY source
+""",
+)
+def token_budget_mix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from activedatawarehouseprototype_spark.operators import sampling
+
+    d = _docs(spark, sf_dir).withColumn("tok", T.token_count(F.col("text")))
+    mixed = sampling.token_budget_mix(
+        d,
+        budgets={"src0": 2000, "src1": 500},
+        source_col="source",
+        token_col="tok",
+        key_cols=["doc_id"],
+        default_budget=800,
+    )
+    return mixed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum("tok").cast("bigint").alias("tokens_kept"),
+    )
+
+
+# --- Deterministic shard manifest: the training-data writer's routing
+# (md5 shard in [0,8)) and within-shard shuffle order (independent md5
+# rank), pinned by an order checksum so the oracle verifies the exact
+# permutation, not just shard counts. write_training_shards materializes
+# this same (shard, _pos) layout via repartition + sortWithinPartitions. ---
+
+
+@register(
+    "shard_manifest",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS tok,
+         CAST(FLOOR(CAST(concat('0x', substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) / 4294967296.0 * 8) AS INT) AS shard,
+         CAST(concat('0x', substr(md5('pos:' || CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) / 4294967296.0 AS pfrac
+  FROM documents
+), p AS (
+  SELECT shard, doc_id, tok,
+         ROW_NUMBER() OVER (PARTITION BY shard ORDER BY pfrac, doc_id) AS pos
+  FROM t
+)
+SELECT shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(tok) AS BIGINT) AS total_tokens,
+       CAST(SUM(doc_id * pos) AS BIGINT) AS order_checksum
+FROM p GROUP BY shard
+""",
+)
+def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from activedatawarehouseprototype_spark.operators import sampling
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("tok"),
+        sampling.shard_assignment(["doc_id"], n_shards=8).alias("shard"),
+    )
+    d = d.withColumn(
+        "pos", sampling.shuffle_position(["doc_id"], partition_cols=["shard"])
+    )
+    return d.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tok").cast("bigint").alias("total_tokens"),
+        F.sum(F.col("doc_id") * F.col("pos")).cast("bigint").alias("order_checksum"),
+    )
+
+
+# --- Adaptive quality gating: per-language exact p25 threshold on the
+# quality score (two-pass: tiny per-lang threshold table broadcast back
+# onto the corpus — the shape that survives 100 TB, vs a global sort).
+# Both engines compute the identical IEEE score expression; the
+# interpolated percentile lands strictly between two score values, so a
+# last-ulp interpolation difference cannot flip a >= comparison. ---
+
+
+@register(
+    "quality_percentile_gate",
+    oracle=f"""
+WITH s AS (
+  SELECT lang, len(string_split(text, ' ')) AS tok,
+         LEAST(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0) * 0.4
+           + (1.0 - ABS(CAST(len(list_filter(string_split(text, ' '), t -> t IN {_SW_SQL})) AS DOUBLE)
+                        / CAST(len(string_split(text, ' ')) AS DOUBLE) - 0.4)) * 0.3
+           + LEAST(1.0, CAST(n_chars AS DOUBLE) / 500.0) * 0.3 AS score
+  FROM documents
+), t AS (
+  SELECT lang, quantile_cont(score, 0.25) AS thr FROM s GROUP BY lang
+)
+SELECT s.lang AS lang,
+       ROUND(ANY_VALUE(thr), 6) AS p25_score,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN score >= thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN score >= thr THEN tok ELSE 0 END) AS BIGINT) AS tokens_kept
+FROM s JOIN t USING (lang)
+GROUP BY s.lang
+""",
+)
+def quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select(
+        "lang",
+        T.token_count(F.col("text")).alias("tok"),
+        T.quality_score(F.col("text"), F.col("n_chars")).alias("score"),
+    )
+    thr = d.groupBy("lang").agg(F.percentile("score", F.lit(0.25)).alias("thr"))
+    kept = F.col("score") >= F.col("thr")
+    return (
+        d.join(F.broadcast(thr), on="lang", how="inner")
+        .groupBy("lang")
+        .agg(
+            F.round(F.first("thr"), 6).alias("p25_score"),
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(kept.cast("bigint")).alias("n_kept"),
+            F.sum(F.when(kept, F.col("tok")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("tokens_kept"),
+        )
+    )

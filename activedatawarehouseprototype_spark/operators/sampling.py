@@ -22,7 +22,7 @@ driver involvement; md5 cost is ~the cost of reading the key bytes.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _TWO_32 = float(1 << 32)
@@ -87,3 +87,152 @@ def assign_split(
         )
     last = items[-1][0]
     return F.lit(last) if expr is None else expr.otherwise(last)
+
+
+def token_budget_mix(
+    df: DataFrame,
+    budgets: dict[str, int],
+    source_col: str,
+    token_col: str,
+    key_cols: list[str],
+    default_budget: int = 0,
+    salt: str = "s1",
+) -> DataFrame:
+    """Sample each source down to a TOKEN budget, not a row rate — the
+    corpus-mixing primitive when the recipe says "200B tokens of web,
+    30B of code" rather than "10% of web".
+
+    Documents are ranked inside each source by the same deterministic
+    hash fraction ``deterministic_sample`` uses (so the selection is
+    stable across runs/engines and budgets NEST: growing a source's
+    budget keeps everything the smaller budget chose), then kept while
+    the running token total is within budget. The first document that
+    crosses the line is dropped, as is everything after it — selected
+    totals are always <= budget.
+
+    Scale: one hash shuffle on ``source_col`` plus an in-partition sort
+    (the window is ``PARTITION BY source ORDER BY frac``). That puts an
+    entire source on one reducer — fine for tens-to-hundreds of
+    sources, wrong when one source is half the corpus; for that shape
+    use ``token_budget_threshold``, which never materializes a
+    per-source ordering."""
+    frac = hash_fraction(key_cols, salt)
+    budget = F.lit(float(default_budget))
+    for name, b in budgets.items():
+        budget = F.when(F.col(source_col) == name, float(b)).otherwise(budget)
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy("_frac", *key_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("_frac", frac)
+        .withColumn("_cum", F.sum(F.col(token_col).cast("double")).over(w))
+        .filter(F.col("_cum") <= budget)
+        .drop("_frac", "_cum")
+    )
+
+
+def token_budget_threshold(
+    df: DataFrame,
+    budgets: dict[str, int],
+    source_col: str,
+    token_col: str,
+    key_cols: list[str],
+    n_buckets: int = 1024,
+    salt: str = "s1",
+) -> DataFrame:
+    """Scale-path variant of ``token_budget_mix``: pick, per source, a
+    hash-fraction THRESHOLD t such that documents with frac < t carry
+    ~the budget's tokens, then apply the pure per-row filter
+    ``frac < t``. Accuracy is one frac-bucket's worth of tokens
+    (budget/|source| · n_buckets of relative error ~ 1/n_buckets of the
+    source's tokens); the selection still nests across budget changes
+    for the same salt.
+
+    Scale: the heavy data is touched by (a) one map-side-combined agg
+    on ``(source, bucket)`` — at most |sources|·n_buckets skinny rows
+    into the shuffle, regardless of corpus size — and (b) one per-row
+    filter against a broadcast threshold table. No per-source ordering,
+    no single-reducer source partitions: this survives a source that is
+    half the corpus. The cumulative-sum window runs on the tiny
+    aggregate, never the corpus."""
+    frac = hash_fraction(key_cols, salt)
+    bucket = F.floor(frac * n_buckets).cast("int")
+    with_cols = df.withColumn("_frac", frac).withColumn("_bucket", bucket)
+
+    per_bucket = with_cols.groupBy(source_col, "_bucket").agg(
+        F.sum(F.col(token_col).cast("double")).alias("_btok")
+    )
+    wcum = (
+        Window.partitionBy(source_col)
+        .orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    budget = F.lit(0.0)
+    for name, b in budgets.items():
+        budget = F.when(F.col(source_col) == name, float(b)).otherwise(budget)
+    # Highest bucket whose cumulative tokens stay within budget; the
+    # threshold admits buckets 0..t inclusive.
+    thresholds = (
+        per_bucket.withColumn("_cum", F.sum("_btok").over(wcum))
+        .filter(F.col("_cum") <= budget)
+        .groupBy(source_col)
+        .agg(F.max("_bucket").alias("_tbucket"))
+    )
+    out = with_cols.join(
+        F.broadcast(thresholds), on=source_col, how="inner"
+    ).filter(F.col("_bucket") <= F.col("_tbucket"))
+    return out.drop("_frac", "_bucket", "_tbucket")
+
+
+def shard_assignment(
+    key_cols: list[str], n_shards: int, salt: str = "shard"
+) -> Column:
+    """Deterministic shard id in [0, n_shards): the write-side routing
+    of a training-data pipeline. Same md5 decision as
+    ``hash_fraction`` — a document lands in the same shard on every
+    run of every engine (the DuckDB oracle recomputes it verbatim),
+    unlike ``pmod(hash(...))`` whose Murmur3 seed is Spark-specific."""
+    return F.floor(hash_fraction(key_cols, salt) * n_shards).cast("int")
+
+
+def shuffle_position(
+    key_cols: list[str], partition_cols: list[str] | None = None, salt: str = "pos"
+) -> Column:
+    """Deterministic within-shard training order: rank by an
+    independent hash fraction (``salt`` differs from the shard salt, so
+    order is uncorrelated with routing). Reproducible global shuffle —
+    the property data-loading stacks need so a resumed run sees the
+    same sequence."""
+    w = Window.partitionBy(*(partition_cols or [])).orderBy(
+        hash_fraction(key_cols, salt), *key_cols
+    )
+    return F.row_number().over(w)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    key_cols: list[str],
+    shard_salt: str = "shard",
+    pos_salt: str = "pos",
+) -> None:
+    """Materialize a deterministically shuffled, sharded training set:
+    ``shard=`` directory partitions, rows inside each file in
+    ``_pos`` order. ``repartition(shard)`` is the only shuffle;
+    ``sortWithinPartitions`` orders each shard without a global sort.
+    At 100 TB this is the standard writer shape — shards are
+    independent units a loader can assign to data-parallel workers."""
+    out = df.withColumn("shard", shard_assignment(key_cols, n_shards, shard_salt))
+    out = out.withColumn(
+        "_pos", shuffle_position(key_cols, partition_cols=["shard"], salt=pos_salt)
+    )
+    (
+        out.repartition("shard")
+        .sortWithinPartitions("_pos")
+        .write.partitionBy("shard")
+        .mode("overwrite")
+        .parquet(path)
+    )

@@ -932,3 +932,90 @@ def test_embedding_near_dup_finds_scaled_copy(spark, emb):
     for pid in planted_ids:
         assert (pid, pid + 1000000) in found, f"scaled copy of {pid} missed"
         assert found[(pid, pid + 1000000)] == 1.0
+
+
+def test_token_budget_mix_nesting_and_budget_bound(spark, docs):
+    from activedatawarehouseprototype_spark.operators import sampling
+
+    d = docs.withColumn("tok", T.token_count(F.col("text")))
+    small = sampling.token_budget_mix(
+        d, {"src0": 400}, "source", "tok", ["doc_id"], default_budget=300
+    )
+    big = sampling.token_budget_mix(
+        d, {"src0": 900}, "source", "tok", ["doc_id"], default_budget=700
+    )
+    small_ids = {r.doc_id for r in small.select("doc_id").collect()}
+    big_ids = {r.doc_id for r in big.select("doc_id").collect()}
+    assert small_ids <= big_ids, "budgets must nest for the same salt"
+    got = {
+        r.source: r.t
+        for r in small.groupBy("source").agg(F.sum("tok").alias("t")).collect()
+    }
+    for src, tot in got.items():
+        assert tot <= (400 if src == "src0" else 300), (src, tot)
+
+
+def test_token_budget_threshold_tracks_exact_within_bucket(spark, docs):
+    from activedatawarehouseprototype_spark.operators import sampling
+
+    d = docs.withColumn("tok", T.token_count(F.col("text")))
+    budgets = {"src0": 600, "src1": 900}
+    exact = sampling.token_budget_mix(
+        d, budgets, "source", "tok", ["doc_id"], default_budget=500
+    )
+    # With enough buckets each doc gets its own bucket, so the bucketed
+    # threshold reproduces the exact window selection. The threshold
+    # variant has no default budget (unnamed sources select nothing),
+    # so compare only the named sources.
+    fine = sampling.token_budget_threshold(
+        d, budgets, "source", "tok", ["doc_id"], n_buckets=1 << 20
+    )
+    e = {
+        (r.source, r.doc_id)
+        for r in exact.filter(F.col("source").isin("src0", "src1")).collect()
+    }
+    f = {
+        (r.source, r.doc_id)
+        for r in fine.filter(F.col("source").isin("src0", "src1")).collect()
+    }
+    assert f == e, "fine-grained threshold must match the exact window selection"
+    # Coarse buckets: still within budget, and within one bucket's
+    # tokens of the exact selection per source.
+    coarse = sampling.token_budget_threshold(
+        d, budgets, "source", "tok", ["doc_id"], n_buckets=16
+    )
+    ct = {
+        r.source: r.t
+        for r in coarse.groupBy("source").agg(F.sum("tok").alias("t")).collect()
+    }
+    for src, b in budgets.items():
+        assert ct.get(src, 0) <= b, (src, ct)
+
+
+def test_write_training_shards_layout(spark, docs, tmp_path):
+    from activedatawarehouseprototype_spark.operators import sampling
+
+    path = str(tmp_path / "shards")
+    sampling.write_training_shards(
+        docs.select("doc_id", "text"), path, n_shards=4, key_cols=["doc_id"]
+    )
+    back = spark.read.parquet(path)
+    assert {r.shard for r in back.select("shard").distinct().collect()} <= set(range(4))
+    assert back.count() == docs.count()
+    # every shard's rows are a contiguous 1..n _pos sequence, and the
+    # deterministic permutation is reproducible run to run
+    mans = back.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("_pos").alias("lo"),
+        F.max("_pos").alias("hi"),
+        F.sum("_pos").alias("s"),
+    )
+    for r in mans.collect():
+        assert (r.lo, r.hi) == (1, r.n) and r.s == r.n * (r.n + 1) // 2, r
+    again = docs.select(
+        "doc_id", sampling.shard_assignment(["doc_id"], 4).alias("shard")
+    )
+    merged = back.select("doc_id", F.col("shard").cast("int").alias("shard")).join(
+        again.withColumnRenamed("shard", "shard2"), "doc_id"
+    )
+    assert merged.filter(F.col("shard") != F.col("shard2")).count() == 0
