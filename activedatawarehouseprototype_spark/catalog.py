@@ -36,10 +36,17 @@ BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part"})
 
 def _ensure_session_conf(spark: SparkSession) -> None:
     """Make any session (including the driver's) read our fixtures
-    deterministically: UTC window math, and TIMESTAMP(NANOS) parquet
-    columns readable (events.ts is timestamp[ns])."""
+    deterministically: UTC window math, TIMESTAMP(NANOS) parquet
+    columns readable (earlier fixture generations wrote events.ts as
+    timestamp[ns]), and tz-naive parquet timestamps read as LTZ
+    (timestamp[us] fixtures would otherwise surface as TIMESTAMP_NTZ
+    under Spark 4's inferTimestampNTZ default, breaking epoch math
+    like unix_millis). With the session pinned to UTC, naive==LTZ
+    values are identical, and DuckDB reads the same columns as naive
+    UTC — so both engines agree."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
 
 def _nanos_ts_columns(path: str) -> list[str]:

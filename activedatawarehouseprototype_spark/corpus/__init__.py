@@ -111,6 +111,11 @@ _DRIVER_ROTATION = [
     "chunk_documents_tokens",
     "pii_redaction_scrub",
     "emb_near_dup_pairs",
+    "token_budget_mix_stats",
+    "shard_manifest",
+    "quality_percentile_gate",
+    "semantic_cluster_dedup",
+    "lm_unigram_doc_scores",
 ]
 
 _STABLE_CORE = [
@@ -123,22 +128,22 @@ _STABLE_CORE = [
     # relational: agg, multi-way join, outer join, top-k, subquery
     "tpch_q1_pricing_summary",
     "tpch_q5_local_supplier_volume",
-    "join_full_outer_nation_activity",
     "topk_customers_by_spend",
     "sql_correlated_subquery_share",
-    # analytic windows + grouping
-    "rollup_lineitem_qty",
-    # geo
-    "geo_grid_cell_agg",
-    # LLM-pipeline: dedup, ANN, text
-    "dedup_exact_text",
+    # LLM-pipeline: dedup
     "dedup_minhash_lsh",
-    "text_quality_filter",
     # (window_top3_orders_per_customer, json_extract_props,
-    # dedup_minhash_components, ann_topk_cosine sit out this round —
-    # all r3-green — to make window room for the four new round-4
-    # queries above; the full-corpus pytest mirror still covers them
-    # every round, and they rotate back in round 5.)
+    # dedup_minhash_components, ann_topk_cosine,
+    # join_full_outer_nation_activity, rollup_lineitem_qty,
+    # geo_grid_cell_agg, dedup_exact_text and text_quality_filter sit
+    # out this round — all r3-green — to make window room for the nine
+    # new round-4 queries above; their families stay represented
+    # (joins via tpch_q5 + four join_* rotations, grouping via
+    # cube_orders_status_priority, geo via geo_cell_geometry/
+    # geo_path_cells, dedup via minhash/simhash/winnow/fingerprint,
+    # text via text_stats/text_lang_id/chunk/pii), the full-corpus
+    # pytest mirror still covers them every round, and they rotate
+    # back in round 5.)
 ]
 
 

@@ -1430,3 +1430,112 @@ def quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("tokens_kept"),
         )
     )
+
+
+# --- Semantic cluster dedup (SemDeDup): IVF-cell blocking -> in-cell
+# cosine threshold vs any lower-id member -> survivors. Near-dups are
+# INJECTED (scaled x*1.001 and shifted x+0.02 copies under offset ids)
+# so the query provably removes rows; the oracle recomputes the
+# deterministic seed-centroid assignment (same FLOOR(dist*1e12)
+# quantization as the ann_ivf_* oracles) and the survivor rule. ---
+
+
+@register(
+    "semantic_cluster_dedup",
+    oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+base AS (
+  SELECT vec_id, v FROM e
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, list_transform(v, x -> x * 1.001) AS v
+  FROM e WHERE vec_id % 7 = 0
+  UNION ALL
+  SELECT vec_id + 2000000 AS vec_id, list_transform(v, x -> x + 0.02) AS v
+  FROM e WHERE vec_id % 13 = 0
+),
+seeds AS (SELECT vec_id AS sid, v AS sv FROM base ORDER BY vec_id LIMIT 8),
+dists AS (
+  SELECT b.vec_id, s.sid,
+         CAST(FLOOR(list_sum(list_transform(range(1, 65),
+             d -> (b.v[d] - s.sv[d]) * (b.v[d] - s.sv[d]))) * 1e12) AS BIGINT) AS dist
+  FROM base b, seeds s
+),
+cells AS (
+  SELECT vec_id, sid AS cell FROM dists
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, sid) = 1
+),
+a AS (SELECT c.vec_id, c.cell, b.v FROM cells c JOIN base b USING (vec_id)),
+dups AS (
+  SELECT DISTINCT y.vec_id
+  FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id
+  WHERE ROUND(list_cosine_similarity(x.v, y.v), 6) >= 0.95
+)
+SELECT CAST(a.vec_id AS BIGINT) AS vec_id, CAST(a.cell AS BIGINT) AS cell
+FROM a WHERE NOT EXISTS (SELECT 1 FROM dups d WHERE d.vec_id = a.vec_id)
+""",
+)
+def semantic_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir).select(
+        "vec_id", similarity.as_double_array(F.col("embedding")).alias("v")
+    )
+    scaled = e.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("v", lambda x: x * F.lit(1.001)).alias("v"),
+    )
+    shifted = e.filter(F.col("vec_id") % 13 == 0).select(
+        (F.col("vec_id") + 2000000).alias("vec_id"),
+        F.transform("v", lambda x: x + F.lit(0.02)).alias("v"),
+    )
+    base = e.unionByName(scaled).unionByName(shifted)
+    surv = dedup.semantic_cluster_survivors(
+        base, id_col="vec_id", vec_col="v", k=8, threshold=0.95
+    )
+    return surv.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("cell").cast("bigint").alias("cell"),
+    )
+
+
+# --- Unigram-LM document scoring (CCNet-style quality gate): train an
+# add-0.5-smoothed unigram LM on the corpus itself, score every doc by
+# cross-entropy (nats/token). The LM join is a BROADCAST (vocab is
+# control-plane-sized next to the corpus; shuffling the exploded token
+# stream by token would be stopword-skewed). ---
+
+
+@register(
+    "lm_unigram_doc_scores",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+cnt AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+tot AS (SELECT sum(c) AS n, count(*) AS v FROM cnt),
+lm AS (
+  SELECT token,
+         ln((CAST(c AS DOUBLE) + 0.5) / (CAST(n AS DOUBLE) + 0.5 * v)) AS lp
+  FROM cnt, tot
+),
+sc AS (
+  SELECT t.doc_id, count(*) AS n_tokens, -avg(lp) AS ce
+  FROM tok t JOIN lm USING (token)
+  GROUP BY t.doc_id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       d.lang,
+       CAST(sc.n_tokens AS BIGINT) AS n_tokens,
+       ROUND(sc.ce, 6) AS ce_nats
+FROM sc JOIN documents d USING (doc_id)
+""",
+)
+def lm_unigram_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    counts = T.unigram_counts(d, "text")
+    lm = T.unigram_logprobs(counts, alpha=0.5)
+    ce = T.doc_cross_entropy(d, lm, id_col="doc_id", text_col="text")
+    return ce.join(d.select("doc_id", "lang"), "doc_id").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "lang",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round("ce_nats", 6).alias("ce_nats"),
+    )

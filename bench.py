@@ -38,6 +38,8 @@ HEADLINE = [
     "dedup_minhash_components",
     "dedup_winnow_overlap",
     "emb_near_dup_pairs",
+    "semantic_cluster_dedup",
+    "lm_unigram_doc_scores",
     "fuzzy_part_name_pairs",
     "ann_topk_cosine",
     "ann_ivf_topk",

@@ -1019,3 +1019,106 @@ def test_write_training_shards_layout(spark, docs, tmp_path):
         again.withColumnRenamed("shard", "shard2"), "doc_id"
     )
     assert merged.filter(F.col("shard") != F.col("shard2")).count() == 0
+
+
+def test_semantic_cluster_survivors_removes_planted(spark, emb):
+    """Planted exact-direction copies (x*1.001, cosine 1.0 with their
+    original) must be removed; originals survive. Works with both the
+    deterministic seed centroids and trained k-means centroids (the
+    decision rule is centroid-independent for same-cell pairs)."""
+    e = emb.select(
+        "vec_id", similarity.as_double_array(F.col("embedding")).alias("v")
+    )
+    copies = e.filter(F.col("vec_id") % 9 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("v", lambda x: x * F.lit(1.001)).alias("v"),
+    )
+    base = e.unionByName(copies)
+    planted = {r.vec_id + 1000000 for r in e.filter(F.col("vec_id") % 9 == 0).select("vec_id").collect()}
+    n_base = e.count()
+
+    for cents in (
+        None,
+        similarity.ivf_kmeans_centroids(base, k=4, iters=2, id_col="vec_id", vec_col="v"),
+    ):
+        surv = dedup.semantic_cluster_survivors(
+            base, id_col="vec_id", vec_col="v", k=4, threshold=0.999,
+            centroids=cents,
+        )
+        ids = {r.vec_id for r in surv.select("vec_id").collect()}
+        # every planted copy has a lower-id twin at cosine ~1.0 in (at
+        # worst) the same cell: a scaled vector sits on the same ray, so
+        # nearest-centroid by L2 can only differ on near-ties — with
+        # threshold 0.999 every caught copy is dropped, and no original
+        # loses its own slot to a copy (copies have HIGHER ids).
+        assert ids <= {r.vec_id for r in base.select("vec_id").collect()}
+        dropped = planted - ids
+        assert len(dropped) >= len(planted) - 1, f"copies not dropped: {planted - dropped}"
+        # originals all survive unless they are near-dups of each other
+        surviving_originals = ids & {r.vec_id for r in e.select("vec_id").collect()}
+        assert len(surviving_originals) >= n_base - 2
+
+
+def test_unigram_lm_scores_flag_gibberish(spark):
+    """Cross-entropy under the self-trained unigram LM must rank a
+    repeated-common-token doc as MORE probable (lower ce) than a doc
+    of corpus-unique tokens — the separation the quality gate uses."""
+    rows = [(i, "the quick brown fox jumps over the lazy dog") for i in range(20)]
+    rows.append((100, "zqx1 zqx2 zqx3 zqx4 zqx5 zqx6 zqx7 zqx8 zqx9"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    lm = T.unigram_logprobs(T.unigram_counts(df, "text"), alpha=0.5)
+    ce = {r.doc_id: r.ce_nats for r in T.doc_cross_entropy(df, lm).collect()}
+    assert ce[100] > ce[0] + 1.0  # rare-token doc clearly worse
+    # all tokens seen in training => every doc gets a finite score
+    assert all(math.isfinite(v) for v in ce.values())
+
+
+def test_unigram_lm_smoothing_scores_unseen_tokens(spark):
+    """Score a doc containing tokens ABSENT from the training corpus:
+    join the doc's tokens against the smoothed LM extended with the
+    unseen-mass row (c=0) — the add-alpha floor keeps it finite."""
+    train = spark.createDataFrame(
+        [(1, "a b c a b a")], "doc_id long, text string"
+    )
+    counts = T.unigram_counts(train, "text")
+    lm = T.unigram_logprobs(counts, alpha=0.5)
+    # unseen logprob = ln(alpha / (N + alpha*V)): N=6, V=3 -> ln(0.5/7.5)
+    import math as m
+
+    floor_lp = m.log(0.5 / 7.5)
+    score_df = spark.createDataFrame([(2, "a zz yy")], "doc_id long, text string")
+    tok = score_df.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("token"))
+    scored = (
+        tok.join(F.broadcast(lm), "token", "left")
+        .withColumn("lp", F.coalesce(F.col("lp"), F.lit(floor_lp)))
+        .groupBy("doc_id")
+        .agg((-F.avg("lp")).alias("ce_nats"))
+    )
+    [row] = scored.collect()
+    # a: ln(3.5/7.5); zz, yy: floor
+    expect = -(m.log(3.5 / 7.5) + 2 * floor_lp) / 3.0
+    assert abs(row.ce_nats - expect) < 1e-9
+
+
+def test_winnow_table_matches_column_expression(spark, docs):
+    """The relational (posexplode + lead + windowed-min) fingerprint
+    table must produce EXACTLY the (id, fp) set of the specification
+    Column form text.winnow_fingerprints — including short-doc edges
+    (< k tokens -> empty, < w hashes -> global min)."""
+    edge = spark.createDataFrame(
+        [(9000001, "a b"), (9000002, "a b c d e"), (9000003, "a b c d e f g"),
+         (9000004, "x " * 30)],
+        "doc_id long, text string",
+    ).select("doc_id", F.trim("text").alias("text"))
+    corpus = docs.select("doc_id", "text").unionByName(edge)
+    rel = {
+        (r.sid, r.fp)
+        for r in dedup.winnow_fingerprint_table(corpus, "doc_id", "text", k=5, w=4).collect()
+    }
+    col = {
+        (r.doc_id, r.fp)
+        for r in corpus.select(
+            "doc_id", F.explode(T.winnow_fingerprints("text", 5, 4)).alias("fp")
+        ).collect()
+    }
+    assert rel == col
