@@ -116,6 +116,7 @@ _DRIVER_ROTATION = [
     "quality_percentile_gate",
     "semantic_cluster_dedup",
     "lm_unigram_doc_scores",
+    "tfidf_top_terms_per_doc",
 ]
 
 _STABLE_CORE = [
@@ -123,7 +124,6 @@ _STABLE_CORE = [
     "rule_tumbling_avg",
     "rule_sliding_max",
     "rule_per_event_avg",
-    "rule_count_tumbling",
     "rule_fanout_match_counts",
     # relational: agg, multi-way join, outer join, top-k, subquery
     "tpch_q1_pricing_summary",
@@ -135,15 +135,16 @@ _STABLE_CORE = [
     # (window_top3_orders_per_customer, json_extract_props,
     # dedup_minhash_components, ann_topk_cosine,
     # join_full_outer_nation_activity, rollup_lineitem_qty,
-    # geo_grid_cell_agg, dedup_exact_text and text_quality_filter sit
-    # out this round — all r3-green — to make window room for the nine
-    # new round-4 queries above; their families stay represented
-    # (joins via tpch_q5 + four join_* rotations, grouping via
-    # cube_orders_status_priority, geo via geo_cell_geometry/
-    # geo_path_cells, dedup via minhash/simhash/winnow/fingerprint,
-    # text via text_stats/text_lang_id/chunk/pii), the full-corpus
-    # pytest mirror still covers them every round, and they rotate
-    # back in round 5.)
+    # geo_grid_cell_agg, dedup_exact_text, text_quality_filter and
+    # rule_count_tumbling sit out this round — all r3-green — to make
+    # window room for the twelve new round-4 queries above; their
+    # families stay represented (joins via tpch_q5 + four join_*
+    # rotations, grouping via cube_orders_status_priority, geo via
+    # geo_cell_geometry/geo_path_cells, dedup via minhash/simhash/
+    # winnow/fingerprint, count windows via rule_union_alerts, text
+    # via text_stats/text_lang_id/chunk/pii), the full-corpus pytest
+    # mirror still covers them every round, and they rotate back in
+    # round 5.)
 ]
 
 

@@ -1539,3 +1539,43 @@ def lm_unigram_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
         F.round("ce_nats", 6).alias("ce_nats"),
     )
+
+
+# --- TF-IDF keyword extraction: top-3 characteristic terms per doc.
+# idf = ln(D/df_t); one window rank; ties (score desc, term asc). ---
+
+
+@register(
+    "tfidf_top_terms_per_doc",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dft AS (SELECT term, count(*) AS df_t FROM tf GROUP BY term),
+d AS (SELECT count(*) AS d_ FROM documents),
+idf AS (
+  SELECT term, ln(CAST(d_ AS DOUBLE) / CAST(df_t AS DOUBLE)) AS idf
+  FROM dft, d
+),
+sc AS (
+  SELECT t.doc_id, t.term,
+         ROUND(CAST(t.tf AS DOUBLE) * i.idf, 6) AS score
+  FROM tf t JOIN idf i USING (term)
+),
+r AS (
+  SELECT doc_id, term, score,
+         row_number() OVER (
+           PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rnk
+  FROM sc
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, term, score, CAST(rnk AS INT) AS rnk
+FROM r WHERE rnk <= 3
+""",
+)
+def tfidf_top_terms_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    out = T.tfidf_top_terms(d, id_col="doc_id", text_col="text", top_n=3)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "term", "score", "rnk"
+    )

@@ -263,3 +263,55 @@ def doc_cross_entropy(
             (-F.avg("lp")).alias("ce_nats"),
         )
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 3,
+) -> DataFrame:
+    """Top-N characteristic terms per document by TF-IDF — the
+    standard keyword-extraction / topic-labeling primitive for corpus
+    curation.
+
+    tf = term count within the document; idf = ln(D / df_t) with D =
+    |docs| and df_t = number of docs containing the term. score =
+    tf * idf, ROUNDed to 6 by the consumer; ties break (score desc,
+    term asc) so selection is deterministic and engine-stable.
+
+    Scale shape: one explode + groupBy(doc, term) for tf (map-side
+    partial agg shrinks the shuffle to distinct doc-terms), df_t as a
+    second agg over that same skinny table, D as a 1-row broadcast
+    cross join, the idf table BROADCAST back onto doc-terms (vocab is
+    control-plane-sized next to the corpus — same discipline as the
+    unigram LM), and ONE per-doc window rank for the top-N. No joins
+    keyed by the raw token stream, no driver loops."""
+    from pyspark.sql import Window
+
+    tf = (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dft = tf.groupBy("term").agg(F.count("*").alias("df_t"))
+    d_total = df.agg(F.count("*").alias("d_"))
+    idf = dft.crossJoin(F.broadcast(d_total)).select(
+        "term",
+        F.log(F.col("d_").cast("double") / F.col("df_t").cast("double")).alias(
+            "idf"
+        ),
+    )
+    scored = tf.join(F.broadcast(idf), "term").select(
+        F.col(id_col),
+        "term",
+        F.round(F.col("tf").cast("double") * F.col("idf"), 6).alias("score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_n)
+        .select(id_col, "term", "score", F.col("rnk").cast("int").alias("rnk"))
+    )
