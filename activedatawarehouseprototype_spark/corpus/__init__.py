@@ -64,10 +64,15 @@ from activedatawarehouseprototype_spark.corpus import stats  # noqa: E402,F401
 # Rotate across rounds by editing the two lists; test_registry_order.py
 # asserts the first-50 composition so a refactor can't silently undo this.
 #
-# Round-4 rotation: the 29 entries below all have r2 driver rows but
-# missed the round-3 window (round 3 prioritized the 27 never-checked
-# entries + 2 new ANN queries, all now green in CORRECTNESS_r03).  After
-# this round every registry entry's driver evidence is <= 2 rounds old.
+# Round-4 rotation (41 entries): 29 whose freshest driver row is r2
+# (they missed the round-3 window, which prioritized the 27
+# never-checked entries + 2 new ANN queries, all green in
+# CORRECTNESS_r03) + 12 queries NEW in round 4 (no prior row by
+# construction — decontamination, same-ts quirk, winnowing, chunking,
+# PII, embedding near-dup, token-budget mix, shard manifest, quality
+# gate, semantic cluster dedup, unigram LM, TF-IDF).  With the 9-entry
+# stable core that fills the 50-slot window exactly; after this round
+# every registry entry's driver evidence is <= 2 rounds old.
 # ---------------------------------------------------------------------------
 
 _DRIVER_ROTATION = [

@@ -105,10 +105,16 @@ def streaming_events_per_sec(spark, n_events: int = 1_000_000) -> float:
     return n_events / elapsed
 
 
-def streaming_w1_events_per_sec(spark, n_events: int = 500_000) -> float:
+def streaming_w1_events_per_sec(spark, n_events: int = 2_000_000) -> float:
     """Per-event-slide (W1) streaming throughput: the reference's
     signature mode, here via applyInPandasWithState with the vectorized
-    numpy core — state-store reads/writes and Arrow transfer included."""
+    numpy core — state-store reads/writes and Arrow transfer included.
+
+    n_events is sized so stream START-UP (JVM query init, state-store
+    open, source listing — ~3s fixed) is amortized and the number
+    reflects steady-state per-event cost; at 500k events the fixed
+    part dominated and the metric tracked host speed, not the
+    operator."""
     import datetime as dt
     import shutil
     import tempfile
@@ -158,12 +164,14 @@ def streaming_w1_events_per_sec(spark, n_events: int = 500_000) -> float:
     return n_events / elapsed
 
 
-def streaming_50rule_events_per_sec(spark, n_events: int = 200_000) -> float:
+def streaming_50rule_events_per_sec(spark, n_events: int = 800_000) -> float:
     """Rule-set scalability metric: sustained events/s with FIFTY
     standing W2 rules active at once. The grouped fan-out path
     (streaming/group_eval.py) evaluates all of them in ONE buffer scan
     + one shared shuffle — per-rule-plan unions would re-scan the
-    buffer 50 times per batch."""
+    buffer 50 times per batch. n_events amortizes the one-off plan
+    compile/codegen for the 50-shape grouped evaluator (~2s) the same
+    way the W1 metric amortizes stream start-up."""
     import datetime as dt
     import json as _json
     import tempfile
