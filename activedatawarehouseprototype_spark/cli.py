@@ -95,6 +95,36 @@ def _build_parser() -> argparse.ArgumentParser:
     pm.add_argument("--key", required=True, help="comma-separated key columns")
     pm.add_argument("--weights", default="train=0.8,val=0.1,test=0.1")
     pm.add_argument("--salt", default="s1")
+
+    pib = sub.add_parser(
+        "index-build",
+        help="build a persisted IVF ANN index (vectors partitioned by cell)",
+    )
+    pib.add_argument("--input", required=True, help="embeddings parquet path")
+    pib.add_argument("--index", required=True, help="index output directory")
+    pib.add_argument("--k", type=int, default=16, help="number of cells")
+    pib.add_argument("--iters", type=int, default=4, help="k-means iterations")
+    pib.add_argument("--id-col", default="vec_id")
+    pib.add_argument("--vec-col", default="embedding")
+    pib.add_argument(
+        "--seed-only", action="store_true",
+        help="deterministic lowest-id seed centroids (skip k-means)",
+    )
+
+    pis = sub.add_parser(
+        "index-search",
+        help="batch top-k ANN search against a persisted IVF index",
+    )
+    pis.add_argument("--index", required=True, help="index directory")
+    pis.add_argument("--queries", required=True, help="queries parquet path")
+    pis.add_argument("--output", required=True, help="output parquet path")
+    pis.add_argument("--k", type=int, default=5)
+    pis.add_argument("--probes", type=int, default=2)
+    pis.add_argument("--id-col", default="vec_id")
+    pis.add_argument("--qid-col", default="vec_id",
+                     help="query id column in --queries")
+    pis.add_argument("--qvec-col", default="embedding",
+                     help="query vector column in --queries")
     return p
 
 
@@ -213,6 +243,45 @@ def main(argv: list[str] | None = None) -> int:
         out.write.mode("overwrite").parquet(args.output)
         counts = {r.split: r["count"] for r in out.groupBy("split").count().collect()}
         print(json.dumps(counts), file=sys.stderr)
+        return 0
+
+    if args.cmd == "index-build":
+        from activedatawarehouseprototype_spark.catalog import load_parquet
+        from activedatawarehouseprototype_spark.operators import similarity
+
+        vecs = load_parquet(spark, args.input)
+        cents = similarity.ivf_index_build(
+            vecs,
+            args.index,
+            k=args.k,
+            iters=args.iters,
+            id_col=args.id_col,
+            vec_col=args.vec_col,
+            use_kmeans=not args.seed_only,
+        )
+        print(f"{len(cents)} cells -> {args.index}", file=sys.stderr)
+        return 0
+
+    if args.cmd == "index-search":
+        from pyspark.sql import functions as F
+
+        from activedatawarehouseprototype_spark.catalog import load_parquet
+        from activedatawarehouseprototype_spark.operators import similarity
+
+        queries = load_parquet(spark, args.queries).select(
+            F.col(args.qid_col).alias("qid"),
+            F.col(args.qvec_col).alias("qvec"),
+        )
+        out = similarity.ivf_index_search(
+            spark,
+            args.index,
+            queries,
+            k=args.k,
+            probes=args.probes,
+            id_col=args.id_col,
+        )
+        out.write.mode("overwrite").parquet(args.output)
+        print(f"{out.count()} result rows -> {args.output}", file=sys.stderr)
         return 0
 
     if args.cmd == "run":

@@ -551,3 +551,101 @@ def cosine_pairs_score(va: Column, vb: Column) -> Column:
         "return": pandas.Series,
     }
     return pandas_udf("double")(_cos)(va, vb)
+
+
+def ivf_index_build(
+    df: DataFrame,
+    index_path: str,
+    k: int = 16,
+    iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    use_kmeans: bool = True,
+) -> list[tuple[int, list[float]]]:
+    """Build a PERSISTED IVF-flat ANN index: train centroids, assign
+    every vector to its cell, and write the corpus partitioned by
+    ``cell=`` (one directory per cell) plus a k-row centroids table.
+
+    This is the storage-layout half of the IVF trade: at query time
+    the probed cells become parquet PARTITION FILTERS, so a search
+    over a 100 TB corpus reads only |probed cells| / k of the files —
+    the scan never touches non-candidate data (verified by plan
+    assertion in tests). Centroids are control-plane-sized (k rows)
+    and stored beside the vectors so search needs no retraining.
+
+    Returns the trained centroids (same shape as
+    ``ivf_kmeans_centroids``)."""
+    cents = (
+        ivf_kmeans_centroids(df, k, iters, id_col=id_col, vec_col=vec_col)
+        if use_kmeans
+        else ivf_seed_centroids(df, k, id_col=id_col, vec_col=vec_col)
+    )
+    assigned = ivf_assign(df, k=k, id_col=id_col, vec_col=vec_col, centroids=cents)
+    assigned.select(
+        F.col(id_col),
+        as_double_array(F.col(vec_col)).alias("vec"),
+        F.col("cell"),
+    ).write.mode("overwrite").partitionBy("cell").parquet(f"{index_path}/vectors")
+    spark = df.sparkSession
+    spark.createDataFrame(
+        [(int(sid), [float(x) for x in sv]) for sid, sv in cents],
+        "sid bigint, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/centroids")
+    return cents
+
+
+def ivf_index_search(
+    spark,
+    index_path: str,
+    queries_df: DataFrame,
+    k: int = 5,
+    probes: int = 2,
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Batch ANN search against a persisted ``ivf_index_build`` index.
+
+    Each query probes its ``probes`` nearest cells; the union of
+    probed cells (bounded by the number of CENTROIDS, not queries) is
+    collected and pushed into the vector scan as a STATIC partition
+    filter — ``.explain`` shows ``PartitionFilters: [cell IN (...)]``
+    and only those directories are listed/read. Candidates then join
+    broadcast against the probe-expanded queries, are scored with the
+    vectorized pair cosine, and one per-query window rank yields the
+    top-k. No driver roundtrip carries data: the two collects are the
+    k-row centroid table and the ≤k probed-cell id set."""
+    cents = [
+        (int(r["sid"]), [float(x) for x in r["centroid"]])
+        for r in spark.read.parquet(f"{index_path}/centroids").collect()
+    ]
+    cents.sort(key=lambda t: t[0])
+    q = queries_df.select(
+        F.col(qid_col),
+        as_double_array(F.col(qvec_col)).alias("_qv"),
+        F.explode(
+            F.slice(_ivf_sorted_cells(F.col(qvec_col), cents), 1, probes)
+        ).alias("_pcell"),
+    )
+    probe_cells = sorted(
+        {r["_pcell"] for r in q.select("_pcell").distinct().collect()}
+    )
+    vectors = spark.read.parquet(f"{index_path}/vectors").filter(
+        F.col("cell").isin(probe_cells)
+    )
+    cand = vectors.join(
+        F.broadcast(q), F.col("cell") == F.col("_pcell")
+    ).filter(F.col(id_col) != F.col(qid_col))
+    scored = cand.select(
+        qid_col,
+        id_col,
+        F.round(cosine_pairs_score(F.col("vec"), F.col("_qv")), 6).alias("score"),
+    )
+    w = Window.partitionBy(qid_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .drop("rnk")
+    )

@@ -1122,3 +1122,65 @@ def test_winnow_table_matches_column_expression(spark, docs):
         ).collect()
     }
     assert rel == col
+
+
+def test_ivf_index_build_search_prunes_partitions(spark, emb, tmp_path):
+    """The persisted IVF index must (a) return the same top-k as the
+    in-memory IVF path on the same centroids, and (b) push the probed
+    cells into the vector scan as PartitionFilters so non-candidate
+    cell directories are never read."""
+    idx = str(tmp_path / "ivf_index")
+    cents = similarity.ivf_index_build(
+        emb, idx, k=8, iters=2, id_col="vec_id", vec_col="embedding"
+    )
+    queries = emb.filter(F.col("vec_id").isin([0, 7, 23])).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    got = similarity.ivf_index_search(
+        spark, idx, queries, k=5, probes=2, id_col="vec_id"
+    )
+    want = similarity.ivf_topk_for_queries(
+        emb, queries, k=5, n_centroids=8, probes=2, centroids=cents
+    )
+    g = sorted((r.qid, r.vec_id, r.score) for r in got.collect())
+    w = sorted((r.qid, r.vec_id, r.score) for r in want.collect())
+    assert g == w and len(g) == 15
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    import re as _re
+
+    m = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1), plan[:2000]
+    # and the pruned scan must list fewer than all 8 cell directories
+    probed = {r[0] for r in
+              spark.read.parquet(f"{idx}/vectors").select("cell").distinct().collect()}
+    assert len(probed) == 8  # index covers all cells...
+    searched = {r.cell for r in
+                spark.read.parquet(f"{idx}/vectors")
+                .join(got.select(F.col("vec_id").alias("vid")).distinct(),
+                      F.col("vec_id") == F.col("vid"))
+                .select("cell").distinct().collect()}
+    assert len(searched) < 8  # ...but the search touched a strict subset
+
+
+def test_cli_index_build_and_search(spark, tmp_path):
+    """index-build writes a cell-partitioned index + centroids table;
+    index-search reads only probed cells and writes top-k parquet."""
+    from activedatawarehouseprototype_spark.cli import main
+
+    embp = "/root/testdata/sf0.001/embeddings.parquet"
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "hits")
+    assert main(["index-build", "--input", embp, "--index", idx,
+                 "--k", "4", "--iters", "1"]) == 0
+    import os
+    cells = [d for d in os.listdir(f"{idx}/vectors") if d.startswith("cell=")]
+    assert len(cells) == 4
+    assert main(["index-search", "--index", idx, "--queries", embp,
+                 "--output", out, "--k", "3", "--probes", "1"]) == 0
+    hits = spark.read.parquet(out)
+    assert set(hits.columns) == {"qid", "vec_id", "score"}
+    n_q = spark.read.parquet(embp).count()
+    per_q = hits.groupBy("qid").count().collect()
+    assert len(per_q) == n_q and all(r["count"] <= 3 for r in per_q)

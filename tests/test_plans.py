@@ -118,3 +118,26 @@ def test_winnow_index_smaller_than_shingle_index(spark):
     n_shingles = dedup.shingle_table(docs, "doc_id", "text", n=5).count()
     n_fps = dedup.winnow_fingerprint_table(docs, "doc_id", "text", k=5, w=4).count()
     assert 0 < n_fps < 0.55 * n_shingles, (n_fps, n_shingles)
+
+
+def test_lm_and_tfidf_broadcast_the_vocab(spark):
+    """The unigram-LM and TF-IDF scoring joins must BROADCAST the
+    vocab-sized side (token logprobs / term idf) rather than shuffling
+    the exploded token stream by token — the token stream is the
+    |corpus|-scaled side and stopword keys make a shuffle join skewed."""
+    for name in ("lm_unigram_doc_scores", "tfidf_top_terms_per_doc"):
+        df = QUERIES[name](spark, SF)
+        assert broadcast_join_count(df) >= 1, name
+        assert sort_merge_join_count(df) == 0, name
+
+
+def test_semantic_cluster_dedup_single_cell_shuffle(spark):
+    """SemDeDup runs as one groupBy(cell) Arrow pass: exactly one
+    exchange hashpartitioning on cell feeding FlatMapGroupsInPandas —
+    no pair join, no second shuffle."""
+    df = QUERIES["semantic_cluster_dedup"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+    from activedatawarehouseprototype_spark.plans.explain import exchange_count
+
+    assert exchange_count(df) == 1, plan[:1500]
