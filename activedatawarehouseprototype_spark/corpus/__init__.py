@@ -67,12 +67,13 @@ from activedatawarehouseprototype_spark.corpus import stats  # noqa: E402,F401
 # Round-4 rotation (41 entries): 29 whose freshest driver row is r2
 # (they missed the round-3 window, which prioritized the 27
 # never-checked entries + 2 new ANN queries, all green in
-# CORRECTNESS_r03) + 12 queries NEW in round 4 (no prior row by
+# CORRECTNESS_r03) + 13 queries NEW in round 4 (no prior row by
 # construction — decontamination, same-ts quirk, winnowing, chunking,
 # PII, embedding near-dup, token-budget mix, shard manifest, quality
-# gate, semantic cluster dedup, unigram LM, TF-IDF).  With the 9-entry
-# stable core that fills the 50-slot window exactly; after this round
-# every registry entry's driver evidence is <= 2 rounds old.
+# gate, semantic cluster dedup, unigram LM, TF-IDF, MV merge algebra).
+# With the 8-entry stable core that fills the 50-slot window exactly;
+# after this round every registry entry's driver evidence is <= 2
+# rounds old.
 # ---------------------------------------------------------------------------
 
 _DRIVER_ROTATION = [
@@ -122,6 +123,7 @@ _DRIVER_ROTATION = [
     "semantic_cluster_dedup",
     "lm_unigram_doc_scores",
     "tfidf_top_terms_per_doc",
+    "mv_incremental_merge_algebra",
 ]
 
 _STABLE_CORE = [
@@ -134,22 +136,22 @@ _STABLE_CORE = [
     "tpch_q1_pricing_summary",
     "tpch_q5_local_supplier_volume",
     "topk_customers_by_spend",
-    "sql_correlated_subquery_share",
     # LLM-pipeline: dedup
     "dedup_minhash_lsh",
     # (window_top3_orders_per_customer, json_extract_props,
     # dedup_minhash_components, ann_topk_cosine,
     # join_full_outer_nation_activity, rollup_lineitem_qty,
-    # geo_grid_cell_agg, dedup_exact_text, text_quality_filter and
-    # rule_count_tumbling sit out this round — all r3-green — to make
-    # window room for the twelve new round-4 queries above; their
-    # families stay represented (joins via tpch_q5 + four join_*
-    # rotations, grouping via cube_orders_status_priority, geo via
-    # geo_cell_geometry/geo_path_cells, dedup via minhash/simhash/
-    # winnow/fingerprint, count windows via rule_union_alerts, text
-    # via text_stats/text_lang_id/chunk/pii), the full-corpus pytest
-    # mirror still covers them every round, and they rotate back in
-    # round 5.)
+    # geo_grid_cell_agg, dedup_exact_text, text_quality_filter,
+    # rule_count_tumbling and sql_correlated_subquery_share sit out
+    # this round — all r3-green — to make window room for the thirteen
+    # new round-4 queries above; their families stay represented
+    # (joins via tpch_q5 + four join_* rotations, grouping via
+    # cube_orders_status_priority, geo via geo_cell_geometry/
+    # geo_path_cells, dedup via minhash/simhash/winnow/fingerprint,
+    # count windows via rule_union_alerts, subqueries via
+    # sql_subquery_above_avg_orders, text via text_stats/text_lang_id/
+    # chunk/pii), the full-corpus pytest mirror still covers them
+    # every round, and they rotate back in round 5.)
 ]
 
 

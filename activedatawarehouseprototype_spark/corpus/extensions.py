@@ -1579,3 +1579,69 @@ def tfidf_top_terms_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("doc_id").cast("bigint").alias("doc_id"), "term", "score", "rnk"
     )
+
+
+# --- Incremental-MV merge algebra: three event-time "micro-batches"
+# are partially aggregated then MERGED (sum of sums / min of mins /
+# max of maxes), which must equal the direct one-shot aggregate — the
+# algebra operators/warehouse.py::incremental_agg_mv applies per batch
+# against the persisted view (filesystem side tested in pytest). ---
+
+
+@register(
+    "mv_incremental_merge_algebra",
+    oracle="""
+WITH b AS (
+  SELECT user_id, value,
+         CAST(FLOOR(CAST(epoch(ts) AS DOUBLE) / 86400) AS BIGINT) % 3 AS batch
+  FROM events
+),
+partials AS (
+  SELECT batch, user_id,
+         COUNT(*) AS n, SUM(value) AS total,
+         MIN(value) AS mn, MAX(value) AS mx
+  FROM b GROUP BY 1, 2
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(SUM(n) AS BIGINT) AS n,
+       ROUND(SUM(total), 2) AS total,
+       MIN(mn) AS mn,
+       MAX(mx) AS mx,
+       ROUND(SUM(total) / SUM(n), 4) AS avg_value
+FROM partials
+GROUP BY user_id
+""",
+)
+def mv_incremental_merge_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _load(spark, sf_dir, "events").select(
+        "user_id",
+        "value",
+        (
+            F.floor(F.col("ts").cast("double") / F.lit(86400.0)).cast("bigint")
+            % 3
+        ).alias("batch"),
+    )
+    partials = ev.groupBy("batch", "user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("total"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    )
+    return (
+        partials.groupBy("user_id")
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.round(F.sum("total"), 2).alias("total"),
+            F.min("mn").alias("mn"),
+            F.max("mx").alias("mx"),
+            F.round(F.sum("total") / F.sum("n"), 4).alias("avg_value"),
+        )
+        .select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            "n",
+            "total",
+            "mn",
+            "mx",
+            "avg_value",
+        )
+    )

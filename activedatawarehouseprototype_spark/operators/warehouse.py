@@ -204,3 +204,71 @@ def salted_agg(
     return partial.groupBy(*group_cols).agg(
         F.sum("_psum").alias("sum_value"), F.sum("_pcnt").alias("n_rows")
     )
+
+
+def incremental_agg_mv(
+    spark: SparkSession,
+    target_path: str,
+    batch_df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    batch_id: int | None = None,
+) -> DataFrame:
+    """Incrementally-maintained aggregate MATERIALIZED VIEW: per key,
+    running (n, total, mn, mx) — the mergeable partial-aggregate set
+    from which COUNT/SUM/MIN/MAX/AVG all derive — updated per
+    micro-batch without ever rescanning history.
+
+    Per batch: aggregate only the BATCH (map-side partial + one skinny
+    shuffle of |batch keys| rows), read the current MV, merge by key
+    (sum the sums/counts, min/max the extrema), atomically swap. Work
+    per batch is O(|batch| + |MV|): the raw event history is never
+    re-read — the active-warehouse answer to "keep a dashboard
+    aggregate current against a 100 TB event stream". At very large
+    key cardinality, swap the rewrite for a partitioned MERGE on
+    bucketed keys (same ``merge_upsert`` pattern); the partial-agg
+    algebra is unchanged.
+
+    ``batch_id`` (optional) makes replays IDEMPOTENT: the MV records
+    the last applied id in ``_mv_meta.json`` and silently skips any
+    batch with id <= last (exactly-once under foreachBatch's
+    at-least-once replay contract — same discipline as the pipeline's
+    restart no-reemission test).
+
+    Returns the merged MV DataFrame (read back from the swap)."""
+    import json as _json
+
+    meta_path = os.path.join(target_path + "_mv_meta.json")
+    if batch_id is not None and os.path.exists(meta_path):
+        with open(meta_path) as f:
+            last = _json.load(f).get("last_batch_id", -1)
+        if batch_id <= last:
+            return spark.read.parquet(target_path)
+
+    partial = batch_df.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(value_col)).alias("total"),
+        F.min(F.col(value_col)).alias("mn"),
+        F.max(F.col(value_col)).alias("mx"),
+    )
+    if os.path.exists(target_path):
+        current = spark.read.parquet(target_path)
+        merged = (
+            current.unionByName(partial)
+            .groupBy(*key_cols)
+            .agg(
+                F.sum("n").alias("n"),
+                F.sum("total").alias("total"),
+                F.min("mn").alias("mn"),
+                F.max("mx").alias("mx"),
+            )
+        )
+    else:
+        merged = partial
+    _atomic_swap(spark, merged, target_path)
+    if batch_id is not None:
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump({"last_batch_id": batch_id}, f)
+        os.replace(tmp, meta_path)
+    return spark.read.parquet(target_path)

@@ -183,3 +183,43 @@ def test_scd2_upsert_input_validation(spark, tmp_path):
     import os
 
     assert not os.path.exists(path)
+
+
+def test_incremental_agg_mv_matches_direct_aggregate(spark, tmp_path):
+    """Feeding batches through the MV must equal one direct aggregate
+    over the concatenated input — for COUNT/SUM/MIN/MAX exactly, and
+    AVG derived as total/n."""
+    from pyspark.sql import functions as F
+
+    from activedatawarehouseprototype_spark.operators.warehouse import (
+        incremental_agg_mv,
+    )
+
+    mv = str(tmp_path / "mv")
+    batches = [
+        [(i % 7, float((i * 13) % 101)) for i in range(lo, hi)]
+        for lo, hi in ((0, 400), (400, 650), (650, 1000))
+    ]
+    all_rows = [r for b in batches for r in b]
+    for bid, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "k int, v double")
+        out = incremental_agg_mv(spark, mv, df, ["k"], "v", batch_id=bid)
+    direct = (
+        spark.createDataFrame(all_rows, "k int, v double")
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("total"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+    )
+    got = {r.k: (r.n, round(r.total, 6), r.mn, r.mx) for r in out.collect()}
+    want = {r.k: (r.n, round(r.total, 6), r.mn, r.mx) for r in direct.collect()}
+    assert got == want
+
+    # replaying an already-applied batch must be a no-op (idempotence)
+    replay = spark.createDataFrame(batches[1], "k int, v double")
+    out2 = incremental_agg_mv(spark, mv, replay, ["k"], "v", batch_id=1)
+    got2 = {r.k: (r.n, round(r.total, 6), r.mn, r.mx) for r in out2.collect()}
+    assert got2 == want
