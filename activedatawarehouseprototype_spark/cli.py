@@ -96,6 +96,18 @@ def _build_parser() -> argparse.ArgumentParser:
     pm.add_argument("--weights", default="train=0.8,val=0.1,test=0.1")
     pm.add_argument("--salt", default="s1")
 
+    pq = sub.add_parser(
+        "score",
+        help="per-document quality signals: heuristics + unigram-LM "
+        "cross-entropy + keep/drop reason",
+    )
+    pq.add_argument("--input", required=True, help="documents parquet path")
+    pq.add_argument("--output", required=True, help="output parquet path")
+    pq.add_argument("--id-col", default="doc_id")
+    pq.add_argument("--text-col", default="text")
+    pq.add_argument("--alpha", type=float, default=0.5,
+                    help="LM add-alpha smoothing")
+
     pib = sub.add_parser(
         "index-build",
         help="build a persisted IVF ANN index (vectors partitioned by cell)",
@@ -243,6 +255,47 @@ def main(argv: list[str] | None = None) -> int:
         out.write.mode("overwrite").parquet(args.output)
         counts = {r.split: r["count"] for r in out.groupBy("split").count().collect()}
         print(json.dumps(counts), file=sys.stderr)
+        return 0
+
+    if args.cmd == "score":
+        from pyspark.sql import functions as F
+
+        from activedatawarehouseprototype_spark.catalog import load_parquet
+        from activedatawarehouseprototype_spark.operators import text
+
+        docs = load_parquet(spark, args.input)
+        t = F.col(args.text_col)
+        lm = text.unigram_logprobs(
+            text.unigram_counts(docs, args.text_col), alpha=args.alpha
+        )
+        ce = text.doc_cross_entropy(
+            docs, lm, id_col=args.id_col, text_col=args.text_col
+        )
+        out = (
+            docs.select(
+                F.col(args.id_col),
+                text.token_count(t).alias("n_tokens"),
+                F.round(text.quality_score(t, F.length(t)), 6).alias(
+                    "quality"
+                ),
+                text.lang_id(t).alias("lang_guess"),
+                text.filter_reason(t, F.length(t)).alias("drop_reason"),
+            )
+            .join(
+                ce.select(
+                    F.col(args.id_col),
+                    F.round("ce_nats", 6).alias("lm_ce_nats"),
+                ),
+                args.id_col,
+                "left",
+            )
+        )
+        out.write.mode("overwrite").parquet(args.output)
+        n_drop = out.filter(F.col("drop_reason").isNotNull()).count()
+        print(
+            f"{out.count()} docs scored ({n_drop} flagged) -> {args.output}",
+            file=sys.stderr,
+        )
         return 0
 
     if args.cmd == "index-build":

@@ -1184,3 +1184,21 @@ def test_cli_index_build_and_search(spark, tmp_path):
     n_q = spark.read.parquet(embp).count()
     per_q = hits.groupBy("qid").count().collect()
     assert len(per_q) == n_q and all(r["count"] <= 3 for r in per_q)
+
+
+def test_cli_score_subcommand(spark, tmp_path):
+    """score writes per-doc quality + LM signals with a drop reason."""
+    from activedatawarehouseprototype_spark.cli import main
+
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    out = str(tmp_path / "scores")
+    assert main(["score", "--input", docs, "--output", out]) == 0
+    scored = spark.read.parquet(out)
+    assert set(scored.columns) == {
+        "doc_id", "n_tokens", "quality", "lang_guess", "drop_reason",
+        "lm_ce_nats",
+    }
+    n = spark.read.parquet(docs).count()
+    assert scored.count() == n
+    assert scored.filter(F.col("lm_ce_nats").isNotNull()).count() == n
+    assert scored.filter((F.col("quality") < 0) | (F.col("quality") > 1)).count() == 0
