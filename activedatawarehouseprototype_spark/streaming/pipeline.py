@@ -105,6 +105,15 @@ class ActivePipeline:
     # Size it to the source's disorder bound (e.g. out_of_order_events'
     # max_delay_ms); 0 = close windows at the frontier.
     lateness_ms: int = 0
+    # optional incrementally-maintained summary MV (active-warehouse
+    # dashboard table): when both are set, every batch's events also
+    # merge into a per-key (n, total, mn, mx) aggregate at
+    # ``work_dir/summary_mv`` via operators/warehouse.py
+    # incremental_agg_mv — O(|batch| + |MV|) per batch, batch-id
+    # idempotent, never rescans history. Read it back with
+    # ``summary_mv()``.
+    mv_key_cols: "list[str] | None" = None
+    mv_value_col: str | None = None
     # two-phase salted aggregation for hot composite keys (power-law
     # key skew): spreads each (rule, key, window) group over N salts
     # before the final merge. None = plain single-stage agg.
@@ -222,6 +231,15 @@ class ActivePipeline:
         return os.path.join(self.work_dir, "evaluations")
 
     @property
+    def summary_mv_path(self) -> str:
+        return os.path.join(self.work_dir, "summary_mv")
+
+    def summary_mv(self) -> DataFrame:
+        """Current state of the incrementally-maintained summary MV
+        (requires ``mv_key_cols``/``mv_value_col``)."""
+        return self.spark.read.parquet(self.summary_mv_path)
+
+    @property
     def latency_path(self) -> str:
         return os.path.join(self.work_dir, "latency")
 
@@ -241,6 +259,25 @@ class ActivePipeline:
         if self.registry.clear_state_requested:
             self._clear_buffer()
             self.registry.clear_state_requested = False
+
+        # (1b2) incremental summary MV (optional): merge this batch's
+        # mergeable partials into the persisted per-key aggregate.
+        # Runs on the pre-observe frame (its job must not populate the
+        # Observation ahead of the buffer write) and passes batch_id
+        # so foreachBatch replays after a restart are no-ops.
+        if self.mv_key_cols and self.mv_value_col:
+            from activedatawarehouseprototype_spark.operators.warehouse import (
+                incremental_agg_mv,
+            )
+
+            incremental_agg_mv(
+                self.spark,
+                self.summary_mv_path,
+                batch_df,
+                self.mv_key_cols,
+                self.mv_value_col,
+                batch_id=batch_id,
+            )
 
         # (1b) observed batch metrics (ingest count + K3 latency) —
         # df.observe piggybacks the buffer write below, so NO extra

@@ -1563,3 +1563,33 @@ def test_pipeline_ooo_soak_exactly_once_and_complete(spark, tmp_path):
     }
     assert got == want and len(got) > 10
     events.unpersist()
+
+
+def test_pipeline_maintains_summary_mv(spark, tmp_path):
+    """With mv_key_cols/mv_value_col set, each batch merges into the
+    persisted per-key summary; replaying a batch id is a no-op."""
+    from pyspark.sql import functions as F
+
+    reg = RuleRegistry(persist_path=str(tmp_path / "rules.jsonl"))
+    reg.apply_json(json.dumps(SPEEDING_RULE))
+    pipe = ActivePipeline(
+        spark=spark,
+        registry=reg,
+        work_dir=str(tmp_path / "wk"),
+        mv_key_cols=["carId"],
+        mv_value_col="speed",
+    )
+    b0 = car_df(spark, [(1, 0, 100.0), (2, 1, 50.0), (1, 2, 120.0)])
+    b1 = car_df(spark, [(1, 10, 80.0), (3, 11, 60.0)])
+    pipe.process_batch(b0, 0)
+    pipe.process_batch(b1, 1)
+    mv = {r.carId: (r.n, r.total, r.mn, r.mx) for r in pipe.summary_mv().collect()}
+    assert mv == {
+        1: (3, 300.0, 80.0, 120.0),
+        2: (1, 50.0, 50.0, 50.0),
+        3: (1, 60.0, 60.0, 60.0),
+    }
+    # replay of batch 1 (foreachBatch at-least-once) must not double-count
+    pipe.process_batch(b1, 1)
+    mv2 = {r.carId: (r.n, r.total, r.mn, r.mx) for r in pipe.summary_mv().collect()}
+    assert mv2 == mv
