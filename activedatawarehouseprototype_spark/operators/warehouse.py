@@ -213,6 +213,7 @@ def incremental_agg_mv(
     key_cols: list[str],
     value_col: str,
     batch_id: int | None = None,
+    distinct_col: str | None = None,
 ) -> DataFrame:
     """Incrementally-maintained aggregate MATERIALIZED VIEW: per key,
     running (n, total, mn, mx) — the mergeable partial-aggregate set
@@ -235,6 +236,14 @@ def incremental_agg_mv(
     at-least-once replay contract — same discipline as the pipeline's
     restart no-reemission test).
 
+    ``distinct_col`` (optional) adds a MERGEABLE approximate
+    distinct-count per key: each batch contributes a HyperLogLog
+    sketch (``hll_sketch_agg``), merges union the binary registers
+    (``hll_union_agg``) — the classic mergeable-sketch answer to
+    COUNT(DISTINCT) in an incremental view, where exact distinct would
+    require keeping every seen value. The stored ``hll`` column is the
+    sketch; read the estimate with ``F.hll_sketch_estimate("hll")``.
+
     Returns the merged MV DataFrame (read back from the swap)."""
     import json as _json
 
@@ -245,23 +254,28 @@ def incremental_agg_mv(
         if batch_id <= last:
             return spark.read.parquet(target_path)
 
-    partial = batch_df.groupBy(*key_cols).agg(
+    aggs = [
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col(value_col)).alias("total"),
         F.min(F.col(value_col)).alias("mn"),
         F.max(F.col(value_col)).alias("mx"),
-    )
+    ]
+    merge_aggs = [
+        F.sum("n").alias("n"),
+        F.sum("total").alias("total"),
+        F.min("mn").alias("mn"),
+        F.max("mx").alias("mx"),
+    ]
+    if distinct_col is not None:
+        aggs.append(F.hll_sketch_agg(F.col(distinct_col)).alias("hll"))
+        merge_aggs.append(F.hll_union_agg("hll").alias("hll"))
+    partial = batch_df.groupBy(*key_cols).agg(*aggs)
     if os.path.exists(target_path):
         current = spark.read.parquet(target_path)
         merged = (
             current.unionByName(partial)
             .groupBy(*key_cols)
-            .agg(
-                F.sum("n").alias("n"),
-                F.sum("total").alias("total"),
-                F.min("mn").alias("mn"),
-                F.max("mx").alias("mx"),
-            )
+            .agg(*merge_aggs)
         )
     else:
         merged = partial

@@ -223,3 +223,43 @@ def test_incremental_agg_mv_matches_direct_aggregate(spark, tmp_path):
     out2 = incremental_agg_mv(spark, mv, replay, ["k"], "v", batch_id=1)
     got2 = {r.k: (r.n, round(r.total, 6), r.mn, r.mx) for r in out2.collect()}
     assert got2 == want
+
+
+def test_incremental_agg_mv_hll_distinct(spark, tmp_path):
+    """distinct_col maintains a mergeable HLL sketch: the estimate
+    after batch-wise merging matches exact COUNT(DISTINCT) within HLL
+    tolerance (~2% at default lgConfigK=12; exact here at tiny n)."""
+    from pyspark.sql import functions as F
+
+    from activedatawarehouseprototype_spark.operators.warehouse import (
+        incremental_agg_mv,
+    )
+
+    mv = str(tmp_path / "mv")
+    batches = [
+        [(i % 3, float(i % 50), i % 61) for i in range(lo, hi)]
+        for lo, hi in ((0, 300), (300, 700))
+    ]
+    for bid, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "k int, v double, u int")
+        out = incremental_agg_mv(
+            spark, mv, df, ["k"], "v", batch_id=bid, distinct_col="u"
+        )
+    est = {
+        r.k: r.est
+        for r in out.select(
+            "k", F.hll_sketch_estimate("hll").alias("est")
+        ).collect()
+    }
+    exact = {
+        r.k: r.d
+        for r in spark.createDataFrame(
+            [x for b in batches for x in b], "k int, v double, u int"
+        )
+        .groupBy("k")
+        .agg(F.countDistinct("u").alias("d"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for k in exact:
+        assert abs(est[k] - exact[k]) <= max(2, 0.05 * exact[k]), (k, est[k], exact[k])
