@@ -64,16 +64,49 @@ def shingle_table(
     """(id, shingle) with distinct word n-grams per document.
 
     ``max_doc_freq`` drops shingles occurring in more than that many
-    documents (anti-skew + quadratic-pair control; see module doc)."""
-    # Explicit spread: the input is typically few/small files (1-2 scan
-    # partitions) but explode + hashing amplify CPU ~100x per input
-    # byte — without this the whole shingle pipeline runs on the scan's
-    # parallelism. Repartition cost is trivial next to the hash work.
+    documents (anti-skew + quadratic-pair control; see module doc).
+
+    Relational formulation (posexplode tokens → ``lead``-composed
+    n-grams → distinct), matching ``winnow_fingerprint_table``: the
+    array/lambda Column form (``explode(word_ngrams(...))``) evaluates
+    the higher-order transform INTERPRETED and re-runs ``split(text)``
+    for every one of the n element accesses per position — measured
+    ~5s vs ~1s at sf0.1 for the same 250k-shingle output. Every step
+    here is whole-stage codegen; ``word_ngrams`` remains the
+    specification form (equivalence pinned in
+    test_shingle_table_matches_column_expression). The
+    ``repartition(n, id_col)`` both spreads the CPU-amplifying explode
+    AND satisfies the lead window's hash distribution, so no extra
+    exchange; the per-doc distinct is a groupBy(sid) collect_set —
+    clustered on sid, so it ALSO rides that partitioning (a plain
+    ``.distinct()`` on (sid, shingle) re-shuffled the whole shingle
+    table; set size is bounded by document length, same bound the old
+    per-row ``array_distinct`` had)."""
     n_parts = df.sparkSession.sparkContext.defaultParallelism
+    from pyspark.sql import Window
+
+    base = (
+        df.repartition(n_parts, id_col)
+        .select(
+            F.col(id_col).alias("sid"),
+            F.split(F.col(text_col), " ").alias("_toks"),
+        )
+        .select(
+            "sid",
+            F.size("_toks").alias("_n"),
+            F.posexplode("_toks").alias("pos", "_t"),
+        )
+    )
+    wl = Window.partitionBy("sid").orderBy("pos")
     sh = (
-        df.repartition(n_parts)
-        .select(F.col(id_col).alias("sid"), word_ngrams(text_col, n).alias("grams"))
-        .select("sid", F.explode(F.array_distinct("grams")).alias("shingle"))
+        base.withColumn(
+            "_g",
+            F.concat_ws(" ", "_t", *[F.lead("_t", j).over(wl) for j in range(1, n)]),
+        )
+        .filter(F.col("pos") <= F.col("_n") - n)  # complete n-grams only
+        .groupBy("sid")
+        .agg(F.collect_set("_g").alias("_gs"))
+        .select("sid", F.explode("_gs").alias("shingle"))
     )
     if max_doc_freq is not None:
         df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))

@@ -1202,3 +1202,28 @@ def test_cli_score_subcommand(spark, tmp_path):
     assert scored.count() == n
     assert scored.filter(F.col("lm_ce_nats").isNotNull()).count() == n
     assert scored.filter((F.col("quality") < 0) | (F.col("quality") > 1)).count() == 0
+
+
+def test_shingle_table_matches_column_expression(spark, docs):
+    """The relational shingle table must equal the specification
+    Column form explode(array_distinct(word_ngrams)) — including
+    short-doc edges (< n tokens -> no shingles)."""
+    from activedatawarehouseprototype_spark.operators.text import word_ngrams
+
+    edge = spark.createDataFrame(
+        [(9000001, "a b"), (9000002, "a b c"), (9000003, "a b c d e f")],
+        "doc_id long, text string",
+    )
+    corpus = docs.select("doc_id", "text").unionByName(edge)
+    rel = {
+        (r.sid, r.shingle)
+        for r in dedup.shingle_table(corpus, "doc_id", "text", n=3).collect()
+    }
+    col = {
+        (r.doc_id, r.g)
+        for r in corpus.select(
+            "doc_id",
+            F.explode(F.array_distinct(word_ngrams("text", 3))).alias("g"),
+        ).collect()
+    }
+    assert rel == col
