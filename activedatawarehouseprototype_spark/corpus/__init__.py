@@ -67,11 +67,12 @@ from activedatawarehouseprototype_spark.corpus import stats  # noqa: E402,F401
 # Round-4 rotation (41 entries): 29 whose freshest driver row is r2
 # (they missed the round-3 window, which prioritized the 27
 # never-checked entries + 2 new ANN queries, all green in
-# CORRECTNESS_r03) + 13 queries NEW in round 4 (no prior row by
+# CORRECTNESS_r03) + 14 queries NEW in round 4 (no prior row by
 # construction — decontamination, same-ts quirk, winnowing, chunking,
 # PII, embedding near-dup, token-budget mix, shard manifest, quality
-# gate, semantic cluster dedup, unigram LM, TF-IDF, MV merge algebra).
-# With the 8-entry stable core that fills the 50-slot window exactly;
+# gate, semantic cluster dedup, unigram LM, TF-IDF, MV merge algebra,
+# view->click->purchase funnel).
+# With the 7-entry stable core that fills the 50-slot window exactly;
 # after this round every registry entry's driver evidence is <= 2
 # rounds old.
 # ---------------------------------------------------------------------------
@@ -124,12 +125,12 @@ _DRIVER_ROTATION = [
     "lm_unigram_doc_scores",
     "tfidf_top_terms_per_doc",
     "mv_incremental_merge_algebra",
+    "funnel_view_click_purchase",
 ]
 
 _STABLE_CORE = [
     # rule engine: one per window kind + fan-out + composite key
     "rule_tumbling_avg",
-    "rule_sliding_max",
     "rule_per_event_avg",
     "rule_fanout_match_counts",
     # relational: agg, multi-way join, outer join, top-k, subquery
@@ -142,13 +143,14 @@ _STABLE_CORE = [
     # dedup_minhash_components, ann_topk_cosine,
     # join_full_outer_nation_activity, rollup_lineitem_qty,
     # geo_grid_cell_agg, dedup_exact_text, text_quality_filter,
-    # rule_count_tumbling and sql_correlated_subquery_share sit out
-    # this round — all r3-green — to make window room for the thirteen
-    # new round-4 queries above; their families stay represented
+    # rule_count_tumbling, sql_correlated_subquery_share and
+    # rule_sliding_max sit out this round — all r3-green — to make
+    # window room for the fourteen new round-4 queries above; their families stay represented
     # (joins via tpch_q5 + four join_* rotations, grouping via
     # cube_orders_status_priority, geo via geo_cell_geometry/
     # geo_path_cells, dedup via minhash/simhash/winnow/fingerprint,
-    # count windows via rule_union_alerts, subqueries via
+    # count windows via rule_union_alerts, sliding windows via the
+    # pytest mirror + W3 streaming soaks, subqueries via
     # sql_subquery_above_avg_orders, text via text_stats/text_lang_id/
     # chunk/pii), the full-corpus pytest mirror still covers them
     # every round, and they rotate back in round 5.)

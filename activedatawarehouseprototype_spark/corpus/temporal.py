@@ -126,3 +126,73 @@ def session_windows_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("session_value"),
     )
+
+
+# --- Funnel analysis: ordered view -> click -> purchase conversion.
+# Stage k's timestamp is the FIRST event of that type strictly AFTER
+# the user's stage-(k-1) timestamp (the standard strict-order funnel,
+# immune to a purchase that precedes the first view). Scale shape:
+# per-stage filtered min-aggregates and joins all keyed on user_id —
+# one hash partitioning reused across every stage (AQE coalesces),
+# never a per-user sort of the whole event stream. ---
+
+
+@register(
+    "funnel_view_click_purchase",
+    oracle="""
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t1
+  GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+  GROUP BY 1
+)
+SELECT CAST(v.user_id AS BIGINT) AS user_id,
+       epoch_ms(v.t1) AS view_ms,
+       epoch_ms(c.t2) AS click_ms,
+       epoch_ms(p.t3) AS purchase_ms
+FROM v
+LEFT JOIN c ON v.user_id = c.user_id
+LEFT JOIN p ON v.user_id = p.user_id
+""",
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.unix_millis("t1").alias("view_ms"),
+            F.unix_millis("t2").alias("click_ms"),
+            F.unix_millis("t3").alias("purchase_ms"),
+        )
+    )
