@@ -37,8 +37,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from activedatawarehouseprototype_spark.operators.text import word_ngrams
-
 
 def exact_dedup(df: DataFrame, id_col: str, key_col: str) -> DataFrame:
     """Exact duplicate groups: key → keeper (min id), copy count.
