@@ -55,6 +55,14 @@ def _build_parser() -> argparse.ArgumentParser:
     pr.add_argument(
         "--once", action="store_true", help="availableNow trigger (drain + exit)"
     )
+    pr.add_argument(
+        "--mv-key", default=None,
+        help="comma-separated key columns: maintain an incremental "
+        "per-key summary MV at <work-dir>/summary_mv",
+    )
+    pr.add_argument(
+        "--mv-value", default=None, help="value column for the summary MV"
+    )
 
     ps = sub.add_parser("sql", help="print the rule's generated ANSI-SQL twin")
     ps.add_argument("--rule", required=True)
@@ -353,6 +361,8 @@ def main(argv: list[str] | None = None) -> int:
             ts_col=args.ts_col,
             work_dir=args.work_dir,
             rules_dir=args.rules_dir,
+            mv_key_cols=args.mv_key.split(",") if args.mv_key else None,
+            mv_value_col=args.mv_value,
         )
         from activedatawarehouseprototype_spark.catalog import load_parquet
 

@@ -521,10 +521,14 @@ def test_cli_run_subcommand_e2e(spark, tmp_path):
     rc = main([
         "run", "--events-dir", str(events_dir), "--rules-dir", str(rules_dir),
         "--work-dir", str(work), "--once",
+        "--mv-key", "carId", "--mv-value", "speed",
     ])
     assert rc == 0
     alerts = spark.read.parquet(str(work / "alerts" / "data"))
     assert {r.key for r in alerts.collect()} == {"{carId=9}"}
+    mv = {r.carId: (r.n, r.total) for r in
+          spark.read.parquet(str(work / "summary_mv")).collect()}
+    assert mv == {9: (1, 130.0), 7: (1, 90.0)}
 
 
 def test_curation_pipeline_end_to_end(spark):
