@@ -649,3 +649,35 @@ def ivf_index_search(
         .filter(F.col("rnk") <= k)
         .drop("rnk")
     )
+
+
+def ivf_index_append(
+    spark,
+    index_path: str,
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally add vectors to a persisted ``ivf_index_build``
+    index: assign against the EXISTING centroids (k-row control-plane
+    read, broadcast into one vectorized projection) and append to the
+    matching ``cell=`` partitions — no rewrite of existing data, no
+    retraining. Parquet partitioned append only touches the
+    directories the new batch lands in, so index maintenance cost is
+    O(|new batch|) regardless of index size; searches pick the rows up
+    immediately (same partition filters). Re-train + rebuild
+    (``ivf_index_build``) when drift degrades recall — centroid
+    assignment quality, not storage, is the rebuild trigger."""
+    cents = [
+        (int(r["sid"]), [float(x) for x in r["centroid"]])
+        for r in spark.read.parquet(f"{index_path}/centroids").collect()
+    ]
+    cents.sort(key=lambda t: t[0])
+    assigned = ivf_assign(
+        df, k=len(cents), id_col=id_col, vec_col=vec_col, centroids=cents
+    )
+    assigned.select(
+        F.col(id_col),
+        as_double_array(F.col(vec_col)).alias("vec"),
+        F.col("cell"),
+    ).write.mode("append").partitionBy("cell").parquet(f"{index_path}/vectors")

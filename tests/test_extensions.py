@@ -1231,3 +1231,31 @@ def test_shingle_table_matches_column_expression(spark, docs):
         ).collect()
     }
     assert rel == col
+
+
+def test_ivf_index_append_searchable(spark, emb, tmp_path):
+    """Appended vectors join their assigned cell's partition and are
+    found by a subsequent search without rebuilding the index."""
+    idx = str(tmp_path / "idx_app")
+    similarity.ivf_index_build(
+        emb, idx, k=4, iters=1, id_col="vec_id", vec_col="embedding"
+    )
+    n0 = spark.read.parquet(f"{idx}/vectors").count()
+    # append near-copies of vectors 0..4 under offset ids
+    newv = emb.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 500000).alias("vec_id"),
+        F.transform(
+            similarity.as_double_array(F.col("embedding")),
+            lambda x: x * F.lit(1.001),
+        ).alias("embedding"),
+    )
+    similarity.ivf_index_append(spark, idx, newv)
+    assert spark.read.parquet(f"{idx}/vectors").count() == n0 + 5
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    hits = similarity.ivf_index_search(spark, idx, q, k=3, probes=1)
+    got = {r.vec_id for r in hits.collect()}
+    # the scaled copy of vector 0 has cosine 1.0 -> must be the top hit
+    top = hits.orderBy(F.col("score").desc()).first()
+    assert top.vec_id == 500000 and abs(top.score - 1.0) < 1e-6, got
