@@ -145,6 +145,37 @@ def _build_parser() -> argparse.ArgumentParser:
                      help="query id column in --queries")
     pis.add_argument("--qvec-col", default="embedding",
                      help="query vector column in --queries")
+
+    pdb = sub.add_parser(
+        "dedup-index-build",
+        help="persist a MinHash-LSH dedup index (bucket-partitioned "
+        "band signatures + hot-shingle list)",
+    )
+    pdb.add_argument("--input", required=True, help="documents parquet path")
+    pdb.add_argument("--index", required=True, help="index output directory")
+    pdb.add_argument("--id-col", default="doc_id")
+    pdb.add_argument("--text-col", default="text")
+    pdb.add_argument("--n", type=int, default=5, help="shingle n-gram size")
+    pdb.add_argument("--k", type=int, default=12, help="minhash functions")
+    pdb.add_argument("--bands", type=int, default=3)
+    pdb.add_argument("--max-doc-freq", type=int, default=None,
+                     help="persisted hot-shingle cap")
+
+    pdl = sub.add_parser(
+        "dedup-index-lookup",
+        help="match a new batch against a persisted dedup index "
+        "(writes (id_new, id_indexed) pairs; --append adds survivors)",
+    )
+    pdl.add_argument("--index", required=True, help="index directory")
+    pdl.add_argument("--batch", required=True, help="new-batch parquet path")
+    pdl.add_argument("--output", required=True, help="output parquet path")
+    pdl.add_argument("--id-col", default="doc_id")
+    pdl.add_argument("--text-col", default="text")
+    pdl.add_argument(
+        "--append", action="store_true",
+        help="after the lookup, append the batch's UNMATCHED docs to "
+        "the index (the standard ingest flow)",
+    )
     return p
 
 
@@ -343,6 +374,54 @@ def main(argv: list[str] | None = None) -> int:
         )
         out.write.mode("overwrite").parquet(args.output)
         print(f"{out.count()} result rows -> {args.output}", file=sys.stderr)
+        return 0
+
+    if args.cmd == "dedup-index-build":
+        from activedatawarehouseprototype_spark.catalog import load_parquet
+        from activedatawarehouseprototype_spark.operators import dedup_index
+
+        dedup_index.dedup_index_build(
+            load_parquet(spark, args.input),
+            args.index,
+            id_col=args.id_col,
+            text_col=args.text_col,
+            n=args.n,
+            k=args.k,
+            bands=args.bands,
+            max_doc_freq=args.max_doc_freq,
+        )
+        n_rows = spark.read.parquet(f"{args.index}/bands").count()
+        print(f"{n_rows} band rows -> {args.index}", file=sys.stderr)
+        return 0
+
+    if args.cmd == "dedup-index-lookup":
+        from pyspark.sql import functions as F
+
+        from activedatawarehouseprototype_spark.catalog import load_parquet
+        from activedatawarehouseprototype_spark.operators import dedup_index
+
+        batch = load_parquet(spark, args.batch)
+        out = dedup_index.dedup_index_lookup(
+            spark, args.index, batch, id_col=args.id_col, text_col=args.text_col
+        )
+        out.write.mode("overwrite").parquet(args.output)
+        n_pairs = out.count()
+        if args.append:
+            matched = out.select(
+                F.col("id_new").alias(args.id_col)
+            ).distinct()
+            survivors = batch.join(matched, args.id_col, "left_anti")
+            dedup_index.dedup_index_append(
+                spark, args.index, survivors,
+                id_col=args.id_col, text_col=args.text_col,
+            )
+            print(
+                f"{n_pairs} match pairs -> {args.output}; "
+                f"unmatched batch docs appended to {args.index}",
+                file=sys.stderr,
+            )
+        else:
+            print(f"{n_pairs} match pairs -> {args.output}", file=sys.stderr)
         return 0
 
     if args.cmd == "run":

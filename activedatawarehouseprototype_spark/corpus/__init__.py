@@ -64,15 +64,15 @@ from activedatawarehouseprototype_spark.corpus import stats  # noqa: E402,F401
 # Rotate across rounds by editing the two lists; test_registry_order.py
 # asserts the first-50 composition so a refactor can't silently undo this.
 #
-# Round-4 rotation (41 entries): 29 whose freshest driver row is r2
+# Round-4 rotation (44 entries): 29 whose freshest driver row is r2
 # (they missed the round-3 window, which prioritized the 27
 # never-checked entries + 2 new ANN queries, all green in
-# CORRECTNESS_r03) + 14 queries NEW in round 4 (no prior row by
+# CORRECTNESS_r03) + 15 queries NEW in round 4 (no prior row by
 # construction — decontamination, same-ts quirk, winnowing, chunking,
 # PII, embedding near-dup, token-budget mix, shard manifest, quality
 # gate, semantic cluster dedup, unigram LM, TF-IDF, MV merge algebra,
-# view->click->purchase funnel).
-# With the 7-entry stable core that fills the 50-slot window exactly;
+# view->click->purchase funnel, persisted-dedup-index lookup).
+# With the 6-entry stable core that fills the 50-slot window exactly;
 # after this round every registry entry's driver evidence is <= 2
 # rounds old.
 # ---------------------------------------------------------------------------
@@ -126,6 +126,7 @@ _DRIVER_ROTATION = [
     "tfidf_top_terms_per_doc",
     "mv_incremental_merge_algebra",
     "funnel_view_click_purchase",
+    "dedup_index_incremental",
 ]
 
 _STABLE_CORE = [
@@ -137,15 +138,16 @@ _STABLE_CORE = [
     "tpch_q1_pricing_summary",
     "tpch_q5_local_supplier_volume",
     "topk_customers_by_spend",
-    # LLM-pipeline: dedup
-    "dedup_minhash_lsh",
+    # LLM-pipeline dedup canary: dedup_minhash_lsh (r3-green) ceded
+    # its slot to dedup_index_incremental above, which drives the SAME
+    # minhash/band signature pipeline through the persisted index path.
     # (window_top3_orders_per_customer, json_extract_props,
     # dedup_minhash_components, ann_topk_cosine,
     # join_full_outer_nation_activity, rollup_lineitem_qty,
     # geo_grid_cell_agg, dedup_exact_text, text_quality_filter,
     # rule_count_tumbling, sql_correlated_subquery_share and
     # rule_sliding_max sit out this round — all r3-green — to make
-    # window room for the fourteen new round-4 queries above; their families stay represented
+    # window room for the fifteen new round-4 queries above; their families stay represented
     # (joins via tpch_q5 + four join_* rotations, grouping via
     # cube_orders_status_priority, geo via geo_cell_geometry/
     # geo_path_cells, dedup via minhash/simhash/winnow/fingerprint,
@@ -153,7 +155,10 @@ _STABLE_CORE = [
     # pytest mirror + W3 streaming soaks, subqueries via
     # sql_subquery_above_avg_orders, text via text_stats/text_lang_id/
     # chunk/pii), the full-corpus pytest mirror still covers them
-    # every round, and they rotate back in round 5.)
+    # every round, and they rotate back in round 5 together with any
+    # queries registered after the window filled (positions >50),
+    # which carry pytest-mirror evidence now and earn driver rows next
+    # round.)
 ]
 
 

@@ -1645,3 +1645,95 @@ def mv_incremental_merge_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_value",
         )
     )
+
+
+# --- Persisted LSH dedup index: incremental batch-vs-corpus lookup.
+# The Spark side actually BUILDS the on-disk index (bucket-partitioned
+# banded signatures + persisted hot-shingle list) in a temp dir and
+# runs the partition-pruned lookup; the oracle restates the semantics
+# directly: batch bands (computed under the CORPUS's hot-shingle cap)
+# equi-joined against corpus bands. ---
+
+_GRAMS_BATCH = _GRAMS.replace("FROM corpus", "FROM batch")
+
+
+@register(
+    "dedup_index_incremental",
+    oracle=f"""
+WITH corpus AS (SELECT doc_id, text FROM documents),
+batch AS (
+  SELECT doc_id + 1000000 AS doc_id, text || ' zz9' AS text
+  FROM documents WHERE doc_id % 101 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 97 = 0
+),
+grams_c_all AS ({_GRAMS}),
+hot AS (
+  SELECT shingle
+  FROM (SELECT shingle, COUNT(*) AS df_ FROM grams_c_all GROUP BY shingle)
+  WHERE df_ > {_MAX_DOC_FREQ}
+),
+grams_c AS (
+  SELECT * FROM grams_c_all WHERE shingle NOT IN (SELECT shingle FROM hot)
+),
+grams_b_all AS ({_GRAMS_BATCH}),
+grams_b AS (
+  SELECT * FROM grams_b_all WHERE shingle NOT IN (SELECT shingle FROM hot)
+),
+mh_c AS (
+  SELECT doc_id, s.i AS hash_idx,
+         MIN(md5(CAST(s.i AS VARCHAR) || ':' || shingle)) AS minhash
+  FROM grams_c, UNNEST(generate_series(0, 11)) AS s(i)
+  GROUP BY doc_id, s.i
+),
+bands_c AS (
+  SELECT doc_id, hash_idx // 4 AS band,
+         md5(string_agg(minhash, ',' ORDER BY minhash)) AS band_sig
+  FROM mh_c GROUP BY doc_id, band
+),
+mh_b AS (
+  SELECT doc_id, s.i AS hash_idx,
+         MIN(md5(CAST(s.i AS VARCHAR) || ':' || shingle)) AS minhash
+  FROM grams_b, UNNEST(generate_series(0, 11)) AS s(i)
+  GROUP BY doc_id, s.i
+),
+bands_b AS (
+  SELECT doc_id, hash_idx // 4 AS band,
+         md5(string_agg(minhash, ',' ORDER BY minhash)) AS band_sig
+  FROM mh_b GROUP BY doc_id, band
+)
+SELECT DISTINCT CAST(b.doc_id AS BIGINT) AS id_new,
+       CAST(c.doc_id AS BIGINT) AS id_indexed
+FROM bands_b b
+JOIN bands_c c ON b.band = c.band AND b.band_sig = c.band_sig
+""",
+)
+def dedup_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from activedatawarehouseprototype_spark.operators import dedup_index as DI
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    batch = (
+        d.filter(F.col("doc_id") % 101 == 0)
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zz9")).alias("text"),
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 97 == 0).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    path = tempfile.mkdtemp(prefix="adw-dedupidx-")
+    try:
+        DI.dedup_index_build(
+            d, path, n=_NGRAM, k=12, bands=3, max_doc_freq=_MAX_DOC_FREQ
+        )
+        # lookup localCheckpoints its (small) result, so the temp index
+        # can be deleted before returning
+        return DI.dedup_index_lookup(spark, path, batch)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

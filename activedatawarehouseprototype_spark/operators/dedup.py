@@ -292,6 +292,14 @@ def minhash_signatures(
     shuffle. The naive explode-seeds plan shuffles k x |shingles| rows
     of 32-char digests; this shuffles ~k x |docs|."""
     sh = shingle_table(df, id_col, text_col, n, max_doc_freq)
+    return minhash_from_shingles(sh, k)
+
+
+def minhash_from_shingles(sh: DataFrame, k: int = 12) -> DataFrame:
+    """(sid, hash_idx, minhash) from a prepared (sid, shingle) table —
+    the signature step of ``minhash_signatures`` split out so callers
+    (e.g. the persisted dedup index) can filter the shingle table
+    against an external hot-shingle list first."""
     aggs = [
         F.min(
             F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")).cast("binary"))
@@ -307,6 +315,25 @@ def minhash_signatures(
     return wide.select("sid", F.expr(stack))
 
 
+def band_signatures(
+    sig: DataFrame, k: int = 12, bands: int = 3
+) -> DataFrame:
+    """(sid, band, band_sig) from ``minhash_signatures`` rows: band
+    signature = md5 of the band's concatenated minhashes. Two docs
+    agreeing on all rows_per_band = k/bands minhashes of any band
+    collide — the similarity knee of MinHash LSH."""
+    rows_per_band = k // bands
+    return (
+        sig.withColumn("band", (F.col("hash_idx") / rows_per_band).cast("int"))
+        .groupBy("sid", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(",", F.array_sort(F.collect_list("minhash"))).cast("binary")
+            ).alias("band_sig")
+        )
+    )
+
+
 def lsh_candidates(
     df: DataFrame,
     id_col: str,
@@ -319,17 +346,8 @@ def lsh_candidates(
     """Candidate near-dup pairs: docs sharing at least one LSH band
     (band signature = md5 of the band's concatenated minhashes).
     rows_per_band = k / bands controls the similarity knee."""
-    rows_per_band = k // bands
     sig = minhash_signatures(df, id_col, text_col, n, k, max_doc_freq)
-    banded = (
-        sig.withColumn("band", (F.col("hash_idx") / rows_per_band).cast("int"))
-        .groupBy("sid", "band")
-        .agg(
-            F.md5(
-                F.concat_ws(",", F.array_sort(F.collect_list("minhash"))).cast("binary")
-            ).alias("band_sig")
-        )
-    )
+    banded = band_signatures(sig, k, bands)
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -1,0 +1,207 @@
+"""Persisted MinHash-LSH dedup index: dedupe NEW data against an
+already-indexed corpus without rescanning it.
+
+Batch dedup (``operators/dedup.py``) recomputes signatures for the
+whole corpus every run — fine for a one-shot pass, wrong for the
+production shape where a 100 TB corpus is indexed ONCE and each
+incoming batch (a crawl snapshot, a day of ingestion) is deduped
+against it. This module persists the banded LSH signatures as a
+parquet table partitioned by a band-signature BUCKET so a lookup:
+
+1. computes signatures only for the new batch (cost O(|batch|)),
+2. reads only the index partitions whose buckets the batch actually
+   touches (parquet PartitionFilters — at 100 TB the scan lists only
+   matched directories, plan-asserted in tests), and
+3. equi-joins on (bucket, band, band_sig) — collision-bounded,
+   never |batch| x |corpus|.
+
+Hot-shingle discipline: a ``max_doc_freq`` cap at build time drops
+non-discriminative boilerplate shingles BEFORE signatures (the
+quadratic-pair control of ``operators/dedup.py``). Capping must be
+consistent across batches or signatures stop being comparable, so the
+build PERSISTS the hot-shingle list in the index and every
+append/lookup anti-joins against it — new batches see the corpus's
+cap decisions, not their own batch-local document frequencies. The
+hot list is df-capped-small by construction (only shingles above the
+cap), and grows only via explicit ``reindex``-style rebuilds.
+
+Index layout (all parquet):
+  {path}/bands/bucket=*/   (sid, band, band_sig)  — the searchable index
+  {path}/hot_shingles/     (shingle)              — persisted cap decisions
+  {path}/meta/             one row (n, k, bands, n_buckets, max_doc_freq)
+
+Reference parity: the reference engine has no dedup surface at all
+(its only state is per-rule window state — DynamicQueryFunction.java);
+this is part of the LLM-pipeline extension surface the blueprint adds
+on top (SURVEY.md "beyond the reference").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from activedatawarehouseprototype_spark.operators.dedup import (
+    band_signatures,
+    minhash_from_shingles,
+    shingle_table,
+)
+
+
+def _bucket(col, n_buckets: int):
+    """Stable band_sig → bucket id: first 4 hex chars mod n_buckets.
+    Pure function of the signature, so both sides of a lookup agree
+    without coordination."""
+    return (F.conv(F.substring(col, 1, 4), 16, 10).cast("int") % n_buckets).alias(
+        "bucket"
+    )
+
+
+def _banded_for(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    k: int,
+    bands: int,
+    n_buckets: int,
+    hot: DataFrame | None,
+) -> DataFrame:
+    """(sid, band, band_sig, bucket) for ``df``, honoring a persisted
+    hot-shingle list (anti-join BEFORE signatures)."""
+    sh = shingle_table(df, id_col, text_col, n, max_doc_freq=None)
+    if hot is not None:
+        sh = sh.join(hot, "shingle", "left_anti")
+    banded = band_signatures(minhash_from_shingles(sh, k), k, bands)
+    return banded.select("sid", "band", "band_sig", _bucket(F.col("band_sig"), n_buckets))
+
+
+def dedup_index_build(
+    df: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    k: int = 12,
+    bands: int = 3,
+    max_doc_freq: int | None = None,
+    n_buckets: int = 64,
+) -> None:
+    """Index a corpus for incremental near-dup lookup: persist its
+    banded MinHash signatures partitioned by band-sig bucket, the
+    hot-shingle list implied by ``max_doc_freq`` (computed over THIS
+    corpus — the cap decisions future batches must inherit), and the
+    parameters. One pass over the corpus; index size is
+    ``bands``x|docs| rows of 32-char digests — a fixed small fraction
+    of corpus bytes."""
+    spark = df.sparkSession
+    sh = shingle_table(df, id_col, text_col, n, max_doc_freq=None)
+    if max_doc_freq is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df_"))
+            .filter(F.col("df_") > max_doc_freq)
+            .select("shingle")
+        )
+        # materialize BEFORE the signature pass so the cap list is
+        # computed once, then reused by the anti-join and persisted
+        hot.write.mode("overwrite").parquet(f"{index_path}/hot_shingles")
+        hot = spark.read.parquet(f"{index_path}/hot_shingles")
+        sh = sh.join(hot, "shingle", "left_anti")
+    else:
+        spark.createDataFrame([], "shingle string").write.mode("overwrite").parquet(
+            f"{index_path}/hot_shingles"
+        )
+    banded = band_signatures(minhash_from_shingles(sh, k), k, bands)
+    banded.select(
+        "sid", "band", "band_sig", _bucket(F.col("band_sig"), n_buckets)
+    ).write.mode("overwrite").partitionBy("bucket").parquet(f"{index_path}/bands")
+    # sid type is recorded so readers can supply an explicit schema: a
+    # partitioned parquet write of 0 rows (e.g. every shingle hot, or
+    # an all-short-docs corpus) leaves no data files to infer from
+    sid_type = banded.schema["sid"].dataType.simpleString()
+    spark.createDataFrame(
+        [(n, k, bands, n_buckets, max_doc_freq, sid_type)],
+        "n int, k int, bands int, n_buckets int, max_doc_freq int, sid_type string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/meta")
+
+
+def _read_meta(spark: SparkSession, index_path: str) -> dict:
+    row = spark.read.parquet(f"{index_path}/meta").collect()[0]
+    return row.asDict()
+
+
+def _bands_schema(meta: dict) -> str:
+    """Explicit read schema for the bands table (an empty index has no
+    data files to infer from; partition column last)."""
+    return f"sid {meta['sid_type']}, band int, band_sig string, bucket int"
+
+
+def dedup_index_lookup(
+    spark: SparkSession,
+    index_path: str,
+    batch_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup matches of a NEW batch against the indexed corpus:
+    (id_new, id_indexed) pairs sharing at least one LSH band. The
+    corpus is not rescanned — the index read carries a bucket
+    partition filter derived from the batch's own signatures, so only
+    directories the batch can possibly match are listed (the two
+    driver round-trips are the 1-row meta read and the ≤n_buckets
+    bucket-id set — control-plane-sized)."""
+    m = _read_meta(spark, index_path)
+    hot = spark.read.parquet(f"{index_path}/hot_shingles")
+    banded_new = _banded_for(
+        batch_df, id_col, text_col, m["n"], m["k"], m["bands"], m["n_buckets"], hot
+    ).persist()
+    try:
+        buckets = sorted(
+            r["bucket"] for r in banded_new.select("bucket").distinct().collect()
+        )
+        idx = (
+            spark.read.schema(_bands_schema(m))
+            .parquet(f"{index_path}/bands")
+            .filter(F.col("bucket").isin(buckets))
+        )
+        out = (
+            banded_new.alias("q")
+            .join(
+                idx.alias("i"),
+                (F.col("q.bucket") == F.col("i.bucket"))
+                & (F.col("q.band") == F.col("i.band"))
+                & (F.col("q.band_sig") == F.col("i.band_sig"))
+                & (F.col("q.sid") != F.col("i.sid")),
+            )
+            .select(
+                F.col("q.sid").alias("id_new"), F.col("i.sid").alias("id_indexed")
+            )
+            .distinct()
+        )
+        # the persist holds signature compute; the result is small
+        # (matches only) so materializing it here releases the cache
+        # eagerly without re-running the batch signature pass
+        out = out.localCheckpoint()
+    finally:
+        banded_new.unpersist()
+    return out
+
+
+def dedup_index_append(
+    spark: SparkSession,
+    index_path: str,
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Add a batch to the index: signatures computed with the
+    PERSISTED parameters + hot list, appended to the matching
+    ``bucket=`` partitions — O(|batch|) regardless of index size, no
+    rewrite of existing partitions. The standard flow is
+    lookup → drop matched dups → append survivors."""
+    m = _read_meta(spark, index_path)
+    hot = spark.read.parquet(f"{index_path}/hot_shingles")
+    _banded_for(
+        df, id_col, text_col, m["n"], m["k"], m["bands"], m["n_buckets"], hot
+    ).write.mode("append").partitionBy("bucket").parquet(f"{index_path}/bands")
