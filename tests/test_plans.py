@@ -141,3 +141,23 @@ def test_semantic_cluster_dedup_single_cell_shuffle(spark):
     from activedatawarehouseprototype_spark.plans.explain import exchange_count
 
     assert exchange_count(df) == 1, plan[:1500]
+
+
+def test_new_tpch_queries_broadcast_dims_no_smj(spark):
+    """q7/q8/q10/q18: every dimension side broadcasts; the only
+    shuffle joins are fact-fact on orderkey (none should degrade to
+    sort-merge at these dim sizes)."""
+    for name, min_bc in [
+        ("tpch_q7_volume_shipping", 4),     # s, c, n1, n2
+        ("tpch_q8_market_share", 3),        # p, s, n
+        ("tpch_q10_returned_items", 2),     # c, n
+        ("tpch_q18_large_volume_customers", 1),  # c
+    ]:
+        df = QUERIES[name](spark, SF)
+        assert broadcast_join_count(df) >= min_bc, name
+        assert sort_merge_join_count(df) == 0, name
+
+
+def test_q10_topk_uses_take_ordered(spark):
+    df = QUERIES["tpch_q10_returned_items"](spark, SF)
+    assert has_take_ordered(df)
