@@ -806,3 +806,60 @@ def tpch_q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFra
             "sum_qty",
         )
     )
+
+
+# --- Versioned-table time travel (Delta pattern on parquet): build a
+# 3-commit table of order slices in a temp dir, roll back to the
+# 2-commit version, and aggregate what a reader sees at the rolled-
+# back HEAD. The oracle restates the visible slice (orders before
+# 1998) directly. Exercises commit/append/rollback/time-travel read;
+# the result is localCheckpointed so the temp table can be deleted
+# before returning. ---
+
+
+@register(
+    "timetravel_orders_rollup",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price
+FROM orders
+WHERE o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY 1
+""",
+)
+def timetravel_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from activedatawarehouseprototype_spark.operators.versioned import (
+        VersionedTable,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="adw-vtab-")
+    try:
+        vt = VersionedTable(spark, path)
+        vt.commit(o.filter(F.col("o_orderdate") < "1997-01-01"),
+                  mode="overwrite", op="initial load", ts=1.0)
+        vt.commit(
+            o.filter(
+                (F.col("o_orderdate") >= "1997-01-01")
+                & (F.col("o_orderdate") < "1998-01-01")
+            ),
+            mode="append", op="1997 batch", ts=2.0,
+        )
+        vt.commit(o.filter(F.col("o_orderdate") >= "1998-01-01"),
+                  mode="append", op="1998+ batch", ts=3.0)
+        vt.rollback(1, ts=4.0)  # drop the 1998+ batch, zero-copy
+        out = (
+            vt.read()  # HEAD == version 1's file list
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            )
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

@@ -263,3 +263,82 @@ def test_incremental_agg_mv_hll_distinct(spark, tmp_path):
     assert set(est) == set(exact)
     for k in exact:
         assert abs(est[k] - exact[k]) <= max(2, 0.05 * exact[k]), (k, est[k], exact[k])
+
+
+# --- VersionedTable: Delta-style time travel over plain parquet ---
+
+
+def _vt(spark, tmp_path, name):
+    from activedatawarehouseprototype_spark.operators.versioned import (
+        VersionedTable,
+    )
+
+    return VersionedTable(spark, str(tmp_path / name))
+
+
+def test_versioned_commit_read_versions(spark, tmp_path):
+    vt = _vt(spark, tmp_path, "t1")
+    v0 = vt.commit(spark.range(3).toDF("id"), mode="overwrite", ts=100.0)
+    v1 = vt.commit(
+        spark.range(3, 5).toDF("id"), mode="append", op="batch-2", ts=200.0
+    )
+    assert (v0, v1) == (0, 1)
+    assert {r.id for r in vt.read(version=0).collect()} == {0, 1, 2}
+    assert {r.id for r in vt.read().collect()} == {0, 1, 2, 3, 4}
+    # overwrite starts a fresh file list
+    vt.commit(spark.range(9, 10).toDF("id"), mode="overwrite", ts=300.0)
+    assert {r.id for r in vt.read().collect()} == {9}
+    # ...but old versions still read in full
+    assert {r.id for r in vt.read(version=1).collect()} == {0, 1, 2, 3, 4}
+
+
+def test_versioned_as_of_ts(spark, tmp_path):
+    import pytest as _pytest
+
+    vt = _vt(spark, tmp_path, "t2")
+    vt.commit(spark.range(1).toDF("id"), ts=100.0)
+    vt.commit(spark.range(1, 2).toDF("id"), ts=200.0)
+    assert {r.id for r in vt.read(as_of_ts=150.0).collect()} == {0}
+    assert {r.id for r in vt.read(as_of_ts=200.0).collect()} == {0, 1}
+    with _pytest.raises(ValueError):
+        vt.read(as_of_ts=50.0)
+
+
+def test_versioned_rollback_is_zero_copy(spark, tmp_path):
+    import os
+
+    vt = _vt(spark, tmp_path, "t3")
+    vt.commit(spark.range(2).toDF("id"), ts=1.0)
+    vt.commit(spark.range(2, 4).toDF("id"), ts=2.0)
+    data_dirs_before = set(os.listdir(f"{vt.path}/data"))
+    v = vt.rollback(0, ts=3.0)
+    assert v == 2
+    assert set(os.listdir(f"{vt.path}/data")) == data_dirs_before  # no copy
+    assert {r.id for r in vt.read().collect()} == {0, 1}
+    ops = [h["op"] for h in vt.history()]
+    assert ops[0] == "rollback to 0"
+
+
+def test_versioned_vacuum_drops_unreferenced(spark, tmp_path):
+    import os
+
+    vt = _vt(spark, tmp_path, "t4")
+    vt.commit(spark.range(2).toDF("id"), mode="overwrite", ts=1.0)
+    vt.commit(spark.range(5).toDF("id"), mode="overwrite", ts=2.0)
+    vt.commit(spark.range(5, 7).toDF("id"), mode="append", ts=3.0)
+    removed = vt.vacuum(retain_last=2)
+    # v0's dir is referenced by nothing retained (v1, v2 share c1+c2)
+    assert removed == ["c00000000"]
+    assert {r.id for r in vt.read().collect()} == {0, 1, 2, 3, 4, 5, 6}
+    assert {r.id for r in vt.read(version=1).collect()} == {0, 1, 2, 3, 4}
+    assert [h["version"] for h in vt.history()] == [2, 1]
+
+
+def test_versioned_empty_commit_readable(spark, tmp_path):
+    vt = _vt(spark, tmp_path, "t5")
+    empty = spark.range(1).toDF("id").filter("id < 0")
+    vt.commit(empty, mode="overwrite", ts=1.0)
+    got = vt.read()
+    assert got.count() == 0 and got.columns == ["id"]
+    vt.commit(spark.range(3).toDF("id"), mode="append", ts=2.0)
+    assert vt.read().count() == 3
