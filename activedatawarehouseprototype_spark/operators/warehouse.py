@@ -286,3 +286,67 @@ def incremental_agg_mv(
             _json.dump({"last_batch_id": batch_id}, f)
         os.replace(tmp, meta_path)
     return spark.read.parquet(target_path)
+
+
+def zorder_key(cols: list[str], bits: int = 16) -> "F.Column":
+    """Z-order (Morton) key from non-negative integer columns: bit j of
+    each column lands at interleaved position ``j * len(cols) + i``.
+    Pure column arithmetic (shifts + ORs — whole-stage codegen), no UDF.
+
+    Columns are clamped to ``bits`` low bits; normalize wider domains
+    first (e.g. ``F.floor(rank / scale)``). With one column this
+    degenerates to the identity ordering.
+    """
+    n = len(cols)
+    if n == 0:
+        raise ValueError("zorder_key needs at least one column")
+    key = F.lit(0).cast("bigint")
+    for i, c in enumerate(cols):
+        v = F.col(c).cast("bigint")
+        for j in range(bits):
+            key = key.bitwiseOR(
+                F.shiftleft(F.shiftright(v, j) % 2, j * n + i).cast("bigint")
+            )
+    return key
+
+
+def cluster_write(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    n_files: int = 8,
+    zorder: bool = False,
+    bits: int = 10,
+) -> None:
+    """Write ``df`` CLUSTERED on ``cluster_cols`` so parquet min/max
+    stats make file- and row-group-level skipping effective (the
+    OPTIMIZE/ZORDER pattern, no Delta required):
+
+    - ``zorder=False``: range-partition + sort by the columns in order
+      — ideal when queries filter on a prefix of ``cluster_cols``.
+    - ``zorder=True``: order by the interleaved ``zorder_key`` so EACH
+      clustered column individually has narrow per-file ranges — the
+      multi-dimensional trade (somewhat wider ranges per column than a
+      dedicated sort, but every column is skippable, not just the
+      first).
+
+    At 100 TB this is the difference between "selective filter reads
+    the whole table" and "reads the few files whose stats overlap":
+    `spark.sql.parquet.filterPushdown` turns each file/row-group's
+    min/max against the predicate BEFORE any IO."""
+    if zorder:
+        keyed = df.withColumn("_zk", zorder_key(cluster_cols, bits))
+        (
+            keyed.repartitionByRange(n_files, "_zk")
+            .sortWithinPartitions("_zk")
+            .drop("_zk")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    else:
+        (
+            df.repartitionByRange(n_files, *cluster_cols)
+            .sortWithinPartitions(*cluster_cols)
+            .write.mode("overwrite")
+            .parquet(path)
+        )

@@ -161,3 +161,40 @@ def test_new_tpch_queries_broadcast_dims_no_smj(spark):
 def test_q10_topk_uses_take_ordered(spark):
     df = QUERIES["tpch_q10_returned_items"](spark, SF)
     assert has_take_ordered(df)
+
+
+def test_runtime_bloom_filter_injected_for_selective_dim_join(spark):
+    """At 100 TB the winning plan for fact ⋈ selective-dim (when the
+    dim outgrows broadcast) is a runtime BLOOM FILTER on the fact scan
+    — Spark injects it when thresholds allow. Locally the fact scan is
+    far below the 10 GiB application-side default, so the test lowers
+    the thresholds to prove the capability is live in this build, then
+    restores them (production keeps the defaults: bloom only when the
+    scan is big enough to pay for it)."""
+    import os
+
+    assert spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        li = spark.read.parquet(os.path.join(SF, "lineitem.parquet"))
+        p = spark.read.parquet(os.path.join(SF, "part.parquet")).filter(
+            "p_type = 'PROMO'"
+        )
+        j = li.join(p, li.l_partkey == p.p_partkey).groupBy("p_type").count()
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom" in plan.lower(), "no runtime bloom filter injected"
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
