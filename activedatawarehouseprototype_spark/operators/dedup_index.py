@@ -76,6 +76,30 @@ def _banded_for(
     return banded.select("sid", "band", "band_sig", _bucket(F.col("band_sig"), n_buckets))
 
 
+def _write_bands(
+    sh: DataFrame,
+    index_path: str,
+    k: int,
+    bands: int,
+    n_buckets: int,
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Signatures → banded rows → bucket-partitioned parquet. The
+    pre-write repartition ON THE BUCKET bounds output files at one per
+    bucket (without it every shuffle task writes a sliver into every
+    bucket directory — task_count × n_buckets small files, the classic
+    partitioned-write explosion). Returns the banded frame (schema
+    source for the meta entry)."""
+    banded = band_signatures(minhash_from_shingles(sh, k), k, bands).select(
+        "sid", "band", "band_sig", _bucket(F.col("band_sig"), n_buckets)
+    )
+    n_parts = min(n_buckets, sh.sparkSession.sparkContext.defaultParallelism)
+    banded.repartition(n_parts, "bucket").write.mode(mode).partitionBy(
+        "bucket"
+    ).parquet(f"{index_path}/bands")
+    return banded
+
+
 def dedup_index_build(
     df: DataFrame,
     index_path: str,
@@ -85,7 +109,7 @@ def dedup_index_build(
     k: int = 12,
     bands: int = 3,
     max_doc_freq: int | None = None,
-    n_buckets: int = 64,
+    n_buckets: int = 32,
 ) -> None:
     """Index a corpus for incremental near-dup lookup: persist its
     banded MinHash signatures partitioned by band-sig bucket, the
@@ -97,25 +121,31 @@ def dedup_index_build(
     spark = df.sparkSession
     sh = shingle_table(df, id_col, text_col, n, max_doc_freq=None)
     if max_doc_freq is not None:
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df_"))
-            .filter(F.col("df_") > max_doc_freq)
-            .select("shingle")
-        )
-        # materialize BEFORE the signature pass so the cap list is
-        # computed once, then reused by the anti-join and persisted
-        hot.write.mode("overwrite").parquet(f"{index_path}/hot_shingles")
-        hot = spark.read.parquet(f"{index_path}/hot_shingles")
-        sh = sh.join(hot, "shingle", "left_anti")
+        # the shingle table feeds BOTH the hot-list aggregation and the
+        # signature pass — persist so the explode+window pass runs once
+        sh = sh.persist()
+        try:
+            hot = (
+                sh.groupBy("shingle")
+                .agg(F.count(F.lit(1)).alias("df_"))
+                .filter(F.col("df_") > max_doc_freq)
+                .select("shingle")
+            )
+            # materialize BEFORE the signature pass so the cap list is
+            # computed once, then reused by the anti-join and persisted
+            hot.write.mode("overwrite").parquet(f"{index_path}/hot_shingles")
+            hot = spark.read.parquet(f"{index_path}/hot_shingles")
+            banded = _write_bands(
+                sh.join(hot, "shingle", "left_anti"),
+                index_path, k, bands, n_buckets,
+            )
+        finally:
+            sh.unpersist()
     else:
         spark.createDataFrame([], "shingle string").write.mode("overwrite").parquet(
             f"{index_path}/hot_shingles"
         )
-    banded = band_signatures(minhash_from_shingles(sh, k), k, bands)
-    banded.select(
-        "sid", "band", "band_sig", _bucket(F.col("band_sig"), n_buckets)
-    ).write.mode("overwrite").partitionBy("bucket").parquet(f"{index_path}/bands")
+        banded = _write_bands(sh, index_path, k, bands, n_buckets)
     # sid type is recorded so readers can supply an explicit schema: a
     # partitioned parquet write of 0 rows (e.g. every shingle hot, or
     # an all-short-docs corpus) leaves no data files to infer from
@@ -202,6 +232,10 @@ def dedup_index_append(
     lookup → drop matched dups → append survivors."""
     m = _read_meta(spark, index_path)
     hot = spark.read.parquet(f"{index_path}/hot_shingles")
-    _banded_for(
+    banded = _banded_for(
         df, id_col, text_col, m["n"], m["k"], m["bands"], m["n_buckets"], hot
-    ).write.mode("append").partitionBy("bucket").parquet(f"{index_path}/bands")
+    )
+    n_parts = min(m["n_buckets"], spark.sparkContext.defaultParallelism)
+    banded.repartition(n_parts, "bucket").write.mode("append").partitionBy(
+        "bucket"
+    ).parquet(f"{index_path}/bands")
