@@ -1,0 +1,121 @@
+"""Streaming corpus ingestion with dedup-at-the-door: every
+micro-batch is matched against the persisted MinHash-LSH index, known
+near-dups are dropped, and only survivors land in the clean store AND
+join the index — so later batches dedupe against everything admitted
+before them, across batches and across restarts (the index and the
+store are both on disk; no in-memory state to lose).
+
+This is the ingestion-side complement to the batch dedup family: the
+corpus at rest is deduped once (``operators/dedup.py``), the firehose
+is deduped incrementally here (``operators/dedup_index.py``), and
+exact re-deliveries within the watermark horizon are handled by
+``dedup.stream_exact_dedup`` upstream if the transport can repeat
+rows.
+
+Idempotence contract: foreachBatch is at-least-once — a batch can be
+re-delivered after a crash BETWEEN the store write and the index
+append. ``_done/{batch_id}`` markers (written LAST) make replays
+no-ops; a half-applied batch re-runs, and the lookup/append pair is
+itself idempotent for exact replays (same ids match the same bands;
+appending the same (sid, band, band_sig) rows twice only duplicates
+index rows, which ``dedup_index_lookup``'s DISTINCT collapses).
+
+At 100 TB: per-batch cost is O(|batch| + matched buckets); nothing
+reads the accumulated store. The driver sees only the bucket-id set
+and the batch's match pairs (bounded by the batch size).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from activedatawarehouseprototype_spark.operators import dedup_index as DI
+
+
+class DedupIngest:
+    """foreachBatch handler: lookup → drop matches → append survivors
+    to the clean store (parquet) and the dedup index."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_path: str,
+        store_path: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ):
+        self.spark = spark
+        self.index_path = index_path
+        self.store_path = store_path
+        self.id_col = id_col
+        self.text_col = text_col
+        self.metrics = {"batches": 0, "admitted": 0, "dropped": 0}
+
+    def _marker(self, batch_id: int) -> str:
+        return os.path.join(self.store_path, "_done", str(batch_id))
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        if os.path.exists(self._marker(batch_id)):
+            return  # exact replay of a completed batch — no-op
+        batch_df = batch_df.select(self.id_col, self.text_col)
+        if batch_df.isEmpty():
+            self._mark_done(batch_id)
+            return
+        matches = DI.dedup_index_lookup(
+            self.spark,
+            self.index_path,
+            batch_df,
+            id_col=self.id_col,
+            text_col=self.text_col,
+        )
+        dup_ids = matches.select(
+            F.col("id_new").alias(self.id_col)
+        ).distinct()
+        survivors = batch_df.join(dup_ids, self.id_col, "left_anti")
+        # within-batch dups: keep the min-id representative of any
+        # group of survivors matching EACH OTHER's bands (cheap local
+        # LSH pass on the batch only)
+        from activedatawarehouseprototype_spark.operators import dedup
+
+        m = DI._read_meta(self.spark, self.index_path)
+        intra = dedup.lsh_candidates(
+            survivors, self.id_col, self.text_col,
+            n=m["n"], k=m["k"], bands=m["bands"],
+        ).select(F.col("id_b").alias(self.id_col)).distinct()
+        survivors = survivors.join(intra, self.id_col, "left_anti")
+
+        survivors.write.mode("append").parquet(
+            os.path.join(self.store_path, "docs")
+        )
+        DI.dedup_index_append(
+            self.spark,
+            self.index_path,
+            survivors,
+            id_col=self.id_col,
+            text_col=self.text_col,
+        )
+        n_total = batch_df.count()
+        n_kept = survivors.count()
+        self.metrics["batches"] += 1
+        self.metrics["admitted"] += n_kept
+        self.metrics["dropped"] += n_total - n_kept
+        self._mark_done(batch_id)
+
+    def _mark_done(self, batch_id: int) -> None:
+        os.makedirs(os.path.dirname(self._marker(batch_id)), exist_ok=True)
+        with open(self._marker(batch_id), "w") as f:
+            f.write("done")
+
+    def run_stream(self, stream_df: DataFrame, available_now: bool = True):
+        """Attach to a streaming DataFrame via foreachBatch."""
+        writer = stream_df.writeStream.foreachBatch(self.process_batch)
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def admitted(self) -> DataFrame:
+        docs = os.path.join(self.store_path, "docs")
+        return self.spark.read.parquet(docs)
