@@ -196,3 +196,56 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_millis("t3").alias("purchase_ms"),
         )
     )
+
+
+# --- Resample + forward fill (gap filling): every user's value series
+# regularized onto a daily grid; a day with no events carries the
+# previous observation forward. Values are PICKED (deterministic
+# per-bucket last by (ts, event_id)), never summed — bit-exact across
+# engines, no rounding needed. ---
+
+
+@register(
+    "resample_ffill_daily_values",
+    oracle="""
+WITH e AS (
+  SELECT user_id, epoch_ms(ts) AS ms, value, event_id FROM events
+),
+lastb AS (
+  SELECT user_id, bucket, value
+  FROM (
+    SELECT user_id, ms // 86400000 AS bucket, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id, ms // 86400000
+                              ORDER BY ms DESC, event_id DESC) AS rn
+    FROM e
+  ) WHERE rn = 1
+),
+span AS (
+  SELECT user_id, MIN(ms // 86400000) AS b0, MAX(ms // 86400000) AS b1
+  FROM e GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(b0, b1)) AS bucket FROM span
+)
+SELECT g.user_id,
+       CAST(g.bucket * 86400000 AS BIGINT) AS bucket_ms,
+       last_value(l.value IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+       (l.value IS NOT NULL) AS observed
+FROM grid g LEFT JOIN lastb l ON g.user_id = l.user_id AND g.bucket = l.bucket
+""",
+)
+def resample_ffill_daily_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from activedatawarehouseprototype_spark.operators.timeseries import (
+        resample_ffill,
+    )
+
+    return resample_ffill(
+        _events(spark, sf_dir),
+        key_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        step_ms=86_400_000,
+        tie_col="event_id",
+    )

@@ -1,0 +1,72 @@
+"""Time-series regularization: resample an irregular event stream onto
+a fixed grid with forward fill (gap filling) — the standard prep step
+for joining sensor/metric streams against models or each other.
+
+Neither the reference engine (windowed threshold aggregates only) nor
+Spark's built-ins (no native gap-fill) provide this; it composes from
+sequence/explode + a per-bucket last + an ignore-nulls window fill,
+which keeps everything in whole-stage codegen.
+
+Scale shape: output rows per key are bounded by span/step (the grid),
+never by event count; the per-bucket "last observation" collapses the
+raw stream BEFORE the grid join (one window over (key, bucket), one
+shuffle on key for the fill). No driver-side work at all.
+
+Determinism: the per-bucket winner is ordered by (ts, tie_col) DESC —
+two observations in the same millisecond resolve by the tie column,
+so both engines pick the same row (float values are then PICKED, not
+summed: bit-exact, no rounding discipline needed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def resample_ffill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step_ms: int = 86_400_000,
+    tie_col: str | None = None,
+) -> DataFrame:
+    """(key, bucket_ms, value, observed): one row per ``step_ms`` grid
+    cell from each key's first to last observation; ``value`` is the
+    latest observation at-or-before the cell's end (forward fill),
+    ``observed`` marks cells that had their own data."""
+    ms = F.unix_millis(F.col(ts_col))
+    ev = df.select(
+        F.col(key_col),
+        ms.alias("_ms"),
+        F.col(value_col).alias("_v"),
+        *( [F.col(tie_col).alias("_tie")] if tie_col else [] ),
+    ).withColumn("bucket", F.floor(F.col("_ms") / F.lit(step_ms)))
+    order = [F.col("_ms").desc()] + ([F.col("_tie").desc()] if tie_col else [])
+    wlast = Window.partitionBy(key_col, "bucket").orderBy(*order)
+    lastb = (
+        ev.withColumn("_rn", F.row_number().over(wlast))
+        .filter(F.col("_rn") == 1)
+        .select(key_col, "bucket", F.col("_v").alias("_obs"))
+    )
+    span = ev.groupBy(key_col).agg(
+        F.min("bucket").alias("_b0"), F.max("bucket").alias("_b1")
+    )
+    grid = span.select(
+        key_col, F.explode(F.sequence("_b0", "_b1")).alias("bucket")
+    )
+    wfill = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(lastb, [key_col, "bucket"], "left")
+        .select(
+            key_col,
+            (F.col("bucket") * step_ms).cast("bigint").alias("bucket_ms"),
+            F.last("_obs", ignorenulls=True).over(wfill).alias("value"),
+            F.col("_obs").isNotNull().alias("observed"),
+        )
+    )

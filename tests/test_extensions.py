@@ -1259,3 +1259,45 @@ def test_ivf_index_append_searchable(spark, emb, tmp_path):
     # the scaled copy of vector 0 has cosine 1.0 -> must be the top hit
     top = hits.orderBy(F.col("score").desc()).first()
     assert top.vec_id == 500000 and abs(top.score - 1.0) < 1e-6, got
+
+
+def test_resample_ffill_gap_semantics(spark):
+    """Explicit gap check: buckets between observations carry the
+    previous value with observed=false; the first bucket starts at the
+    key's first observation (no leading nulls); same-bucket ties
+    resolve to the later (ts, tie) row."""
+    import datetime as dt
+
+    from activedatawarehouseprototype_spark.operators.timeseries import (
+        resample_ffill,
+    )
+
+    day = 86_400_000
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(d, s=0):
+        return t0 + dt.timedelta(days=d, seconds=s)
+
+    rows = [
+        (1, ts(0), 10.0, 1),
+        (1, ts(0, 60), 11.0, 2),   # later same day -> wins bucket 0
+        (1, ts(3), 40.0, 3),       # days 1-2 are gaps
+        (2, ts(5), 99.0, 4),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, ts timestamp, value double, event_id int"
+    )
+    got = {
+        (r.user_id, r.bucket_ms, r.value, r.observed)
+        for r in resample_ffill(
+            df, "user_id", "ts", "value", step_ms=day, tie_col="event_id"
+        ).collect()
+    }
+    base = int(t0.replace(tzinfo=dt.timezone.utc).timestamp() * 1000)
+    assert got == {
+        (1, base + 0 * day, 11.0, True),
+        (1, base + 1 * day, 11.0, False),
+        (1, base + 2 * day, 11.0, False),
+        (1, base + 3 * day, 40.0, True),
+        (2, base + 5 * day, 99.0, True),
+    }
