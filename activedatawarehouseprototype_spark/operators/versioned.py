@@ -191,3 +191,30 @@ class VersionedTable:
                     shutil.rmtree(os.path.join(self._data_dir, d))
                     removed.append(d)
         return removed
+
+
+# -- rewrite commits (OPTIMIZE / DELETE analogues) ------------------------
+
+
+def optimize(vt: VersionedTable, n_files: int = 8, ts: float | None = None) -> int:
+    """Compact the current version into ``n_files`` files as a NEW
+    commit (Delta OPTIMIZE): readers of old versions are untouched;
+    ``vacuum`` later reclaims the small files once no retained version
+    references them. Append history after this restarts from the
+    compacted file list."""
+    df = vt.read()
+    return vt.commit(
+        df.repartition(n_files), mode="overwrite", op=f"optimize({n_files})", ts=ts
+    )
+
+
+def delete_where(vt: VersionedTable, condition: str, ts: float | None = None) -> int:
+    """DELETE FROM current WHERE condition, as a new commit — the
+    GDPR-style erasure flow for a versioned table: the new HEAD no
+    longer contains the rows, old versions still do (audit trail)
+    until ``vacuum`` drops them past the retention horizon. Returns
+    the new version."""
+    df = vt.read().filter(f"NOT ({condition})")
+    return vt.commit(
+        df, mode="overwrite", op=f"delete where {condition}", ts=ts
+    )

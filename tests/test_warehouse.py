@@ -423,3 +423,29 @@ def test_zorder_key_interleaves_and_clusters_both_columns(spark, tmp_path):
         # here both columns' mean span must be a fraction of that.
         assert sum(spans) / len(spans) <= 140, (name, sorted(spans))
         assert sum(1 for s in spans if s > 200) <= 2, (name, sorted(spans))
+
+
+def test_versioned_optimize_and_delete_where(spark, tmp_path):
+    import os
+
+    from activedatawarehouseprototype_spark.operators import versioned as V
+
+    vt = _vt(spark, tmp_path, "t6")
+    for i in range(4):  # four appends -> four commit dirs in HEAD
+        vt.commit(spark.range(i * 10, (i + 1) * 10).toDF("id"), ts=float(i))
+    assert len(vt.history()[0]["dirs"]) == 4
+    v_opt = V.optimize(vt, n_files=2, ts=10.0)
+    assert len(vt.history()[0]["dirs"]) == 1  # one compacted commit dir
+    assert vt.read().count() == 40
+    assert {r.id for r in vt.read(version=3).collect()} == set(range(40))
+
+    v_del = V.delete_where(vt, "id >= 30", ts=11.0)
+    assert vt.read().count() == 30
+    # audit trail: pre-delete versions still show the erased rows...
+    assert vt.read(version=v_opt).count() == 40
+    # ...until vacuum drops them past retention
+    vt.vacuum(retain_last=1)
+    assert vt.read().count() == 30
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        vt.read(version=v_opt).collect()
