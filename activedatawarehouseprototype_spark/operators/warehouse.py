@@ -214,6 +214,7 @@ def incremental_agg_mv(
     value_col: str,
     batch_id: int | None = None,
     distinct_col: str | None = None,
+    hist_bins: tuple[float, float, int] | None = None,
 ) -> DataFrame:
     """Incrementally-maintained aggregate MATERIALIZED VIEW: per key,
     running (n, total, mn, mx) — the mergeable partial-aggregate set
@@ -269,6 +270,40 @@ def incremental_agg_mv(
     if distinct_col is not None:
         aggs.append(F.hll_sketch_agg(F.col(distinct_col)).alias("hll"))
         merge_aggs.append(F.hll_union_agg("hll").alias("hll"))
+    if hist_bins is not None:
+        # mergeable fixed-bin histogram: the quantile analogue of the
+        # HLL column — per batch each value lands in one of nb bins
+        # (domain-clamped), merges sum element-wise, and any percentile
+        # reads off the cumulative counts (estimate_percentile) with
+        # error <= one bin width. nb sum-when aggregates stay in
+        # codegen; the stored column is array<bigint>[nb].
+        lo, hi, nb = hist_bins
+        if not (hi > lo and nb >= 1):
+            raise ValueError(f"hist_bins must be (lo < hi, nb >= 1), got {hist_bins}")
+        width = (hi - lo) / nb
+        idx = F.least(
+            F.lit(nb - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)).cast("int"),
+            ),
+        )
+        aggs.append(
+            F.array(
+                *[
+                    F.sum(F.when(idx == i, 1).otherwise(0)).cast("bigint")
+                    for i in range(nb)
+                ]
+            ).alias("hist")
+        )
+        merge_aggs.append(
+            F.array(
+                *[
+                    F.sum(F.element_at("hist", i + 1)).cast("bigint")
+                    for i in range(nb)
+                ]
+            ).alias("hist")
+        )
     partial = batch_df.groupBy(*key_cols).agg(*aggs)
     if os.path.exists(target_path):
         current = spark.read.parquet(target_path)
@@ -350,3 +385,29 @@ def cluster_write(
             .write.mode("overwrite")
             .parquet(path)
         )
+
+
+def estimate_percentile(
+    hist: list[int], p: float, lo: float, hi: float
+) -> float:
+    """Percentile estimate from a mergeable fixed-bin histogram (the
+    ``hist_bins`` column of ``incremental_agg_mv``): linear
+    interpolation within the bin containing the p-th mass; error is
+    bounded by one bin width. Driver-side helper over one MV row's
+    (small) array — the data-plane work already happened in the
+    aggregates."""
+    if not 0.0 <= p <= 1.0:
+        raise ValueError(f"p must be in [0, 1], got {p}")
+    total = sum(hist)
+    if total == 0:
+        raise ValueError("empty histogram")
+    nb = len(hist)
+    width = (hi - lo) / nb
+    target = p * total
+    cum = 0
+    for i, c in enumerate(hist):
+        if cum + c >= target and c > 0:
+            frac = (target - cum) / c
+            return lo + (i + min(max(frac, 0.0), 1.0)) * width
+        cum += c
+    return hi

@@ -449,3 +449,41 @@ def test_versioned_optimize_and_delete_where(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(Exception):
         vt.read(version=v_opt).collect()
+
+
+def test_incremental_agg_mv_histogram_percentiles(spark, tmp_path):
+    """The hist_bins column merges across batches exactly (element-wise
+    sums equal a one-shot histogram of the concatenated input) and the
+    percentile estimate lands within one bin width of the true value."""
+    import numpy as np
+
+    from activedatawarehouseprototype_spark.operators.warehouse import (
+        estimate_percentile,
+        incremental_agg_mv,
+    )
+
+    mv = str(tmp_path / "mv_hist")
+    rng = np.random.RandomState(7)
+    all_vals = []
+    bins = (0.0, 100.0, 25)
+    for b in range(3):
+        vals = rng.uniform(0, 100, 400).round(3).tolist()
+        all_vals += vals
+        batch = spark.createDataFrame(
+            [("k", float(v)) for v in vals], "k string, value double"
+        )
+        out = incremental_agg_mv(
+            spark, mv, batch, ["k"], "value", batch_id=b, hist_bins=bins
+        )
+    row = out.collect()[0]
+    # exact merge: histogram of the union == summed per-batch histograms
+    lo, hi, nb = bins
+    width = (hi - lo) / nb
+    expect = [0] * nb
+    for v in all_vals:
+        expect[min(nb - 1, max(0, int((v - lo) // width)))] += 1
+    assert list(row["hist"]) == expect
+    for p in (0.1, 0.5, 0.9):
+        est = estimate_percentile(list(row["hist"]), p, lo, hi)
+        true = float(np.percentile(all_vals, p * 100))
+        assert abs(est - true) <= width + 1e-9, (p, est, true)
