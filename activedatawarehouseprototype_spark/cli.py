@@ -176,6 +176,20 @@ def _build_parser() -> argparse.ArgumentParser:
         help="after the lookup, append the batch's UNMATCHED docs to "
         "the index (the standard ingest flow)",
     )
+
+    prs = sub.add_parser(
+        "resample",
+        help="regularize an irregular per-key series onto a fixed grid "
+        "with forward fill",
+    )
+    prs.add_argument("--input", required=True, help="events parquet path")
+    prs.add_argument("--output", required=True, help="output parquet path")
+    prs.add_argument("--key", default="user_id")
+    prs.add_argument("--ts-col", default="ts")
+    prs.add_argument("--value-col", default="value")
+    prs.add_argument("--step-ms", type=int, default=86_400_000)
+    prs.add_argument("--tie-col", default=None,
+                     help="tie-break column for same-timestamp rows")
     return p
 
 
@@ -422,6 +436,24 @@ def main(argv: list[str] | None = None) -> int:
             )
         else:
             print(f"{n_pairs} match pairs -> {args.output}", file=sys.stderr)
+        return 0
+
+    if args.cmd == "resample":
+        from activedatawarehouseprototype_spark.catalog import load_parquet
+        from activedatawarehouseprototype_spark.operators.timeseries import (
+            resample_ffill,
+        )
+
+        out = resample_ffill(
+            load_parquet(spark, args.input),
+            key_col=args.key,
+            ts_col=args.ts_col,
+            value_col=args.value_col,
+            step_ms=args.step_ms,
+            tie_col=args.tie_col,
+        )
+        out.write.mode("overwrite").parquet(args.output)
+        print(f"{out.count()} grid rows -> {args.output}", file=sys.stderr)
         return 0
 
     if args.cmd == "run":

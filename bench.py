@@ -30,6 +30,7 @@ HEADLINE = [
     "rule_union_alerts",
     "rule_fanout_match_counts",
     "tpch_q1_pricing_summary",
+    "tpch_q7_volume_shipping",
     "join_revenue_by_nation",
     "topk_customers_by_spend",
     "window_top3_orders_per_customer",
@@ -46,6 +47,8 @@ HEADLINE = [
     "text_stats",
     "sample_split_stats",
     "pack_sequences_stats",
+    "resample_ffill_daily_values",
+    "timetravel_orders_rollup",
 ]
 
 

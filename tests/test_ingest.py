@@ -100,3 +100,17 @@ def test_streamed_ingest_end_to_end(spark, tmp_path):
     # 601 is always new. Either {500, 601} (500 first) or {600, 601}.
     assert admitted in ({500, 601}, {600, 601})
     assert ing.metrics["dropped"] >= 1
+
+
+def test_cli_resample(spark, tmp_path):
+    from activedatawarehouseprototype_spark.cli import main
+
+    out = str(tmp_path / "grid")
+    assert main([
+        "resample", "--input", "/root/testdata/sf0.001/events.parquet",
+        "--output", out, "--tie-col", "event_id",
+    ]) == 0
+    grid = spark.read.parquet(out)
+    assert set(grid.columns) == {"user_id", "bucket_ms", "value", "observed"}
+    assert grid.count() > 0
+    assert grid.filter(F.col("value").isNull()).count() == 0
