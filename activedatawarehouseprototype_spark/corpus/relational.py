@@ -863,3 +863,68 @@ def timetravel_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint()
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+# --- Declarative data-quality constraints (expectations layer): six
+# constraints over orders compiled into one scan + one uniqueness
+# groupBy; the oracle recomputes each violation count directly. The
+# 'status_no_P' constraint fails by construction (P exists) so the
+# passed flag is exercised both ways. ---
+
+
+@register(
+    "quality_constraints_orders",
+    oracle="""
+SELECT * FROM (
+  SELECT 'custkey_not_null' AS "constraint", 'not_null' AS kind,
+         CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) AS violations
+  FROM orders
+  UNION ALL
+  SELECT 'status_known', 'accepted_values',
+         CAST(COUNT(*) FILTER (WHERE o_orderstatus IS NULL
+                               OR o_orderstatus NOT IN ('F','O','P')) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'status_no_P', 'accepted_values',
+         CAST(COUNT(*) FILTER (WHERE o_orderstatus IS NULL
+                               OR o_orderstatus NOT IN ('F','O')) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'price_in_range', 'in_range',
+         CAST(COUNT(*) FILTER (WHERE o_totalprice IS NULL
+                               OR o_totalprice < 0
+                               OR o_totalprice > 300000) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'priority_format', 'matches_regex',
+         CAST(COUNT(*) FILTER (WHERE o_orderpriority IS NULL
+                               OR NOT regexp_matches(o_orderpriority,
+                                                     '^[1-5]-[A-Z ]+$')) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'orderkey_unique', 'unique',
+         CAST(COALESCE(SUM(c - 1), 0) AS BIGINT)
+  FROM (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)
+)
+""",
+)
+def quality_constraints_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from activedatawarehouseprototype_spark.operators.quality import (
+        Constraint,
+        check_constraints,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    cons = [
+        Constraint("custkey_not_null", "not_null", column="o_custkey"),
+        Constraint("status_known", "accepted_values", column="o_orderstatus",
+                   values=("F", "O", "P")),
+        Constraint("status_no_P", "accepted_values", column="o_orderstatus",
+                   values=("F", "O")),
+        Constraint("price_in_range", "in_range", column="o_totalprice",
+                   lo=0.0, hi=300000.0),
+        Constraint("priority_format", "matches_regex", column="o_orderpriority",
+                   pattern="^[1-5]-[A-Z ]+$"),
+        Constraint("orderkey_unique", "unique", keys=("o_orderkey",)),
+    ]
+    return check_constraints(o, cons).drop("passed")

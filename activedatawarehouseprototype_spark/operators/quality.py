@@ -1,0 +1,124 @@
+"""Declarative data-quality constraints over DataFrames — the
+expectations layer (Delta CHECK constraints / dbt tests analogue)
+a warehouse needs before data is trusted downstream.
+
+A constraint set is data, not code: a list of (name, kind, params)
+rows, so rule sets can live in config/tables the same way the ECA
+rules do. ``check_constraints`` compiles the whole set into ONE pass:
+
+- row-level kinds (``not_null``, ``accepted_values``, ``in_range``,
+  ``matches_regex``, ``expression``) become sum-of-violations
+  aggregates in a single scan (one job, no shuffle beyond the final
+  1-row agg);
+- ``unique`` needs its own groupBy per key set (a shuffle each) —
+  the unavoidable cost of a uniqueness proof at scale.
+
+Returns one row per constraint: (constraint, kind, violations,
+passed). ``enforce`` filters the offending rows out instead
+(quarantine pattern), returning (clean, violations) frames.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Constraint:
+    name: str
+    kind: str  # not_null | accepted_values | in_range | matches_regex | expression | unique
+    column: str | None = None
+    values: tuple = ()
+    lo: float | None = None
+    hi: float | None = None
+    pattern: str | None = None
+    expr: str | None = None
+    keys: tuple = ()
+
+    def violation_pred(self):
+        """Row-level violation predicate (None for ``unique``)."""
+        c = F.col(self.column) if self.column else None
+        if self.kind == "not_null":
+            return c.isNull()
+        if self.kind == "accepted_values":
+            return c.isNull() | ~c.isin(list(self.values))
+        if self.kind == "in_range":
+            pred = F.lit(False)
+            if self.lo is not None:
+                pred = pred | (c < self.lo)
+            if self.hi is not None:
+                pred = pred | (c > self.hi)
+            return c.isNull() | pred
+        if self.kind == "matches_regex":
+            return c.isNull() | ~c.rlike(self.pattern)
+        if self.kind == "expression":
+            return ~F.expr(self.expr)
+        if self.kind == "unique":
+            return None
+        raise ValueError(f"unknown constraint kind {self.kind!r}")
+
+
+def check_constraints(df: DataFrame, constraints: list[Constraint]) -> DataFrame:
+    """One row per constraint: (constraint, kind, violations, passed).
+    All row-level constraints share a single scan."""
+    spark = df.sparkSession
+    row_level = [c for c in constraints if c.kind != "unique"]
+    uniques = [c for c in constraints if c.kind == "unique"]
+
+    results = []
+    if row_level:
+        aggs = [
+            F.sum(c.violation_pred().cast("bigint")).alias(c.name)
+            for c in row_level
+        ]
+        row = df.agg(*aggs).collect()[0]
+        for c in row_level:
+            n = int(row[c.name] or 0)
+            results.append((c.name, c.kind, n))
+    for c in uniques:
+        n = (
+            df.groupBy(*c.keys)
+            .count()
+            .filter(F.col("count") > 1)
+            .agg(F.sum(F.col("count") - 1).alias("v"))
+            .collect()[0]["v"]
+        )
+        results.append((c.name, "unique", int(n or 0)))
+    out = spark.createDataFrame(
+        results, "constraint string, kind string, violations bigint"
+    ).withColumn("passed", F.col("violations") == 0)
+    # preserve declaration order for stable output
+    order = {c.name: i for i, c in enumerate(constraints)}
+    mapping = F.create_map(
+        *[x for name, i in order.items() for x in (F.lit(name), F.lit(i))]
+    )
+    return out.orderBy(mapping[F.col("constraint")]).drop("_ord")
+
+
+def enforce(
+    df: DataFrame, constraints: list[Constraint]
+) -> tuple[DataFrame, DataFrame]:
+    """Quarantine pattern: split rows into (clean, violating) by the
+    ROW-LEVEL constraints (``unique`` has no per-row blame without a
+    keeper policy — dedupe upstream). The violating frame carries a
+    ``violated`` array naming the failed constraints."""
+    row_level = [c for c in constraints if c.kind != "unique"]
+    if not row_level:
+        return df, df.limit(0).withColumn(
+            "violated", F.array().cast("array<string>")
+        )
+    flags = F.array_compact(
+        F.array(
+            *[
+                F.when(c.violation_pred(), F.lit(c.name))
+                for c in row_level
+            ]
+        )
+    )
+    tagged = df.withColumn("violated", flags)
+    clean = tagged.filter(F.size("violated") == 0).drop("violated")
+    bad = tagged.filter(F.size("violated") > 0)
+    return clean, bad
