@@ -411,3 +411,62 @@ def estimate_percentile(
             return lo + (i + min(max(frac, 0.0), 1.0)) * width
         cum += c
     return hi
+
+
+def merge_upsert_cdc(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+) -> DataFrame:
+    """``merge_upsert`` that also EMITS the change-data-capture feed
+    the merge implies — (op, row) rows with op in
+    ``insert`` / ``update_preimage`` / ``update_postimage`` — the
+    contract downstream incremental consumers (MV maintenance, cache
+    invalidation, replication) need. No-op updates (identical row
+    re-delivered) produce NO changelog rows and do not count as
+    changes.
+
+    Plan: one key-join of updates against the current target
+    classifies each update row; the changelog is localCheckpointed
+    (it must survive the atomic swap that then rewrites the target),
+    and the merge itself reuses the standard anti-join + union. Cost
+    is the same class as ``merge_upsert`` plus one classification
+    join. Returns the changelog DataFrame."""
+    data_cols = [c for c in updates.columns]
+    if os.path.exists(target_path):
+        target = spark.read.parquet(target_path)
+        non_key = [c for c in data_cols if c not in key_cols]
+        changed = None
+        for c in non_key:
+            p = ~F.col(c).eqNullSafe(F.col(f"_old_{c}"))
+            changed = p if changed is None else (changed | p)
+        # a key is NEW when the left join found no target row; detect
+        # via a sentinel presence column to survive all-null rows
+        joined = updates.alias("u").join(
+            target.select(*key_cols, F.lit(1).alias("_present"),
+                          *[F.col(c).alias(f"_old_{c}") for c in non_key]),
+            key_cols,
+            "left",
+        )
+        inserts = joined.filter(F.col("_present").isNull()).select(
+            F.lit("insert").alias("op"), *data_cols
+        )
+        changed_rows = joined.filter(
+            F.col("_present").isNotNull() & (changed if changed is not None else F.lit(False))
+        )
+        pre = changed_rows.select(
+            F.lit("update_preimage").alias("op"),
+            *key_cols,
+            *[F.col(f"_old_{c}").alias(c) for c in non_key],
+        ).select("op", *data_cols)
+        post = changed_rows.select(
+            F.lit("update_postimage").alias("op"), *data_cols
+        )
+        changelog = inserts.unionByName(pre).unionByName(post).localCheckpoint()
+    else:
+        changelog = updates.select(
+            F.lit("insert").alias("op"), *data_cols
+        ).localCheckpoint()
+    merge_upsert(spark, target_path, updates, key_cols)
+    return changelog

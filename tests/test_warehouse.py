@@ -487,3 +487,35 @@ def test_incremental_agg_mv_histogram_percentiles(spark, tmp_path):
         est = estimate_percentile(list(row["hist"]), p, lo, hi)
         true = float(np.percentile(all_vals, p * 100))
         assert abs(est - true) <= width + 1e-9, (p, est, true)
+
+
+def test_merge_upsert_cdc_changelog(spark, tmp_path):
+    """CDC merge: inserts and real updates produce changelog rows
+    (pre+post images); identical re-deliveries produce none; the
+    merged target matches plain merge_upsert semantics."""
+    from activedatawarehouseprototype_spark.operators.warehouse import (
+        merge_upsert_cdc,
+    )
+
+    path = str(tmp_path / "cdc")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "id long, k string, v double"
+    )
+    log0 = merge_upsert_cdc(spark, path, base, ["id"])
+    assert {(r.op, r.id) for r in log0.collect()} == {("insert", 1), ("insert", 2)}
+
+    updates = spark.createDataFrame(
+        [(2, "b", 20.0),     # identical -> no changelog
+         (1, "a2", 11.0),    # real update -> pre+post
+         (3, "c", 30.0)],    # new key -> insert
+        "id long, k string, v double",
+    )
+    log1 = merge_upsert_cdc(spark, path, updates, ["id"])
+    got = {(r.op, r.id, r.k, r.v) for r in log1.collect()}
+    assert got == {
+        ("insert", 3, "c", 30.0),
+        ("update_preimage", 1, "a", 10.0),
+        ("update_postimage", 1, "a2", 11.0),
+    }
+    final = {r.id: (r.k, r.v) for r in spark.read.parquet(path).collect()}
+    assert final == {1: ("a2", 11.0), 2: ("b", 20.0), 3: ("c", 30.0)}
