@@ -470,3 +470,74 @@ def merge_upsert_cdc(
         ).localCheckpoint()
     merge_upsert(spark, target_path, updates, key_cols)
     return changelog
+
+
+def incremental_join_mv(
+    spark: SparkSession,
+    base_path: str,
+    on: list[str],
+    left_batch: DataFrame | None = None,
+    right_batch: DataFrame | None = None,
+    batch_id: int | None = None,
+) -> DataFrame | None:
+    """Incrementally-maintained INNER-JOIN materialized view for
+    APPEND-ONLY sides — the delta-propagation identity
+    ``Δ(L ⋈ R) = ΔL ⋈ R_old  ∪  L_old ⋈ ΔR  ∪  ΔL ⋈ ΔR``:
+    each batch joins only against the OTHER side's accumulated
+    snapshot (plus the batch-batch term), appends the result, and the
+    full join is never recomputed. Work per batch is
+    O(|ΔL|·match + |ΔR|·match), independent of the MV's size — the
+    join analogue of ``incremental_agg_mv``. Updates/deletes need the
+    CDC feed (``merge_upsert_cdc``) and compensating rows; this
+    implements the append-only contract and validates nothing arrives
+    twice via the ``batch_id`` idempotence marker (same discipline as
+    the agg MV).
+
+    Layout: ``{base}/left``, ``{base}/right`` (accumulated inputs),
+    ``{base}/mv`` (join rows). Returns the current MV (``None`` while
+    only one side has ever contributed — the join schema is unknowable
+    until both sides appear)."""
+    import json as _json
+
+    lp, rp, mvp = f"{base_path}/left", f"{base_path}/right", f"{base_path}/mv"
+    meta_path = f"{base_path}/_mv_meta.json"
+    if batch_id is not None and os.path.exists(meta_path):
+        with open(meta_path) as f:
+            last = _json.load(f).get("last_batch_id", -1)
+        if batch_id <= last:
+            return spark.read.parquet(mvp)
+
+    terms = []
+    if left_batch is not None and os.path.exists(rp):
+        terms.append(left_batch.join(spark.read.parquet(rp), on))
+    if right_batch is not None and os.path.exists(lp):
+        terms.append(spark.read.parquet(lp).join(right_batch, on))
+    if left_batch is not None and right_batch is not None:
+        terms.append(left_batch.join(right_batch, on))
+    if terms:
+        delta = terms[0]
+        for t in terms[1:]:
+            delta = delta.unionByName(t)
+        delta.write.mode("append").parquet(mvp)
+    # (a one-sided first batch produces no joinable term; the MV dir
+    # appears with the first batch that has a partner to join)
+    # append inputs AFTER the delta is written (the delta terms read
+    # the OLD snapshots; parquet append is a new-files-only operation
+    # so the just-run jobs never see the new rows)
+    if left_batch is not None:
+        left_batch.write.mode("append").parquet(lp)
+    if right_batch is not None:
+        right_batch.write.mode("append").parquet(rp)
+    if batch_id is not None:
+        tmp = meta_path + ".tmp"
+        os.makedirs(base_path, exist_ok=True)
+        with open(tmp, "w") as f:
+            _json.dump({"last_batch_id": batch_id}, f)
+        os.replace(tmp, meta_path)
+    if os.path.exists(mvp):
+        return spark.read.parquet(mvp)
+    if left_batch is not None and right_batch is not None:
+        # both sides seen but no matches yet: empty frame, join schema
+        return left_batch.join(right_batch, on).limit(0)
+    # one-sided history only: the join schema is not knowable yet
+    return None

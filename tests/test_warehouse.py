@@ -519,3 +519,52 @@ def test_merge_upsert_cdc_changelog(spark, tmp_path):
     }
     final = {r.id: (r.k, r.v) for r in spark.read.parquet(path).collect()}
     assert final == {1: ("a2", 11.0), 2: ("b", 20.0), 3: ("c", 30.0)}
+
+
+def test_incremental_join_mv_matches_direct_join(spark, tmp_path):
+    """Delta-propagated join MV == direct join of all accumulated
+    input, under mixed arrival orders (left-only, right-only, both),
+    with batch-id replay idempotence."""
+    from activedatawarehouseprototype_spark.operators.warehouse import (
+        incremental_join_mv,
+    )
+
+    base = str(tmp_path / "jmv")
+
+    def L(rows):
+        return spark.createDataFrame(rows, "k bigint, lval string")
+
+    def R(rows):
+        return spark.createDataFrame(rows, "k bigint, rval double")
+
+    all_l, all_r = [], []
+    batches = [
+        (L([(1, "a"), (2, "b")]), None),
+        (None, R([(1, 10.0), (3, 30.0)])),
+        (L([(3, "c")]), R([(2, 20.0), (1, 11.0)])),
+        (None, R([(3, 31.0)])),
+    ]
+    mv = None
+    for bid, (lb, rb) in enumerate(batches):
+        if lb is not None:
+            all_l += lb.collect()
+        if rb is not None:
+            all_r += rb.collect()
+        mv = incremental_join_mv(
+            spark, base, ["k"], left_batch=lb, right_batch=rb, batch_id=bid
+        )
+    got = {(r.k, r.lval, r.rval) for r in mv.collect()}
+    direct = {
+        (r.k, r.lval, r.rval)
+        for r in spark.createDataFrame(all_l)
+        .join(spark.createDataFrame(all_r), "k")
+        .collect()
+    }
+    assert got == direct and len(got) == 5
+    # replay of the last batch is a no-op
+    n = mv.count()
+    mv2 = incremental_join_mv(
+        spark, base, ["k"],
+        left_batch=None, right_batch=R([(3, 31.0)]), batch_id=3,
+    )
+    assert mv2.count() == n
