@@ -928,3 +928,33 @@ def quality_constraints_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         Constraint("orderkey_unique", "unique", keys=("o_orderkey",)),
     ]
     return check_constraints(o, cons).drop("passed")
+
+
+# --- Shared-text SQL parity: the SAME ANSI-SQL string executes on
+# Spark (spark.sql over registered views) AND on DuckDB as the oracle
+# — character-for-character. The strongest form of the SQL-surface
+# claim: no dialect translation layer at all for the core relational
+# dialect (joins, CASE, grouped aggregates, HAVING, set membership).
+# Sums are of 2-decimal prices, so ROUND(...,2) is boundary-safe on
+# both engines (verify-skill float rule). ---
+
+_SHARED_SQL_TEXT = """
+SELECT c.c_mktsegment AS segment,
+       o.o_orderpriority AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o.o_totalprice), 2) AS total_price,
+       CAST(SUM(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_finished
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+GROUP BY c.c_mktsegment, o.o_orderpriority
+HAVING COUNT(*) > 10
+"""
+
+
+@register("sql_shared_text_rollup", oracle=_SHARED_SQL_TEXT)
+def sql_shared_text_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_SHARED_SQL_TEXT)

@@ -114,3 +114,22 @@ def test_cli_resample(spark, tmp_path):
     assert set(grid.columns) == {"user_id", "bucket_ms", "value", "observed"}
     assert grid.count() > 0
     assert grid.filter(F.col("value").isNull()).count() == 0
+
+
+def test_ingest_restart_recovery(spark, tmp_path):
+    """A NEW DedupIngest instance over the same on-disk index/store
+    continues correctly after a 'restart': completed batches replay as
+    no-ops (marker), and new batches dedupe against docs admitted
+    before the restart (index is the durable state)."""
+    ing, idx, store = _setup(spark, tmp_path, "e")
+    b0 = _mkdocs(spark, [(700, _sentence(95))])
+    ing.process_batch(b0, 0)
+    assert {r.doc_id for r in ing.admitted().collect()} == {700}
+
+    ing2 = DedupIngest(spark, idx, store)  # restart
+    ing2.process_batch(b0, 0)  # re-delivery of the completed batch
+    assert {r.doc_id for r in ing2.admitted().collect()} == {700}
+    ing2.process_batch(
+        _mkdocs(spark, [(800, _sentence(95)), (801, _sentence(96))]), 1
+    )
+    assert {r.doc_id for r in ing2.admitted().collect()} == {700, 801}
