@@ -190,6 +190,25 @@ def _build_parser() -> argparse.ArgumentParser:
     prs.add_argument("--step-ms", type=int, default=86_400_000)
     prs.add_argument("--tie-col", default=None,
                      help="tie-break column for same-timestamp rows")
+
+    pt = sub.add_parser(
+        "table",
+        help="versioned-table operations (Delta-style time travel on parquet)",
+    )
+    pt.add_argument("--path", required=True, help="versioned table directory")
+    pt.add_argument(
+        "action",
+        choices=["commit", "read", "history", "rollback", "vacuum", "optimize"],
+    )
+    pt.add_argument("--input", help="parquet to commit (action=commit)")
+    pt.add_argument("--mode", choices=["append", "overwrite"], default="append")
+    pt.add_argument("--version", type=int, default=None,
+                    help="read/rollback target version")
+    pt.add_argument("--output", help="parquet destination (action=read)")
+    pt.add_argument("--retain-last", type=int, default=1,
+                    help="versions kept by vacuum")
+    pt.add_argument("--n-files", type=int, default=8,
+                    help="target file count for optimize")
     return p
 
 
@@ -436,6 +455,42 @@ def main(argv: list[str] | None = None) -> int:
             )
         else:
             print(f"{n_pairs} match pairs -> {args.output}", file=sys.stderr)
+        return 0
+
+    if args.cmd == "table":
+        from activedatawarehouseprototype_spark.catalog import load_parquet
+        from activedatawarehouseprototype_spark.operators import versioned as V
+
+        vt = V.VersionedTable(spark, args.path)
+        if args.action == "commit":
+            if not args.input:
+                print("commit requires --input", file=sys.stderr)
+                return 2
+            v = vt.commit(load_parquet(spark, args.input), mode=args.mode)
+            print(f"committed version {v}", file=sys.stderr)
+        elif args.action == "read":
+            if not args.output:
+                print("read requires --output", file=sys.stderr)
+                return 2
+            df = vt.read(version=args.version)
+            df.write.mode("overwrite").parquet(args.output)
+            print(f"{df.count()} rows -> {args.output}", file=sys.stderr)
+        elif args.action == "history":
+            for h in vt.history():
+                print(json.dumps(h))
+        elif args.action == "rollback":
+            if args.version is None:
+                print("rollback requires --version", file=sys.stderr)
+                return 2
+            v = vt.rollback(args.version)
+            print(f"rolled back to {args.version} as version {v}",
+                  file=sys.stderr)
+        elif args.action == "vacuum":
+            removed = vt.vacuum(retain_last=args.retain_last)
+            print(f"removed {len(removed)} commit dirs", file=sys.stderr)
+        elif args.action == "optimize":
+            v = V.optimize(vt, n_files=args.n_files)
+            print(f"compacted as version {v}", file=sys.stderr)
         return 0
 
     if args.cmd == "resample":

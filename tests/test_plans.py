@@ -198,3 +198,52 @@ def test_runtime_bloom_filter_injected_for_selective_dim_join(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_aqe_runtime_join_switch_smj_to_broadcast(spark):
+    """At 100 TB, post-aggregation join inputs are unknowable at plan
+    time — AQE's runtime re-plan is what rescues them. Pin it: with
+    STATIC broadcast disabled (threshold -1) but the AQE-side
+    threshold live, the executed plan still ends as a
+    BroadcastHashJoin (AQE measured the shuffle output and switched
+    away from sort-merge at runtime)."""
+    import os
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        li = spark.read.parquet(os.path.join(SF, "lineitem.parquet"))
+        o = spark.read.parquet(os.path.join(SF, "orders.parquet"))
+        from pyspark.sql import functions as F
+
+        small = (
+            o.groupBy("o_orderkey")
+            .agg(F.sum("o_totalprice").alias("tp"))
+            .filter(F.col("tp") > 490000)
+        )
+        j = li.join(small, li.l_orderkey == small.o_orderkey).groupBy(
+            "l_returnflag"
+        ).count()
+        j.collect()  # AQE finalizes only after execution
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "AdaptiveSparkPlan isFinalPlan=true" in plan
+        # the printed plan carries both sections: the INITIAL (static)
+        # plan and the FINAL (adaptive) one — the switch is visible as
+        # SMJ in the former, BHJ in the latter
+        final, _, initial = plan.partition("== Initial Plan ==")
+        assert "SortMergeJoin" in initial, "static plan was not SMJ"
+        assert "BroadcastHashJoin" in final, final
+        assert "SortMergeJoin" not in final, "AQE did not switch the join"
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)

@@ -568,3 +568,34 @@ def test_incremental_join_mv_matches_direct_join(spark, tmp_path):
         left_batch=None, right_batch=R([(3, 31.0)]), batch_id=3,
     )
     assert mv2.count() == n
+
+
+def test_cli_table_verbs(spark, tmp_path, capsys):
+    """table commit/read/history/rollback/vacuum round-trip via CLI."""
+    import json as _json
+
+    from activedatawarehouseprototype_spark.cli import main
+
+    a = str(tmp_path / "a.parquet")
+    b = str(tmp_path / "b.parquet")
+    spark.range(5).toDF("id").write.parquet(a)
+    spark.range(5, 8).toDF("id").write.parquet(b)
+    tbl = str(tmp_path / "vt")
+
+    assert main(["table", "--path", tbl, "commit", "--input", a,
+                 "--mode", "overwrite"]) == 0
+    assert main(["table", "--path", tbl, "commit", "--input", b]) == 0
+    out = str(tmp_path / "head")
+    assert main(["table", "--path", tbl, "read", "--output", out]) == 0
+    assert spark.read.parquet(out).count() == 8
+
+    capsys.readouterr()
+    assert main(["table", "--path", tbl, "history"]) == 0
+    hist = [_json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert [h["version"] for h in hist] == [1, 0]
+
+    assert main(["table", "--path", tbl, "rollback", "--version", "0"]) == 0
+    out0 = str(tmp_path / "rolled")
+    assert main(["table", "--path", tbl, "read", "--output", out0]) == 0
+    assert spark.read.parquet(out0).count() == 5
+    assert main(["table", "--path", tbl, "vacuum", "--retain-last", "1"]) == 0
