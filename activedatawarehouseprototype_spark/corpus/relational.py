@@ -958,3 +958,61 @@ def sql_shared_text_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     return spark.sql(_SHARED_SQL_TEXT)
+
+
+# --- CDC merge changelog: a deterministic update batch against a
+# deterministic base slice of orders; the changelog (insert /
+# update_preimage / update_postimage; no-ops silent) is re-derived
+# set-theoretically by the oracle. The +1.5 price bump is a single
+# IEEE addition — bit-exact on both engines, no rounding needed. ---
+
+
+@register(
+    "cdc_merge_changelog_orders",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 4 <> 0
+),
+upd AS (
+  SELECT o_orderkey, o_orderstatus,
+         o_totalprice + CASE WHEN o_orderkey % 3 = 0 THEN 1.5 ELSE 0 END
+           AS o_totalprice
+  FROM orders WHERE o_orderkey % 2 = 0
+)
+SELECT 'insert' AS op, o_orderkey, o_orderstatus, o_totalprice
+FROM upd WHERE o_orderkey % 4 = 0
+UNION ALL
+SELECT 'update_preimage', b.o_orderkey, b.o_orderstatus, b.o_totalprice
+FROM base b WHERE b.o_orderkey % 4 = 2 AND b.o_orderkey % 3 = 0
+UNION ALL
+SELECT 'update_postimage', u.o_orderkey, u.o_orderstatus, u.o_totalprice
+FROM upd u WHERE u.o_orderkey % 4 = 2 AND u.o_orderkey % 3 = 0
+""",
+)
+def cdc_merge_changelog_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from activedatawarehouseprototype_spark.operators.warehouse import (
+        merge_upsert_cdc,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = o.filter(F.col("o_orderkey") % 4 != 0)
+    upd = o.filter(F.col("o_orderkey") % 2 == 0).withColumn(
+        "o_totalprice",
+        F.col("o_totalprice")
+        + F.when(F.col("o_orderkey") % 3 == 0, F.lit(1.5)).otherwise(F.lit(0.0)),
+    )
+    path = tempfile.mkdtemp(prefix="adw-cdc-")
+    try:
+        tgt = f"{path}/t"
+        base.write.parquet(tgt)
+        # changelog is localCheckpointed inside, so the temp target can
+        # be deleted before returning
+        return merge_upsert_cdc(spark, tgt, upd, ["o_orderkey"])
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
