@@ -519,6 +519,19 @@ def connected_components(
         .distinct()
         .persist()
     )
+    # Size the loop's parallelism to the GRAPH, not the session: a
+    # dup-pair graph is typically a tiny fraction of the corpus, and
+    # paying shuffle_partitions-wide task scheduling for two joins +
+    # a checkpoint per iteration dominates wall time on small graphs
+    # (measured ~2s of pure overhead for a 573-node graph at 32
+    # partitions). One edge-count job up front (the edges frame is
+    # persisted; every iteration reuses it) picks ~1 partition per
+    # 200k edges, capped at the session default — a billion-edge graph
+    # at 100 TB still gets full parallelism.
+    n_edges = edges.count()
+    sc = pairs.sparkSession.sparkContext
+    n_parts = max(1, min(sc.defaultParallelism, n_edges // 200_000 + 1))
+    edges = edges.repartition(n_parts, "a")
     labels = edges.select(F.col("a").alias("id")).distinct().select(
         "id", F.col("id").alias("comp")
     )
