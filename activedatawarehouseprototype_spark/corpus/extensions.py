@@ -1737,3 +1737,75 @@ def dedup_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         return DI.dedup_index_lookup(spark, path, batch)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+# --- Cross-table semantic decontamination: "benchmark" vectors are
+# planted perturbations of training vectors (scale by 1.5 preserves
+# cosine exactly; +0.02 shifts it slightly) — pairs across the two
+# tables within a shared sign-LSH bucket at cosine >= 0.95. The
+# n-gram containment check (decontaminate_ngram_overlap) misses
+# paraphrases; this is the embedding-side complement. ---
+
+
+@register(
+    "cross_decontaminate_embeddings",
+    oracle="""
+WITH train AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+bench AS (
+  SELECT vec_id + 5000000 AS vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.5) AS v
+  FROM embeddings WHERE vec_id % 13 = 0
+  UNION ALL
+  SELECT vec_id + 6000000 AS vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.02) AS v
+  FROM embeddings WHERE vec_id % 19 = 0
+),
+bt AS (
+  SELECT vec_id, v,
+         array_to_string(list_transform(range(0, 8), p ->
+           CASE WHEN list_sum(list_transform(range(1, 65), d ->
+                  v[d] * (CASE WHEN substr(md5(concat(p, ':', d)), 1, 1) >= '8'
+                          THEN 1.0 ELSE -1.0 END))) > 0
+           THEN '1' ELSE '0' END), '') AS bucket
+  FROM train
+),
+bb AS (
+  SELECT vec_id, v,
+         array_to_string(list_transform(range(0, 8), p ->
+           CASE WHEN list_sum(list_transform(range(1, 65), d ->
+                  v[d] * (CASE WHEN substr(md5(concat(p, ':', d)), 1, 1) >= '8'
+                          THEN 1.0 ELSE -1.0 END))) > 0
+           THEN '1' ELSE '0' END), '') AS bucket
+  FROM bench
+)
+SELECT CAST(t.vec_id AS BIGINT) AS id_left,
+       CAST(b.vec_id AS BIGINT) AS id_right,
+       t.bucket AS bucket,
+       ROUND(list_cosine_similarity(t.v, b.v), 6) AS score
+FROM bt t
+JOIN bb b ON t.bucket = b.bucket
+WHERE ROUND(list_cosine_similarity(t.v, b.v), 6) >= 0.95
+""",
+)
+def cross_decontaminate_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir).select(
+        "vec_id", similarity.as_double_array(F.col("embedding")).alias("v")
+    )
+    bench = (
+        e.filter(F.col("vec_id") % 13 == 0)
+        .select(
+            (F.col("vec_id") + 5000000).alias("vec_id"),
+            F.transform("v", lambda x: x * F.lit(1.5)).alias("v"),
+        )
+        .unionByName(
+            e.filter(F.col("vec_id") % 19 == 0).select(
+                (F.col("vec_id") + 6000000).alias("vec_id"),
+                F.transform("v", lambda x: x + F.lit(0.02)).alias("v"),
+            )
+        )
+    )
+    return similarity.cross_near_dup_pairs(
+        e, bench, "vec_id", "v", n_planes=8, dim=64, threshold=0.95
+    )

@@ -681,3 +681,48 @@ def ivf_index_append(
         as_double_array(F.col(vec_col)).alias("vec"),
         F.col("cell"),
     ).write.mode("append").partitionBy("cell").parquet(f"{index_path}/vectors")
+
+
+def cross_near_dup_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Cross-table embedding near-duplicates — the SEMANTIC
+    decontamination check (n-gram containment misses paraphrased
+    benchmark items; embedding cosine catches them): (id_left,
+    id_right, score) for pairs across the two frames within a shared
+    sign-LSH bucket and cosine >= threshold.
+
+    Same scale shape as ``embedding_near_dup_pairs``: the join key is
+    the deterministic hyperplane bucket, so pair generation is
+    Σ_b |left_b|·|right_b| — never |left|×|right|; the (typically
+    small) benchmark side broadcasts via AQE. Scores round to 6
+    (engine-stable ordering rule)."""
+    def prep(df, nid):
+        return df.select(
+            F.col(id_col).alias(nid),
+            as_double_array(F.col(vec_col)).alias(f"_v_{nid}"),
+            random_hyperplane_bucket(F.col(vec_col), n_planes, dim).alias(
+                "bucket"
+            ),
+        )
+
+    a = prep(left, "id_left")
+    b = prep(right, "id_right")
+    return (
+        a.join(b, "bucket")
+        .select(
+            "id_left",
+            "id_right",
+            "bucket",
+            F.round(
+                cosine_pairs_score(F.col("_v_id_left"), F.col("_v_id_right")), 6
+            ).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )

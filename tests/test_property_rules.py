@@ -408,3 +408,66 @@ def test_composite_key_rules_match_reference(spark, events, rule):
             assert g[0] == w_[0] and g[1] == w_[1] and g[2] == w_[2], (g, w_)
             assert math.isclose(g[3], w_[3], rel_tol=1e-9, abs_tol=1e-9), (g, w_)
             assert g[4] == w_[4], (g, w_)
+
+
+# --- resample_ffill vs a naive per-key Python interpreter ---------------
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),            # key
+            st.integers(min_value=0, max_value=20 * 86_400),  # offset sec
+            st.integers(min_value=-1000, max_value=1000),     # value (x0.5)
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_resample_ffill_matches_naive_interpreter(spark, data):
+    """For random sparse per-key series, the distributed gap-fill must
+    equal a naive Python forward-fill over per-key daily grids."""
+    from activedatawarehouseprototype_spark.operators.timeseries import (
+        resample_ffill,
+    )
+
+    day_ms = 86_400_000
+    rows = [
+        (k, BASE + dt.timedelta(seconds=off), v * 0.5, i)
+        for i, (k, off, v) in enumerate(data)
+    ]
+    df = spark.createDataFrame(
+        rows, "k int, ts timestamp, value double, tie int"
+    )
+    got = {
+        (r.k, r.bucket_ms): (r.value, r.observed)
+        for r in resample_ffill(
+            df, "k", "ts", "value", step_ms=day_ms, tie_col="tie"
+        ).collect()
+    }
+
+    # naive reference: bucket -> last (ts, tie) row per (key, bucket),
+    # grid from min to max bucket, carry forward
+    per_key: dict[int, dict[int, tuple]] = {}
+    for k, ts, v, tie in rows:
+        ms = int(ts.replace(tzinfo=dt.timezone.utc).timestamp() * 1000)
+        b = ms // day_ms
+        cur = per_key.setdefault(k, {})
+        if b not in cur or (ms, tie) > cur[b][:2]:
+            cur[b] = (ms, tie, v)
+    want = {}
+    for k, buckets in per_key.items():
+        b0, b1 = min(buckets), max(buckets)
+        last = None
+        for b in range(b0, b1 + 1):
+            if b in buckets:
+                last = buckets[b][2]
+                want[(k, b * day_ms)] = (last, True)
+            else:
+                want[(k, b * day_ms)] = (last, False)
+    assert got == want
