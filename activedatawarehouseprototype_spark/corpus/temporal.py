@@ -249,3 +249,53 @@ def resample_ffill_daily_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         step_ms=86_400_000,
         tie_col="event_id",
     )
+
+
+# --- Alert burst suppression (cooldown): purchases per user as
+# pseudo-alerts; bursts chain firings closer than 1 hour and emit one
+# row each (first ts, swallowed count, span). Gaps-and-islands on
+# both engines; timestamps are picked/integer-subtracted, bit-exact. ---
+
+
+@register(
+    "alert_cooldown_bursts",
+    oracle="""
+WITH a AS (
+  SELECT user_id, epoch_ms(ts) AS ms, event_id
+  FROM events WHERE event_type = 'purchase'
+),
+m AS (
+  SELECT user_id, ms, event_id,
+         CASE WHEN lag(ms) OVER w IS NULL
+                   OR ms - lag(ms) OVER w >= 3600000
+              THEN 1 ELSE 0 END AS nb
+  FROM a WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)
+),
+b AS (
+  SELECT user_id, ms,
+         SUM(nb) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS burst
+  FROM m
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(MIN(ms) AS BIGINT) AS alert_ts_ms,
+       CAST(COUNT(*) - 1 AS BIGINT) AS n_suppressed,
+       CAST(MAX(ms) - MIN(ms) AS BIGINT) AS burst_span_ms
+FROM b GROUP BY user_id, burst
+""",
+)
+def alert_cooldown_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from activedatawarehouseprototype_spark.operators.cooldown import (
+        suppress_alert_bursts,
+    )
+
+    alerts = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    return suppress_alert_bursts(
+        alerts, ["user_id"], "ts", cooldown_ms=3_600_000, tie_col="event_id"
+    ).select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "alert_ts_ms",
+        "n_suppressed",
+        "burst_span_ms",
+    )

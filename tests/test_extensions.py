@@ -1301,3 +1301,38 @@ def test_resample_ffill_gap_semantics(spark):
         (1, base + 3 * day, 40.0, True),
         (2, base + 5 * day, 99.0, True),
     }
+
+
+def test_alert_burst_suppression_semantics(spark):
+    """Explicit burst check: firings 0s/10s/20s chain into one burst
+    (two suppressed); a firing a full cooldown later starts a new
+    burst; keys are independent."""
+    import datetime as dt
+
+    from activedatawarehouseprototype_spark.operators.cooldown import (
+        suppress_alert_bursts,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    rows = [
+        (1, ts(0), 1), (1, ts(10), 2), (1, ts(20), 3),  # one burst
+        (1, ts(80), 4),                                  # new burst (>=60s)
+        (2, ts(5), 5),                                   # other key
+    ]
+    df = spark.createDataFrame(rows, "k int, ts timestamp, eid int")
+    got = {
+        (r.k, r.alert_ts_ms, r.n_suppressed, r.burst_span_ms)
+        for r in suppress_alert_bursts(
+            df, ["k"], "ts", cooldown_ms=60_000, tie_col="eid"
+        ).collect()
+    }
+    base = int(t0.replace(tzinfo=dt.timezone.utc).timestamp() * 1000)
+    assert got == {
+        (1, base, 2, 20_000),
+        (1, base + 80_000, 0, 0),
+        (2, base + 5_000, 0, 0),
+    }
