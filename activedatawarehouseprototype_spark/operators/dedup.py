@@ -129,7 +129,13 @@ def ngram_jaccard_pairs(
     inverted index) → groupBy (a, b) count = |A ∩ B| → join per-doc
     shingle counts → Jaccard = inter / (|A| + |B| - inter).
     """
-    sh = shingle_table(df, id_col, text_col, n, max_doc_freq)
+    # the shingle table feeds the size aggregate AND both sides of the
+    # self-join — a lazy localCheckpoint computes the explode+window
+    # pipeline once instead of three times (at 100 TB the shingle pass
+    # is the dominant CPU; recomputing it per consumer tripled it)
+    sh = shingle_table(df, id_col, text_col, n, max_doc_freq).localCheckpoint(
+        eager=False
+    )
     sizes = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("n_shingles"))
     # User-specified repartition on the join key: candidate-pair
     # generation explodes AFTER this join, so AQE's byte-based
@@ -246,7 +252,9 @@ def winnow_overlap_pairs(
     into a long one scores ~1.0 (Jaccard would dilute it toward 0 —
     the reason containment is the contamination metric of choice).
     """
-    fps = winnow_fingerprint_table(df, id_col, text_col, k, w, max_doc_freq)
+    fps = winnow_fingerprint_table(
+        df, id_col, text_col, k, w, max_doc_freq
+    ).localCheckpoint(eager=False)  # reused by sizes + both join sides
     sizes = fps.groupBy("sid").agg(F.count(F.lit(1)).alias("n_fps"))
     n_parts = df.sparkSession.sparkContext.defaultParallelism
     fps_spread = fps.repartition(n_parts, "fp")
@@ -347,7 +355,8 @@ def lsh_candidates(
     (band signature = md5 of the band's concatenated minhashes).
     rows_per_band = k / bands controls the similarity knee."""
     sig = minhash_signatures(df, id_col, text_col, n, k, max_doc_freq)
-    banded = band_signatures(sig, k, bands)
+    # banded feeds both sides of the self-join: one signature pass
+    banded = band_signatures(sig, k, bands).localCheckpoint(eager=False)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
