@@ -436,12 +436,15 @@ def contamination_pairs(
     are the quadratic-pair blow-up AND carry no containment signal) —
     same anti-skew contract as ``ngram_jaccard_pairs``. At 100 TB the
     cost is one pass over train shingles + |matches|."""
+    # both shingle tables feed multiple consumers (hot-list agg,
+    # anti-joins, size agg, intersection join): checkpoint lazily so
+    # the explode/window passes run once each
     tr = shingle_table(train_df, id_col, text_col, n).select(
         F.col("sid").alias("train_id"), "shingle"
-    )
+    ).localCheckpoint(eager=False)
     be = shingle_table(bench_df, id_col, text_col, n).select(
         F.col("sid").alias("bench_id"), "shingle"
-    )
+    ).localCheckpoint(eager=False)
     if max_doc_freq is not None:
         hot = (
             tr.groupBy("shingle")
