@@ -131,6 +131,15 @@ class ActivePipeline:
     # the rule set grows). Both paths are value-identical
     # (tests/test_group_eval.py).
     grouped_min_rules: int = 8
+    # alert storm control: when set, at most one alert per (query_id,
+    # key) is EMITTED per cooldown window — re-firings inside the
+    # window are counted (metrics["alerts_suppressed"]) but not
+    # written. Durable: the last-emission clock is a tiny parquet
+    # state table under alerts/, merged per batch (O(|fired keys|)),
+    # so the guarantee holds across batches AND restarts. Within one
+    # batch the first firing per key wins (micro-batches are far
+    # shorter than any sensible cooldown).
+    alert_cooldown_ms: int | None = None
     # per-rule emission high-watermark: query_id -> max emitted window_end (ms)
     _emitted_wm: dict[int, int] = dc_field(default_factory=dict)
     _has_buffer: bool = False
@@ -200,6 +209,54 @@ class ActivePipeline:
     @property
     def _wm_path(self) -> str:
         return os.path.join(self.work_dir, "emitted_watermarks.json")
+
+    def _apply_alert_cooldown(self, fired: DataFrame) -> DataFrame:
+        """Storm control for the alert sink (K1): drop firings within
+        ``alert_cooldown_ms`` of the key's last EMITTED alert. The
+        last-emission clock lives in a parquet state table merged per
+        batch (MERGE on (query_id, key) — O(|fired keys|)); within the
+        batch the earliest window_end per key wins. ECA spawning still
+        sees every firing (spawn throttling is its own mechanism, C7);
+        only the alert sink is gated."""
+        from pyspark.sql import Window
+
+        from activedatawarehouseprototype_spark.operators.warehouse import (
+            merge_upsert,
+        )
+
+        state_path = os.path.join(self.alerts_path, "cooldown_state")
+        cand = fired.withColumn("_ms", F.unix_millis("window_end"))
+        if os.path.exists(state_path):
+            st = self.spark.read.parquet(state_path)
+            cand = (
+                cand.join(st, ["query_id", "key"], "left")
+                .filter(
+                    F.col("last_ms").isNull()
+                    | (F.col("_ms") >= F.col("last_ms") + self.alert_cooldown_ms)
+                )
+                .drop("last_ms")
+            )
+        w = Window.partitionBy("query_id", "key").orderBy(F.col("_ms").asc())
+        emitted = (
+            cand.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .localCheckpoint()  # must survive the state-table swap below
+        )
+        n_emitted = emitted.count()
+        self.metrics["alerts_suppressed"] = self.metrics.get(
+            "alerts_suppressed", 0
+        ) + (fired.count() - n_emitted)
+        if n_emitted:
+            merge_upsert(
+                self.spark,
+                state_path,
+                emitted.select(
+                    "query_id", "key", F.col("_ms").alias("last_ms")
+                ),
+                ["query_id", "key"],
+            )
+        return emitted.drop("_ms")
 
     def _persist_watermarks(self) -> None:
         import json as _json
@@ -437,7 +494,12 @@ class ActivePipeline:
         try:
             evals.write.mode("append").parquet(self.evals_path)
             fired = evals.filter("fired")
-            fired.write.mode("append").parquet(self.alerts_path + "/data")
+            emitted = (
+                self._apply_alert_cooldown(fired)
+                if self.alert_cooldown_ms
+                else fired
+            )
+            emitted.write.mode("append").parquet(self.alerts_path + "/data")
             wm_rows = (
                 evals.groupBy("query_id")
                 .agg(F.max(F.unix_millis("window_end")).alias("max_end"))

@@ -1593,3 +1593,54 @@ def test_pipeline_maintains_summary_mv(spark, tmp_path):
     pipe.process_batch(b1, 1)
     mv2 = {r.carId: (r.n, r.total, r.mn, r.mx) for r in pipe.summary_mv().collect()}
     assert mv2 == mv
+
+
+def test_alert_cooldown_across_batches_and_restart(spark, tmp_path):
+    """alert_cooldown_ms: a rule re-firing for the same key within the
+    cooldown emits ONE alert (re-firings counted as suppressed); after
+    the cooldown passes it emits again; the clock survives a pipeline
+    restart (durable state table)."""
+    from activedatawarehouseprototype_spark.streaming.pipeline import (
+        ActivePipeline,
+    )
+    from activedatawarehouseprototype_spark.streaming.registry import RuleRegistry
+
+    rule = {
+        "queryId": 5, "queryState": "ACTIVE", "lastTime": -1,
+        "windowMilliseconds": 10_000, "frequencyMilliseconds": None,
+        "groupingKeyNames": ["carId"],
+        "windowFilterRules": [],
+        "aggregatorFunctionType": "MAX", "limitOperatorType": ">",
+        "limit": 100, "aggregateFieldName": "speed",
+    }
+    reg = RuleRegistry()
+    reg.apply_json(json.dumps(rule))
+    work = str(tmp_path / "cool")
+    pipe = ActivePipeline(
+        spark=spark, registry=reg, work_dir=work,
+        alert_cooldown_ms=120_000,
+    )
+    # 10s tumbling windows, event time strictly advancing; slow filler
+    # events move the watermark without firing. Firing window ends:
+    # 10s (emitted), 30s (suppressed), 70s (suppressed), 150s (emitted
+    # — 150 >= 10 + 120).
+    pipe.process_batch(car_df(spark, [(9, 1, 130.0), (9, 15, 1.0)]), 0)
+    pipe.process_batch(car_df(spark, [(9, 21, 140.0), (9, 45, 1.0)]), 1)
+    a = pipe.alerts().filter("query_id = 5").collect()
+    assert len(a) == 1  # 30s firing suppressed: within 120s of 10s
+    assert pipe.metrics["alerts_suppressed"] == 1
+
+    # restart: a NEW pipeline over the same work_dir keeps the clock
+    reg2 = RuleRegistry()
+    reg2.apply_json(json.dumps(rule))
+    pipe2 = ActivePipeline(
+        spark=spark, registry=reg2, work_dir=work,
+        alert_cooldown_ms=120_000,
+    )
+    pipe2.process_batch(car_df(spark, [(9, 61, 150.0), (9, 95, 1.0)]), 2)
+    a2 = pipe2.alerts().filter("query_id = 5").collect()
+    assert len(a2) == 1  # 70s still inside the restored cooldown clock
+    assert pipe2.metrics["alerts_suppressed"] == 1
+    pipe2.process_batch(car_df(spark, [(9, 141, 160.0), (9, 175, 1.0)]), 3)
+    a3 = pipe2.alerts().filter("query_id = 5").collect()
+    assert len(a3) == 2  # 150s >= 10s + 120s -> emitted
