@@ -56,6 +56,11 @@ def _build_parser() -> argparse.ArgumentParser:
         "--once", action="store_true", help="availableNow trigger (drain + exit)"
     )
     pr.add_argument(
+        "--alert-cooldown-ms", type=int, default=None,
+        help="emit at most one alert per (rule, key) per this window "
+        "(durable across restarts)",
+    )
+    pr.add_argument(
         "--mv-key", default=None,
         help="comma-separated key columns: maintain an incremental "
         "per-key summary MV at <work-dir>/summary_mv",
@@ -529,6 +534,7 @@ def main(argv: list[str] | None = None) -> int:
             rules_dir=args.rules_dir,
             mv_key_cols=args.mv_key.split(",") if args.mv_key else None,
             mv_value_col=args.mv_value,
+            alert_cooldown_ms=args.alert_cooldown_ms,
         )
         from activedatawarehouseprototype_spark.catalog import load_parquet
 
