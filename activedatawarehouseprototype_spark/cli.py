@@ -214,6 +214,36 @@ def _build_parser() -> argparse.ArgumentParser:
                     help="versions kept by vacuum")
     pt.add_argument("--n-files", type=int, default=8,
                     help="target file count for optimize")
+
+    pck = sub.add_parser(
+        "check",
+        help="run declarative data-quality constraints from a JSON file",
+    )
+    pck.add_argument("--input", required=True, help="parquet path to check")
+    pck.add_argument("--constraints", required=True,
+                     help="JSON file: list of constraint objects "
+                     "(name, kind, column/keys/values/lo/hi/pattern/expr)")
+    pck.add_argument("--quarantine", default=None,
+                     help="optional parquet path: write rows violating "
+                     "row-level constraints (with per-row blame)")
+    pck.add_argument(
+        "--strict", action="store_true",
+        help="exit 1 if any constraint fails",
+    )
+
+    pin = sub.add_parser(
+        "ingest",
+        help="dedup-at-the-door ingestion: drain a parquet directory "
+        "into a clean store through a persisted dedup index",
+    )
+    pin.add_argument("--events-dir", required=True,
+                     help="parquet directory of incoming documents")
+    pin.add_argument("--index", required=True,
+                     help="dedup index (from dedup-index-build)")
+    pin.add_argument("--store", required=True, help="clean-store directory")
+    pin.add_argument("--id-col", default="doc_id")
+    pin.add_argument("--text-col", default="text")
+    pin.add_argument("--max-files-per-trigger", type=int, default=None)
     return p
 
 
@@ -460,6 +490,66 @@ def main(argv: list[str] | None = None) -> int:
             )
         else:
             print(f"{n_pairs} match pairs -> {args.output}", file=sys.stderr)
+        return 0
+
+    if args.cmd == "check":
+        from activedatawarehouseprototype_spark.catalog import load_parquet
+        from activedatawarehouseprototype_spark.operators.quality import (
+            Constraint,
+            check_constraints,
+            enforce,
+        )
+
+        with open(args.constraints) as f:
+            raw = json.load(f)
+        cons = [
+            Constraint(
+                name=c["name"],
+                kind=c["kind"],
+                column=c.get("column"),
+                values=tuple(c.get("values", ())),
+                lo=c.get("lo"),
+                hi=c.get("hi"),
+                pattern=c.get("pattern"),
+                expr=c.get("expr"),
+                keys=tuple(c.get("keys", ())),
+            )
+            for c in raw
+        ]
+        df = load_parquet(spark, args.input)
+        report = check_constraints(df, cons).collect()
+        for r in report:
+            print(json.dumps(
+                {"constraint": r["constraint"], "kind": r["kind"],
+                 "violations": r["violations"], "passed": r["passed"]}
+            ))
+        if args.quarantine:
+            _, bad = enforce(df, cons)
+            bad.write.mode("overwrite").parquet(args.quarantine)
+            print(f"{bad.count()} violating rows -> {args.quarantine}",
+                  file=sys.stderr)
+        if args.strict and any(not r["passed"] for r in report):
+            return 1
+        return 0
+
+    if args.cmd == "ingest":
+        from activedatawarehouseprototype_spark.streaming.ingest import (
+            DedupIngest,
+        )
+
+        ing = DedupIngest(
+            spark, args.index, args.store,
+            id_col=args.id_col, text_col=args.text_col,
+        )
+        schema = spark.read.parquet(args.events_dir).schema
+        reader = spark.readStream.schema(schema)
+        if args.max_files_per_trigger:
+            reader = reader.option(
+                "maxFilesPerTrigger", str(args.max_files_per_trigger)
+            )
+        q = ing.run_stream(reader.parquet(args.events_dir), available_now=True)
+        q.awaitTermination()
+        print(json.dumps(ing.metrics), file=sys.stderr)
         return 0
 
     if args.cmd == "table":

@@ -68,3 +68,63 @@ def test_enforce_quarantines_violating_rows(spark):
     id3 = [set(r.violated) for r in bad.collect() if r.id == 3]
     assert sorted(id3, key=len) == [{"amount_range"},
                                     {"email_format", "country_known"}]
+
+
+def test_cli_check_verb(spark, tmp_path, capsys):
+    import json as _json
+
+    from activedatawarehouseprototype_spark.cli import main
+
+    data = str(tmp_path / "d.parquet")
+    _df(spark).write.parquet(data)
+    cons_file = str(tmp_path / "cons.json")
+    with open(cons_file, "w") as f:
+        _json.dump(
+            [
+                {"name": "email_not_null", "kind": "not_null",
+                 "column": "email"},
+                {"name": "id_unique", "kind": "unique", "keys": ["id"]},
+                {"name": "amount_range", "kind": "in_range",
+                 "column": "amount", "lo": -10.0, "hi": 1000.0},
+            ],
+            f,
+        )
+    quarantine = str(tmp_path / "bad")
+    capsys.readouterr()
+    rc = main(["check", "--input", data, "--constraints", cons_file,
+               "--quarantine", quarantine, "--strict"])
+    assert rc == 1  # email_not_null and id_unique fail
+    report = {
+        r["constraint"]: r
+        for r in map(_json.loads, capsys.readouterr().out.strip().splitlines())
+    }
+    assert report["email_not_null"]["violations"] == 1
+    assert report["id_unique"]["violations"] == 1
+    assert report["amount_range"]["passed"] is True
+    bad = spark.read.parquet(quarantine)
+    assert {r.id for r in bad.collect()} == {2}  # only the null email row
+
+
+def test_cli_ingest_verb(spark, tmp_path):
+    import json as _json
+
+    from activedatawarehouseprototype_spark.cli import main
+    from activedatawarehouseprototype_spark.operators import dedup_index as DI
+
+    corpus = spark.createDataFrame(
+        [(i, f"tok{i}a tok{i}b tok{i}c tok{i}d tok{i}e") for i in range(10)],
+        "doc_id bigint, text string",
+    )
+    idx = str(tmp_path / "idx")
+    DI.dedup_index_build(corpus, idx, n=3, k=12, bands=3)
+    src = str(tmp_path / "incoming")
+    spark.createDataFrame(
+        [(100, "tok4a tok4b tok4c tok4d tok4e"),    # dup of corpus doc 4
+         (101, "new1 new2 new3 new4 new5")],
+        "doc_id bigint, text string",
+    ).write.parquet(src)
+    store = str(tmp_path / "store")
+    assert main(["ingest", "--events-dir", src, "--index", idx,
+                 "--store", store]) == 0
+    got = {r.doc_id for r in spark.read.parquet(f"{store}/docs").collect()}
+    assert got == {101}
