@@ -202,3 +202,40 @@ def decode_image(df: DataFrame) -> DataFrame:
         "sample_frames() and extract_features() demonstrate the "
         "identical mapInPandas plumbing on raw bytes"
     )
+
+
+def binary_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    blob_col: str = "blob",
+    k: int = 8,
+    w: int = 6,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Near-duplicate BLOBS without decoding them: winnowed
+    rolling-hash fingerprints over the raw bytes — the modality-blind
+    member of the dedup family (exact md5 catches identical files;
+    this catches re-containered / prefix-stamped / appended variants,
+    the common near-dup shapes for media assets, all without any
+    codec in the environment).
+
+    Implementation is a pure composition of oracled pieces: hex-encode
+    the blob, split into byte tokens (one per 2 hex chars via a
+    codegen regexp), and run the SAME winnow_overlap_pairs machinery
+    the text family uses (k-byte grams, w-window minima, inverted
+    fingerprint index — Σ|bucket|² pair generation, never all-pairs).
+    Containment = shared / min(|A|, |B|), so a blob embedded in a
+    larger one scores ~1.0."""
+    from activedatawarehouseprototype_spark.operators.dedup import (
+        winnow_overlap_pairs,
+    )
+
+    as_tokens = F.trim(
+        F.regexp_replace(F.hex(F.col(blob_col)), "(..)", "$1 ")
+    )
+    tokenized = df.select(F.col(id_col), as_tokens.alias("_bytes_text"))
+    return winnow_overlap_pairs(
+        tokenized, id_col, "_bytes_text",
+        k=k, w=w, threshold=threshold, max_doc_freq=max_doc_freq,
+    )

@@ -1336,3 +1336,33 @@ def test_alert_burst_suppression_semantics(spark):
         (1, base + 80_000, 0, 0),
         (2, base + 5_000, 0, 0),
     }
+
+
+def test_binary_near_dup_pairs_catches_variants(spark):
+    """Byte-level near-dup: an identical blob, a prefix-stamped
+    variant, and an appended variant all pair with the original; an
+    unrelated blob does not."""
+    import os
+
+    from activedatawarehouseprototype_spark.operators.multimodal import (
+        binary_near_dup_pairs,
+    )
+
+    base = bytes(range(256)) * 4          # 1 KiB deterministic "asset"
+    other = bytes(reversed(range(256))) * 4
+    rows = [
+        (1, bytearray(base)),
+        (2, bytearray(base)),                      # identical
+        (3, bytearray(b"HDR0" + base)),            # re-containered
+        (4, bytearray(base + b"\x00\x01\x02\x03")),  # appended
+        (5, bytearray(other)),                     # unrelated
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, blob binary")
+    pairs = {
+        (r.id_a, r.id_b): r.containment
+        for r in binary_near_dup_pairs(df, "doc_id", "blob").collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and pairs[(1, 3)] >= 0.9
+    assert (1, 4) in pairs and pairs[(1, 4)] >= 0.9
+    assert not any(5 in p for p in pairs)
