@@ -114,6 +114,10 @@ class ActivePipeline:
     # ``summary_mv()``.
     mv_key_cols: "list[str] | None" = None
     mv_value_col: str | None = None
+    # optional mergeable histogram column on the summary MV —
+    # (lo, hi, n_bins); read percentiles with
+    # warehouse.estimate_percentile (error <= one bin width)
+    mv_hist_bins: "tuple[float, float, int] | None" = None
     # two-phase salted aggregation for hot composite keys (power-law
     # key skew): spreads each (rule, key, window) group over N salts
     # before the final merge. None = plain single-stage agg.
@@ -334,6 +338,7 @@ class ActivePipeline:
                 self.mv_key_cols,
                 self.mv_value_col,
                 batch_id=batch_id,
+                hist_bins=self.mv_hist_bins,
             )
 
         # (1b) observed batch metrics (ingest count + K3 latency) —

@@ -1644,3 +1644,38 @@ def test_alert_cooldown_across_batches_and_restart(spark, tmp_path):
     pipe2.process_batch(car_df(spark, [(9, 141, 160.0), (9, 175, 1.0)]), 3)
     a3 = pipe2.alerts().filter("query_id = 5").collect()
     assert len(a3) == 2  # 150s >= 10s + 120s -> emitted
+
+
+def test_pipeline_mv_histogram_percentiles(spark, tmp_path):
+    """The pipeline-maintained summary MV can carry the mergeable
+    histogram: after two batches the per-key percentile estimate from
+    the MV matches the true percentile of all ingested values to
+    within one bin width."""
+    import numpy as np
+
+    from activedatawarehouseprototype_spark.operators.warehouse import (
+        estimate_percentile,
+    )
+    from activedatawarehouseprototype_spark.streaming.pipeline import (
+        ActivePipeline,
+    )
+    from activedatawarehouseprototype_spark.streaming.registry import RuleRegistry
+
+    reg = RuleRegistry()
+    pipe = ActivePipeline(
+        spark=spark, registry=reg, work_dir=str(tmp_path / "wk"),
+        ts_col="ts", mv_key_cols=["carId"], mv_value_col="speed",
+        mv_hist_bins=(0.0, 200.0, 20),
+    )
+    all_speeds = []
+    for b in range(2):
+        rows = [(1, b * 100 + i, float((b * 37 + i * 13) % 200))
+                for i in range(50)]
+        all_speeds += [v for _, _, v in rows]
+        pipe.process_batch(car_df(spark, rows), b)
+    mv = spark.read.parquet(pipe.summary_mv_path)
+    row = mv.filter("carId = 1").collect()[0]
+    assert sum(row["hist"]) == 100
+    est = estimate_percentile(list(row["hist"]), 0.5, 0.0, 200.0)
+    true = float(np.percentile(all_speeds, 50))
+    assert abs(est - true) <= 10.0 + 1e-9  # one bin width
