@@ -94,6 +94,16 @@ class VersionedTable:
         prev = self.latest_version()
         version = 0 if prev is None else prev + 1
         cdir = os.path.join(self._data_dir, f"c{version:08d}")
+        if os.path.exists(cdir):
+            # orphan from a crash BETWEEN the data write and the log
+            # write: no log entry references it (the log rename is the
+            # commit point), so the half-written dir is dead weight
+            # that would otherwise block this retry. Safe to clear —
+            # a dir with a log entry can never collide here because
+            # version numbers only move forward past logged entries.
+            import shutil
+
+            shutil.rmtree(cdir)
         df.write.mode("error").parquet(cdir)
         dirs = [f"c{version:08d}"]
         if mode == "append" and prev is not None:

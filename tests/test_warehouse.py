@@ -599,3 +599,26 @@ def test_cli_table_verbs(spark, tmp_path, capsys):
     assert main(["table", "--path", tbl, "read", "--output", out0]) == 0
     assert spark.read.parquet(out0).count() == 5
     assert main(["table", "--path", tbl, "vacuum", "--retain-last", "1"]) == 0
+
+
+def test_versioned_commit_retry_after_crash(spark, tmp_path):
+    """A crash between the data write and the log write leaves an
+    orphan commit dir with NO log entry; the retried commit must
+    succeed (clearing the orphan) and readers never see the half
+    state."""
+    import os
+    import shutil
+
+    from activedatawarehouseprototype_spark.operators import versioned as V
+
+    vt = _vt(spark, tmp_path, "t7")
+    vt.commit(spark.range(3).toDF("id"), ts=1.0)
+    # simulate the crash: write version 1's data dir, no log entry
+    orphan = os.path.join(vt.path, "data", "c00000001")
+    spark.range(100, 105).toDF("id").write.parquet(orphan)
+    assert vt.latest_version() == 0  # reader: half-commit invisible
+    assert vt.read().count() == 3
+    # the retry (same version number) succeeds
+    v = vt.commit(spark.range(3, 6).toDF("id"), ts=2.0)
+    assert v == 1
+    assert {r.id for r in vt.read().collect()} == {0, 1, 2, 3, 4, 5}
