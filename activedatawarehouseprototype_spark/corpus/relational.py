@@ -1016,3 +1016,100 @@ def cdc_merge_changelog_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         return merge_upsert_cdc(spark, tgt, upd, ["o_orderkey"])
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+# --- Incremental JOIN MV under the oracle gate: three mixed-arrival
+# batches of order/customer slices maintained via delta propagation;
+# the oracle is simply the DIRECT join of everything that arrived —
+# which is exactly what the MV must equal. ---
+
+
+@register(
+    "join_mv_incremental_orders",
+    oracle="""
+SELECT CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(o.o_custkey AS BIGINT) AS o_custkey,
+       o.o_totalprice,
+       c.c_mktsegment
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_orderkey % 5 <> 4 AND c.c_custkey % 3 <> 2
+""",
+)
+def join_mv_incremental_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from activedatawarehouseprototype_spark.operators.warehouse import (
+        incremental_join_mv,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        F.col("o_custkey").cast("bigint").alias("o_custkey"),
+        "o_totalprice",
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("bigint").alias("o_custkey"), "c_mktsegment"
+    )
+    # deterministic slices; %5==4 orders and %3==2 customers never arrive
+    lb = [
+        o.filter(F.col("o_orderkey") % 5 == i) for i in range(4)
+    ]
+    rb = [
+        c.filter(F.col("o_custkey") % 3 == i) for i in range(2)
+    ]
+    base = tempfile.mkdtemp(prefix="adw-jmv-")
+    try:
+        mv = None
+        batches = [
+            (lb[0], rb[0]),        # both sides
+            (lb[1], None),         # left only
+            (None, rb[1]),         # right only
+            (lb[2], None),
+            (lb[3], None),
+        ]
+        for bid, (l, r) in enumerate(batches):
+            mv = incremental_join_mv(
+                spark, base, ["o_custkey"],
+                left_batch=l, right_batch=r, batch_id=bid,
+            )
+        return mv.select(
+            "o_orderkey", "o_custkey", "o_totalprice", "c_mktsegment"
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+# --- TPC-H Q4-style order-priority check: orders with at least one
+# LATE lineitem (shipped >90 days after the order date) counted per
+# priority — the EXISTS/semi-join shape (the fixture has no
+# l_commitdate, so lateness is shipdate-vs-orderdate). ---
+
+
+@register(
+    "tpch_q4_late_orders",
+    oracle="""
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_late_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+)
+GROUP BY o.o_orderpriority
+""",
+)
+def tpch_q4_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    late = li.join(
+        o, li.l_orderkey == o.o_orderkey
+    ).filter(
+        F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90)
+    ).select("o_orderkey").distinct()
+    return (
+        o.join(late, "o_orderkey", "semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_late_orders"))
+    )
