@@ -38,6 +38,36 @@ class Constraint:
     expr: str | None = None
     keys: tuple = ()
 
+    def validate(self) -> None:
+        """Fail at DECLARATION time, not mid-scan: every kind names its
+        required params; a constraint set is config, and config errors
+        should not surface as AnalysisExceptions three jobs later."""
+        needs_col = self.kind in (
+            "not_null", "accepted_values", "in_range", "matches_regex"
+        )
+        if needs_col and not self.column:
+            raise ValueError(f"constraint {self.name!r} ({self.kind}) needs a column")
+        if self.kind == "accepted_values" and not self.values:
+            raise ValueError(
+                f"constraint {self.name!r}: accepted_values needs a non-empty "
+                f"values tuple (empty would reject every row)"
+            )
+        if self.kind == "in_range" and self.lo is None and self.hi is None:
+            raise ValueError(
+                f"constraint {self.name!r}: in_range needs lo and/or hi"
+            )
+        if self.kind == "matches_regex" and not self.pattern:
+            raise ValueError(f"constraint {self.name!r}: matches_regex needs a pattern")
+        if self.kind == "expression" and not self.expr:
+            raise ValueError(f"constraint {self.name!r}: expression needs expr")
+        if self.kind == "unique" and not self.keys:
+            raise ValueError(f"constraint {self.name!r}: unique needs keys")
+        if self.kind not in (
+            "not_null", "accepted_values", "in_range", "matches_regex",
+            "expression", "unique",
+        ):
+            raise ValueError(f"unknown constraint kind {self.kind!r}")
+
     def violation_pred(self):
         """Row-level violation predicate (None for ``unique``)."""
         c = F.col(self.column) if self.column else None
@@ -65,6 +95,8 @@ def check_constraints(df: DataFrame, constraints: list[Constraint]) -> DataFrame
     """One row per constraint: (constraint, kind, violations, passed).
     All row-level constraints share a single scan."""
     spark = df.sparkSession
+    for c in constraints:
+        c.validate()
     row_level = [c for c in constraints if c.kind != "unique"]
     uniques = [c for c in constraints if c.kind == "unique"]
 
@@ -105,6 +137,8 @@ def enforce(
     ROW-LEVEL constraints (``unique`` has no per-row blame without a
     keeper policy — dedupe upstream). The violating frame carries a
     ``violated`` array naming the failed constraints."""
+    for c in constraints:
+        c.validate()
     row_level = [c for c in constraints if c.kind != "unique"]
     if not row_level:
         return df, df.limit(0).withColumn(

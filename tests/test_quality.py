@@ -128,3 +128,24 @@ def test_cli_ingest_verb(spark, tmp_path):
                  "--store", store]) == 0
     got = {r.doc_id for r in spark.read.parquet(f"{store}/docs").collect()}
     assert got == {101}
+
+
+def test_constraint_declaration_validation(spark):
+    import pytest
+
+    from activedatawarehouseprototype_spark.operators.quality import (
+        Constraint,
+        check_constraints,
+    )
+
+    df = _df(spark)
+    bad = [
+        Constraint("x", "accepted_values", column="country"),      # no values
+        Constraint("y", "in_range", column="amount"),              # no bounds
+        Constraint("z", "unique"),                                 # no keys
+        Constraint("w", "not_a_kind", column="email"),             # bad kind
+        Constraint("v", "not_null"),                               # no column
+    ]
+    for c in bad:
+        with pytest.raises(ValueError):
+            check_constraints(df, [c])
