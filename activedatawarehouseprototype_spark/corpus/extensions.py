@@ -1809,3 +1809,39 @@ def cross_decontaminate_embeddings(spark: SparkSession, sf_dir: str) -> DataFram
     return similarity.cross_near_dup_pairs(
         e, bench, "vec_id", "v", n_planes=8, dim=64, threshold=0.95
     )
+
+
+# --- Product quantization (rows-only: the numpy-trained codebooks
+# have no SQL twin — quality is pinned by tests/test_pq.py recall and
+# reconstruction gates instead). Deterministic end-to-end: sample =
+# lowest-id vectors, fixed Lloyd iterations, IEEE argmin with
+# first-index ties, so the code checksum is stable run to run. ---
+
+
+@register("pq_codes_stats")
+def pq_codes_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from activedatawarehouseprototype_spark.operators import pq as PQ
+
+    e = _emb(spark, sf_dir)
+    cbs = PQ.pq_train(e, m=8, ksub=16, iters=4, sample_n=1024)
+    enc = PQ.pq_encode(e, cbs)
+    weighted = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(1), F.size("codes")),
+            lambda c, i: c.cast("bigint") * i,
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return enc.select(
+        "vec_id",
+        F.concat_ws(",", F.col("codes")).alias("_cs"),
+        weighted.alias("_w"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.countDistinct("_cs").cast("bigint").alias("n_distinct_codes"),
+        F.sum(F.col("_w") * (F.col("vec_id") % 997)).cast("bigint").alias(
+            "code_checksum"
+        ),
+    )
