@@ -155,10 +155,18 @@ _STABLE_CORE = [
     # pytest mirror + W3 streaming soaks, subqueries via
     # sql_subquery_above_avg_orders, text via text_stats/text_lang_id/
     # chunk/pii), the full-corpus pytest mirror still covers them
-    # every round, and they rotate back in round 5 together with any
-    # queries registered after the window filled (positions >50),
-    # which carry pytest-mirror evidence now and earn driver rows next
-    # round.)
+    # every round, and they rotate back in round 5 together with the
+    # queries registered after the window filled (positions >50, all
+    # pytest-mirror green this round): tpch_q4/q7/q8/q10/q14/q18,
+    # timetravel_orders_rollup, resample_ffill_daily_values,
+    # quality_constraints_orders, cdc_merge_changelog_orders,
+    # sql_shared_text_rollup, cross_decontaminate_embeddings,
+    # alert_cooldown_bursts, join_mv_incremental_orders,
+    # pq_codes_stats. Round-5 editor: put those 15 plus the 12
+    # r3-green sit-outs listed above into _DRIVER_ROTATION, keep a
+    # ~6-entry stable core, and rotate out this round's 44 — the
+    # window math works out to 50 again; test_registry_order re-trips
+    # if any of the 15 are left out.)
 ]
 
 
