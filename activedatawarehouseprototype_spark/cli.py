@@ -68,6 +68,11 @@ def _build_parser() -> argparse.ArgumentParser:
     pr.add_argument(
         "--mv-value", default=None, help="value column for the summary MV"
     )
+    pr.add_argument(
+        "--mv-hist", default=None,
+        help="lo,hi,bins — add a mergeable histogram column to the "
+        "summary MV (approximate percentiles)",
+    )
 
     ps = sub.add_parser("sql", help="print the rule's generated ANSI-SQL twin")
     ps.add_argument("--rule", required=True)
@@ -624,6 +629,15 @@ def main(argv: list[str] | None = None) -> int:
             rules_dir=args.rules_dir,
             mv_key_cols=args.mv_key.split(",") if args.mv_key else None,
             mv_value_col=args.mv_value,
+            mv_hist_bins=(
+                tuple(
+                    f(x) for f, x in zip(
+                        (float, float, int), args.mv_hist.split(",")
+                    )
+                )
+                if args.mv_hist
+                else None
+            ),
             alert_cooldown_ms=args.alert_cooldown_ms,
         )
         from activedatawarehouseprototype_spark.catalog import load_parquet
