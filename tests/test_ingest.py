@@ -133,3 +133,74 @@ def test_ingest_restart_recovery(spark, tmp_path):
         _mkdocs(spark, [(800, _sentence(95)), (801, _sentence(96))]), 1
     )
     assert {r.doc_id for r in ing2.admitted().collect()} == {700, 801}
+
+
+def test_round4_curation_flow_end_to_end(spark, tmp_path):
+    """Capstone over this round's additions: declarative quality gate →
+    dedup-at-the-door ingestion (two batches, cross-batch suppression)
+    → chunking → packing — with conservation and determinism checks at
+    every joint."""
+    from pyspark.sql import Window
+
+    from activedatawarehouseprototype_spark.operators import (
+        dedup_index as DI,
+        packing,
+    )
+    from activedatawarehouseprototype_spark.operators.quality import (
+        Constraint,
+        enforce,
+    )
+
+    # seed index with an existing corpus
+    corpus = _mkdocs(spark, [(i, _sentence(i, n=20)) for i in range(12)])
+    idx = str(tmp_path / "flow-idx")
+    store = str(tmp_path / "flow-store")
+    DI.dedup_index_build(corpus, idx, n=3, k=12, bands=3)
+    ing = DedupIngest(spark, idx, store)
+
+    cons = [
+        Constraint("text_not_null", "not_null", column="text"),
+        Constraint("long_enough", "expression",
+                   expr="size(split(text, ' ')) >= 5"),
+    ]
+    batches = [
+        [(200, _sentence(40, n=20)), (201, _sentence(3, n=20)),  # 201 dups seed 3
+         (202, None), (203, "too short")],
+        [(300, _sentence(40, n=20)),                             # dups admitted 200
+         (301, _sentence(41, n=20))],
+    ]
+    for bid, rows in enumerate(batches):
+        raw = spark.createDataFrame(rows, "doc_id bigint, text string")
+        clean, bad = enforce(raw, cons)
+        ing.process_batch(clean, bid)
+    admitted = ing.admitted()
+    assert {r.doc_id for r in admitted.collect()} == {200, 301}
+
+    chunks = packing.chunk_documents(admitted, chunk_tokens=8, overlap=2)
+    # conservation: every admitted doc chunked, first chunks full-width
+    assert {r.doc_id for r in chunks.collect()} == {200, 301}
+    assert chunks.filter("chunk_idx = 0 AND n_tokens != 8").count() == 0
+
+    packed = packing.pack_sequences(
+        chunks.withColumn(
+            "cid",
+            F.col("doc_id") * 1000 + F.col("chunk_idx"),
+        ),
+        capacity=24, token_col="n_tokens", id_col="cid", n_shards=2,
+    )
+    # no bin exceeds capacity
+    over = (
+        packed.groupBy("shard", "bin")
+        .agg(F.sum("n_tokens").alias("t"))
+        .filter(F.col("t") > 24)
+    )
+    assert over.count() == 0
+    # determinism: the whole flow reruns bit-identically
+    packed2 = packing.pack_sequences(
+        packing.chunk_documents(admitted, chunk_tokens=8, overlap=2)
+        .withColumn("cid", F.col("doc_id") * 1000 + F.col("chunk_idx")),
+        capacity=24, token_col="n_tokens", id_col="cid", n_shards=2,
+    )
+    assert sorted(map(tuple, packed.collect())) == sorted(
+        map(tuple, packed2.collect())
+    )
