@@ -228,3 +228,24 @@ def delete_where(vt: VersionedTable, condition: str, ts: float | None = None) ->
     return vt.commit(
         df, mode="overwrite", op=f"delete where {condition}", ts=ts
     )
+
+
+def schema_diff(vt: VersionedTable, from_version: int, to_version: int) -> dict:
+    """Schema drift between two versions (the log records each commit's
+    schema, so this is pure control-plane JSON — no data read):
+    {added: [(name, type)], removed: [(name, type)],
+     changed: [(name, old_type, new_type)]}."""
+    import json as _json
+
+    def fields(v):
+        sch = _json.loads(vt._entry(v)["schema"])
+        return {f["name"]: _json.dumps(f["type"]) for f in sch["fields"]}
+
+    a, b = fields(from_version), fields(to_version)
+    return {
+        "added": sorted((n, t) for n, t in b.items() if n not in a),
+        "removed": sorted((n, t) for n, t in a.items() if n not in b),
+        "changed": sorted(
+            (n, a[n], b[n]) for n in a.keys() & b.keys() if a[n] != b[n]
+        ),
+    }

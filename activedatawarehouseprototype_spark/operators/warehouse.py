@@ -541,3 +541,46 @@ def incremental_join_mv(
         return left_batch.join(right_batch, on).limit(0)
     # one-sided history only: the join schema is not knowable yet
     return None
+
+
+def apply_cdc_to_join_mv(
+    spark: SparkSession,
+    base_path: str,
+    on: list[str],
+    changelog: DataFrame,
+    left_pk: list[str],
+) -> DataFrame:
+    """Maintain the ``incremental_join_mv`` under UPDATES to the LEFT
+    table, driven by a ``merge_upsert_cdc`` changelog — incremental
+    view maintenance beyond append-only:
+
+    - ``update_preimage`` rows RETRACT: MV rows carrying that left
+      primary key are removed (anti-join on ``left_pk`` — the MV
+      contains all left columns, so the pk identifies its rows);
+    - ``update_postimage`` and ``insert`` rows ADD: post-image rows
+      join the accumulated right snapshot and append, and the stored
+      left snapshot is patched the same way (retract + add) so future
+      right-side deltas join against current left rows.
+
+    Cost: one anti-join over the MV + one delta join — O(|MV| +
+    |changed| · match), still never a full join recompute. The MV
+    rewrite uses the atomic-swap staging pattern, so readers see old
+    or new, never half. Returns the updated MV."""
+    lp, rp, mvp = f"{base_path}/left", f"{base_path}/right", f"{base_path}/mv"
+    pre = changelog.filter(F.col("op") == "update_preimage").drop("op")
+    post = changelog.filter(
+        F.col("op").isin("update_postimage", "insert")
+    ).drop("op")
+    changed_keys = pre.select(*left_pk).union(post.select(*left_pk)).distinct()
+
+    # patch the left snapshot: drop all changed pks, add post-images
+    left = spark.read.parquet(lp)
+    new_left = left.join(changed_keys, left_pk, "left_anti").unionByName(post)
+    _atomic_swap(spark, new_left, lp)
+
+    # retract + add on the MV
+    mv = spark.read.parquet(mvp)
+    kept = mv.join(changed_keys, left_pk, "left_anti")
+    added = post.join(spark.read.parquet(rp), on)
+    _atomic_swap(spark, kept.unionByName(added), mvp)
+    return spark.read.parquet(mvp)

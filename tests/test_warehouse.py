@@ -622,3 +622,74 @@ def test_versioned_commit_retry_after_crash(spark, tmp_path):
     v = vt.commit(spark.range(3, 6).toDF("id"), ts=2.0)
     assert v == 1
     assert {r.id for r in vt.read().collect()} == {0, 1, 2, 3, 4, 5}
+
+
+def test_versioned_schema_diff(spark, tmp_path):
+    from activedatawarehouseprototype_spark.operators import versioned as V
+
+    vt = _vt(spark, tmp_path, "t8")
+    vt.commit(
+        spark.range(2).selectExpr("id", "CAST(id AS STRING) AS name"),
+        mode="overwrite", ts=1.0,
+    )
+    vt.commit(
+        spark.range(2).selectExpr(
+            "CAST(id AS INT) AS id", "id * 1.0 AS score"
+        ),
+        mode="overwrite", ts=2.0,
+    )
+    d = V.schema_diff(vt, 0, 1)
+    assert [n for n, _ in d["added"]] == ["score"]
+    assert [n for n, _ in d["removed"]] == ["name"]
+    assert [n for n, *_ in d["changed"]] == ["id"]  # long -> int
+
+
+def test_join_mv_cdc_update_maintenance(spark, tmp_path):
+    """Join MV stays equal to the direct join after LEFT-side updates
+    and inserts applied via the CDC changelog (retract pre-image rows,
+    add post-image joins) — incremental view maintenance beyond
+    append-only."""
+    from activedatawarehouseprototype_spark.operators.warehouse import (
+        apply_cdc_to_join_mv,
+        incremental_join_mv,
+        merge_upsert_cdc,
+    )
+
+    base = str(tmp_path / "jmv2")
+    L0 = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b"), (3, 10, "c")],
+        "pk bigint, k bigint, lval string",
+    )
+    R0 = spark.createDataFrame(
+        [(10, 1.0), (20, 2.0)], "k bigint, rval double"
+    )
+    incremental_join_mv(spark, base, ["k"], left_batch=L0, right_batch=R0)
+
+    # updates: pk 1 moves to join key 20; pk 4 inserted at key 10;
+    # pk 2 re-delivered identically (no changelog rows)
+    left_tbl = str(tmp_path / "left_tbl")
+    spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b"), (3, 10, "c")],
+        "pk bigint, k bigint, lval string",
+    ).write.parquet(left_tbl)
+    updates = spark.createDataFrame(
+        [(1, 20, "a2"), (2, 20, "b"), (4, 10, "d")],
+        "pk bigint, k bigint, lval string",
+    )
+    log = merge_upsert_cdc(spark, left_tbl, updates, ["pk"])
+    mv = apply_cdc_to_join_mv(spark, base, ["k"], log, ["pk"])
+
+    got = {(r.pk, r.k, r.lval, r.rval) for r in mv.collect()}
+    direct = {
+        (r.pk, r.k, r.lval, r.rval)
+        for r in spark.read.parquet(left_tbl).join(R0, "k").collect()
+    }
+    assert got == direct and (1, 20, "a2", 2.0) in got
+    # and a later RIGHT delta joins against the PATCHED left snapshot
+    mv2 = incremental_join_mv(
+        spark, base, ["k"],
+        right_batch=spark.createDataFrame([(10, 9.0)], "k bigint, rval double"),
+    )
+    got2 = {(r.pk, r.k, r.lval, r.rval) for r in mv2.collect()}
+    assert (4, 10, "d", 9.0) in got2 and (3, 10, "c", 9.0) in got2
+    assert (1, 10, "a", 9.0) not in got2  # pre-image left row is gone
