@@ -548,39 +548,50 @@ def apply_cdc_to_join_mv(
     base_path: str,
     on: list[str],
     changelog: DataFrame,
-    left_pk: list[str],
+    pk: list[str],
+    side: str = "left",
 ) -> DataFrame:
-    """Maintain the ``incremental_join_mv`` under UPDATES to the LEFT
-    table, driven by a ``merge_upsert_cdc`` changelog — incremental
-    view maintenance beyond append-only:
+    """Maintain the ``incremental_join_mv`` under UPDATES to one side,
+    driven by a ``merge_upsert_cdc`` changelog — incremental view
+    maintenance beyond append-only:
 
-    - ``update_preimage`` rows RETRACT: MV rows carrying that left
-      primary key are removed (anti-join on ``left_pk`` — the MV
-      contains all left columns, so the pk identifies its rows);
+    - ``update_preimage`` rows RETRACT: MV rows carrying that side's
+      primary key are removed (anti-join on ``pk`` — the MV contains
+      all the side's columns, so the pk identifies its rows);
     - ``update_postimage`` and ``insert`` rows ADD: post-image rows
-      join the accumulated right snapshot and append, and the stored
-      left snapshot is patched the same way (retract + add) so future
-      right-side deltas join against current left rows.
+      join the OTHER side's accumulated snapshot and append, and the
+      stored snapshot of the changed side is patched the same way
+      (retract + add) so future deltas from the other side join
+      against current rows.
 
     Cost: one anti-join over the MV + one delta join — O(|MV| +
     |changed| · match), still never a full join recompute. The MV
     rewrite uses the atomic-swap staging pattern, so readers see old
     or new, never half. Returns the updated MV."""
+    if side not in ("left", "right"):
+        raise ValueError(f"side must be left|right, got {side!r}")
     lp, rp, mvp = f"{base_path}/left", f"{base_path}/right", f"{base_path}/mv"
+    this_p, other_p = (lp, rp) if side == "left" else (rp, lp)
     pre = changelog.filter(F.col("op") == "update_preimage").drop("op")
     post = changelog.filter(
         F.col("op").isin("update_postimage", "insert")
     ).drop("op")
-    changed_keys = pre.select(*left_pk).union(post.select(*left_pk)).distinct()
+    changed_keys = pre.select(*pk).union(post.select(*pk)).distinct()
 
-    # patch the left snapshot: drop all changed pks, add post-images
-    left = spark.read.parquet(lp)
-    new_left = left.join(changed_keys, left_pk, "left_anti").unionByName(post)
-    _atomic_swap(spark, new_left, lp)
+    # patch the changed side's snapshot: drop all changed pks, add
+    # post-images
+    cur = spark.read.parquet(this_p)
+    _atomic_swap(
+        spark, cur.join(changed_keys, pk, "left_anti").unionByName(post), this_p
+    )
 
     # retract + add on the MV
     mv = spark.read.parquet(mvp)
-    kept = mv.join(changed_keys, left_pk, "left_anti")
-    added = post.join(spark.read.parquet(rp), on)
-    _atomic_swap(spark, kept.unionByName(added), mvp)
+    kept = mv.join(changed_keys, pk, "left_anti")
+    added = post.join(spark.read.parquet(other_p), on)
+    # column order of the MV is the join's (left-first); re-select
+    mv_cols = mv.columns
+    _atomic_swap(
+        spark, kept.unionByName(added.select(*mv_cols)), mvp
+    )
     return spark.read.parquet(mvp)

@@ -677,7 +677,7 @@ def test_join_mv_cdc_update_maintenance(spark, tmp_path):
         "pk bigint, k bigint, lval string",
     )
     log = merge_upsert_cdc(spark, left_tbl, updates, ["pk"])
-    mv = apply_cdc_to_join_mv(spark, base, ["k"], log, ["pk"])
+    mv = apply_cdc_to_join_mv(spark, base, ["k"], log, ["pk"], side="left")
 
     got = {(r.pk, r.k, r.lval, r.rval) for r in mv.collect()}
     direct = {
@@ -693,3 +693,38 @@ def test_join_mv_cdc_update_maintenance(spark, tmp_path):
     got2 = {(r.pk, r.k, r.lval, r.rval) for r in mv2.collect()}
     assert (4, 10, "d", 9.0) in got2 and (3, 10, "c", 9.0) in got2
     assert (1, 10, "a", 9.0) not in got2  # pre-image left row is gone
+
+
+def test_join_mv_cdc_right_side_updates(spark, tmp_path):
+    """Symmetric case: RIGHT-side updates retract and re-add through
+    the same machinery with side='right'."""
+    from activedatawarehouseprototype_spark.operators.warehouse import (
+        apply_cdc_to_join_mv,
+        incremental_join_mv,
+        merge_upsert_cdc,
+    )
+
+    base = str(tmp_path / "jmv3")
+    L0 = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b")], "pk bigint, k bigint, lval string"
+    )
+    R0 = spark.createDataFrame(
+        [(100, 10, 1.0), (200, 20, 2.0)], "rpk bigint, k bigint, rval double"
+    )
+    incremental_join_mv(spark, base, ["k"], left_batch=L0, right_batch=R0)
+
+    right_tbl = str(tmp_path / "right_tbl")
+    R0.write.parquet(right_tbl)
+    updates = spark.createDataFrame(
+        [(100, 20, 1.5), (300, 10, 3.0)], "rpk bigint, k bigint, rval double"
+    )
+    log = merge_upsert_cdc(spark, right_tbl, updates, ["rpk"])
+    mv = apply_cdc_to_join_mv(spark, base, ["k"], log, ["rpk"], side="right")
+    got = {(r.pk, r.rpk, r.k) for r in mv.collect()}
+    direct = {
+        (r.pk, r.rpk, r.k)
+        for r in L0.join(spark.read.parquet(right_tbl), "k").collect()
+    }
+    assert got == direct
+    assert (2, 100, 20) in got and (1, 300, 10) in got
+    assert (1, 100, 10) not in got  # retracted pre-image
