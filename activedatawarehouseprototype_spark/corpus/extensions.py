@@ -1845,3 +1845,77 @@ def pq_codes_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "code_checksum"
         ),
     )
+
+
+# --- Histogram-MV merge algebra under the oracle gate: three
+# day-slice batches of events feed the incremental MV with a
+# 16-bin [0, 500) histogram; the oracle recomputes the per-key bin
+# counts directly over the full table (merging partial histograms
+# element-wise MUST equal the one-shot histogram — the mergeability
+# property itself). Bin indices are exact integer math on both
+# engines (floor of value/31.25 clamped), so no rounding. ---
+
+
+@register(
+    "mv_histogram_merge_algebra",
+    oracle="""
+WITH e AS (
+  SELECT user_id,
+         LEAST(15, GREATEST(0, CAST(FLOOR(value / 31.25) AS INTEGER))) AS bin
+  FROM events
+),
+grid AS (
+  SELECT u.user_id, g.bin
+  FROM (SELECT DISTINCT user_id FROM e) u,
+       (SELECT UNNEST(generate_series(0, 15)) AS bin) g
+),
+counts AS (
+  SELECT user_id, bin, COUNT(*) AS c FROM e GROUP BY user_id, bin
+)
+SELECT CAST(g.user_id AS BIGINT) AS user_id,
+       CAST(SUM(COALESCE(c.c, 0)) AS BIGINT) AS n,
+       string_agg(CAST(COALESCE(c.c, 0) AS VARCHAR), ',' ORDER BY g.bin)
+         AS hist
+FROM grid g LEFT JOIN counts c ON g.user_id = c.user_id AND g.bin = c.bin
+GROUP BY g.user_id
+""",
+)
+def mv_histogram_merge_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from activedatawarehouseprototype_spark.catalog import load as _load2
+    from activedatawarehouseprototype_spark.operators.warehouse import (
+        incremental_agg_mv,
+    )
+
+    ev = _load2(spark, sf_dir, "events").select(
+        "user_id",
+        "value",
+        (
+            F.floor(F.col("ts").cast("double") / F.lit(10 * 86400.0)).cast(
+                "bigint"
+            )
+            % 3
+        ).alias("_b"),
+    )
+    base = tempfile.mkdtemp(prefix="adw-histmv-")
+    try:
+        mv = None
+        for b in range(3):
+            mv = incremental_agg_mv(
+                spark,
+                f"{base}/mv",
+                ev.filter(F.col("_b") == b),
+                ["user_id"],
+                "value",
+                batch_id=b,
+                hist_bins=(0.0, 500.0, 16),
+            )
+        return mv.select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.col("n").cast("bigint").alias("n"),
+            F.concat_ws(",", F.col("hist")).alias("hist"),
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
