@@ -222,6 +222,60 @@ def streaming_50rule_events_per_sec(spark, n_events: int = 800_000) -> float:
     return n_events / elapsed
 
 
+def ingest_docs_per_sec(spark, n_docs: int = 30_000) -> float:
+    """Dedup-at-the-door ingestion throughput: docs/s through ONE
+    DedupIngest batch (index lookup + intra-batch LSH + store/index
+    append) against a pre-built index of the sf documents corpus.
+    Batch composition: one third near-dups of indexed docs (dropped),
+    two thirds new (admitted) — the realistic crawl-snapshot mix."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from activedatawarehouseprototype_spark.catalog import load
+    from activedatawarehouseprototype_spark.operators import dedup_index as DI
+    from activedatawarehouseprototype_spark.streaming.ingest import DedupIngest
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="adw-bench-ingest-")
+    try:
+        idx = f"{work}/idx"
+        DI.dedup_index_build(docs, idx, n=5, k=12, bands=3, max_doc_freq=64)
+        third = n_docs // 3
+        dups = (
+            docs.limit(third)
+            .select(
+                (F.col("doc_id") + 10_000_000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" zz9")).alias("text"),
+            )
+        )
+        fresh = (
+            spark.range(n_docs - third)
+            .select(
+                (F.col("id") + 20_000_000).alias("doc_id"),
+                F.concat_ws(
+                    " ",
+                    *[
+                        F.concat(F.lit(f"w{j}x"), (F.col("id") * (j + 7)) % 9973)
+                        for j in range(30)
+                    ],
+                ).alias("text"),
+            )
+        )
+        batch = dups.unionByName(fresh).persist()
+        batch.count()
+        ing = DedupIngest(spark, idx, f"{work}/store")
+        t0 = time.perf_counter()
+        ing.process_batch(batch, 0)
+        elapsed = time.perf_counter() - t0
+        batch.unpersist()
+        return n_docs / elapsed
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -261,6 +315,7 @@ def main() -> None:
     eps = max(streaming_events_per_sec(spark) for _ in range(2))
     eps50 = max(streaming_50rule_events_per_sec(spark) for _ in range(2))
     eps_w1 = max(streaming_w1_events_per_sec(spark) for _ in range(2))
+    ingest_dps = max(ingest_docs_per_sec(spark) for _ in range(2))
 
     total = round(sum(timings.values()), 3)
     print(
@@ -274,6 +329,7 @@ def main() -> None:
                 "streaming_events_per_sec": round(eps),
                 "streaming_50rule_events_per_sec": round(eps50),
                 "streaming_w1_events_per_sec": round(eps_w1),
+                "ingest_docs_per_sec": round(ingest_dps),
             }
         )
     )
