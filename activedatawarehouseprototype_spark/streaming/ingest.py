@@ -86,6 +86,9 @@ class DedupIngest:
             n=m["n"], k=m["k"], bands=m["bands"],
         ).select(F.col("id_b").alias(self.id_col)).distinct()
         survivors = survivors.join(intra, self.id_col, "left_anti")
+        # three consumers follow (store write, index append, count):
+        # materialize the anti-join chain once instead of three times
+        survivors = survivors.localCheckpoint()
 
         survivors.write.mode("append").parquet(
             os.path.join(self.store_path, "docs")
