@@ -1113,3 +1113,63 @@ def tpch_q4_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n_late_orders"))
     )
+
+
+# --- Z-order (Morton) key parity: the bit-interleaving expression
+# behind cluster_write(zorder=True), verified value-for-value against
+# DuckDB's bit arithmetic over a deterministic 2-D domain. ---
+
+
+@register(
+    "zorder_key_part_layout",
+    oracle="""
+WITH d AS (
+  SELECT p_partkey,
+         CAST(p_size % 64 AS BIGINT) AS x,
+         CAST(p_partkey % 64 AS BIGINT) AS y
+  FROM part
+),
+z AS (
+  SELECT p_partkey,
+         CAST((
+           (((x >> 0) & 1) << 0) |
+           (((y >> 0) & 1) << 1) |
+           (((x >> 1) & 1) << 2) |
+           (((y >> 1) & 1) << 3) |
+           (((x >> 2) & 1) << 4) |
+           (((y >> 2) & 1) << 5) |
+           (((x >> 3) & 1) << 6) |
+           (((y >> 3) & 1) << 7) |
+           (((x >> 4) & 1) << 8) |
+           (((y >> 4) & 1) << 9) |
+           (((x >> 5) & 1) << 10) |
+           (((y >> 5) & 1) << 11)
+         ) AS BIGINT) AS zk
+  FROM d
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT zk) AS BIGINT) AS n_distinct,
+       CAST(MIN(zk) AS BIGINT) AS zmin,
+       CAST(MAX(zk) AS BIGINT) AS zmax,
+       CAST(SUM(zk * (p_partkey % 997)) AS BIGINT) AS zchecksum
+FROM z
+""",
+)
+def zorder_key_part_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from activedatawarehouseprototype_spark.operators.warehouse import zorder_key
+
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        (F.col("p_size") % 64).cast("bigint").alias("x"),
+        (F.col("p_partkey") % 64).cast("bigint").alias("y"),
+    )
+    z = p.select("p_partkey", zorder_key(["x", "y"], bits=6).alias("zk"))
+    return z.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.countDistinct("zk").cast("bigint").alias("n_distinct"),
+        F.min("zk").cast("bigint").alias("zmin"),
+        F.max("zk").cast("bigint").alias("zmax"),
+        F.sum(F.col("zk") * (F.col("p_partkey") % 997)).cast("bigint").alias(
+            "zchecksum"
+        ),
+    )
