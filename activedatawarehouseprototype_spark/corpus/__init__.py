@@ -162,7 +162,8 @@ _STABLE_CORE = [
     # quality_constraints_orders, cdc_merge_changelog_orders,
     # sql_shared_text_rollup, cross_decontaminate_embeddings,
     # alert_cooldown_bursts, join_mv_incremental_orders,
-    # pq_codes_stats. Round-5 editor: put those 15 plus the 12
+    # pq_codes_stats, mv_histogram_merge_algebra,
+    # zorder_key_part_layout. Round-5 editor: put those 17 plus the 12
     # r3-green sit-outs listed above into _DRIVER_ROTATION, keep a
     # ~6-entry stable core, and rotate out this round's 44 — the
     # window math works out to 50 again; test_registry_order re-trips

@@ -239,3 +239,31 @@ def dedup_index_append(
     banded.repartition(n_parts, "bucket").write.mode("append").partitionBy(
         "bucket"
     ).parquet(f"{index_path}/bands")
+
+
+def dedup_index_compact(
+    spark: SparkSession, index_path: str, files_per_bucket: int = 1
+) -> None:
+    """Rewrite the bands table to ``files_per_bucket`` files per
+    bucket (appends add a file per touched bucket per batch — after
+    many batches lookups pay per-file open cost). Staging + atomic
+    rename, same crash discipline as the warehouse swap; the hot list
+    and meta are untouched."""
+    import os
+    import shutil
+
+    m = _read_meta(spark, index_path)
+    bands_path = f"{index_path}/bands"
+    df = spark.read.schema(_bands_schema(m)).parquet(bands_path)
+    staging = bands_path + ".staging"
+    n_parts = min(
+        m["n_buckets"] * files_per_bucket,
+        spark.sparkContext.defaultParallelism,
+    )
+    df.repartition(n_parts, "bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(staging)
+    old = bands_path + ".old"
+    os.replace(bands_path, old)
+    os.replace(staging, bands_path)
+    shutil.rmtree(old)

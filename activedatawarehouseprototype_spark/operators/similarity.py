@@ -726,3 +726,30 @@ def cross_near_dup_pairs(
         )
         .filter(F.col("score") >= threshold)
     )
+
+
+def ivf_index_compact(
+    spark, index_path: str, files_per_cell: int = 1
+) -> None:
+    """Rewrite the IVF vectors table to ``files_per_cell`` files per
+    cell partition (each ``ivf_index_append`` adds files to its landing
+    cells; search cost grows with file count, not row count). Staging
+    dir + atomic rename; centroids untouched."""
+    import os
+    import shutil
+
+    vec_path = f"{index_path}/vectors"
+    df = spark.read.parquet(vec_path)
+    n_cells = spark.read.parquet(f"{index_path}/centroids").count()
+    staging = vec_path + ".staging"
+    n_parts = min(
+        max(1, n_cells * files_per_cell),
+        spark.sparkContext.defaultParallelism,
+    )
+    df.repartition(n_parts, "cell").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(staging)
+    old = vec_path + ".old"
+    os.replace(vec_path, old)
+    os.replace(staging, vec_path)
+    shutil.rmtree(old)

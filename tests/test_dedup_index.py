@@ -177,3 +177,37 @@ def test_cli_dedup_index_roundtrip(spark, tmp_path):
     got2 = {(r["id_new"], r["id_indexed"])
             for r in spark.read.parquet(out2).collect()}
     assert got2 == {(6001, 5001), (6000, 3)}
+
+
+def test_dedup_index_compact_preserves_lookups(spark, tmp_path, corpus_rows):
+    """After several appends the bands table holds many small files;
+    compaction shrinks the file count and lookups return identical
+    results."""
+    import os
+
+    idx = str(tmp_path / "idx6")
+    DI.dedup_index_build(_mkdocs(spark, corpus_rows), idx, n=3, k=12, bands=3)
+    for i in range(3):
+        DI.dedup_index_append(
+            spark, idx, _mkdocs(spark, [(600 + i, _sentence(80 + i))])
+        )
+    batch = _mkdocs(spark, [(7000, _sentence(81)), (7001, _sentence(5))])
+    before = {
+        (r["id_new"], r["id_indexed"])
+        for r in DI.dedup_index_lookup(spark, idx, batch).collect()
+    }
+
+    def n_files():
+        total = 0
+        for root, _, files in os.walk(f"{idx}/bands"):
+            total += sum(1 for f in files if f.endswith(".parquet"))
+        return total
+
+    n_before = n_files()
+    DI.dedup_index_compact(spark, idx)
+    assert n_files() < n_before
+    after = {
+        (r["id_new"], r["id_indexed"])
+        for r in DI.dedup_index_lookup(spark, idx, batch).collect()
+    }
+    assert after == before and (7000, 601) in after

@@ -1366,3 +1366,41 @@ def test_binary_near_dup_pairs_catches_variants(spark):
     assert (1, 3) in pairs and pairs[(1, 3)] >= 0.9
     assert (1, 4) in pairs and pairs[(1, 4)] >= 0.9
     assert not any(5 in p for p in pairs)
+
+
+def test_ivf_index_compact_preserves_search(spark, emb, tmp_path):
+    import os
+
+    from activedatawarehouseprototype_spark.operators import similarity
+
+    idx = str(tmp_path / "ivfc")
+    similarity.ivf_index_build(emb, idx, k=4, iters=1)
+    newv = emb.limit(40).select(
+        (F.col("vec_id") + 900000).alias("vec_id"), "embedding"
+    )
+    for _ in range(2):
+        similarity.ivf_index_append(spark, idx, newv.limit(20))
+    q = emb.limit(3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    before = {
+        (r["qid"], r["vec_id"], r["score"])
+        for r in similarity.ivf_index_search(spark, idx, q, k=5).collect()
+    }
+
+    def n_files():
+        return sum(
+            1
+            for root, _, files in os.walk(f"{idx}/vectors")
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    n_before = n_files()
+    similarity.ivf_index_compact(spark, idx)
+    assert n_files() < n_before
+    after = {
+        (r["qid"], r["vec_id"], r["score"])
+        for r in similarity.ivf_index_search(spark, idx, q, k=5).collect()
+    }
+    assert after == before
