@@ -90,8 +90,14 @@ class DedupIngest:
         # materialize the anti-join chain once instead of three times
         survivors = survivors.localCheckpoint()
 
-        survivors.write.mode("append").parquet(
-            os.path.join(self.store_path, "docs")
+        # per-batch partition dir + overwrite => the store write is
+        # idempotent under replay: a crash AFTER this write but before
+        # the _done marker re-runs the batch, and the rewrite replaces
+        # the same directory instead of appending duplicates (the
+        # index append below can duplicate rows on such a replay,
+        # which lookup's DISTINCT collapses — the store must not).
+        survivors.write.mode("overwrite").parquet(
+            os.path.join(self.store_path, "docs", f"batch={batch_id}")
         )
         DI.dedup_index_append(
             self.spark,
@@ -121,4 +127,6 @@ class DedupIngest:
 
     def admitted(self) -> DataFrame:
         docs = os.path.join(self.store_path, "docs")
-        return self.spark.read.parquet(docs)
+        # the store is laid out as batch=<id> partition dirs (replay
+        # idempotence); the discovery column is bookkeeping, not data
+        return self.spark.read.parquet(docs).drop("batch")

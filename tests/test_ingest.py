@@ -204,3 +204,19 @@ def test_round4_curation_flow_end_to_end(spark, tmp_path):
     assert sorted(map(tuple, packed.collect())) == sorted(
         map(tuple, packed2.collect())
     )
+
+
+def test_partial_failure_replay_does_not_duplicate_store(spark, tmp_path):
+    """Crash AFTER the store write but BEFORE the _done marker: the
+    replayed batch must not duplicate store rows (per-batch overwrite
+    partition dirs make the store write idempotent)."""
+    import os
+
+    ing, idx, store = _setup(spark, tmp_path, "f")
+    batch = _mkdocs(spark, [(900, _sentence(97)), (901, _sentence(98))])
+    ing.process_batch(batch, 0)
+    assert ing.admitted().count() == 2
+    os.remove(ing._marker(0))  # simulate the crash-before-marker
+    ing.process_batch(batch, 0)  # at-least-once re-delivery
+    assert ing.admitted().count() == 2  # no duplicates
+    assert {r.doc_id for r in ing.admitted().collect()} == {900, 901}
