@@ -248,10 +248,22 @@ def incremental_agg_mv(
     Returns the merged MV DataFrame (read back from the swap)."""
     import json as _json
 
-    meta_path = os.path.join(target_path + "_mv_meta.json")
-    if batch_id is not None and os.path.exists(meta_path):
-        with open(meta_path) as f:
-            last = _json.load(f).get("last_batch_id", -1)
+    # the batch-id marker lives INSIDE the MV directory (underscore
+    # files are invisible to the parquet reader) and is placed into
+    # the STAGING dir before the swap rename — data and marker become
+    # visible in the same atomic step, so a crash can never leave a
+    # merged MV without its marker (which would double-apply the batch
+    # on the at-least-once replay). The legacy external sidecar
+    # location is still honored for pre-existing MVs.
+    meta_name = "_mv_meta.json"
+    meta_path = os.path.join(target_path, meta_name)
+    legacy_meta = target_path + "_mv_meta.json"
+    if batch_id is not None:
+        last = -1
+        for mp in (meta_path, legacy_meta):
+            if os.path.exists(mp):
+                with open(mp) as f:
+                    last = max(last, _json.load(f).get("last_batch_id", -1))
         if batch_id <= last:
             return spark.read.parquet(target_path)
 
@@ -314,12 +326,19 @@ def incremental_agg_mv(
         )
     else:
         merged = partial
-    _atomic_swap(spark, merged, target_path)
+    staging = target_path + ".staging"
+    merged.write.mode("overwrite").parquet(staging)
     if batch_id is not None:
-        tmp = meta_path + ".tmp"
-        with open(tmp, "w") as f:
+        with open(os.path.join(staging, meta_name), "w") as f:
             _json.dump({"last_batch_id": batch_id}, f)
-        os.replace(tmp, meta_path)
+    old = target_path + ".old"
+    if os.path.exists(target_path):
+        os.replace(target_path, old)
+    os.replace(staging, target_path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(legacy_meta):
+        os.remove(legacy_meta)  # migrated into the directory
     return spark.read.parquet(target_path)
 
 

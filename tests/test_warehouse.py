@@ -728,3 +728,34 @@ def test_join_mv_cdc_right_side_updates(spark, tmp_path):
     assert got == direct
     assert (2, 100, 20) in got and (1, 300, 10) in got
     assert (1, 100, 10) not in got  # retracted pre-image
+
+
+def test_incremental_agg_mv_marker_is_atomic_with_data(spark, tmp_path):
+    """The batch-id marker rides the same atomic rename as the merged
+    data: after a successful merge the marker is INSIDE the MV dir, so
+    the crash window between 'data swapped' and 'marker written' that
+    would double-apply a replayed batch does not exist."""
+    import os
+
+    from activedatawarehouseprototype_spark.operators.warehouse import (
+        incremental_agg_mv,
+    )
+
+    mv = str(tmp_path / "mv_atomic")
+    batch = spark.createDataFrame([("k", 1.0), ("k", 2.0)], "k string, value double")
+    incremental_agg_mv(spark, mv, batch, ["k"], "value", batch_id=0)
+    assert os.path.exists(os.path.join(mv, "_mv_meta.json"))
+    row = spark.read.parquet(mv).collect()[0]
+    assert (row["n"], row["total"]) == (2, 3.0)
+    # replay of batch 0 is a no-op
+    incremental_agg_mv(spark, mv, batch, ["k"], "value", batch_id=0)
+    row = spark.read.parquet(mv).collect()[0]
+    assert (row["n"], row["total"]) == (2, 3.0)
+    # next batch applies once
+    incremental_agg_mv(
+        spark, mv,
+        spark.createDataFrame([("k", 4.0)], "k string, value double"),
+        ["k"], "value", batch_id=1,
+    )
+    row = spark.read.parquet(mv).collect()[0]
+    assert (row["n"], row["total"]) == (3, 7.0)
