@@ -491,6 +491,11 @@ def merge_upsert_cdc(
     return changelog
 
 
+def _jmv_has_batch(vt, batch_id: int) -> bool:
+    marker = f"jmv-batch:{batch_id}"
+    return any(h["op"] == marker for h in vt.history())
+
+
 def incremental_join_mv(
     spark: SparkSession,
     base_path: str,
@@ -506,59 +511,66 @@ def incremental_join_mv(
     snapshot (plus the batch-batch term), appends the result, and the
     full join is never recomputed. Work per batch is
     O(|ΔL|·match + |ΔR|·match), independent of the MV's size — the
-    join analogue of ``incremental_agg_mv``. Updates/deletes need the
-    CDC feed (``merge_upsert_cdc``) and compensating rows; this
-    implements the append-only contract and validates nothing arrives
-    twice via the ``batch_id`` idempotence marker (same discipline as
-    the agg MV).
+    join analogue of ``incremental_agg_mv``.
 
-    Layout: ``{base}/left``, ``{base}/right`` (accumulated inputs),
-    ``{base}/mv`` (join rows). Returns the current MV (``None`` while
-    only one side has ever contributed — the join schema is unknowable
-    until both sides appear)."""
-    import json as _json
+    Exactly-once under at-least-once replay: all three state tables
+    (``{base}/mv``, ``{base}/left``, ``{base}/right``) are
+    ``VersionedTable``s, each commit is atomic (log-rename commit
+    point, crashed retries clear their orphans), and when
+    ``batch_id`` is given every commit carries a ``jmv-batch:<id>``
+    marker in its log entry. A replay re-runs only the commits whose
+    marker is missing, in the fixed order (mv, left, right) — the
+    delta terms are computed only when the MV commit is still
+    pending, at which point the input snapshots provably do not yet
+    contain this batch (the side commits always follow the MV
+    commit). Returns the current MV (``None`` while only one side has
+    ever contributed — the join schema is unknowable until both sides
+    appear)."""
+    from activedatawarehouseprototype_spark.operators.versioned import (
+        VersionedTable,
+    )
 
-    lp, rp, mvp = f"{base_path}/left", f"{base_path}/right", f"{base_path}/mv"
-    meta_path = f"{base_path}/_mv_meta.json"
-    if batch_id is not None and os.path.exists(meta_path):
-        with open(meta_path) as f:
-            last = _json.load(f).get("last_batch_id", -1)
-        if batch_id <= last:
-            return spark.read.parquet(mvp)
+    vt_l = VersionedTable(spark, f"{base_path}/left")
+    vt_r = VersionedTable(spark, f"{base_path}/right")
+    vt_mv = VersionedTable(spark, f"{base_path}/mv")
+    marker = f"jmv-batch:{batch_id}" if batch_id is not None else None
 
-    terms = []
-    if left_batch is not None and os.path.exists(rp):
-        terms.append(left_batch.join(spark.read.parquet(rp), on))
-    if right_batch is not None and os.path.exists(lp):
-        terms.append(spark.read.parquet(lp).join(right_batch, on))
+    def done(vt):
+        return (
+            marker is not None
+            and vt.latest_version() is not None
+            and _jmv_has_batch(vt, batch_id)
+        )
+
+    l_exists = vt_l.latest_version() is not None
+    r_exists = vt_r.latest_version() is not None
+
+    if not done(vt_mv):
+        terms = []
+        if left_batch is not None and r_exists:
+            terms.append(left_batch.join(vt_r.read(), on))
+        if right_batch is not None and l_exists:
+            terms.append(vt_l.read().join(right_batch, on))
+        if left_batch is not None and right_batch is not None:
+            terms.append(left_batch.join(right_batch, on))
+        if terms:
+            delta = terms[0]
+            for t in terms[1:]:
+                delta = delta.unionByName(t)
+            vt_mv.commit(delta, mode="append", op=marker or "append")
+        # (no joinable term: the MV table appears with the first batch
+        # that has a partner to join — replay-safe because one-sided
+        # batches never change the snapshot the OTHER side's future
+        # delta terms read)
+    if left_batch is not None and not done(vt_l):
+        vt_l.commit(left_batch, mode="append", op=marker or "append")
+    if right_batch is not None and not done(vt_r):
+        vt_r.commit(right_batch, mode="append", op=marker or "append")
+
+    if vt_mv.latest_version() is not None:
+        return vt_mv.read()
     if left_batch is not None and right_batch is not None:
-        terms.append(left_batch.join(right_batch, on))
-    if terms:
-        delta = terms[0]
-        for t in terms[1:]:
-            delta = delta.unionByName(t)
-        delta.write.mode("append").parquet(mvp)
-    # (a one-sided first batch produces no joinable term; the MV dir
-    # appears with the first batch that has a partner to join)
-    # append inputs AFTER the delta is written (the delta terms read
-    # the OLD snapshots; parquet append is a new-files-only operation
-    # so the just-run jobs never see the new rows)
-    if left_batch is not None:
-        left_batch.write.mode("append").parquet(lp)
-    if right_batch is not None:
-        right_batch.write.mode("append").parquet(rp)
-    if batch_id is not None:
-        tmp = meta_path + ".tmp"
-        os.makedirs(base_path, exist_ok=True)
-        with open(tmp, "w") as f:
-            _json.dump({"last_batch_id": batch_id}, f)
-        os.replace(tmp, meta_path)
-    if os.path.exists(mvp):
-        return spark.read.parquet(mvp)
-    if left_batch is not None and right_batch is not None:
-        # both sides seen but no matches yet: empty frame, join schema
         return left_batch.join(right_batch, on).limit(0)
-    # one-sided history only: the join schema is not knowable yet
     return None
 
 
@@ -584,13 +596,22 @@ def apply_cdc_to_join_mv(
       against current rows.
 
     Cost: one anti-join over the MV + one delta join — O(|MV| +
-    |changed| · match), still never a full join recompute. The MV
-    rewrite uses the atomic-swap staging pattern, so readers see old
-    or new, never half. Returns the updated MV."""
+    |changed| · match), never a full join recompute. Both rewrites
+    are overwrite commits on the VersionedTables (atomic; old
+    versions readable until vacuum), and the whole application is a
+    state OVERWRITE, hence naturally idempotent: re-applying the same
+    changelog removes the same keys and re-adds the same rows.
+    Returns the updated MV."""
+    from activedatawarehouseprototype_spark.operators.versioned import (
+        VersionedTable,
+    )
+
     if side not in ("left", "right"):
         raise ValueError(f"side must be left|right, got {side!r}")
-    lp, rp, mvp = f"{base_path}/left", f"{base_path}/right", f"{base_path}/mv"
-    this_p, other_p = (lp, rp) if side == "left" else (rp, lp)
+    vt_l = VersionedTable(spark, f"{base_path}/left")
+    vt_r = VersionedTable(spark, f"{base_path}/right")
+    vt_mv = VersionedTable(spark, f"{base_path}/mv")
+    vt_this, vt_other = (vt_l, vt_r) if side == "left" else (vt_r, vt_l)
     pre = changelog.filter(F.col("op") == "update_preimage").drop("op")
     post = changelog.filter(
         F.col("op").isin("update_postimage", "insert")
@@ -598,19 +619,20 @@ def apply_cdc_to_join_mv(
     changed_keys = pre.select(*pk).union(post.select(*pk)).distinct()
 
     # patch the changed side's snapshot: drop all changed pks, add
-    # post-images
-    cur = spark.read.parquet(this_p)
-    _atomic_swap(
-        spark, cur.join(changed_keys, pk, "left_anti").unionByName(post), this_p
-    )
+    # post-images. The read must materialize BEFORE the overwrite
+    # commit replaces the snapshot it reads from — localCheckpoint
+    # cuts the dependency (same discipline as the CDC changelog).
+    cur = vt_this.read()
+    patched = cur.join(changed_keys, pk, "left_anti").unionByName(
+        post
+    ).localCheckpoint()
+    vt_this.commit(patched, mode="overwrite", op=f"cdc-patch-{side}")
 
     # retract + add on the MV
-    mv = spark.read.parquet(mvp)
+    mv = vt_mv.read()
     kept = mv.join(changed_keys, pk, "left_anti")
-    added = post.join(spark.read.parquet(other_p), on)
-    # column order of the MV is the join's (left-first); re-select
+    added = post.join(vt_other.read(), on)
     mv_cols = mv.columns
-    _atomic_swap(
-        spark, kept.unionByName(added.select(*mv_cols)), mvp
-    )
-    return spark.read.parquet(mvp)
+    new_mv = kept.unionByName(added.select(*mv_cols)).localCheckpoint()
+    vt_mv.commit(new_mv, mode="overwrite", op=f"cdc-{side}")
+    return vt_mv.read()

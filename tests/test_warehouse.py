@@ -759,3 +759,39 @@ def test_incremental_agg_mv_marker_is_atomic_with_data(spark, tmp_path):
     )
     row = spark.read.parquet(mv).collect()[0]
     assert (row["n"], row["total"]) == (3, 7.0)
+
+
+def test_join_mv_partial_replay_after_crash(spark, tmp_path):
+    """Crash between the MV commit and the input commits: the replay
+    must commit ONLY the missing components — the MV delta is not
+    re-applied (its marker exists) and the inputs arrive exactly
+    once."""
+    from activedatawarehouseprototype_spark.operators import versioned as V
+    from activedatawarehouseprototype_spark.operators.warehouse import (
+        incremental_join_mv,
+    )
+
+    base = str(tmp_path / "jmv4")
+    L0 = spark.createDataFrame([(1, "a")], "k bigint, lval string")
+    R0 = spark.createDataFrame([(1, 1.0)], "k bigint, rval double")
+    incremental_join_mv(spark, base, ["k"], left_batch=L0, right_batch=R0,
+                        batch_id=0)
+
+    # simulate the crash for batch 1: MV delta committed WITH marker,
+    # left/right commits lost
+    L1 = spark.createDataFrame([(2, "b")], "k bigint, lval string")
+    R1 = spark.createDataFrame([(2, 2.0)], "k bigint, rval double")
+    V.VersionedTable(spark, f"{base}/mv").commit(
+        L1.join(R1, ["k"]), mode="append", op="jmv-batch:1"
+    )
+    mv = incremental_join_mv(spark, base, ["k"], left_batch=L1,
+                             right_batch=R1, batch_id=1)  # the replay
+    got = sorted((r.k, r.lval, r.rval) for r in mv.collect())
+    assert got == [(1, "a", 1.0), (2, "b", 2.0)]  # no duplicate delta
+    # inputs arrived exactly once
+    assert V.VersionedTable(spark, f"{base}/left").read().count() == 2
+    assert V.VersionedTable(spark, f"{base}/right").read().count() == 2
+    # and a full re-replay of batch 1 is a complete no-op
+    mv2 = incremental_join_mv(spark, base, ["k"], left_batch=L1,
+                              right_batch=R1, batch_id=1)
+    assert mv2.count() == 2
