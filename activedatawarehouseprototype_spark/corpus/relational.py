@@ -1173,3 +1173,82 @@ def zorder_key_part_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             "zchecksum"
         ),
     )
+
+
+# --- Incremental view maintenance UNDER UPDATES, oracle-gated: build
+# the order-customer join MV, apply a deterministic CDC batch to the
+# ORDER side (price bump for %3 keys, new %5==4 keys previously held
+# out), and the maintained MV must equal the direct join of the
+# post-update order set — which the oracle computes from scratch. ---
+
+
+@register(
+    "join_mv_cdc_maintenance_orders",
+    oracle="""
+WITH updated_orders AS (
+  SELECT o_orderkey, o_custkey,
+         o_totalprice + CASE WHEN o_orderkey % 3 = 0 THEN 1.5 ELSE 0 END
+           AS o_totalprice
+  FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_totalprice
+  FROM orders WHERE o_orderkey % 2 <> 0 AND o_orderkey % 5 <> 4
+)
+SELECT CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(o.o_custkey AS BIGINT) AS o_custkey,
+       o.o_totalprice,
+       c.c_mktsegment
+FROM updated_orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+""",
+)
+def join_mv_cdc_maintenance_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from activedatawarehouseprototype_spark.operators.warehouse import (
+        apply_cdc_to_join_mv,
+        incremental_join_mv,
+        merge_upsert_cdc,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        F.col("o_custkey").cast("bigint").alias("o_custkey"),
+        "o_totalprice",
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("bigint").alias("o_custkey"), "c_mktsegment"
+    )
+    # initial left state: everything except the odd %5==4 keys (those
+    # never exist on either side); the CDC batch then updates all even
+    # keys (+1.5 on %3 multiples) — evens not yet present arrive as
+    # inserts, the rest as update pre/post pairs or silent no-ops
+    base_left = o.filter(
+        (F.col("o_orderkey") % 5 != 4) | (F.col("o_orderkey") % 2 == 0)
+    )
+    work = tempfile.mkdtemp(prefix="adw-jmvcdc-")
+    try:
+        jmv_base = f"{work}/jmv"
+        incremental_join_mv(
+            spark, jmv_base, ["o_custkey"],
+            left_batch=base_left, right_batch=c, batch_id=0,
+        )
+        left_tbl = f"{work}/left_tbl"
+        base_left.write.parquet(left_tbl)
+        updates = o.filter(F.col("o_orderkey") % 2 == 0).withColumn(
+            "o_totalprice",
+            F.col("o_totalprice")
+            + F.when(F.col("o_orderkey") % 3 == 0, F.lit(1.5)).otherwise(
+                F.lit(0.0)
+            ),
+        )
+        log = merge_upsert_cdc(spark, left_tbl, updates, ["o_orderkey"])
+        mv = apply_cdc_to_join_mv(
+            spark, jmv_base, ["o_custkey"], log, ["o_orderkey"], side="left"
+        )
+        return mv.select(
+            "o_orderkey", "o_custkey", "o_totalprice", "c_mktsegment"
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
