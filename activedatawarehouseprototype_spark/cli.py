@@ -249,6 +249,18 @@ def _build_parser() -> argparse.ArgumentParser:
     pin.add_argument("--id-col", default="doc_id")
     pin.add_argument("--text-col", default="text")
     pin.add_argument("--max-files-per-trigger", type=int, default=None)
+
+    pcomp = sub.add_parser(
+        "index-compact",
+        help="compact a persisted index's partition files "
+        "(dedup LSH or IVF ANN; appends accumulate small files)",
+    )
+    pcomp.add_argument("--index", required=True, help="index directory")
+    pcomp.add_argument(
+        "--kind", choices=["dedup", "ivf"], required=True,
+        help="dedup = bands/bucket= layout; ivf = vectors/cell= layout",
+    )
+    pcomp.add_argument("--files-per-partition", type=int, default=1)
     return p
 
 
@@ -555,6 +567,24 @@ def main(argv: list[str] | None = None) -> int:
         q = ing.run_stream(reader.parquet(args.events_dir), available_now=True)
         q.awaitTermination()
         print(json.dumps(ing.metrics), file=sys.stderr)
+        return 0
+
+    if args.cmd == "index-compact":
+        if args.kind == "dedup":
+            from activedatawarehouseprototype_spark.operators import (
+                dedup_index,
+            )
+
+            dedup_index.dedup_index_compact(
+                spark, args.index, files_per_bucket=args.files_per_partition
+            )
+        else:
+            from activedatawarehouseprototype_spark.operators import similarity
+
+            similarity.ivf_index_compact(
+                spark, args.index, files_per_cell=args.files_per_partition
+            )
+        print(f"compacted {args.index}", file=sys.stderr)
         return 0
 
     if args.cmd == "table":

@@ -211,3 +211,21 @@ def test_dedup_index_compact_preserves_lookups(spark, tmp_path, corpus_rows):
         for r in DI.dedup_index_lookup(spark, idx, batch).collect()
     }
     assert after == before and (7000, 601) in after
+
+
+def test_cli_index_compact(spark, tmp_path):
+    from activedatawarehouseprototype_spark.cli import main
+
+    idx = str(tmp_path / "idx7")
+    DI.dedup_index_build(
+        _mkdocs(spark, [(i, _sentence(i)) for i in range(20)]), idx, n=3
+    )
+    DI.dedup_index_append(spark, idx, _mkdocs(spark, [(99, _sentence(99))]))
+    assert main(["index-compact", "--index", idx, "--kind", "dedup"]) == 0
+    got = {
+        (r["id_new"], r["id_indexed"])
+        for r in DI.dedup_index_lookup(
+            spark, idx, _mkdocs(spark, [(500, _sentence(99))])
+        ).collect()
+    }
+    assert (500, 99) in got
