@@ -144,6 +144,13 @@ class ActivePipeline:
     # batch the first firing per key wins (micro-batches are far
     # shorter than any sensible cooldown).
     alert_cooldown_ms: int | None = None
+    # ingest-side quality gate (optional): declarative row-level
+    # constraints (operators/quality.Constraint) applied to every
+    # batch BEFORE buffering/evaluation; violating rows land in
+    # ``work_dir/quarantine`` with per-row blame and are counted in
+    # metrics["events_quarantined"] — bad telemetry cannot poison
+    # window aggregates or the summary MV.
+    ingest_constraints: "list | None" = None
     # per-rule emission high-watermark: query_id -> max emitted window_end (ms)
     _emitted_wm: dict[int, int] = dc_field(default_factory=dict)
     _has_buffer: bool = False
@@ -314,6 +321,24 @@ class ActivePipeline:
 
         # (0) pick up rules registered mid-stream (S1/S3)
         self._poll_rules_dir()
+
+        # (0b) ingest quality gate: quarantine violating rows before
+        # anything downstream (buffer, MV, evaluation) sees them
+        if self.ingest_constraints:
+            from activedatawarehouseprototype_spark.operators.quality import (
+                enforce,
+            )
+
+            batch_df, bad = enforce(batch_df, self.ingest_constraints)
+            bad = bad.localCheckpoint()  # one materialization: write + count
+            n_bad = bad.count()
+            if n_bad:
+                bad.withColumn("_batch_id", F.lit(batch_id)).write.mode(
+                    "append"
+                ).parquet(os.path.join(self.work_dir, "quarantine"))
+            self.metrics["events_quarantined"] = (
+                self.metrics.get("events_quarantined", 0) + n_bad
+            )
 
         # (1) rule lifecycle
         self.registry.sweep_expired(now)

@@ -1679,3 +1679,45 @@ def test_pipeline_mv_histogram_percentiles(spark, tmp_path):
     est = estimate_percentile(list(row["hist"]), 0.5, 0.0, 200.0)
     true = float(np.percentile(all_speeds, 50))
     assert abs(est - true) <= 10.0 + 1e-9  # one bin width
+
+
+def test_pipeline_ingest_quality_gate(spark, tmp_path):
+    """ingest_constraints: violating events are quarantined (with
+    blame) before the buffer — they never reach window aggregates —
+    while clean events evaluate normally."""
+    from activedatawarehouseprototype_spark.operators.quality import Constraint
+    from activedatawarehouseprototype_spark.streaming.pipeline import (
+        ActivePipeline,
+    )
+    from activedatawarehouseprototype_spark.streaming.registry import RuleRegistry
+
+    rule = {
+        "queryId": 7, "queryState": "ACTIVE", "lastTime": -1,
+        "windowMilliseconds": 10_000, "frequencyMilliseconds": None,
+        "groupingKeyNames": ["carId"],
+        "windowFilterRules": [],
+        "aggregatorFunctionType": "AVG", "limitOperatorType": ">",
+        "limit": 0, "aggregateFieldName": "speed",
+    }
+    reg = RuleRegistry()
+    reg.apply_json(json.dumps(rule))
+    work = str(tmp_path / "qgate")
+    pipe = ActivePipeline(
+        spark=spark, registry=reg, work_dir=work,
+        ingest_constraints=[
+            Constraint("speed_range", "in_range", column="speed",
+                       lo=0.0, hi=200.0),
+        ],
+    )
+    # car 9: one sane event; car 6: an absurd 9999 km/h sensor glitch
+    pipe.process_batch(
+        car_df(spark, [(9, 1, 100.0), (6, 2, 9999.0), (9, 15, 50.0)]), 0
+    )
+    assert pipe.metrics["events_quarantined"] == 1
+    q = spark.read.parquet(f"{work}/quarantine")
+    assert [r.carId for r in q.collect()] == [6]
+    assert q.collect()[0]["violated"] == ["speed_range"]
+    # the glitch never reached evaluation: no car-6 window exists
+    evals = pipe.evaluations()
+    assert evals.filter("key = '{carId=6}'").count() == 0
+    assert evals.filter("key = '{carId=9}'").count() >= 1
