@@ -522,13 +522,18 @@ def test_cli_run_subcommand_e2e(spark, tmp_path):
         "run", "--events-dir", str(events_dir), "--rules-dir", str(rules_dir),
         "--work-dir", str(work), "--once",
         "--mv-key", "carId", "--mv-value", "speed",
+        "--mv-hist", "0,200,10", "--alert-cooldown-ms", "60000",
     ])
     assert rc == 0
     alerts = spark.read.parquet(str(work / "alerts" / "data"))
     assert {r.key for r in alerts.collect()} == {"{carId=9}"}
-    mv = {r.carId: (r.n, r.total) for r in
-          spark.read.parquet(str(work / "summary_mv")).collect()}
+    rows = spark.read.parquet(str(work / "summary_mv")).collect()
+    mv = {r.carId: (r.n, r.total) for r in rows}
     assert mv == {9: (1, 130.0), 7: (1, 90.0)}
+    # --mv-hist parsed into real histogram bins: 130 -> bin 6, 90 -> 4
+    hists = {r.carId: list(r.hist) for r in rows}
+    assert hists[9][6] == 1 and sum(hists[9]) == 1
+    assert hists[7][4] == 1 and sum(hists[7]) == 1
 
 
 def test_curation_pipeline_end_to_end(spark):
