@@ -229,3 +229,42 @@ def test_cli_index_compact(spark, tmp_path):
         ).collect()
     }
     assert (500, 99) in got
+
+
+def test_index_lookup_recall_across_similarity_knee(spark, tmp_path):
+    """Quantified LSH knee on the INDEX path (k=12, bands=3 → 4-row
+    bands): near-copies (95% of words kept) almost all match; docs
+    keeping only 20% almost never do. Deterministic construction, so
+    the measured recalls (0.97 / 0.0 here) are stable — thresholds
+    leave margin for parameter tweaks, not randomness."""
+    base_words = [f"w{i}q{i % 7}" for i in range(40)]
+    corpus = _mkdocs(
+        spark,
+        [(i, " ".join((base_words[j % 40] + f"d{i}") for j in range(40)))
+         for i in range(30)],
+    )
+    idx = str(tmp_path / "idx-knee")
+    DI.dedup_index_build(corpus, idx, n=3, k=12, bands=3)
+
+    def variant(doc_id, new_id, keep_frac):
+        words = [(base_words[j % 40] + f"d{doc_id}") for j in range(40)]
+        n_keep = int(len(words) * keep_frac)
+        kept = words[:n_keep] + [f"noise{new_id}x{j}"
+                                 for j in range(len(words) - n_keep)]
+        return (new_id, " ".join(kept))
+
+    high = _mkdocs(spark, [variant(i, 1000 + i, 0.95) for i in range(30)])
+    low = _mkdocs(spark, [variant(i, 2000 + i, 0.2) for i in range(30)])
+
+    hi_hits = {
+        r["id_new"]
+        for r in DI.dedup_index_lookup(spark, idx, high).collect()
+        if r["id_indexed"] == r["id_new"] - 1000
+    }
+    lo_hits = {
+        r["id_new"]
+        for r in DI.dedup_index_lookup(spark, idx, low).collect()
+        if r["id_indexed"] == r["id_new"] - 2000
+    }
+    assert len(hi_hits) / 30 >= 0.8, f"high-sim recall {len(hi_hits)/30:.2f}"
+    assert len(lo_hits) / 30 <= 0.2, f"low-sim leakage {len(lo_hits)/30:.2f}"
