@@ -27,3 +27,24 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() >= 0
     assert len(df.columns) > 0
+
+
+def test_stateful_corpus_entries_are_rerunnable(spark):
+    """Corpus entries that build temp on-disk state (indexes, versioned
+    tables, MVs) must return identical results on a second invocation
+    — no leakage between runs (the driver may execute them in any
+    round, any number of times)."""
+    from activedatawarehouseprototype_spark.corpus import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    for name in (
+        "dedup_index_incremental",
+        "timetravel_orders_rollup",
+        "join_mv_incremental_orders",
+        "cdc_merge_changelog_orders",
+        "mv_histogram_merge_algebra",
+        "join_mv_cdc_maintenance_orders",
+    ):
+        a = sorted(map(tuple, QUERIES[name](spark, sf).collect()))
+        b = sorted(map(tuple, QUERIES[name](spark, sf).collect()))
+        assert a == b, name
