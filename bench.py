@@ -30,7 +30,12 @@ HEADLINE = [
     "rule_union_alerts",
     "rule_fanout_match_counts",
     "tpch_q1_pricing_summary",
+    "tpch_q4_late_orders",
     "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q10_returned_items",
+    "tpch_q14_promo_effect",
+    "tpch_q18_large_volume_customers",
     "join_revenue_by_nation",
     "topk_customers_by_spend",
     "window_top3_orders_per_customer",
