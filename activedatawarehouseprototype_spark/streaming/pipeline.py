@@ -307,6 +307,26 @@ class ActivePipeline:
         (requires ``mv_key_cols``/``mv_value_col``)."""
         return self.spark.read.parquet(self.summary_mv_path)
 
+    def summary_percentile(self, key: dict, p: float) -> float:
+        """Approximate percentile of ``mv_value_col`` for one MV key
+        from the mergeable histogram (requires ``mv_hist_bins``; error
+        ≤ one bin width). ``key`` maps each of ``mv_key_cols`` to its
+        value; the read is one filtered MV row — control-plane cost."""
+        if not self.mv_hist_bins:
+            raise ValueError("summary_percentile requires mv_hist_bins")
+        from activedatawarehouseprototype_spark.operators.warehouse import (
+            estimate_percentile,
+        )
+
+        df = self.summary_mv()
+        for k, v in key.items():
+            df = df.filter(F.col(k) == v)
+        rows = df.select("hist").collect()
+        if not rows:
+            raise KeyError(f"no MV row for {key}")
+        lo, hi, _ = self.mv_hist_bins
+        return estimate_percentile(list(rows[0]["hist"]), p, lo, hi)
+
     @property
     def latency_path(self) -> str:
         return os.path.join(self.work_dir, "latency")

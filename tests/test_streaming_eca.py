@@ -1679,6 +1679,8 @@ def test_pipeline_mv_histogram_percentiles(spark, tmp_path):
     est = estimate_percentile(list(row["hist"]), 0.5, 0.0, 200.0)
     true = float(np.percentile(all_speeds, 50))
     assert abs(est - true) <= 10.0 + 1e-9  # one bin width
+    # the pipeline-level reader returns the same estimate
+    assert pipe.summary_percentile({"carId": 1}, 0.5) == est
 
 
 def test_pipeline_ingest_quality_gate(spark, tmp_path):
