@@ -246,14 +246,18 @@ def dedup_index_compact(
 ) -> None:
     """Rewrite the bands table to ``files_per_bucket`` files per
     bucket (appends add a file per touched bucket per batch — after
-    many batches lookups pay per-file open cost). Staging + atomic
-    rename, same crash discipline as the warehouse swap; the hot list
-    and meta are untouched."""
-    import os
-    import shutil
+    many batches lookups pay per-file open cost). Shares the
+    warehouse swap protocol (recover_swap/commit_swap), so a crash at
+    any point either keeps the pre-compaction bands or the compacted
+    ones — never a missing/wedged table."""
+    from activedatawarehouseprototype_spark.operators.warehouse import (
+        commit_swap,
+        recover_swap,
+    )
 
     m = _read_meta(spark, index_path)
     bands_path = f"{index_path}/bands"
+    recover_swap(bands_path)
     df = spark.read.schema(_bands_schema(m)).parquet(bands_path)
     staging = bands_path + ".staging"
     n_parts = min(
@@ -263,7 +267,4 @@ def dedup_index_compact(
     df.repartition(n_parts, "bucket").write.mode("overwrite").partitionBy(
         "bucket"
     ).parquet(staging)
-    old = bands_path + ".old"
-    os.replace(bands_path, old)
-    os.replace(staging, bands_path)
-    shutil.rmtree(old)
+    commit_swap(bands_path, staging)

@@ -733,12 +733,17 @@ def ivf_index_compact(
 ) -> None:
     """Rewrite the IVF vectors table to ``files_per_cell`` files per
     cell partition (each ``ivf_index_append`` adds files to its landing
-    cells; search cost grows with file count, not row count). Staging
-    dir + atomic rename; centroids untouched."""
-    import os
-    import shutil
+    cells; search cost grows with file count, not row count). Shares
+    the warehouse swap protocol (recover_swap/commit_swap) so a crash
+    at any point leaves either the old or the compacted vectors, never
+    a missing/wedged table; centroids untouched."""
+    from activedatawarehouseprototype_spark.operators.warehouse import (
+        commit_swap,
+        recover_swap,
+    )
 
     vec_path = f"{index_path}/vectors"
+    recover_swap(vec_path)
     df = spark.read.parquet(vec_path)
     n_cells = spark.read.parquet(f"{index_path}/centroids").count()
     staging = vec_path + ".staging"
@@ -749,7 +754,4 @@ def ivf_index_compact(
     df.repartition(n_parts, "cell").write.mode("overwrite").partitionBy(
         "cell"
     ).parquet(staging)
-    old = vec_path + ".old"
-    os.replace(vec_path, old)
-    os.replace(staging, vec_path)
-    shutil.rmtree(old)
+    commit_swap(vec_path, staging)

@@ -39,6 +39,7 @@ import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
@@ -223,8 +224,13 @@ def delete_where(vt: VersionedTable, condition: str, ts: float | None = None) ->
     GDPR-style erasure flow for a versioned table: the new HEAD no
     longer contains the rows, old versions still do (audit trail)
     until ``vacuum`` drops them past the retention horizon. Returns
-    the new version."""
-    df = vt.read().filter(f"NOT ({condition})")
+    the new version.
+
+    SQL DELETE semantics: only rows where the predicate is TRUE are
+    deleted; rows where it evaluates to NULL are retained (``NOT
+    (cond)`` would erase unrelated rows with NULLs in the predicate
+    columns — the opposite of what a GDPR erasure should touch)."""
+    df = vt.read().filter(~F.coalesce(F.expr(condition), F.lit(False)))
     return vt.commit(
         df, mode="overwrite", op=f"delete where {condition}", ts=ts
     )

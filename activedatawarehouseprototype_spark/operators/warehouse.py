@@ -32,15 +32,55 @@ def write_partitioned(
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
 
 
-def _atomic_swap(spark: SparkSession, new_df: DataFrame, target_path: str) -> None:
-    staging = target_path + ".staging"
-    new_df.write.mode("overwrite").parquet(staging)
+def recover_swap(target_path: str) -> None:
+    """Crash recovery for the staging/.old swap protocol. MUST run
+    before any read or swap of ``target_path`` (every public function
+    in this module does; the dedup/IVF index compactors share it).
+
+    The swap has two non-atomic windows a crash can land in:
+
+    - between ``os.replace(target, old)`` and ``os.replace(staging,
+      target)`` → no target dir exists. The last durably COMMITTED
+      state is ``.old`` — roll it back (the interrupted batch was
+      never committed; at-least-once replay re-delivers it, and the
+      rolled-back meta marker inside ``.old`` makes the replay apply
+      rather than skip). A half-staged ``.staging`` from that run is
+      removed so the redo can re-stage cleanly.
+    - after the commit rename but before ``rmtree(old)`` → target is
+      live, ``.old`` is garbage. Drop it; otherwise the NEXT swap's
+      ``os.replace(target, old)`` fails ENOTEMPTY and wedges the
+      table permanently.
+    """
     old = target_path + ".old"
+    if not os.path.exists(old):
+        return
+    if os.path.exists(target_path):
+        shutil.rmtree(old)
+    else:
+        staging = target_path + ".staging"
+        if os.path.exists(staging):
+            shutil.rmtree(staging)
+        os.replace(old, target_path)
+
+
+def commit_swap(target_path: str, staging: str) -> None:
+    """Commit an already-written staging dir over ``target_path``
+    (rename-swap; ``recover_swap`` handles every crash point)."""
+    old = target_path + ".old"
+    if os.path.exists(old):  # stale garbage from a crash-after-commit
+        shutil.rmtree(old)
     if os.path.exists(target_path):
         os.replace(target_path, old)
     os.replace(staging, target_path)
     if os.path.exists(old):
         shutil.rmtree(old)
+
+
+def _atomic_swap(spark: SparkSession, new_df: DataFrame, target_path: str) -> None:
+    recover_swap(target_path)
+    staging = target_path + ".staging"
+    new_df.write.mode("overwrite").parquet(staging)
+    commit_swap(target_path, staging)
 
 
 def merge_upsert(
@@ -52,6 +92,7 @@ def merge_upsert(
     """MERGE semantics: rows in ``updates`` replace target rows with the
     same key; new keys are inserted. (Delta: MERGE INTO ... WHEN MATCHED
     UPDATE WHEN NOT MATCHED INSERT.)"""
+    recover_swap(target_path)
     if os.path.exists(target_path):
         target = spark.read.parquet(target_path)
         kept = target.join(updates.select(*key_cols), key_cols, "left_anti")
@@ -91,6 +132,7 @@ def scd2_upsert(
     join and silently write overlapping open versions. Pre-aggregate
     upstream (e.g. keep the latest row per key) before calling.
     """
+    recover_swap(target_path)
     if not tracked_cols:
         raise ValueError(
             "scd2_upsert: tracked_cols must be non-empty — with no "
@@ -166,11 +208,17 @@ def scd2_upsert(
 
 
 def delete_where(spark: SparkSession, target_path: str, condition: str) -> int:
-    """DELETE FROM target WHERE condition; returns rows deleted."""
+    """DELETE FROM target WHERE condition; returns rows deleted.
+
+    SQL DELETE semantics: only rows where the predicate is TRUE are
+    removed — rows where it evaluates to NULL (e.g. a NULL in a
+    predicate column) are RETAINED, exactly as ANSI DELETE retains
+    them. ``NOT (cond)`` would silently delete those rows."""
+    recover_swap(target_path)
     if not os.path.exists(target_path):
         return 0
     target = spark.read.parquet(target_path)
-    keep = target.filter(f"NOT ({condition})")
+    keep = target.filter(~F.coalesce(F.expr(condition), F.lit(False)))
     deleted = target.count() - keep.count()
     if deleted:
         _atomic_swap(spark, keep, target_path)
@@ -180,6 +228,7 @@ def delete_where(spark: SparkSession, target_path: str, condition: str) -> int:
 def compact(spark: SparkSession, path: str, target_files: int = 1) -> None:
     """Rewrite a table directory into ``target_files`` files (OPTIMIZE
     analogue for the many-small-files problem of streaming appends)."""
+    recover_swap(path)
     df = spark.read.parquet(path)
     _atomic_swap(spark, df.repartition(target_files), path)
 
@@ -255,6 +304,7 @@ def incremental_agg_mv(
     # merged MV without its marker (which would double-apply the batch
     # on the at-least-once replay). The legacy external sidecar
     # location is still honored for pre-existing MVs.
+    recover_swap(target_path)
     meta_name = "_mv_meta.json"
     meta_path = os.path.join(target_path, meta_name)
     legacy_meta = target_path + "_mv_meta.json"
@@ -331,12 +381,7 @@ def incremental_agg_mv(
     if batch_id is not None:
         with open(os.path.join(staging, meta_name), "w") as f:
             _json.dump({"last_batch_id": batch_id}, f)
-    old = target_path + ".old"
-    if os.path.exists(target_path):
-        os.replace(target_path, old)
-    os.replace(staging, target_path)
-    if os.path.exists(old):
-        shutil.rmtree(old)
+    commit_swap(target_path, staging)
     if os.path.exists(legacy_meta):
         os.remove(legacy_meta)  # migrated into the directory
     return spark.read.parquet(target_path)
@@ -350,10 +395,23 @@ def zorder_key(cols: list[str], bits: int = 16) -> "F.Column":
     Columns are clamped to ``bits`` low bits; normalize wider domains
     first (e.g. ``F.floor(rank / scale)``). With one column this
     degenerates to the identity ordering.
+
+    Bound: ``bits * len(cols)`` must be <= 63 — the highest interleaved
+    position is ``(bits-1)*n + (n-1) = bits*n - 1``, and position 63 is
+    the bigint SIGN bit: keys touching it go negative and sort BEFORE
+    small keys, silently destroying the clustering ``cluster_write``
+    relies on. Raise rather than clamp so callers size bits explicitly
+    (e.g. 4 cols → bits <= 15).
     """
     n = len(cols)
     if n == 0:
         raise ValueError("zorder_key needs at least one column")
+    if bits * n > 63:
+        raise ValueError(
+            f"zorder_key: bits * len(cols) = {bits * n} > 63 would reach "
+            f"the bigint sign bit (negative keys break the sort order); "
+            f"use bits <= {63 // n} for {n} columns"
+        )
     key = F.lit(0).cast("bigint")
     for i, c in enumerate(cols):
         v = F.col(c).cast("bigint")

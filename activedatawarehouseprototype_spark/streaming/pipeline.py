@@ -352,13 +352,22 @@ class ActivePipeline:
             batch_df, bad = enforce(batch_df, self.ingest_constraints)
             bad = bad.localCheckpoint()  # one materialization: write + count
             n_bad = bad.count()
+            # per-batch OVERWRITE directory (quarantine/batch=<id>) —
+            # the same idempotence trick as DedupIngest's store: an
+            # at-least-once foreachBatch replay rewrites the identical
+            # partition instead of appending duplicate rows, and the
+            # metric only counts a batch id once.
             if n_bad:
-                bad.withColumn("_batch_id", F.lit(batch_id)).write.mode(
-                    "append"
-                ).parquet(os.path.join(self.work_dir, "quarantine"))
-            self.metrics["events_quarantined"] = (
-                self.metrics.get("events_quarantined", 0) + n_bad
-            )
+                qdir = os.path.join(
+                    self.work_dir, "quarantine", f"batch={batch_id}"
+                )
+                replay = os.path.exists(qdir)
+                bad.write.mode("overwrite").parquet(qdir)
+                if not replay:
+                    self.metrics["events_quarantined"] = (
+                        self.metrics.get("events_quarantined", 0) + n_bad
+                    )
+            self.metrics.setdefault("events_quarantined", 0)
 
         # (1) rule lifecycle
         self.registry.sweep_expired(now)

@@ -1723,3 +1723,41 @@ def test_pipeline_ingest_quality_gate(spark, tmp_path):
     evals = pipe.evaluations()
     assert evals.filter("key = '{carId=6}'").count() == 0
     assert evals.filter("key = '{carId=9}'").count() >= 1
+
+
+def test_pipeline_quarantine_replay_idempotent(spark, tmp_path):
+    """An at-least-once foreachBatch REPLAY of the same batch id must
+    not duplicate quarantine rows nor double-count the metric (the
+    per-batch overwrite directory is the idempotence mechanism)."""
+    from activedatawarehouseprototype_spark.operators.quality import Constraint
+    from activedatawarehouseprototype_spark.streaming.pipeline import (
+        ActivePipeline,
+    )
+    from activedatawarehouseprototype_spark.streaming.registry import RuleRegistry
+
+    rule = {
+        "queryId": 7, "queryState": "ACTIVE", "lastTime": -1,
+        "windowMilliseconds": 10_000, "frequencyMilliseconds": None,
+        "groupingKeyNames": ["carId"],
+        "windowFilterRules": [],
+        "aggregatorFunctionType": "AVG", "limitOperatorType": ">",
+        "limit": 0, "aggregateFieldName": "speed",
+    }
+    reg = RuleRegistry()
+    reg.apply_json(json.dumps(rule))
+    work = str(tmp_path / "qreplay")
+    pipe = ActivePipeline(
+        spark=spark, registry=reg, work_dir=work,
+        ingest_constraints=[
+            Constraint("speed_range", "in_range", column="speed",
+                       lo=0.0, hi=200.0),
+        ],
+    )
+    batch = car_df(spark, [(9, 1, 100.0), (6, 2, 9999.0)])
+    pipe.process_batch(batch, 0)
+    assert pipe.metrics["events_quarantined"] == 1
+    pipe.process_batch(batch, 0)  # the replay
+    assert pipe.metrics["events_quarantined"] == 1  # not double-counted
+    q = spark.read.parquet(f"{work}/quarantine")
+    assert q.count() == 1  # not duplicated
+    assert q.collect()[0]["carId"] == 6

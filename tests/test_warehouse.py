@@ -795,3 +795,82 @@ def test_join_mv_partial_replay_after_crash(spark, tmp_path):
     mv2 = incremental_join_mv(spark, base, ["k"], left_batch=L1,
                               right_batch=R1, batch_id=1)
     assert mv2.count() == 2
+
+
+def test_recover_swap_rolls_back_mid_swap_crash(spark, tmp_path):
+    """Crash between os.replace(target, old) and os.replace(staging,
+    target): the next entry must restore the last committed state and
+    the interrupted batch must APPLY on replay (the rolled-back marker
+    carries the previous batch id), not be skipped."""
+    path = str(tmp_path / "mv")
+    b0 = spark.createDataFrame([("a", 1.0), ("a", 3.0)], "k string, v double")
+    warehouse.incremental_agg_mv(spark, path, b0, ["k"], "v", batch_id=0)
+
+    # simulate the crash window of the batch-1 swap: staging fully
+    # written, target renamed away, commit rename never happened
+    b1 = spark.createDataFrame([("a", 5.0)], "k string, v double")
+    staging = path + ".staging"
+    b1.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("total"),
+        F.min("v").alias("mn"), F.max("v").alias("mx"),
+    ).write.mode("overwrite").parquet(staging)
+    os.replace(path, path + ".old")
+    assert not os.path.exists(path)
+
+    # replay of batch 1 recovers (rolls back to the committed batch-0
+    # MV) and then applies batch 1 exactly once
+    mv = warehouse.incremental_agg_mv(spark, path, b1, ["k"], "v", batch_id=1)
+    row = mv.collect()[0]
+    assert (row.n, row.total, row.mn, row.mx) == (3, 9.0, 1.0, 5.0)
+    assert not os.path.exists(path + ".old")
+    assert not os.path.exists(staging)
+
+
+def test_recover_swap_clears_stale_old_dir(spark, tmp_path):
+    """Crash after the commit rename but before rmtree(old): the stale
+    non-empty .old must not wedge the next swap with ENOTEMPTY."""
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame([(1, 1.0)], "id long, v double")
+    warehouse.merge_upsert(spark, path, base, ["id"])
+    # plant the stale garbage a crash-after-commit leaves behind
+    old = path + ".old"
+    os.makedirs(old)
+    with open(os.path.join(old, "leftover.parquet"), "w") as f:
+        f.write("garbage")
+    upd = spark.createDataFrame([(2, 2.0)], "id long, v double")
+    warehouse.merge_upsert(spark, path, upd, ["id"])  # must not raise
+    assert spark.read.parquet(path).count() == 2
+    assert not os.path.exists(old)
+
+
+def test_delete_where_null_predicate_retains_rows(spark, tmp_path):
+    """ANSI DELETE semantics: rows whose predicate evaluates to NULL
+    are retained, not erased (GDPR flow must not drop unrelated rows
+    with NULLs in the predicate columns)."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None), (3, "y")], "id long, tag string"
+    )
+    warehouse.merge_upsert(spark, path, df, ["id"])
+    deleted = warehouse.delete_where(spark, path, "tag = 'x'")
+    assert deleted == 1
+    # id=2 (NULL tag → predicate NULL) survives
+    assert {r.id for r in spark.read.parquet(path).collect()} == {2, 3}
+
+    # same contract on the versioned table
+    from activedatawarehouseprototype_spark.operators import versioned as V
+
+    vt = V.VersionedTable(spark, str(tmp_path / "vt"))
+    vt.commit(df, mode="overwrite", op="seed")
+    V.delete_where(vt, "tag = 'x'")
+    assert {r.id for r in vt.read().collect()} == {2, 3}
+
+
+def test_zorder_key_bits_guard():
+    import pytest
+
+    with pytest.raises(ValueError, match="sign bit"):
+        warehouse.zorder_key(["a", "b", "c", "d"], bits=16)  # 64 > 63
+    # the documented maximum is fine
+    warehouse.zorder_key(["a", "b", "c", "d"], bits=15)
+    warehouse.zorder_key(["a"], bits=63)
