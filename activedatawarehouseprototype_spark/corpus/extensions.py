@@ -1818,13 +1818,83 @@ def cross_decontaminate_embeddings(spark: SparkSession, sf_dir: str) -> DataFram
 # first-index ties, so the code checksum is stable run to run. ---
 
 
-@register("pq_codes_stats")
+@register(
+    "pq_codes_stats",
+    oracle="""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS iv
+  FROM embeddings
+),
+sample AS (SELECT * FROM q ORDER BY vec_id LIMIT 1024),
+subs AS (
+  SELECT vec_id, s,
+         list_transform(range(1, 9), j -> iv[s * 8 + j]) AS subvec
+  FROM sample, (SELECT UNNEST(generate_series(0, 7)) AS s)
+),
+firsts AS (
+  SELECT s, subvec, MIN(vec_id) AS first_id FROM subs GROUP BY s, subvec
+),
+codebook AS (
+  SELECT s, subvec,
+         ROW_NUMBER() OVER (PARTITION BY s ORDER BY first_id) - 1 AS code
+  FROM firsts
+  QUALIFY code < 16
+),
+vsubs AS (
+  SELECT vec_id, s,
+         list_transform(range(1, 9), j -> iv[s * 8 + j]) AS subvec
+  FROM q, (SELECT UNNEST(generate_series(0, 7)) AS s)
+),
+dists AS (
+  SELECT v.vec_id, v.s, cb.code,
+         list_sum(list_transform(range(1, 9),
+           j -> (v.subvec[j] - cb.subvec[j])
+                * (v.subvec[j] - cb.subvec[j]))) AS d2
+  FROM vsubs v JOIN codebook cb ON v.s = cb.s
+),
+assign AS (
+  SELECT vec_id, s, code,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, code) AS rn
+  FROM dists
+),
+codes AS (SELECT vec_id, s, code FROM assign WHERE rn = 1),
+per_vec AS (
+  SELECT vec_id,
+         string_agg(CAST(code AS VARCHAR), ',' ORDER BY s) AS cs,
+         SUM(code * (s + 1)) AS w
+  FROM codes GROUP BY vec_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(COUNT(DISTINCT cs) AS BIGINT) AS n_distinct_codes,
+       CAST(SUM(w * (vec_id % 997)) AS BIGINT) AS code_checksum
+FROM per_vec
+""",
+)
 def pq_codes_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ENCODE under the exact oracle gate: embeddings are quantized
+    to integers (floor(x*1000) — exact on the binary double in both
+    engines), codebooks are the deterministic init (first-16-distinct
+    subvectors of the 1024-lowest-id sample, ``iters=0``), so every
+    sub-distance is exact integer arithmetic and the argmin assignment
+    is engine-reproducible — DuckDB recomputes codebook selection AND
+    code assignment independently. Lloyd-trained (float) codebooks
+    can't hash-match across engines (mean summation order); training
+    quality is gated by the recall@10 pytest instead (tests/test_pq.py).
+    """
     from activedatawarehouseprototype_spark.operators import pq as PQ
 
     e = _emb(spark, sf_dir)
-    cbs = PQ.pq_train(e, m=8, ksub=16, iters=4, sample_n=1024)
-    enc = PQ.pq_encode(e, cbs)
+    qv = e.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * 1000).cast("double"),
+        ).alias("embedding"),
+    )
+    cbs = PQ.pq_train(qv, m=8, ksub=16, iters=0, sample_n=1024)
+    enc = PQ.pq_encode(qv, cbs)
     weighted = F.aggregate(
         F.zip_with(
             F.col("codes"),
@@ -1845,6 +1915,89 @@ def pq_codes_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "code_checksum"
         ),
     )
+
+
+# --- Fused IVF+PQ search under the oracle gate. The production path
+# is prune -> ADC shortlist -> exact re-rank; with a shortlist that
+# covers every candidate in the probed cells, ADC cannot drop anyone
+# and the OUTPUT is exactly the cosine top-k restricted to the probed
+# cells — which DuckDB recomputes independently (seed centroids +
+# the same floor(dist*1e12) probe-order quantization the other IVF
+# oracles use; PQ's approximation quality is gated separately by
+# tests/test_ann_recall.py::test_ivf_pq_search_recall...). ---
+
+
+@register(
+    "ivf_pq_search_topk",
+    oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+seeds AS (SELECT vec_id AS sid, v AS sv FROM e ORDER BY vec_id LIMIT 16),
+dists AS (
+  SELECT e.vec_id, s.sid,
+         CAST(FLOOR(list_sum(list_transform(range(1, 65),
+             d -> (e.v[d] - s.sv[d]) * (e.v[d] - s.sv[d]))) * 1e12) AS BIGINT)
+           AS dist
+  FROM e, seeds s
+),
+cells AS (
+  SELECT vec_id, sid AS cell FROM dists
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, sid) = 1
+),
+queries AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 100 = 0),
+qdists AS (
+  SELECT q.qid, s.sid,
+         CAST(FLOOR(list_sum(list_transform(range(1, 65),
+             d -> (q.qv[d] - s.sv[d]) * (q.qv[d] - s.sv[d]))) * 1e12) AS BIGINT)
+           AS dist
+  FROM queries q, seeds s
+),
+probed AS (
+  SELECT qid, sid AS cell FROM qdists
+  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY dist, sid) <= 2
+),
+scored AS (
+  SELECT p.qid, e.vec_id,
+         ROUND(list_cosine_similarity(e.v, q.qv), 6) AS score
+  FROM probed p
+  JOIN cells c ON c.cell = p.cell
+  JOIN e ON e.vec_id = c.vec_id
+  JOIN queries q ON q.qid = p.qid
+  WHERE e.vec_id != p.qid
+)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id, score
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id ASC)
+        <= 5
+""",
+)
+def ivf_pq_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused persisted-index ANN (`ivf_pq_index_build` ->
+    `ivf_pq_search`, similarity.py): every vec_id % 100 == 0 vector
+    queries the index for its cosine top-5 at probes=2. Seed centroids
+    + an all-covering shortlist make the result exactly SQL-checkable
+    (see the block comment above); the driver row therefore gates the
+    whole fused plumbing — cell assignment, probe selection, codes-only
+    ADC stage, broadcast semi-join re-rank — not just the happy path.
+    """
+    import shutil
+    import tempfile
+
+    e = _emb(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="adw-ivfpq-")
+    try:
+        similarity.ivf_pq_index_build(
+            e, path, k=16, m=8, ksub=16, use_kmeans=False
+        )
+        queries = e.filter(F.col("vec_id") % 100 == 0).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        )
+        res = similarity.ivf_pq_search(
+            spark, path, queries, k=5, probes=2, shortlist=1_000_000
+        )
+        # the temp index dies on return: cut lineage to the scans
+        return res.localCheckpoint()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
 
 
 # --- Histogram-MV merge algebra under the oracle gate: three

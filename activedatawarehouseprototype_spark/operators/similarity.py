@@ -755,3 +755,217 @@ def ivf_index_compact(
         "cell"
     ).parquet(staging)
     commit_swap(vec_path, staging)
+
+
+# -- IVF + PQ fused index: the production ANN layout -----------------------
+
+
+def ivf_pq_index_build(
+    df: DataFrame,
+    index_path: str,
+    k: int = 16,
+    iters: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    pq_iters: int = 8,
+    pq_sample_n: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    use_kmeans: bool = True,
+) -> None:
+    """Build the PRODUCTION ANN layout — IVF partitioning x PQ
+    compression fused in one persisted index:
+
+    - **IVF (which files)**: k-means cells become ``cell=`` parquet
+      partitions, so a search's probed cells turn into partition
+      filters — at 100 TB only |probes|/k of the files are listed.
+    - **PQ (which bytes)**: each vector also stores ``m`` one-byte
+      codes; the ADC shortlist stage reads ONLY the codes column
+      (column pruning — ~64x less IO than full vectors), and the
+      final exact re-rank reads full vectors for just the shortlist.
+
+    PQ codebooks are trained on L2-NORMALIZED vectors so ADC's
+    squared-L2 order IS cosine order (||a/|a| - b/|b|||^2 =
+    2 - 2*cos(a,b)): the shortlist is a true cosine shortlist and the
+    re-rank restores exact cosine ranking. Codebooks (m*ksub*dsub
+    floats, KB) persist as ``_pq_codebooks.json`` beside the k-row
+    centroids table — search needs no retraining.
+
+    Reference parity: the reference engine has no ANN tier at all —
+    this is the scale-path extension the task brief mandates
+    (IVF per Jegou et al. TPAMI 2011, public)."""
+    import json as _json
+    import os as _os
+
+    from activedatawarehouseprototype_spark.operators import pq as PQ
+
+    cents = (
+        ivf_kmeans_centroids(df, k, iters, id_col=id_col, vec_col=vec_col)
+        if use_kmeans
+        else ivf_seed_centroids(df, k, id_col=id_col, vec_col=vec_col)
+    )
+    assigned = ivf_assign(df, k=k, id_col=id_col, vec_col=vec_col, centroids=cents)
+
+    v = as_double_array(F.col(vec_col))
+    normed = df.select(
+        F.col(id_col),
+        F.transform(v, lambda x: x / norm(v)).alias("_nv"),
+    )
+    codebooks = PQ.pq_train(
+        normed, m=m, ksub=ksub, iters=pq_iters, sample_n=pq_sample_n,
+        id_col=id_col, vec_col="_nv",
+    )
+    enc = PQ.pq_encode(normed, codebooks, id_col=id_col, vec_col="_nv")
+
+    (
+        assigned.select(
+            F.col(id_col), as_double_array(F.col(vec_col)).alias("vec"), "cell"
+        )
+        .join(enc, id_col)
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{index_path}/vectors")
+    )
+    spark = df.sparkSession
+    spark.createDataFrame(
+        [(int(sid), [float(x) for x in sv]) for sid, sv in cents],
+        "sid bigint, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/centroids")
+    with open(_os.path.join(index_path, "_pq_codebooks.json"), "w") as f:
+        _json.dump({"m": m, "ksub": ksub, "codebooks": codebooks}, f)
+
+
+def ivf_pq_search(
+    spark,
+    index_path: str,
+    queries_df: DataFrame,
+    k: int = 5,
+    probes: int = 2,
+    shortlist: int | None = None,
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Batch ANN search over an ``ivf_pq_index_build`` index — the
+    three-stage production recipe (prune -> ADC shortlist -> exact
+    re-rank):
+
+    1. **Partition prune**: each query's ``probes`` nearest centroids
+       become a static ``cell IN (...)`` partition filter; only those
+       directories are listed/read.
+    2. **ADC shortlist**: the pruned scan reads (id, codes, cell)
+       ONLY — never the full vectors. Per query, one numpy pass builds
+       the (m x ksub) distance table from the broadcast codebooks and
+       scores every candidate with m table lookups (grouped
+       applyInPandas keyed by query: table built once per query, not
+       per row). The best ``shortlist`` (default 4k) ids survive.
+    3. **Exact re-rank**: full vectors for ONLY the shortlist rows
+       (broadcast semi-join into the same pruned scan) are scored with
+       exact cosine; top-k per query returned as (qid, id, score)
+       descending — identical shape to ``ivf_index_search``.
+
+    Driver transfers are control-plane bounded: the k-row centroid
+    table, the KB codebooks, and the <= n_cells probed-cell id set."""
+    import json as _json
+    import os as _os
+
+    import numpy as np
+    import pandas
+
+    with open(_os.path.join(index_path, "_pq_codebooks.json")) as f:
+        meta = _json.load(f)
+    C = [np.array(cb, dtype="float64") for cb in meta["codebooks"]]
+    m = len(C)
+    dsub = C[0].shape[1]
+    n_short = shortlist if shortlist is not None else 4 * k
+
+    cents = [
+        (int(r["sid"]), [float(x) for x in r["centroid"]])
+        for r in spark.read.parquet(f"{index_path}/centroids").collect()
+    ]
+    cents.sort(key=lambda t: t[0])
+
+    qv = as_double_array(F.col(qvec_col))
+    q = queries_df.select(
+        F.col(qid_col),
+        qv.alias("_qv"),
+        F.transform(qv, lambda x: x / norm(qv)).alias("_qvn"),
+        F.explode(
+            F.slice(_ivf_sorted_cells(F.col(qvec_col), cents), 1, probes)
+        ).alias("_pcell"),
+    )
+    probe_cells = sorted(
+        {r["_pcell"] for r in q.select("_pcell").distinct().collect()}
+    )
+
+    # stage 2: codes-only pruned scan (column pruning keeps `vec` out
+    # of this ReadSchema — asserted in tests/test_ann_recall.py)
+    codes_scan = (
+        spark.read.parquet(f"{index_path}/vectors")
+        .filter(F.col("cell").isin(probe_cells))
+        .select(id_col, "codes", "cell")
+    )
+    cand = codes_scan.join(
+        F.broadcast(q.select(qid_col, "_qvn", "_pcell")),
+        F.col("cell") == F.col("_pcell"),
+    ).filter(F.col(id_col) != F.col(qid_col))
+
+    out_schema = f"{qid_col} bigint, {id_col} bigint, adc_dist double"
+
+    def _adc_group(pdf: "pandas.DataFrame") -> "pandas.DataFrame":
+        qn = np.asarray(pdf["_qvn"].iloc[0], dtype="float64")
+        dt = np.stack(
+            [
+                ((C[s] - qn[s * dsub : (s + 1) * dsub]) ** 2).sum(axis=1)
+                for s in range(m)
+            ]
+        )
+        A = np.stack(pdf["codes"].to_numpy()).astype("int64")
+        tot = np.zeros(A.shape[0])
+        for s in range(m):  # fixed fold order: deterministic sums
+            tot += dt[s][A[:, s]]
+        return pandas.DataFrame(
+            {
+                qid_col: pdf[qid_col].to_numpy(),
+                id_col: pdf[id_col].to_numpy(),
+                "adc_dist": tot,
+            }
+        )
+
+    adc = cand.groupBy(qid_col).applyInPandas(_adc_group, out_schema)
+    w_short = Window.partitionBy(qid_col).orderBy(
+        F.col("adc_dist").asc(), F.col(id_col).asc()
+    )
+    short = (
+        adc.withColumn("_rnk", F.row_number().over(w_short))
+        .filter(F.col("_rnk") <= n_short)
+        .select(qid_col, id_col)
+    )
+
+    # stage 3: exact cosine over the shortlist's full vectors only
+    vec_scan = (
+        spark.read.parquet(f"{index_path}/vectors")
+        .filter(F.col("cell").isin(probe_cells))
+        .select(id_col, "vec")
+    )
+    reranked = (
+        vec_scan.join(F.broadcast(short), id_col)
+        .join(
+            F.broadcast(q.select(qid_col, "_qv").distinct()), qid_col
+        )
+        .select(
+            qid_col,
+            id_col,
+            F.round(cosine_pairs_score(F.col("vec"), F.col("_qv")), 6).alias(
+                "score"
+            ),
+        )
+    )
+    w_final = Window.partitionBy(qid_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        reranked.withColumn("_rnk", F.row_number().over(w_final))
+        .filter(F.col("_rnk") <= k)
+        .drop("_rnk")
+    )
