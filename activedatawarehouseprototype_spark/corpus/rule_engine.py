@@ -429,3 +429,102 @@ def rule_same_ts_dedup_quirk(spark: SparkSession, sf_dir: str) -> DataFrame:
         evaluate_rule(corpus, RULE_SAME_TS_DEDUP, dedup_same_ts=True),
         round_agg=None,
     )
+
+
+# --- Pipeline CDC-enrichment flow under the oracle gate: the tumbling
+# rule's evaluations arrive in three hour-bucket slices (each tumbling
+# window lives wholly in one slice, so per-slice evaluation == batch
+# evaluation), each slice appending as a left delta into the
+# incrementally-maintained join MV against a user-tier dimension;
+# after slice 1 a CDC batch re-tiers the even user_ids — retracting
+# and reapplying their already-materialized MV rows. The final MV must
+# equal (full evaluation) ⋈ (final dimension), which the oracle
+# computes FROM SCRATCH — the incremental path earns equality with the
+# recompute. Mirrors ActivePipeline.process_batch's (4b) hook +
+# update_enrich_dim (streaming/pipeline.py). ---
+
+
+@register(
+    "cdc_enrich_pipeline_evals",
+    oracle=f"""
+WITH e AS (
+  SELECT * FROM events WHERE event_type = 'click' AND value > 10.0
+),
+ev AS (
+  SELECT CAST(101 AS BIGINT) AS query_id,
+         '{{user_id=' || CAST(user_id AS VARCHAR) || '}}' AS key,
+         (epoch_ms(ts) // {HOUR_MS}) * {HOUR_MS} AS window_start_ms,
+         (epoch_ms(ts) // {HOUR_MS}) * {HOUR_MS} + {HOUR_MS} AS window_end_ms,
+         ROUND(AVG(value), 4) AS agg_value,
+         AVG(value) > 100.0 AS fired
+  FROM e
+  GROUP BY user_id, window_start_ms
+),
+dim AS (
+  SELECT '{{user_id=' || CAST(user_id AS VARCHAR) || '}}' AS key,
+         CASE WHEN user_id % 2 = 0 THEN 'vip'
+              WHEN user_id % 3 = 0 THEN 'gold'
+              WHEN user_id % 3 = 1 THEN 'silver'
+              ELSE 'bronze' END AS tier
+  FROM (SELECT DISTINCT user_id FROM events)
+)
+SELECT ev.query_id, ev.key, ev.window_start_ms, ev.window_end_ms,
+       ev.agg_value, ev.fired, dim.tier
+FROM ev JOIN dim USING (key)
+""",
+)
+def cdc_enrich_pipeline_evals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from activedatawarehouseprototype_spark.operators.warehouse import (
+        apply_cdc_to_join_mv,
+        incremental_join_mv,
+        merge_upsert_cdc,
+    )
+
+    e = _events(spark, sf_dir)
+    key = F.concat(F.lit("{user_id="), F.col("user_id"), F.lit("}"))
+    users = e.select("user_id").distinct()
+    dim0 = users.select(
+        key.alias("key"),
+        F.when(F.col("user_id") % 3 == 0, "gold")
+        .when(F.col("user_id") % 3 == 1, "silver")
+        .otherwise("bronze")
+        .alias("tier"),
+    )
+    dim_update = users.filter(F.col("user_id") % 2 == 0).select(
+        key.alias("key"), F.lit("vip").alias("tier")
+    )
+    hour_bucket = F.floor(F.unix_millis("ts") / HOUR_MS) % 3
+
+    work = tempfile.mkdtemp(prefix="adw-cdc-enrich-")
+    try:
+        base = f"{work}/jmv"
+        # seed the dimension, then stream the three evaluation slices
+        incremental_join_mv(spark, base, ["key"], right_batch=dim0)
+        for s in (0, 1):
+            evals_s = _project_eval(
+                evaluate_rule(e.filter(hour_bucket == s), RULE_TUMBLING_AVG)
+            )
+            incremental_join_mv(
+                spark, base, ["key"], left_batch=evals_s, batch_id=s
+            )
+        # mid-stream dimension CDC: even users become 'vip' — the MV
+        # rows slices 0-1 already wrote retract and reapply
+        dim_tbl = f"{work}/dim_table"
+        dim0.write.parquet(dim_tbl)
+        log = merge_upsert_cdc(spark, dim_tbl, dim_update, ["key"])
+        apply_cdc_to_join_mv(spark, base, ["key"], log, ["key"], side="right")
+        evals_2 = _project_eval(
+            evaluate_rule(e.filter(hour_bucket == 2), RULE_TUMBLING_AVG)
+        )
+        mv = incremental_join_mv(
+            spark, base, ["key"], left_batch=evals_2, batch_id=2
+        )
+        return mv.select(
+            "query_id", "key", "window_start_ms", "window_end_ms",
+            "agg_value", "fired", "tier",
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

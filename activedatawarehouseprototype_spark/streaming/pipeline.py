@@ -151,6 +151,18 @@ class ActivePipeline:
     # metrics["events_quarantined"] — bad telemetry cannot poison
     # window aggregates or the summary MV.
     ingest_constraints: "list | None" = None
+    # CDC-maintained ENRICHMENT join MV (optional): names a column of
+    # the evaluations frame (e.g. "query_id" or "key"). Every batch's
+    # emitted evaluations append as the LEFT delta of an incrementally
+    # maintained inner-join MV against a dimension table seeded/updated
+    # via ``update_enrich_dim`` — the active-warehouse "alerts joined
+    # with rule/entity metadata" table. A dimension UPDATE retracts and
+    # reapplies the affected MV rows (PAST evaluations included)
+    # through the merge_upsert_cdc changelog — never a full recompute.
+    # Read it back with ``enriched()``. Exactly-once: left appends
+    # carry the batch-id marker (incremental_join_mv), dim updates are
+    # idempotent overwrite commits (apply_cdc_to_join_mv).
+    enrich_on: str | None = None
     # per-rule emission high-watermark: query_id -> max emitted window_end (ms)
     _emitted_wm: dict[int, int] = dc_field(default_factory=dict)
     _has_buffer: bool = False
@@ -330,6 +342,71 @@ class ActivePipeline:
     @property
     def latency_path(self) -> str:
         return os.path.join(self.work_dir, "latency")
+
+    @property
+    def _enrich_jmv_base(self) -> str:
+        return os.path.join(self.work_dir, "enrich", "jmv")
+
+    def update_enrich_dim(self, updates: DataFrame) -> None:
+        """Seed or CDC-update the enrichment dimension (requires
+        ``enrich_on``; ``updates`` must carry that column plus the
+        attribute columns, one row per key).
+
+        First call seeds the dimension — every row is an insert, and
+        evaluations already buffered on the left side join in
+        immediately (the ``L_old ⋈ ΔR`` delta term). Later calls MERGE
+        by key and feed the implied changelog through
+        ``apply_cdc_to_join_mv``: MV rows for changed keys — including
+        rows produced by PAST batches — are retracted and reapplied
+        with the new attributes, cost O(|MV| + |changed|·match), never
+        a full join recompute."""
+        from activedatawarehouseprototype_spark.operators.versioned import (
+            VersionedTable,
+        )
+        from activedatawarehouseprototype_spark.operators.warehouse import (
+            apply_cdc_to_join_mv,
+            incremental_join_mv,
+            merge_upsert_cdc,
+        )
+
+        if not self.enrich_on:
+            raise ValueError("update_enrich_dim requires enrich_on")
+        dim_tbl = os.path.join(self.work_dir, "enrich", "dim_table")
+        seeded = (
+            VersionedTable(
+                self.spark, f"{self._enrich_jmv_base}/right"
+            ).latest_version()
+            is not None
+        )
+        log = merge_upsert_cdc(
+            self.spark, dim_tbl, updates, [self.enrich_on]
+        )
+        if not seeded:
+            incremental_join_mv(
+                self.spark,
+                self._enrich_jmv_base,
+                [self.enrich_on],
+                right_batch=updates,
+            )
+        else:
+            apply_cdc_to_join_mv(
+                self.spark,
+                self._enrich_jmv_base,
+                [self.enrich_on],
+                log,
+                [self.enrich_on],
+                side="right",
+            )
+
+    def enriched(self) -> DataFrame:
+        """Current state of the CDC-maintained enrichment join MV
+        (evaluations ⋈ dimension; requires ``enrich_on`` and a seeded
+        dimension)."""
+        from activedatawarehouseprototype_spark.operators.versioned import (
+            VersionedTable,
+        )
+
+        return VersionedTable(self.spark, f"{self._enrich_jmv_base}/mv").read()
 
     # -- main entry: one micro-batch ------------------------------------------
 
@@ -552,6 +629,21 @@ class ActivePipeline:
         evals.persist()
         try:
             evals.write.mode("append").parquet(self.evals_path)
+            # (4b) enrichment join MV: this batch's evaluations are the
+            # left delta — ONE delta join against the dim snapshot,
+            # batch-id-idempotent (foreachBatch replays are no-ops)
+            if self.enrich_on:
+                from activedatawarehouseprototype_spark.operators.warehouse import (
+                    incremental_join_mv,
+                )
+
+                incremental_join_mv(
+                    self.spark,
+                    self._enrich_jmv_base,
+                    [self.enrich_on],
+                    left_batch=evals,
+                    batch_id=batch_id,
+                )
             fired = evals.filter("fired")
             emitted = (
                 self._apply_alert_cooldown(fired)

@@ -1761,3 +1761,65 @@ def test_pipeline_quarantine_replay_idempotent(spark, tmp_path):
     q = spark.read.parquet(f"{work}/quarantine")
     assert q.count() == 1  # not duplicated
     assert q.collect()[0]["carId"] == 6
+
+
+def test_pipeline_cdc_enriched_evaluations_mv(spark, tmp_path):
+    """CDC end-to-end through the pipeline (round-4 VERDICT item 6):
+    evaluations flow per batch into a CDC-maintained join MV against an
+    entity dimension (enrich_on="key"); a dimension UPDATE between
+    batches retracts and reapplies PAST batches' MV rows with the new
+    attributes; later batches join the updated dimension; replays are
+    no-ops."""
+    from activedatawarehouseprototype_spark.streaming.pipeline import (
+        ActivePipeline,
+    )
+    from activedatawarehouseprototype_spark.streaming.registry import RuleRegistry
+
+    rule = {
+        "queryId": 42, "queryState": "ACTIVE", "lastTime": -1,
+        "windowMilliseconds": 60_000, "frequencyMilliseconds": None,
+        "groupingKeyNames": ["carId"], "windowFilterRules": [],
+        "aggregatorFunctionType": "AVG", "limitOperatorType": ">",
+        "limit": 0, "aggregateFieldName": "speed",
+    }
+    reg = RuleRegistry()
+    reg.apply_json(json.dumps(rule))
+    pipe = ActivePipeline(
+        spark=spark, registry=reg, work_dir=str(tmp_path / "cdc_e2e"),
+        enrich_on="key",
+    )
+    # seed the dimension BEFORE any evaluations
+    dim = spark.createDataFrame(
+        [("{carId=1}", "alice"), ("{carId=2}", "bob"), ("{carId=3}", "carol")],
+        "key string, owner string",
+    )
+    pipe.update_enrich_dim(dim)
+
+    # batch 0 fills window [0,60s); batch 1 (ts 70s) closes it
+    pipe.process_batch(car_df(spark, [(1, 0, 50.0), (2, 10, 80.0)]), 0)
+    pipe.process_batch(car_df(spark, [(3, 70, 30.0)]), 1)
+    got = {(r.key, r.owner) for r in pipe.enriched().collect()}
+    assert got == {("{carId=1}", "alice"), ("{carId=2}", "bob")}
+
+    # dimension UPDATE: car 1 reassigned → the MV row written two
+    # batches ago retracts and reapplies with the new owner
+    pipe.update_enrich_dim(
+        spark.createDataFrame([("{carId=1}", "dave")], "key string, owner string")
+    )
+    got = {(r.key, r.owner) for r in pipe.enriched().collect()}
+    assert got == {("{carId=1}", "dave"), ("{carId=2}", "bob")}
+    # retract/reapply preserved the evaluation payload
+    row = pipe.enriched().filter("key = '{carId=1}'").collect()[0]
+    assert row.agg_value == 50.0 and row.query_id == 42
+
+    # batch 2 closes [60s,120s): car 3's evaluation joins the UPDATED dim
+    pipe.process_batch(car_df(spark, [(1, 130, 40.0)]), 2)
+    got = {(r.key, r.owner) for r in pipe.enriched().collect()}
+    assert got == {
+        ("{carId=1}", "dave"), ("{carId=2}", "bob"), ("{carId=3}", "carol"),
+    }
+
+    # at-least-once replay of batch 2 adds nothing (batch-id marker)
+    n = pipe.enriched().count()
+    pipe.process_batch(car_df(spark, [(1, 130, 40.0)]), 2)
+    assert pipe.enriched().count() == n
