@@ -64,69 +64,85 @@ from activedatawarehouseprototype_spark.corpus import stats  # noqa: E402,F401
 # Rotate across rounds by editing the two lists; test_registry_order.py
 # asserts the first-50 composition so a refactor can't silently undo this.
 #
-# Round-4 rotation (44 entries): 29 whose freshest driver row is r2
-# (they missed the round-3 window, which prioritized the 27
-# never-checked entries + 2 new ANN queries, all green in
-# CORRECTNESS_r03) + 15 queries NEW in round 4 (no prior row by
-# construction — decontamination, same-ts quirk, winnowing, chunking,
-# PII, embedding near-dup, token-budget mix, shard manifest, quality
-# gate, semantic cluster dedup, unigram LM, TF-IDF, MV merge algebra,
-# view->click->purchase funnel, persisted-dedup-index lookup).
-# With the 6-entry stable core that fills the 50-slot window exactly;
-# after this round every registry entry's driver evidence is <= 2
-# rounds old.
+# Round-5 rotation (44 entries), executing the plan written down in
+# round 4:
+#   - the 18 entries that had NEVER earned a driver row (registered
+#     after earlier windows filled; pytest-mirror green throughout):
+#     TPC-H q4/q7/q8/q10/q14/q18, the warehouse/MV/CDC tier
+#     (timetravel, quality constraints, CDC changelog, join-MV x2,
+#     histogram-MV algebra, z-order layout), shared-dialect SQL,
+#     cross-table embedding decontamination, PQ codes (now
+#     ORACLE-BACKED, upgraded from rows-only this round), resample,
+#     alert cooldown;
+#   - 2 queries NEW in round 5 (fused IVF+PQ search, pipeline CDC
+#     enrichment MV — both oracle-backed);
+#   - the 12 r3-green sit-outs round 4 parked, whose evidence is now
+#     the oldest in the registry;
+#   - 12 more r3-latest entries chosen for family diversity (minhash
+#     LSH, string scalars, repetition, the four ANN bucket/cell paths,
+#     multimodal, embedding arrays, as-of join, session windows,
+#     range join).
+# With the 6-entry stable core that fills the 50-slot window exactly.
+# After this round EVERY oracle-backed entry in the registry's history
+# has a driver hash-match; the 20 r3-green entries left outside
+# (rule_passthrough, tpch_q3/q6, percentile/pivot x2/grouping-sets/
+# running-totals, the four UDF tiers, stats, bool aggs, regexp,
+# histogram, hourly profile, null semantics, bigrams, sketches) rotate
+# back in round 6, by which point their evidence is 3 rounds old —
+# front-load them.
 # ---------------------------------------------------------------------------
 
 _DRIVER_ROTATION = [
-    # rule engine / relational (corpus/rule_engine.py, corpus/relational.py)
-    "rule_union_alerts",
-    "join_revenue_by_nation",
-    "join_left_order_counts",
-    "join_semi_customers_with_open_orders",
-    "join_anti_customers_without_orders",
-    "setop_union_intersect_except",
-    "window_order_price_delta",
-    "cube_orders_status_priority",
-    "distinct_suppliers_per_flag",
-    "sql_subquery_above_avg_orders",
-    "stringagg_statuses_per_flag",
-    "filter_between_in_dates",
-    # scalar function families (corpus/scalar_fns.py)
-    "scalar_date_fns",
-    "scalar_math_fns",
-    "scalar_conditional_fns",
-    "dirty_date_filter",
-    # geo (corpus/extensions.py)
-    "geo_cell_geometry",
-    "geo_path_cells",
-    # LLM-pipeline extensions (corpus/extensions.py)
-    "dedup_fingerprint",
-    "dedup_ngram_jaccard",
-    "sample_split_stats",
-    "dedup_simhash16",
-    "emb_blocked_cosine_hist",
-    "text_stats",
-    "text_lang_id",
-    "stratified_sample_by_lang",
-    "emb_quantized_int8_stats",
-    "fuzzy_part_name_pairs",
-    "pack_sequences_stats",
-    # new in round 4 (no prior driver row by construction)
-    "decontaminate_ngram_overlap",
-    "rule_same_ts_dedup_quirk",
-    "dedup_winnow_overlap",
-    "chunk_documents_tokens",
-    "pii_redaction_scrub",
-    "emb_near_dup_pairs",
-    "token_budget_mix_stats",
-    "shard_manifest",
-    "quality_percentile_gate",
-    "semantic_cluster_dedup",
-    "lm_unigram_doc_scores",
-    "tfidf_top_terms_per_doc",
-    "mv_incremental_merge_algebra",
-    "funnel_view_click_purchase",
-    "dedup_index_incremental",
+    # never driver-checked until now: TPC-H additions (corpus/relational.py)
+    "tpch_q4_late_orders",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q10_returned_items",
+    "tpch_q14_promo_effect",
+    "tpch_q18_large_volume_customers",
+    # never driver-checked: warehouse / MV / CDC tier
+    "timetravel_orders_rollup",
+    "quality_constraints_orders",
+    "cdc_merge_changelog_orders",
+    "join_mv_incremental_orders",
+    "join_mv_cdc_maintenance_orders",
+    "mv_histogram_merge_algebra",
+    "zorder_key_part_layout",
+    # never driver-checked: SQL dialect / decontamination / PQ / ts / alerts
+    "sql_shared_text_rollup",
+    "cross_decontaminate_embeddings",
+    "pq_codes_stats",
+    "resample_ffill_daily_values",
+    "alert_cooldown_bursts",
+    # new in round 5 (no prior row by construction)
+    "ivf_pq_search_topk",
+    "cdc_enrich_pipeline_evals",
+    # the 12 r3-green sit-outs from round 4 (oldest evidence first)
+    "rule_sliding_max",
+    "rule_count_tumbling",
+    "window_top3_orders_per_customer",
+    "rollup_lineitem_qty",
+    "join_full_outer_nation_activity",
+    "sql_correlated_subquery_share",
+    "json_extract_props",
+    "geo_grid_cell_agg",
+    "dedup_exact_text",
+    "dedup_minhash_components",
+    "ann_topk_cosine",
+    "text_quality_filter",
+    # 12 more r3-latest entries (family diversity)
+    "dedup_minhash_lsh",
+    "scalar_string_fns",
+    "text_repetition",
+    "ann_lsh_bucket_topk",
+    "ann_ivf_topk",
+    "ann_lsh_batch_multiprobe_topk",
+    "ann_ivf_batch_topk",
+    "multimodal_byte_stats",
+    "array_embedding_stats",
+    "asof_click_latest_purchase",
+    "session_windows_per_user",
+    "range_join_price_bands",
 ]
 
 _STABLE_CORE = [
@@ -134,40 +150,19 @@ _STABLE_CORE = [
     "rule_tumbling_avg",
     "rule_per_event_avg",
     "rule_fanout_match_counts",
-    # relational: agg, multi-way join, outer join, top-k, subquery
+    # relational: agg, multi-way join, top-k
     "tpch_q1_pricing_summary",
     "tpch_q5_local_supplier_volume",
     "topk_customers_by_spend",
-    # LLM-pipeline dedup canary: dedup_minhash_lsh (r3-green) ceded
-    # its slot to dedup_index_incremental above, which drives the SAME
-    # minhash/band signature pipeline through the persisted index path.
-    # (window_top3_orders_per_customer, json_extract_props,
-    # dedup_minhash_components, ann_topk_cosine,
-    # join_full_outer_nation_activity, rollup_lineitem_qty,
-    # geo_grid_cell_agg, dedup_exact_text, text_quality_filter,
-    # rule_count_tumbling, sql_correlated_subquery_share and
-    # rule_sliding_max sit out this round — all r3-green — to make
-    # window room for the fifteen new round-4 queries above; their families stay represented
-    # (joins via tpch_q5 + four join_* rotations, grouping via
-    # cube_orders_status_priority, geo via geo_cell_geometry/
-    # geo_path_cells, dedup via minhash/simhash/winnow/fingerprint,
-    # count windows via rule_union_alerts, sliding windows via the
-    # pytest mirror + W3 streaming soaks, subqueries via
-    # sql_subquery_above_avg_orders, text via text_stats/text_lang_id/
-    # chunk/pii), the full-corpus pytest mirror still covers them
-    # every round, and they rotate back in round 5 together with the
-    # queries registered after the window filled (positions >50, all
-    # pytest-mirror green this round): tpch_q4/q7/q8/q10/q14/q18,
-    # timetravel_orders_rollup, resample_ffill_daily_values,
-    # quality_constraints_orders, cdc_merge_changelog_orders,
-    # sql_shared_text_rollup, cross_decontaminate_embeddings,
-    # alert_cooldown_bursts, join_mv_incremental_orders,
-    # pq_codes_stats, mv_histogram_merge_algebra,
-    # zorder_key_part_layout. Round-5 editor: put those 17 plus the 12
-    # r3-green sit-outs listed above into _DRIVER_ROTATION, keep a
-    # ~6-entry stable core, and rotate out this round's 44 — the
-    # window math works out to 50 again; test_registry_order re-trips
-    # if any of the 15 are left out.)
+    # (The 44 rotated-out r4-green entries — the join_*/setop/cube/
+    # scalar/geo/dedup/text/packing/sampling families — stay covered
+    # every round by the full-corpus pytest mirror; their families
+    # remain represented in-window via the stable core + this round's
+    # picks. Round-6 editor: front-load the 20 r3-green entries listed
+    # in the header comment — their driver evidence will be 3 rounds
+    # old, the registry's oldest — then backfill with the oldest of
+    # the r4 44; test_registry_order's staleness check re-trips if the
+    # 20 are left out.)
 ]
 
 

@@ -154,11 +154,103 @@ def dedup_index_build(
         [(n, k, bands, n_buckets, max_doc_freq, sid_type)],
         "n int, k int, bands int, n_buckets int, max_doc_freq int, sid_type string",
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/meta")
+    # per-bucket row counts (skew bookkeeping): counted from the
+    # WRITTEN table — one cheap scan of digests, never a recompute of
+    # the signature pass
+    written = spark.read.schema(
+        f"sid {sid_type}, band int, band_sig string, bucket int"
+    ).parquet(f"{index_path}/bands")
+    _refresh_bucket_stats(
+        spark,
+        index_path,
+        written.groupBy("bucket").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows")
+        ),
+    )
+    _warn_if_skewed(spark, index_path, "build")
 
 
 def _read_meta(spark: SparkSession, index_path: str) -> dict:
     row = spark.read.parquet(f"{index_path}/meta").collect()[0]
     return row.asDict()
+
+
+# skew guard: a bucket this many times the mean row count is "hot" —
+# one lookup partition reads it whole, so build/append warn and
+# compaction splits it into multiple files (parallel scan tasks)
+SKEW_FACTOR = 8.0
+
+
+def _refresh_bucket_stats(
+    spark: SparkSession, index_path: str, counts: DataFrame
+) -> None:
+    """Overwrite ``{path}/bucket_stats`` (bucket, n_rows) — control
+    plane, <= n_buckets rows — with the warehouse swap protocol so a
+    crash can't wedge it."""
+    from activedatawarehouseprototype_spark.operators.warehouse import (
+        commit_swap,
+        recover_swap,
+    )
+
+    stats_path = f"{index_path}/bucket_stats"
+    recover_swap(stats_path)
+    staging = stats_path + ".staging"
+    counts.coalesce(1).write.mode("overwrite").parquet(staging)
+    commit_swap(stats_path, staging)
+
+
+def bucket_stats(spark: SparkSession, index_path: str) -> DataFrame:
+    """Per-bucket row counts (bucket, n_rows), maintained at
+    build/append and refreshed from actuals at compaction. Falls back
+    to counting the bands table for indexes built before stats
+    existed."""
+    import os
+
+    stats_path = f"{index_path}/bucket_stats"
+    from activedatawarehouseprototype_spark.operators.warehouse import (
+        recover_swap,
+    )
+
+    recover_swap(stats_path)
+    if os.path.exists(stats_path):
+        return spark.read.parquet(stats_path)
+    m = _read_meta(spark, index_path)
+    return (
+        spark.read.schema(_bands_schema(m))
+        .parquet(f"{index_path}/bands")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    )
+
+
+def hot_buckets(
+    spark: SparkSession, index_path: str, skew_factor: float = SKEW_FACTOR
+) -> list[int]:
+    """Buckets whose row count exceeds ``skew_factor`` x the mean — the
+    ones a pathological batch (boilerplate-identical signatures) can
+    create. A hot bucket is read as ONE giant partition at lookup;
+    ``dedup_index_compact`` splits it into multiple files."""
+    rows = bucket_stats(spark, index_path).collect()
+    if not rows:
+        return []
+    mean = sum(r["n_rows"] for r in rows) / len(rows)
+    return sorted(
+        r["bucket"] for r in rows if r["n_rows"] > skew_factor * max(mean, 1.0)
+    )
+
+
+def _warn_if_skewed(spark: SparkSession, index_path: str, op: str) -> None:
+    import warnings
+
+    hot = hot_buckets(spark, index_path)
+    if hot:
+        warnings.warn(
+            f"dedup_index {op}: bucket(s) {hot} exceed {SKEW_FACTOR}x the "
+            f"mean row count — lookups touching them read one giant "
+            f"partition; run dedup_index_compact(max_rows_per_file=...) "
+            f"to split them into parallel files",
+            stacklevel=3,
+        )
 
 
 def _bands_schema(meta: dict) -> str:
@@ -234,22 +326,54 @@ def dedup_index_append(
     hot = spark.read.parquet(f"{index_path}/hot_shingles")
     banded = _banded_for(
         df, id_col, text_col, m["n"], m["k"], m["bands"], m["n_buckets"], hot
-    )
-    n_parts = min(m["n_buckets"], spark.sparkContext.defaultParallelism)
-    banded.repartition(n_parts, "bucket").write.mode("append").partitionBy(
-        "bucket"
-    ).parquet(f"{index_path}/bands")
+    ).persist()
+    try:
+        # snapshot the PRE-append stats first: the no-stats fallback
+        # counts the bands table lazily, so reading it after the append
+        # below would double-count the new batch
+        cur = bucket_stats(spark, index_path).localCheckpoint()
+        n_parts = min(m["n_buckets"], spark.sparkContext.defaultParallelism)
+        banded.repartition(n_parts, "bucket").write.mode("append").partitionBy(
+            "bucket"
+        ).parquet(f"{index_path}/bands")
+        # merge this batch's per-bucket counts into the stats table
+        # (control plane: <= n_buckets rows each side)
+        delta = banded.groupBy("bucket").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows")
+        )
+        merged = (
+            cur.unionByName(delta)
+            .groupBy("bucket")
+            .agg(F.sum("n_rows").cast("bigint").alias("n_rows"))
+            .localCheckpoint()  # must survive the stats swap below
+        )
+        _refresh_bucket_stats(spark, index_path, merged)
+    finally:
+        banded.unpersist()
+    _warn_if_skewed(spark, index_path, "append")
 
 
 def dedup_index_compact(
-    spark: SparkSession, index_path: str, files_per_bucket: int = 1
+    spark: SparkSession,
+    index_path: str,
+    files_per_bucket: int = 1,
+    max_rows_per_file: int | None = None,
 ) -> None:
     """Rewrite the bands table to ``files_per_bucket`` files per
     bucket (appends add a file per touched bucket per batch — after
     many batches lookups pay per-file open cost). Shares the
     warehouse swap protocol (recover_swap/commit_swap), so a crash at
     any point either keeps the pre-compaction bands or the compacted
-    ones — never a missing/wedged table."""
+    ones — never a missing/wedged table.
+
+    ``max_rows_per_file`` is the HOT-BUCKET splitter: a pathological
+    batch whose signatures all land in one bucket (boilerplate-
+    identical documents) leaves a giant partition that one lookup task
+    must read whole. When set, each bucket is salted into
+    ``ceil(n_rows / max_rows_per_file)`` files (never fewer than
+    ``files_per_bucket``), so the pruned lookup scan parallelizes over
+    the hot bucket's files. Per-bucket counts are refreshed from
+    actuals as part of the same pass (self-healing if stats drifted)."""
     from activedatawarehouseprototype_spark.operators.warehouse import (
         commit_swap,
         recover_swap,
@@ -260,11 +384,47 @@ def dedup_index_compact(
     recover_swap(bands_path)
     df = spark.read.schema(_bands_schema(m)).parquet(bands_path)
     staging = bands_path + ".staging"
-    n_parts = min(
-        m["n_buckets"] * files_per_bucket,
-        spark.sparkContext.defaultParallelism,
+    counts = (
+        df.groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        .localCheckpoint()  # one materialization feeds splits + stats
     )
-    df.repartition(n_parts, "bucket").write.mode("overwrite").partitionBy(
-        "bucket"
-    ).parquet(staging)
+    if max_rows_per_file is not None:
+        splits = counts.select(
+            "bucket",
+            F.greatest(
+                F.lit(files_per_bucket),
+                F.ceil(F.col("n_rows") / max_rows_per_file),
+            )
+            .cast("int")
+            .alias("_nsplit"),
+        )
+        total_files = sum(r["_nsplit"] for r in splits.collect())
+        salted = (
+            df.join(F.broadcast(splits), "bucket", "left")
+            .withColumn(
+                "_salt",
+                F.pmod(
+                    F.xxhash64("sid", "band", "band_sig"),
+                    F.coalesce(F.col("_nsplit"), F.lit(1)),
+                ),
+            )
+        )
+        n_parts = min(total_files, spark.sparkContext.defaultParallelism)
+        (
+            salted.repartition(max(1, n_parts), "bucket", "_salt")
+            .drop("_nsplit", "_salt")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(staging)
+        )
+    else:
+        n_parts = min(
+            m["n_buckets"] * files_per_bucket,
+            spark.sparkContext.defaultParallelism,
+        )
+        df.repartition(n_parts, "bucket").write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(staging)
     commit_swap(bands_path, staging)
+    _refresh_bucket_stats(spark, index_path, counts)

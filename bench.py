@@ -49,12 +49,35 @@ HEADLINE = [
     "fuzzy_part_name_pairs",
     "ann_topk_cosine",
     "ann_ivf_topk",
+    "ivf_pq_search_topk",
+    "cdc_enrich_pipeline_evals",
     "text_stats",
     "sample_split_stats",
     "pack_sequences_stats",
     "resample_ffill_daily_values",
     "timetravel_orders_rollup",
 ]
+
+
+def calibration_probe_seconds(spark) -> float:
+    """Fixed CPU-bound probe for cross-round comparability (round-4
+    VERDICT item 3: twice now, untouched-query drift tracked host
+    speed, not regressions). Pure-Spark hash aggregate over a
+    deterministic range — no repo code, no IO, constant work — so
+    BENCH_r*.json deltas can be split into 'engine change' vs 'host
+    speed': normalized_q = q_seconds * (probe_ref / probe_now). Raw
+    numbers stay in the JSON untouched."""
+    from pyspark.sql import functions as F
+
+    t0 = time.perf_counter()
+    (
+        spark.range(500_000_000)
+        .groupBy((F.col("id") % 1_000_000).alias("k"))
+        .agg(F.sum("id").alias("s"), F.count(F.lit(1)).alias("n"))
+        .agg(F.sum("s"), F.sum("n"))
+        .collect()
+    )
+    return time.perf_counter() - t0
 
 
 def streaming_events_per_sec(spark, n_events: int = 1_000_000) -> float:
@@ -317,6 +340,8 @@ def main() -> None:
 
     # best of two, mirroring the corpus timings: the first run pays JVM
     # codegen + shuffle-service warmup, which is noise, not engine cost.
+    probe = min(calibration_probe_seconds(spark) for _ in range(2))
+
     eps = max(streaming_events_per_sec(spark) for _ in range(2))
     eps50 = max(streaming_50rule_events_per_sec(spark) for _ in range(2))
     eps_w1 = max(streaming_w1_events_per_sec(spark) for _ in range(2))
@@ -331,6 +356,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "calibration_probe_seconds": round(probe, 3),
                 "streaming_events_per_sec": round(eps),
                 "streaming_50rule_events_per_sec": round(eps50),
                 "streaming_w1_events_per_sec": round(eps_w1),

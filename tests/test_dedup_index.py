@@ -268,3 +268,60 @@ def test_index_lookup_recall_across_similarity_knee(spark, tmp_path):
     }
     assert len(hi_hits) / 30 >= 0.8, f"high-sim recall {len(hi_hits)/30:.2f}"
     assert len(lo_hits) / 30 <= 0.2, f"low-sim leakage {len(lo_hits)/30:.2f}"
+
+
+def test_bucket_skew_guard_warns_and_compact_splits(spark, tmp_path, corpus_rows):
+    """Round-4 VERDICT item 7: a pathological batch whose signatures
+    all land in one bucket (identical texts) must (a) be visible in the
+    maintained per-bucket stats, (b) raise a skew warning at append,
+    and (c) be splittable into multiple files by
+    dedup_index_compact(max_rows_per_file=...) without changing lookup
+    results."""
+    import os
+    import warnings
+
+    idx = str(tmp_path / "skewidx")
+    corpus = _mkdocs(spark, corpus_rows)
+    DI.dedup_index_build(corpus, idx, n=3, k=12, bands=3)
+
+    # stats exist and cover every band row of the build
+    st = {r.bucket: r.n_rows for r in DI.bucket_stats(spark, idx).collect()}
+    assert sum(st.values()) == 3 * len(corpus_rows)
+    assert DI.hot_buckets(spark, idx) == []
+
+    # plant the hot bucket: 400 docs with IDENTICAL text → identical
+    # signatures → all band rows land in (at most) 3 buckets
+    hot_text = "omega " * 40
+    hot_batch = _mkdocs(
+        spark, [(10_000 + i, hot_text) for i in range(400)]
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        DI.dedup_index_append(spark, idx, hot_batch)
+    assert any("exceed" in str(x.message) for x in w), "no skew warning"
+    hot = DI.hot_buckets(spark, idx)
+    assert hot, "planted hot bucket not detected"
+    st2 = {r.bucket: r.n_rows for r in DI.bucket_stats(spark, idx).collect()}
+    assert sum(st2.values()) == 3 * (len(corpus_rows) + 400)
+
+    # lookup result before compaction (a near-dup of the hot text)
+    probe = _mkdocs(spark, [(99_999, hot_text + " zz")])
+    before = {
+        (r.id_new, r.id_indexed)
+        for r in DI.dedup_index_lookup(spark, idx, probe).collect()
+    }
+    assert len(before) >= 400  # matches every planted copy
+
+    # compact with the splitter: the hot bucket gets multiple files
+    DI.dedup_index_compact(spark, idx, max_rows_per_file=200)
+    hot_dir = os.path.join(idx, "bands", f"bucket={hot[0]}")
+    n_files = len([f for f in os.listdir(hot_dir) if f.endswith(".parquet")])
+    assert n_files >= 2, f"hot bucket not split: {n_files} file(s)"
+    after = {
+        (r.id_new, r.id_indexed)
+        for r in DI.dedup_index_lookup(spark, idx, probe).collect()
+    }
+    assert after == before  # splitting changed layout, not answers
+    # stats refreshed from actuals
+    st3 = {r.bucket: r.n_rows for r in DI.bucket_stats(spark, idx).collect()}
+    assert st3 == st2

@@ -2,9 +2,11 @@
 
 The CORRECTNESS driver runs exactly the first 50 entries of
 ``__spark_entry__.queries()`` (round-2 judge-verified).  Round 3 rotated
-the never-driver-checked queries through that window; round 4 rotates
-the 29 entries whose freshest evidence was round 2.  These tests make
-sure a refactor can't silently undo the rotation or drop a query.
+the never-driver-checked queries through that window; round 4 rotated
+the 29 entries whose freshest evidence was round 2; round 5 rotates the
+18 entries that had never earned a driver row plus the oldest (r3)
+evidence.  These tests make sure a refactor can't silently undo the
+rotation or drop a query.
 """
 
 from __future__ import annotations
@@ -35,43 +37,60 @@ def test_stable_core_inside_driver_window():
     assert not missing, f"stable-core canaries outside the driver window: {missing}"
 
 
-def test_rotation_targets_were_stale_after_r3():
-    """The round-4 rotation should only name queries that did NOT get a
-    round-3 driver row (their freshest evidence was r1/r2) or that are
-    new this round (no row anywhere by construction)."""
-    path = os.path.join(_REPO, "CORRECTNESS_r03.json")
-    r3 = set(json.load(open(path)))
-    overlap = [n for n in _DRIVER_ROTATION if n in r3]
-    assert not overlap, f"already driver-checked in r3: {overlap}"
+def test_rotation_targets_were_stale_after_r4():
+    """The round-5 rotation should only name queries that did NOT get a
+    round-4 driver row (never-checked, or freshest evidence r3) or that
+    are new this round (no row anywhere by construction)."""
+    path = os.path.join(_REPO, "CORRECTNESS_r04.json")
+    r4 = set(json.load(open(path)))
+    overlap = [n for n in _DRIVER_ROTATION if n in r4]
+    assert not overlap, f"already driver-checked in r4: {overlap}"
+
+
+def test_never_driver_checked_entries_all_in_window():
+    """The point of the round-5 rotation: every entry that has NEVER
+    had a driver row across r1-r4 must sit inside this round's window
+    (after which the whole registry's history is driver-checked)."""
+    checked = set()
+    for r in ("r01", "r02", "r03", "r04"):
+        checked |= set(
+            json.load(open(os.path.join(_REPO, f"CORRECTNESS_{r}.json")))
+        )
+    first = set(list(QUERIES)[:DRIVER_CAP])
+    never = [n for n in QUERIES if n not in checked]
+    outside = [n for n in never if n not in first]
+    assert not outside, (
+        f"never-driver-checked entries left outside the window: {outside}"
+    )
 
 
 def test_whole_registry_has_driver_evidence_within_two_rounds():
-    """Union check: every registry entry either has a driver row in
-    r2/r3 or sits in this round's first-50 window (so it earns one in
-    r4) — i.e. after this round no entry's evidence is >2 rounds old."""
-    r1 = set(json.load(open(os.path.join(_REPO, "CORRECTNESS_r01.json"))))
-    r2 = set(json.load(open(os.path.join(_REPO, "CORRECTNESS_r02.json"))))
-    r3 = set(json.load(open(os.path.join(_REPO, "CORRECTNESS_r03.json"))))
+    """Union check: every registry entry either has an r4 driver row or
+    sits in this round's first-50 window (earning an r5 row) — i.e.
+    after this round no entry's evidence is more than 2 rounds old.
+    Round-6 editor: when this trips at the next rotation, front-load
+    the named entries."""
+    r4 = set(json.load(open(os.path.join(_REPO, "CORRECTNESS_r04.json"))))
     first = set(list(QUERIES)[:DRIVER_CAP])
-    # Entries REGISTERED AFTER this round's window filled (never in any
-    # CORRECTNESS file and outside the first 50) are fine: they carry
-    # full pytest-mirror evidence now and MUST enter round 5's rotation
-    # — the window edit at the start of round 5 re-trips this test if
-    # they don't, because by then they'll have an r4-absence instead of
-    # "brand new" status.
-    ever_checked = r1 | r2 | r3
-    stale = [
-        n for n in QUERIES
-        if n not in r3 and n not in first and n in ever_checked
-    ]
-    # anything with an OLD driver row not refreshed in r3 must be in
-    # this round's window
-    assert not stale, f"entries with stale driver rows left outside the window: {stale}"
-    # and the window itself is fully r2/r3-green history or new queries
-    unknown = [n for n in first if n not in r2 | r3]
-    # new-this-round queries are allowed (no prior row by construction)
-    for n in unknown:
-        assert n in QUERIES
+    stale = [n for n in QUERIES if n not in r4 and n not in first]
+    # the 20 r3-green entries parked this round are the KNOWN leftover —
+    # they must be exactly the set that rotates in round 6, nothing else
+    allowed_r3_parked = {
+        "rule_passthrough", "tpch_q6_revenue_delta",
+        "tpch_q3_shipping_priority", "percentile_order_prices",
+        "pivot_status_by_priority", "grouping_sets_orders",
+        "window_running_order_totals", "udf_pandas_log_score",
+        "udaf_weighted_avg_price", "udf_sql_registered_brand_code",
+        "udtf_token_explode", "stats_price_quantity",
+        "bool_aggs_per_segment", "regexp_part_type_tokens",
+        "histogram_event_values", "hourly_activity_profile",
+        "null_semantics_aggs", "pivot_native_status_by_priority",
+        "text_top_bigrams", "sketch_approx_distinct_and_quantiles",
+    }
+    unexpected = [n for n in stale if n not in allowed_r3_parked]
+    assert not unexpected, (
+        f"entries with stale driver rows left outside the window: {unexpected}"
+    )
 
 
 def test_no_duplicates_and_oracles_subset():
