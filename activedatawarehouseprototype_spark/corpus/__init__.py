@@ -74,22 +74,23 @@ from activedatawarehouseprototype_spark.corpus import stats  # noqa: E402,F401
 #     cross-table embedding decontamination, PQ codes (now
 #     ORACLE-BACKED, upgraded from rows-only this round), resample,
 #     alert cooldown;
-#   - 2 queries NEW in round 5 (fused IVF+PQ search, pipeline CDC
-#     enrichment MV — both oracle-backed);
+#   - 10 queries NEW in round 5, all oracle-backed: fused IVF+PQ
+#     search, pipeline CDC enrichment MV, and the 8 remaining
+#     TPC-H shapes expressible on the fixture (q9/q12/q13/q15/q17/
+#     q19/q21/q22 — q2/q11/q16/q20 need the absent partsupp table);
 #   - the 12 r3-green sit-outs round 4 parked, whose evidence is now
 #     the oldest in the registry;
-#   - 12 more r3-latest entries chosen for family diversity (minhash
-#     LSH, string scalars, repetition, the four ANN bucket/cell paths,
-#     multimodal, embedding arrays, as-of join, session windows,
-#     range join).
+#   - 4 more r3-latest entries for family diversity (minhash LSH,
+#     multimodal, as-of join, session windows).
 # With the 6-entry stable core that fills the 50-slot window exactly.
 # After this round EVERY oracle-backed entry in the registry's history
-# has a driver hash-match; the 20 r3-green entries left outside
+# has a driver hash-match; the 28 r3-green entries left outside
 # (rule_passthrough, tpch_q3/q6, percentile/pivot x2/grouping-sets/
 # running-totals, the four UDF tiers, stats, bool aggs, regexp,
-# histogram, hourly profile, null semantics, bigrams, sketches) rotate
-# back in round 6, by which point their evidence is 3 rounds old —
-# front-load them.
+# histogram, hourly profile, null semantics, bigrams, sketches, string
+# scalars, repetition, the four ANN bucket/cell batch paths, embedding
+# arrays, range join) rotate back in round 6, by which point their
+# evidence is 3 rounds old — front-load them.
 # ---------------------------------------------------------------------------
 
 _DRIVER_ROTATION = [
@@ -117,6 +118,14 @@ _DRIVER_ROTATION = [
     # new in round 5 (no prior row by construction)
     "ivf_pq_search_topk",
     "cdc_enrich_pipeline_evals",
+    "tpch_q9_product_profit",
+    "tpch_q12_priority_shipping",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity",
+    "tpch_q19_discounted_revenue",
+    "tpch_q21_lone_returner",
+    "tpch_q22_idle_balances",
     # the 12 r3-green sit-outs from round 4 (oldest evidence first)
     "rule_sliding_max",
     "rule_count_tumbling",
@@ -130,19 +139,13 @@ _DRIVER_ROTATION = [
     "dedup_minhash_components",
     "ann_topk_cosine",
     "text_quality_filter",
-    # 12 more r3-latest entries (family diversity)
+    # 4 more r3-latest entries (family diversity: minhash canary,
+    # multimodal bytes, as-of join, session windows; the other ANN
+    # paths stay represented via ann_topk_cosine + ivf_pq_search_topk)
     "dedup_minhash_lsh",
-    "scalar_string_fns",
-    "text_repetition",
-    "ann_lsh_bucket_topk",
-    "ann_ivf_topk",
-    "ann_lsh_batch_multiprobe_topk",
-    "ann_ivf_batch_topk",
     "multimodal_byte_stats",
-    "array_embedding_stats",
     "asof_click_latest_purchase",
     "session_windows_per_user",
-    "range_join_price_bands",
 ]
 
 _STABLE_CORE = [

@@ -329,7 +329,16 @@ def band_signatures(
     """(sid, band, band_sig) from ``minhash_signatures`` rows: band
     signature = md5 of the band's concatenated minhashes. Two docs
     agreeing on all rows_per_band = k/bands minhashes of any band
-    collide — the similarity knee of MinHash LSH."""
+    collide — the similarity knee of MinHash LSH.
+
+    The minhashes within a band are SORTED before hashing (the
+    ``collect_list`` order is nondeterministic across partitionings),
+    so banding is multiset- rather than position-sensitive: two docs
+    whose band holds the same k/bands values in a different hash_idx
+    arrangement also collide. With 128-bit md5 minhashes such
+    permutation collisions are negligible extra candidates (candidates
+    are verified downstream anyway), and the DuckDB oracles compute
+    the same sorted-multiset semantics."""
     rows_per_band = k // bands
     return (
         sig.withColumn("band", (F.col("hash_idx") / rows_per_band).cast("int"))

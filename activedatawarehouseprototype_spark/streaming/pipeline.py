@@ -493,7 +493,7 @@ class ActivePipeline:
             ).write.mode("append").parquet(self.latency_path)
 
         # (2) shared event buffer with widest-window retention
-        buffer = self._update_buffer(batch_df)
+        buffer = self._update_buffer(batch_df, batch_id)
         vals = obs.get  # populated by the buffer/latency writes above
         self.metrics["events_ingested"] += vals.get("n_events", 0)
         if has_latency:
@@ -719,6 +719,13 @@ class ActivePipeline:
     # derived event-time partition column of the on-disk buffer layout
     # (never visible to rule evaluation — dropped before return)
     BUCKET_COL = "_bucket"
+    # per-batch partition column: each micro-batch OVERWRITES its own
+    # ``_batch=<id>`` directory, so an at-least-once foreachBatch
+    # replay rewrites identical data instead of appending duplicates
+    # into window aggregates (found by the round-5 concurrency soak:
+    # replaying the pre-restart batch inflated SUM windows). The
+    # column survives the physical rewrite for the same reason.
+    BATCH_COL = "_batch"
 
     def _bucket_expr(self):
         return F.floor(
@@ -734,19 +741,31 @@ class ActivePipeline:
             entries = os.listdir(self.buffer_path)
         except FileNotFoundError:
             return False
-        return any(e.startswith(self.BUCKET_COL + "=") for e in entries)
+        for e in entries:
+            if not e.startswith(self.BATCH_COL + "="):
+                continue
+            try:
+                sub = os.listdir(os.path.join(self.buffer_path, e))
+            except NotADirectoryError:
+                continue
+            if any(s.startswith(self.BUCKET_COL + "=") for s in sub):
+                return True
+        return False
 
-    def _update_buffer(self, batch_df: DataFrame) -> DataFrame:
+    def _update_buffer(self, batch_df: DataFrame, batch_id: int) -> DataFrame:
         """Shared event buffer, widest-ACTIVE-window retention.
 
-        Per-batch cost is O(new batch): the micro-batch APPENDS to the
-        buffer directory; the event-time high watermark advances from
-        the BATCH's max ts (no full-buffer scan); retention is a
-        read-side filter at the PREVIOUS batch's watermark — the
-        one-batch lag guarantees a window closing this batch (end <=
-        current watermark, end > previous watermark) still has its
-        complete event set in the readable buffer, however far the new
-        batch jumped ahead in event time.
+        Per-batch cost is O(new batch): the micro-batch OVERWRITES its
+        own ``_batch=<id>`` directory of the buffer (idempotent under
+        foreachBatch's at-least-once replay — an append here would
+        double-count replayed events in every window aggregate); the
+        event-time high watermark advances from the BATCH's max ts (no
+        full-buffer scan); retention is a read-side filter at the
+        PREVIOUS batch's watermark — the one-batch lag guarantees a
+        window closing this batch (end <= current watermark, end >
+        previous watermark) still has its complete event set in the
+        readable buffer, however far the new batch jumped ahead in
+        event time.
 
         Layout: the buffer is PARTITIONED by event-time bucket
         (``_bucket = floor(ts_ms / buffer_bucket_ms)``, hour
@@ -761,8 +780,10 @@ class ActivePipeline:
         for a Delta table partitioned by event date with retention —
         same shape, swap the writer."""
         batch_df.withColumn(self.BUCKET_COL, self._bucket_expr()).write.mode(
-            "append"
-        ).partitionBy(self.BUCKET_COL).parquet(self.buffer_path)
+            "overwrite"
+        ).partitionBy(self.BUCKET_COL).parquet(
+            os.path.join(self.buffer_path, f"{self.BATCH_COL}={batch_id}")
+        )
         self._has_buffer = self._buffer_data_exists()
 
         prev_wm = self._max_event_ts
@@ -802,9 +823,12 @@ class ActivePipeline:
             # (isEmpty guard: a partitioned write of 0 rows emits no
             # files, and the re-read below couldn't infer a schema)
             staging = self.buffer_path + ".next"
-            buffer.write.mode("overwrite").partitionBy(self.BUCKET_COL).parquet(
-                staging
-            )
+            # the rewrite keeps the per-batch partition level: rows stay
+            # under their original _batch=<id>, so a later replay of any
+            # batch still lands as an idempotent directory overwrite
+            buffer.write.mode("overwrite").partitionBy(
+                self.BATCH_COL, self.BUCKET_COL
+            ).parquet(staging)
             shutil.rmtree(self.buffer_path)
             os.replace(staging, self.buffer_path)
             if horizon is not None:
@@ -816,7 +840,7 @@ class ActivePipeline:
             # keep the retention predicate on the compacted read so
             # evaluation semantics don't depend on prune timing
             buffer = _retained(self.spark.read.parquet(self.buffer_path))
-        return buffer.drop(self.BUCKET_COL)
+        return buffer.drop(self.BUCKET_COL, self.BATCH_COL)
 
     def _clear_buffer(self) -> None:
         if os.path.exists(self.buffer_path):
