@@ -139,10 +139,13 @@ _DRIVER_ROTATION = [
     "dedup_minhash_components",
     "ann_topk_cosine",
     "text_quality_filter",
-    # 4 more r3-latest entries (family diversity: minhash canary,
-    # multimodal bytes, as-of join, session windows; the other ANN
-    # paths stay represented via ann_topk_cosine + ivf_pq_search_topk)
-    "dedup_minhash_lsh",
+    # 4 more entries (family diversity: repeated-span dedup is new in
+    # round 5 — no prior row by construction — displacing the r3-green
+    # dedup_minhash_lsh canary whose family stays represented 3x
+    # in-window; multimodal bytes, as-of join, session windows; the
+    # other ANN paths stay represented via ann_topk_cosine +
+    # ivf_pq_search_topk)
+    "dedup_repeated_spans",
     "multimodal_byte_stats",
     "asof_click_latest_purchase",
     "session_windows_per_user",

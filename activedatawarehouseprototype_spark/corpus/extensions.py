@@ -2072,3 +2072,61 @@ def mv_histogram_merge_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint()
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# --- Repeated-span (bounded ExactSubstr) dedup: rewrite docs, not drop them ---
+
+_SPAN_W = 8  # words per chunk; stride = chunk size
+
+
+@register(
+    "dedup_repeated_spans",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+         len(string_split(text, ' ')) AS nw,
+         CAST(floor(len(string_split(text, ' ')) / {_SPAN_W}) AS INT) AS nc
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, CAST(t.i AS INT) AS chunk_idx,
+         array_to_string(
+             w[(CAST(t.i AS INT) * {_SPAN_W} + 1):(CAST(t.i AS INT) * {_SPAN_W} + {_SPAN_W})],
+             ' ') AS chunk
+  FROM base, UNNEST(range(nc)) AS t(i)
+  WHERE nc > 0
+),
+dup AS (
+  SELECT chunk FROM chunks GROUP BY chunk HAVING COUNT(DISTINCT doc_id) >= 2
+),
+kept AS (SELECT * FROM chunks WHERE chunk NOT IN (SELECT chunk FROM dup)),
+reass AS (
+  SELECT doc_id, string_agg(chunk, ' ' ORDER BY chunk_idx) AS kept_text,
+         COUNT(*) AS kept_chunks
+  FROM kept GROUP BY doc_id
+)
+SELECT CAST(b.doc_id AS BIGINT) AS doc_id,
+       CAST(b.nc AS INT) AS n_chunks,
+       CAST(b.nc - COALESCE(r.kept_chunks, 0) AS INT) AS chunks_removed,
+       COALESCE(array_to_string(
+           list_filter(
+               [COALESCE(r.kept_text, ''),
+                CASE WHEN b.nw > b.nc * {_SPAN_W}
+                     THEN array_to_string(w[(b.nc * {_SPAN_W} + 1):b.nw], ' ')
+                     ELSE '' END],
+               x -> x <> ''),
+           ' '), '') AS clean_text
+FROM base b LEFT JOIN reass r USING (doc_id)
+""",
+)
+def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated 8-word spans removed in place; the
+    fixture corpus genuinely shares spans (135 duplicated chunks at
+    sf0.01), so no planting is needed."""
+    return dedup.repeated_span_dedup(
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        "doc_id",
+        "text",
+        chunk_words=_SPAN_W,
+        min_docs=2,
+    )

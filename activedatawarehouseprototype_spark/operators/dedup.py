@@ -718,3 +718,108 @@ def semantic_cluster_survivors(
     return assigned.groupBy("cell").applyInPandas(
         _survivors, schema=f"{id_col} bigint, cell bigint"
     )
+
+
+def repeated_span_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_words: int = 8,
+    min_docs: int = 2,
+    hash_chunks: bool = False,
+) -> DataFrame:
+    """Remove exact word spans that repeat across documents (bounded
+    ExactSubstr dedup, the fixed-stride approximation of Lee et al.
+    "Deduplicating Training Data Makes Language Models Better").
+
+    Documents are cut into consecutive ``chunk_words``-word chunks
+    (stride = chunk size, so each word belongs to exactly one chunk);
+    a chunk whose exact text appears in >= ``min_docs`` distinct
+    documents is dropped from EVERY document containing it, and the
+    surviving chunks (plus the <chunk_words tail, always kept) are
+    re-joined in order. Unlike doc-level ``exact_dedup`` this rewrites
+    partially-duplicated documents instead of keeping/dropping whole
+    ones — the boilerplate/template-removal step of a training-data
+    pipeline.
+
+    Returns one row per input document:
+    ``(id, n_chunks, chunks_removed, clean_text)``.
+
+    Scale: one explode (|words|/chunk_words rows), one partial-agg
+    shuffle on the chunk key for document frequency, one anti join,
+    one per-doc regroup — all linear; never |docs|^2.
+    ``hash_chunks=True`` shuffles/joins on ``xxhash64(chunk)`` (8
+    bytes) instead of the chunk text (~6x wider) — the 100 TB setting;
+    equivalence is pinned in test_repeated_span_dedup_hash_equivalence.
+    The corpus oracle recomputes the string-key path in DuckDB.
+
+    Reference scope note: the reference engine has no dedup surface;
+    this extends the north-star LLM-pipeline tier (SURVEY.md §7 M5).
+    """
+    words = F.split(F.col(text_col), " ")
+    base = df.select(
+        F.col(id_col).alias("sid"),
+        words.alias("_w"),
+        F.size(words).alias("_nw"),
+        F.floor(F.size(words) / chunk_words).cast("int").alias("_nc"),
+    )
+    # one row per complete chunk; docs shorter than one chunk emit none
+    chunks = (
+        base.filter(F.col("_nc") > 0)
+        .select(
+            "sid",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, _nc - 1), i -> "
+                    f"array_join(slice(_w, i * {chunk_words} + 1, {chunk_words}), ' '))"
+                )
+            ).alias("chunk_idx", "chunk"),
+        )
+    )
+    key = F.xxhash64("chunk") if hash_chunks else F.col("chunk")
+    keyed = chunks.withColumn("_k", key)
+    dup_keys = (
+        keyed.groupBy("_k")
+        .agg(F.count_distinct("sid").alias("_df"))
+        .filter(F.col("_df") >= min_docs)
+        .select("_k")
+    )
+    kept = keyed.join(dup_keys, "_k", "left_anti")
+    reassembled = kept.groupBy("sid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("_kept_text"),
+        F.count(F.lit(1)).alias("_kept_chunks"),
+    )
+    tail = F.when(
+        F.col("_nw") > F.col("_nc") * chunk_words,
+        F.array_join(
+            F.slice(
+                F.col("_w"),
+                F.col("_nc") * chunk_words + 1,
+                F.col("_nw") - F.col("_nc") * chunk_words,
+            ),
+            " ",
+        ),
+    ).otherwise(F.lit(""))
+    return (
+        base.join(reassembled, "sid", "left")
+        .select(
+            F.col("sid").alias(id_col),
+            F.col("_nc").alias("n_chunks"),
+            (F.col("_nc") - F.coalesce("_kept_chunks", F.lit(0)))
+            .cast("int")
+            .alias("chunks_removed"),
+            F.array_join(
+                F.filter(
+                    F.array(F.coalesce("_kept_text", F.lit("")), tail),
+                    lambda x: x != "",
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )

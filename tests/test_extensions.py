@@ -1409,3 +1409,61 @@ def test_ivf_index_compact_preserves_search(spark, emb, tmp_path):
         for r in similarity.ivf_index_search(spark, idx, q, k=5).collect()
     }
     assert after == before
+
+
+def test_repeated_span_dedup_semantics(spark):
+    # doc 1 and 2 share an exact 8-word span (one chunk); doc 3 is
+    # unrelated; doc 4 is shorter than one chunk (kept verbatim).
+    span = "a b c d e f g h"
+    rows = [
+        (1, span + " one two three four five six seven eight tail1"),
+        (2, span + " x1 x2 x3 x4 x5 x6 x7 x8"),
+        (3, "q r s t u v w x y z"),
+        (4, "short doc"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: r
+        for r in dedup.repeated_span_dedup(
+            df, "doc_id", "text", chunk_words=8, min_docs=2
+        ).collect()
+    }
+    # doc1: 2 full chunks + 1-word tail; shared chunk removed
+    assert out[1].n_chunks == 2 and out[1].chunks_removed == 1
+    assert out[1].clean_text == "one two three four five six seven eight tail1"
+    # doc2: both chunks present, shared one removed
+    assert out[2].n_chunks == 2 and out[2].chunks_removed == 1
+    assert out[2].clean_text == "x1 x2 x3 x4 x5 x6 x7 x8"
+    # doc3: 1 chunk + tail, nothing removed, text round-trips
+    assert out[3].chunks_removed == 0 and out[3].clean_text == rows[2][1]
+    # doc4: zero chunks, tail-only passthrough
+    assert out[4].n_chunks == 0 and out[4].clean_text == "short doc"
+    # intra-doc repetition alone does NOT trigger removal (min_docs
+    # counts distinct documents)
+    rep = spark.createDataFrame(
+        [(10, span + " " + span), (11, "k l m n o p q u")], ["doc_id", "text"]
+    )
+    out2 = {
+        r.doc_id: r
+        for r in dedup.repeated_span_dedup(
+            rep, "doc_id", "text", chunk_words=8, min_docs=2
+        ).collect()
+    }
+    assert out2[10].chunks_removed == 0
+
+
+def test_repeated_span_dedup_hash_equivalence(spark, docs):
+    d = docs.select("doc_id", "text")
+    a = (
+        dedup.repeated_span_dedup(d, "doc_id", "text", hash_chunks=False)
+        .orderBy("doc_id")
+        .collect()
+    )
+    b = (
+        dedup.repeated_span_dedup(d, "doc_id", "text", hash_chunks=True)
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert a == b
+    # and the fixture corpus genuinely contains cross-doc spans
+    assert sum(r.chunks_removed for r in a) > 0
