@@ -777,6 +777,12 @@ def repeated_span_dedup(
         )
     )
     key = F.xxhash64("chunk") if hash_chunks else F.col("chunk")
+    # the chunk table feeds BOTH the document-frequency agg and the
+    # anti join, so the scan+explode runs twice — deliberately NOT
+    # localCheckpoint'ed (unlike the minhash shingle pass): the stride
+    # explode is cheap per row, and materializing a corpus-sized chunk
+    # table costs more than a second columnar scan (measured slower at
+    # sf0.1 too)
     keyed = chunks.withColumn("_k", key)
     dup_keys = (
         keyed.groupBy("_k")

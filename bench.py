@@ -43,6 +43,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_minhash_components",
     "dedup_winnow_overlap",
+    "dedup_repeated_spans",
     "emb_near_dup_pairs",
     "semantic_cluster_dedup",
     "lm_unigram_doc_scores",

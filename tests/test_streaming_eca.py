@@ -555,7 +555,7 @@ def test_buffer_event_time_partition_pruning(spark, tmp_path):
     # 4th append outside process_batch so we can inspect the returned
     # readable buffer (mirror the batch-count bump process_batch does)
     p._batch_count += 1
-    buf = p._update_buffer(car_df(spark, [(1, 30, 50.0)]))
+    buf = p._update_buffer(car_df(spark, [(1, 30, 50.0)]), 3)
 
     # retention semantics: horizon = prev_wm(30s... no: 20s) - 2s window
     # → only the 20s and 30s events remain readable
