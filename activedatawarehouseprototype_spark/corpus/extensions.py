@@ -2130,3 +2130,71 @@ def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunk_words=_SPAN_W,
         min_docs=2,
     )
+
+
+# --- DSIR importance weights: bigram-LM log-ratio data selection ---
+
+
+@register(
+    "dsir_importance_weights",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+bg AS (
+  SELECT doc_id, lang, w[CAST(t.i AS INT)] AS w1, w[CAST(t.i AS INT) + 1] AS w2
+  FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents) s,
+       UNNEST(range(1, len(w))) AS t(i)
+),
+tbi AS (SELECT w1, w2, COUNT(*) AS cb FROM bg WHERE lang = 'en' GROUP BY w1, w2),
+tctx AS (SELECT w1, SUM(cb) AS cw FROM tbi GROUP BY w1),
+tuni AS (SELECT tok, COUNT(*) AS cu FROM toks WHERE lang = 'en' GROUP BY tok),
+ttot AS (SELECT CAST(SUM(cu) AS DOUBLE) AS n_, CAST(COUNT(*) AS DOUBLE) AS v_ FROM tuni),
+rbi AS (SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY w1, w2),
+rctx AS (SELECT w1, SUM(cb) AS cw FROM rbi GROUP BY w1),
+runi AS (SELECT tok, COUNT(*) AS cu FROM toks GROUP BY tok),
+rtot AS (SELECT CAST(SUM(cu) AS DOUBLE) AS n_, CAST(COUNT(*) AS DOUBLE) AS v_ FROM runi),
+ts AS (
+  SELECT doc_id, COUNT(*) AS nb,
+         AVG(ln(0.75 * COALESCE(CAST(cb AS DOUBLE) / CAST(cw AS DOUBLE), 0.0)
+                + 0.25 * ((CAST(COALESCE(cu2, 0) AS DOUBLE) + 0.5) / (n_ + 0.5 * v_)))) AS lp
+  FROM bg
+  LEFT JOIN tbi USING (w1, w2)
+  LEFT JOIN tctx USING (w1)
+  LEFT JOIN (SELECT tok AS w2, cu AS cu2 FROM tuni) USING (w2)
+  CROSS JOIN ttot
+  GROUP BY doc_id
+),
+rs AS (
+  SELECT doc_id, COUNT(*) AS nb,
+         AVG(ln(0.75 * COALESCE(CAST(cb AS DOUBLE) / CAST(cw AS DOUBLE), 0.0)
+                + 0.25 * ((CAST(COALESCE(cu2, 0) AS DOUBLE) + 0.5) / (n_ + 0.5 * v_)))) AS lp
+  FROM bg
+  LEFT JOIN rbi USING (w1, w2)
+  LEFT JOIN rctx USING (w1)
+  LEFT JOIN (SELECT tok AS w2, cu AS cu2 FROM runi) USING (w2)
+  CROSS JOIN rtot
+  GROUP BY doc_id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(COALESCE(ts.nb, 0) AS BIGINT) AS n_bigrams,
+       ROUND(COALESCE(ts.lp, 0.0) - COALESCE(rs.lp, 0.0), 6) AS log_weight
+FROM documents d
+LEFT JOIN ts USING (doc_id)
+LEFT JOIN rs USING (doc_id)
+""",
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection toward the 'en' slice of the corpus: log
+    importance weight per document under target-vs-raw interpolated
+    bigram LMs (see operators/text.py dsir_log_weights)."""
+    d = _docs(spark, sf_dir)
+    out = T.dsir_log_weights(
+        d.select("doc_id", "text"),
+        d.filter(F.col("lang") == "en").select("doc_id", "text"),
+    )
+    return out.select(
+        "doc_id",
+        "n_bigrams",
+        F.round("log_weight", 6).alias("log_weight"),
+    )

@@ -315,3 +315,127 @@ def tfidf_top_terms(
         .filter(F.col("rnk") <= top_n)
         .select(id_col, "term", "score", F.col("rnk").cast("int").alias("rnk"))
     )
+
+
+def bigram_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Every (w1, w2) adjacent-token occurrence per document (with
+    multiplicity), via the relational posexplode + ``lead`` form the
+    shingle pass established as the codegen-friendly one. The
+    ``repartition(id)`` feeds the lead window's required distribution,
+    so the explode spread costs no extra exchange."""
+    from pyspark.sql import Window
+
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    base = (
+        df.repartition(n_parts, id_col)
+        .select(
+            F.col(id_col).alias("sid"),
+            F.posexplode(tokens(F.col(text_col))).alias("pos", "w1"),
+        )
+    )
+    wl = Window.partitionBy("sid").orderBy("pos")
+    return (
+        base.withColumn("w2", F.lead("w1").over(wl))
+        .filter(F.col("w2").isNotNull())
+        .select("sid", "w1", "w2")
+    )
+
+
+def bigram_interp_scores(
+    df: DataFrame,
+    lm_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.75,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-document mean log-probability under an interpolated bigram
+    LM trained on ``lm_df``:
+
+        p(w2 | w1) = lam * c(w1,w2)/c(w1·)  +  (1-lam) * p_uni(w2)
+
+    with add-alpha-smoothed unigram backoff p_uni(t) = (c_t + alpha) /
+    (N + alpha * V). ``lam``/``alpha`` default to exactly-representable
+    binary fractions so every per-row product is IEEE-bit-identical in
+    the SQL twin; only the per-doc mean is order-dependent (consumers
+    round it, corpus float discipline).
+
+    Returns (id_col, n_bigrams, avg_lp) — one row per input document;
+    documents with < 2 tokens carry n_bigrams = 0 and avg_lp = 0.0.
+
+    Scale: LM tables (bigram counts, context counts, unigram counts)
+    are vocabulary-bounded and BROADCAST; the exploded corpus bigram
+    stream is never shuffled by token (same discipline as the unigram
+    LM / TF-IDF passes). If the bigram vocabulary ever outgrows
+    broadcast, pre-prune it to the scored side's distinct pairs first.
+    """
+    lm_pairs = bigram_pairs(lm_df, id_col, text_col)
+    bi = lm_pairs.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    ctx = bi.groupBy("w1").agg(F.sum("cb").alias("cw"))
+    uni = unigram_counts(lm_df, text_col).withColumnRenamed("c", "cu")
+    tot = uni.agg(F.sum("cu").alias("n_"), F.count("*").alias("v_"))
+
+    dbg = bigram_pairs(df, id_col, text_col)
+    p_bi = F.coalesce(
+        F.col("cb").cast("double") / F.col("cw").cast("double"), F.lit(0.0)
+    )
+    p_uni = (F.coalesce(F.col("cu2"), F.lit(0)).cast("double") + F.lit(alpha)) / (
+        F.col("n_").cast("double") + F.lit(alpha) * F.col("v_").cast("double")
+    )
+    scored = (
+        dbg.join(F.broadcast(bi), ["w1", "w2"], "left")
+        .join(F.broadcast(ctx), "w1", "left")
+        .join(
+            F.broadcast(
+                uni.select(F.col("token").alias("w2"), F.col("cu").alias("cu2"))
+            ),
+            "w2",
+            "left",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select("sid", F.log(F.lit(lam) * p_bi + F.lit(1.0 - lam) * p_uni).alias("lp"))
+        .groupBy("sid")
+        .agg(F.count("*").alias("n_bigrams"), F.avg("lp").alias("avg_lp"))
+    )
+    return (
+        df.select(F.col(id_col).alias("sid"))
+        .join(scored, "sid", "left")
+        .select(
+            F.col("sid").alias(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+            F.coalesce("avg_lp", F.lit(0.0)).alias("avg_lp"),
+        )
+    )
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    target_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.75,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """DSIR-style importance weights for data selection (Xie et al.,
+    "Data Selection for Language Models via Importance Resampling",
+    NeurIPS 2023): log w(x) = mean log p_target(x) - mean log p_raw(x)
+    under bigram LMs trained on the target domain vs the raw corpus
+    itself. Documents resembling the target domain score > 0; sampling
+    proportional to w resamples the raw corpus toward the target
+    distribution. Published method, re-expressed as two broadcast-LM
+    scoring passes over one exploded bigram stream each.
+
+    Returns (id_col, n_bigrams, log_weight); zero-bigram docs carry
+    weight 0.0. Consumers round log_weight (order-dependent means).
+    """
+    t = bigram_interp_scores(df, target_df, id_col, text_col, lam, alpha)
+    r = bigram_interp_scores(df, df, id_col, text_col, lam, alpha)
+    return (
+        t.alias("t")
+        .join(r.alias("r"), id_col)
+        .select(
+            F.col(id_col),
+            F.col("t.n_bigrams").alias("n_bigrams"),
+            (F.col("t.avg_lp") - F.col("r.avg_lp")).alias("log_weight"),
+        )
+    )

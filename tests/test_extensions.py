@@ -1467,3 +1467,41 @@ def test_repeated_span_dedup_hash_equivalence(spark, docs):
     assert a == b
     # and the fixture corpus genuinely contains cross-doc spans
     assert sum(r.chunks_removed for r in a) > 0
+
+
+def test_dsir_weights_favor_target_domain(spark, docs):
+    """Targeting the 'en' slice, mean log-weight of en docs must exceed
+    mean log-weight of every other language (the DSIR selection
+    property), and weights must be finite."""
+    import math as _math
+
+    d = docs.select("doc_id", "text", "lang")
+    w = T.dsir_log_weights(
+        d.select("doc_id", "text"),
+        d.filter(F.col("lang") == "en").select("doc_id", "text"),
+    )
+    per_lang = {
+        r.lang: r.mw
+        for r in w.join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(F.avg("log_weight").alias("mw"))
+        .collect()
+    }
+    assert all(_math.isfinite(v) for v in per_lang.values())
+    en = per_lang.pop("en")
+    assert en > max(per_lang.values()), per_lang
+
+
+def test_bigram_interp_scores_edge_docs(spark):
+    """Zero-bigram docs (single token) come back with n_bigrams=0 and
+    avg_lp=0.0; self-trained scoring is finite even for singletons."""
+    d = spark.createDataFrame(
+        [(1, "only"), (2, "two words"), (3, "a b a b a")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in T.bigram_interp_scores(d, d).collect()}
+    assert out[1].n_bigrams == 0 and out[1].avg_lp == 0.0
+    assert out[2].n_bigrams == 1
+    assert out[3].n_bigrams == 4
+    import math as _math
+
+    assert all(_math.isfinite(r.avg_lp) for r in out.values())

@@ -92,9 +92,11 @@ def test_whole_registry_has_driver_evidence_within_two_rounds():
         "ann_ivf_topk", "ann_lsh_batch_multiprobe_topk",
         "ann_ivf_batch_topk", "array_embedding_stats",
         "range_join_price_bands",
-        # displaced by dedup_repeated_spans (new in r5, no prior row;
-        # this entry holds an r3 driver hash-match)
+        # displaced by dedup_repeated_spans / dsir_importance_weights
+        # (new in r5, no prior rows; these two hold r3 driver
+        # hash-matches)
         "dedup_minhash_lsh",
+        "multimodal_byte_stats",
     }
     unexpected = [n for n in stale if n not in allowed_r3_parked]
     assert not unexpected, (
