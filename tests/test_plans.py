@@ -247,3 +247,24 @@ def test_aqe_runtime_join_switch_smj_to_broadcast(spark):
         for k, v in saved.items():
             if v is not None:
                 spark.conf.set(k, v)
+
+
+def test_dsir_broadcasts_lm_tables_no_smj(spark):
+    """All six LM joins in the DSIR scoring passes (bigram counts,
+    context counts, unigram backoff — per LM) must broadcast the
+    vocabulary-bounded side; the exploded bigram stream is never
+    shuffled by token (stopword-pair keys would skew a shuffle join)."""
+    df = QUERIES["dsir_importance_weights"](spark, SF)
+    assert broadcast_join_count(df) >= 6
+    assert sort_merge_join_count(df) == 0
+
+
+def test_repeated_span_dedup_no_cartesian_and_pruned_scan(spark):
+    """Span dedup is explode -> DF agg -> anti join -> regroup: no
+    cartesian product, and the documents scan reads only (doc_id,
+    text)."""
+    df = QUERIES["dedup_repeated_spans"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    cols = scan_columns(df)
+    assert all(set(c) <= {"doc_id", "text"} for c in cols), cols
