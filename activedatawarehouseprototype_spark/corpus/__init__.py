@@ -80,17 +80,21 @@ from activedatawarehouseprototype_spark.corpus import stats  # noqa: E402,F401
 #     q19/q21/q22 — q2/q11/q16/q20 need the absent partsupp table);
 #   - the 12 r3-green sit-outs round 4 parked, whose evidence is now
 #     the oldest in the registry;
-#   - 4 more r3-latest entries for family diversity (minhash LSH,
-#     multimodal, as-of join, session windows).
+#   - 2 mid-round-5 additions (repeated-span dedup, DSIR importance
+#     weights — no prior rows by construction) plus 2 r3-latest
+#     entries for family diversity (as-of join, session windows);
+#     the minhash-LSH and multimodal r3-green canaries were displaced
+#     to make room and park with the round-6 set below.
 # With the 6-entry stable core that fills the 50-slot window exactly.
 # After this round EVERY oracle-backed entry in the registry's history
-# has a driver hash-match; the 28 r3-green entries left outside
+# has a driver hash-match; the 30 r3-green entries left outside
 # (rule_passthrough, tpch_q3/q6, percentile/pivot x2/grouping-sets/
 # running-totals, the four UDF tiers, stats, bool aggs, regexp,
 # histogram, hourly profile, null semantics, bigrams, sketches, string
 # scalars, repetition, the four ANN bucket/cell batch paths, embedding
-# arrays, range join) rotate back in round 6, by which point their
-# evidence is 3 rounds old — front-load them.
+# arrays, range join, minhash LSH, multimodal bytes) rotate back in
+# round 6, by which point their evidence is 3 rounds old — front-load
+# them (test_registry_order enumerates the exact set).
 # ---------------------------------------------------------------------------
 
 _DRIVER_ROTATION = [
