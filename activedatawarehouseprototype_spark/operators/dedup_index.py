@@ -39,6 +39,8 @@ on top (SURVEY.md "beyond the reference").
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+
+from activedatawarehouseprototype_spark.session import local_rows_df
 from pyspark.sql import functions as F
 
 from activedatawarehouseprototype_spark.operators.dedup import (
@@ -142,7 +144,7 @@ def dedup_index_build(
         finally:
             sh.unpersist()
     else:
-        spark.createDataFrame([], "shingle string").write.mode("overwrite").parquet(
+        local_rows_df(spark, [], "shingle string").write.mode("overwrite").parquet(
             f"{index_path}/hot_shingles"
         )
         banded = _write_bands(sh, index_path, k, bands, n_buckets)
@@ -150,7 +152,8 @@ def dedup_index_build(
     # partitioned parquet write of 0 rows (e.g. every shingle hot, or
     # an all-short-docs corpus) leaves no data files to infer from
     sid_type = banded.schema["sid"].dataType.simpleString()
-    spark.createDataFrame(
+    local_rows_df(
+        spark,
         [(n, k, bands, n_buckets, max_doc_freq, sid_type)],
         "n int, k int, bands int, n_buckets int, max_doc_freq int, sid_type string",
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/meta")

@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from activedatawarehouseprototype_spark.rules.model import Rule, RuleState
+from activedatawarehouseprototype_spark.session import local_rows_df
 
 RULES_DF_SCHEMA = (
     "query_id bigint, "
@@ -48,7 +49,7 @@ def rules_to_df(spark: SparkSession, rules: list[Rule]) -> DataFrame:
         for r in rules
         if r.query_state is RuleState.ACTIVE
     ]
-    return spark.createDataFrame(rows, RULES_DF_SCHEMA)
+    return local_rows_df(spark, rows, RULES_DF_SCHEMA)
 
 
 def _event_maps(

@@ -23,6 +23,8 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
+
+from activedatawarehouseprototype_spark.session import local_rows_df
 from pyspark.sql import functions as F
 
 
@@ -119,8 +121,8 @@ def check_constraints(df: DataFrame, constraints: list[Constraint]) -> DataFrame
             .collect()[0]["v"]
         )
         results.append((c.name, "unique", int(n or 0)))
-    out = spark.createDataFrame(
-        results, "constraint string, kind string, violations bigint"
+    out = local_rows_df(
+        spark, results, "constraint string, kind string, violations bigint"
     ).withColumn("passed", F.col("violations") == 0)
     # preserve declaration order for stable output
     order = {c.name: i for i, c in enumerate(constraints)}

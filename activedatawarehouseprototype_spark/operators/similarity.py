@@ -18,6 +18,8 @@ wrong for point lookups; there the LSH/IVF bucket prunes the scan.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
+
+from activedatawarehouseprototype_spark.session import local_rows_df
 from pyspark.sql import functions as F
 
 
@@ -587,7 +589,8 @@ def ivf_index_build(
         F.col("cell"),
     ).write.mode("overwrite").partitionBy("cell").parquet(f"{index_path}/vectors")
     spark = df.sparkSession
-    spark.createDataFrame(
+    local_rows_df(
+        spark,
         [(int(sid), [float(x) for x in sv]) for sid, sv in cents],
         "sid bigint, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/centroids")
@@ -827,7 +830,8 @@ def ivf_pq_index_build(
         .parquet(f"{index_path}/vectors")
     )
     spark = df.sparkSession
-    spark.createDataFrame(
+    local_rows_df(
+        spark,
         [(int(sid), [float(x) for x in sv]) for sid, sv in cents],
         "sid bigint, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/centroids")

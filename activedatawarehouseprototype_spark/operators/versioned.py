@@ -39,6 +39,8 @@ import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
+
+from activedatawarehouseprototype_spark.session import local_rows_df
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
@@ -169,7 +171,7 @@ class VersionedTable:
         paths = [os.path.join(self._data_dir, d) for d in entry["dirs"]]
         reader = self.spark.read.schema(schema)
         if not paths:
-            return self.spark.createDataFrame([], schema)
+            return local_rows_df(self.spark, [], schema)
         return reader.parquet(*paths)
 
     def history(self) -> list[dict]:

@@ -50,3 +50,19 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def local_rows_df(spark: SparkSession, rows, schema):
+    """Single-partition DataFrame for CONTROL-PLANE tables (rule sets,
+    centroids, meta rows, constraint summaries).
+
+    ``spark.createDataFrame(list, schema)`` parallelizes even a 16-row
+    list across ``defaultParallelism`` Python-RDD partitions; any
+    single-task consumer (``coalesce(1)`` write, broadcast build) then
+    executes those Python partitions serially — measured ~4 s per tiny
+    table at local[32], pure fixed overhead, multiplied by every
+    micro-batch that rebuilds a rules table. One explicit slice makes
+    it one Python worker round-trip (~0.3 s) and is also the right
+    shape on a cluster: control-plane rows never need distribution.
+    """
+    return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)

@@ -63,6 +63,7 @@ from activedatawarehouseprototype_spark.rules.compiler import (
     window_mode,
 )
 from activedatawarehouseprototype_spark.rules.model import Rule, RuleState
+from activedatawarehouseprototype_spark.session import local_rows_df
 
 _NUMERIC_PREFIXES = ("int", "bigint", "smallint", "tinyint", "float", "double", "decimal")
 
@@ -259,7 +260,7 @@ def shape_fanout(
         )
         for sid, rep, _ in shapes
     ]
-    rules_df = spark.createDataFrame(rows, SHAPE_RULES_SCHEMA)
+    rules_df = local_rows_df(spark, rows, SHAPE_RULES_SCHEMA)
     keyed = fan_out(events, rules_df, value_from="agg_field")
     return keyed.select(
         ts_col, "shape_id", "key", "_value", "mode", "window_ms", "freq_ms"
@@ -284,7 +285,7 @@ def _rule_metas(spark, shapes: list[tuple[int, Rule, list[Rule]]]) -> DataFrame:
                     float(r.limit) if r.limit is not None else None,
                 )
             )
-    return spark.createDataFrame(rows, RULE_META_SCHEMA)
+    return local_rows_df(spark, rows, RULE_META_SCHEMA)
 
 
 def _fired(agg: Column) -> Column:

@@ -59,6 +59,7 @@ from activedatawarehouseprototype_spark.rules.compiler import (
 )
 from activedatawarehouseprototype_spark.rules.model import Rule
 from activedatawarehouseprototype_spark.rules.snowflake import SnowflakeIdWorker
+from activedatawarehouseprototype_spark.session import local_rows_df
 from activedatawarehouseprototype_spark.streaming.eca import (
     SpawnThrottle,
     instantiate_child,
@@ -614,8 +615,8 @@ class ActivePipeline:
             # large rule sets: an O(N)-term predicate bloats every
             # batch's plan — gate via a broadcast join against the tiny
             # watermark table instead (plan size constant).
-            wm_df = self.spark.createDataFrame(
-                wm_pairs, "query_id bigint, _wm bigint"
+            wm_df = local_rows_df(
+                self.spark, wm_pairs, "query_id bigint, _wm bigint"
             )
             evals = (
                 evals.join(F.broadcast(wm_df), "query_id", "left")
@@ -858,7 +859,8 @@ class ActivePipeline:
         try:
             return self.spark.read.parquet(self.alerts_path + "/data")
         except Exception:
-            return self.spark.createDataFrame(
+            return local_rows_df(
+                self.spark,
                 [], "query_id long, key string, window_start timestamp, "
                 "window_end timestamp, agg_value double, fired boolean"
             )
@@ -874,8 +876,8 @@ class ActivePipeline:
         try:
             return self.spark.read.parquet(self.latency_path)
         except Exception:
-            return self.spark.createDataFrame(
-                [], "event_ts timestamp, latency_ms bigint"
+            return local_rows_df(
+                self.spark, [], "event_ts timestamp, latency_ms bigint"
             )
 
     # -- streaming attach ---------------------------------------------------------

@@ -24,6 +24,7 @@ from activedatawarehouseprototype_spark.operators.warehouse import (
 )
 from activedatawarehouseprototype_spark.rules.model import Rule
 from activedatawarehouseprototype_spark.streaming.registry import RuleRegistry
+from activedatawarehouseprototype_spark.session import local_rows_df
 
 RULE_TABLE_SCHEMA = (
     "query_id bigint, active_id bigint, active_time bigint, "
@@ -37,7 +38,7 @@ def save_rules_table(spark: SparkSession, registry: RuleRegistry, path: str) -> 
     (expired / DELETE verb). Idempotent snapshot-sync."""
     rules = list(registry.rules.values())
     if rules:
-        updates = spark.createDataFrame(
+        updates = local_rows_df(spark, 
             [
                 (
                     r.query_id,
