@@ -787,12 +787,15 @@ def ivf_pq_index_build(
       (column pruning — ~64x less IO than full vectors), and the
       final exact re-rank reads full vectors for just the shortlist.
 
-    PQ codebooks are trained on L2-NORMALIZED vectors so ADC's
-    squared-L2 order IS cosine order (||a/|a| - b/|b|||^2 =
-    2 - 2*cos(a,b)): the shortlist is a true cosine shortlist and the
-    re-rank restores exact cosine ranking. Codebooks (m*ksub*dsub
-    floats, KB) persist as ``_pq_codebooks.json`` beside the k-row
-    centroids table — search needs no retraining.
+    PQ codebooks are trained on RESIDUALS of L2-normalized vectors
+    from their cell's L2-normalized centroid (the IVF-ADC recipe):
+    squared-L2 on normalized vectors IS cosine order (||a/|a| -
+    b/|b|||^2 = 2 - 2*cos(a,b)), and subtracting the cell centroid
+    first concentrates the quantized distribution around 0, so one
+    shared codebook yields a sharper ADC shortlist at the same
+    m x ksub budget. Codebooks + normalized centroids (KB) persist as
+    ``_pq_codebooks.json`` beside the k-row centroids table — search
+    needs no retraining.
 
     Reference parity: the reference engine has no ANN tier at all —
     this is the scale-path extension the task brief mandates
@@ -802,6 +805,8 @@ def ivf_pq_index_build(
 
     from activedatawarehouseprototype_spark.operators import pq as PQ
 
+    import math as _math
+
     cents = (
         ivf_kmeans_centroids(df, k, iters, id_col=id_col, vec_col=vec_col)
         if use_kmeans
@@ -809,16 +814,41 @@ def ivf_pq_index_build(
     )
     assigned = ivf_assign(df, k=k, id_col=id_col, vec_col=vec_col, centroids=cents)
 
+    # residual PQ (Jegou et al.'s actual IVF-ADC recipe): quantize
+    # nv - cnorm(cell), the residual of the L2-normalized vector from
+    # its cell's L2-normalized centroid. Residuals concentrate around
+    # 0 regardless of which cell a vector lives in, so one shared
+    # codebook fits them far better than the raw (cell-offset) points
+    # — sharper ADC shortlists at the same m x ksub budget.
+    cnorm = {}
+    for sid, sv in cents:
+        n_ = _math.sqrt(sum(float(x) * float(x) for x in sv)) or 1.0
+        cnorm[int(sid)] = [float(x) / n_ for x in sv]
+
     v = as_double_array(F.col(vec_col))
     normed = df.select(
         F.col(id_col),
         F.transform(v, lambda x: x / norm(v)).alias("_nv"),
     )
-    codebooks = PQ.pq_train(
-        normed, m=m, ksub=ksub, iters=pq_iters, sample_n=pq_sample_n,
-        id_col=id_col, vec_col="_nv",
+    spark = df.sparkSession
+    cnorm_df = local_rows_df(
+        spark,
+        [(c, vec) for c, vec in sorted(cnorm.items())],
+        "cell int, _cn array<double>",
     )
-    enc = PQ.pq_encode(normed, codebooks, id_col=id_col, vec_col="_nv")
+    residual = (
+        normed.join(assigned.select(id_col, "cell"), id_col)
+        .join(F.broadcast(cnorm_df), "cell")
+        .select(
+            F.col(id_col),
+            F.zip_with("_nv", "_cn", lambda a, b: a - b).alias("_rv"),
+        )
+    )
+    codebooks = PQ.pq_train(
+        residual, m=m, ksub=ksub, iters=pq_iters, sample_n=pq_sample_n,
+        id_col=id_col, vec_col="_rv",
+    )
+    enc = PQ.pq_encode(residual, codebooks, id_col=id_col, vec_col="_rv")
 
     (
         assigned.select(
@@ -829,14 +859,24 @@ def ivf_pq_index_build(
         .partitionBy("cell")
         .parquet(f"{index_path}/vectors")
     )
-    spark = df.sparkSession
     local_rows_df(
         spark,
         [(int(sid), [float(x) for x in sv]) for sid, sv in cents],
         "sid bigint, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/centroids")
     with open(_os.path.join(index_path, "_pq_codebooks.json"), "w") as f:
-        _json.dump({"m": m, "ksub": ksub, "codebooks": codebooks}, f)
+        _json.dump(
+            {
+                "m": m,
+                "ksub": ksub,
+                "codebooks": codebooks,
+                # normalized centroids persist with the codebooks: the
+                # ADC stage must subtract the SAME values encoding did
+                # (JSON float round-trip is exact for doubles)
+                "cnorm": {str(c): vec for c, vec in sorted(cnorm.items())},
+            },
+            f,
+        )
 
 
 def ivf_pq_search(
@@ -881,6 +921,12 @@ def ivf_pq_search(
     C = [np.array(cb, dtype="float64") for cb in meta["codebooks"]]
     m = len(C)
     dsub = C[0].shape[1]
+    # residual-PQ indexes persist their normalized centroids; a legacy
+    # flat-PQ index (no cnorm) degrades to a zero offset
+    CN = {
+        int(c): np.asarray(vec, dtype="float64")
+        for c, vec in meta.get("cnorm", {}).items()
+    }
     n_short = shortlist if shortlist is not None else 4 * k
 
     cents = [
@@ -918,9 +964,14 @@ def ivf_pq_search(
 
     def _adc_group(pdf: "pandas.DataFrame") -> "pandas.DataFrame":
         qn = np.asarray(pdf["_qvn"].iloc[0], dtype="float64")
+        cell = int(pdf["cell"].iloc[0])
+        # residual query: the codes quantize (x_n - cnorm(cell)), so the
+        # table must be built from (q_n - cnorm(cell)) — per (query,
+        # cell) group, which is exactly this applyInPandas key
+        qr = qn - CN.get(cell, 0.0)
         dt = np.stack(
             [
-                ((C[s] - qn[s * dsub : (s + 1) * dsub]) ** 2).sum(axis=1)
+                ((C[s] - qr[s * dsub : (s + 1) * dsub]) ** 2).sum(axis=1)
                 for s in range(m)
             ]
         )
@@ -936,7 +987,7 @@ def ivf_pq_search(
             }
         )
 
-    adc = cand.groupBy(qid_col).applyInPandas(_adc_group, out_schema)
+    adc = cand.groupBy(qid_col, "cell").applyInPandas(_adc_group, out_schema)
     w_short = Window.partitionBy(qid_col).orderBy(
         F.col("adc_dist").asc(), F.col(id_col).asc()
     )

@@ -269,3 +269,48 @@ def test_ivf_pq_search_recall_and_pruned_codes_scan(spark, tmp_path):
     assert m_rs and "codes" in m_rs.group(1) and "vec" not in m_rs.group(
         1
     ).replace("vec_id", ""), plan
+
+
+def test_ivf_pq_residual_recall_at_tight_shortlist(spark, tmp_path):
+    """Residual encoding (quantize nv - cnorm(cell), the IVF-ADC
+    recipe) must hold recall at a TIGHT shortlist — the regime where
+    flat PQ measurably degrades (0.575 vs 0.725 recall@5 at
+    shortlist=16 on this corpus). Deterministic build, so the bound is
+    stable."""
+    rng = np.random.default_rng(23)
+    n_clusters, per = 8, 40
+    centers = rng.normal(size=(n_clusters, DIM)) * 8.0
+    mat = np.vstack(
+        [centers[c] + rng.normal(size=(per, DIM)) for c in range(n_clusters)]
+    )
+    ids = list(range(n_clusters * per))
+    corpus = _vec_df(spark, "vec_id", "embedding", mat, ids)
+    idx = str(tmp_path / "ivfpq-res")
+    similarity.ivf_pq_index_build(
+        corpus, idx, k=16, iters=4, m=8, ksub=16, pq_sample_n=4096
+    )
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(idx, "_pq_codebooks.json")) as f:
+        assert "cnorm" in _json.load(f)  # residual metadata persisted
+
+    q_idx = [c * per + 5 for c in range(n_clusters)]
+    qmat = mat[q_idx] + 0.01 * rng.normal(size=(n_clusters, DIM))
+    qids = [10_000 + c for c in range(n_clusters)]
+    queries = _vec_df(spark, "qid", "qvec", qmat, qids)
+    res = similarity.ivf_pq_search(
+        spark, idx, queries, k=5, probes=2, shortlist=16
+    )
+    got = {
+        r.qid: set(r.hits)
+        for r in res.groupBy("qid")
+        .agg(F.collect_set("vec_id").alias("hits"))
+        .collect()
+    }
+    want = {
+        qid: _exact_topk(mat, ids, qmat[c], qid, k=5)
+        for c, qid in enumerate(qids)
+    }
+    hits = sum(len(set(want[q]) & got.get(q, set())) for q in qids)
+    assert hits / (len(qids) * 5) >= 0.7
