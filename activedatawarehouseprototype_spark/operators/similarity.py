@@ -1024,3 +1024,69 @@ def ivf_pq_search(
         .filter(F.col("_rnk") <= k)
         .drop("_rnk")
     )
+
+
+def ivf_pq_index_append(
+    spark,
+    index_path: str,
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally add vectors to a persisted ``ivf_pq_index_build``
+    index: assign against the EXISTING centroids, encode residuals with
+    the EXISTING codebooks (both control-plane reads, KB-scale), and
+    append to the matching ``cell=`` partitions — maintenance cost is
+    O(|new batch|) regardless of index size, searches pick the rows up
+    immediately. Same rebuild trigger as ``ivf_index_append``: re-train
+    when drift degrades recall, not for storage reasons.
+    ``ivf_index_compact`` applies unchanged to this layout (the codes
+    column rides the rewrite)."""
+    import json as _json
+    import os as _os
+
+    from activedatawarehouseprototype_spark.operators import pq as PQ
+
+    with open(_os.path.join(index_path, "_pq_codebooks.json")) as f:
+        meta = _json.load(f)
+    cents = [
+        (int(r["sid"]), [float(x) for x in r["centroid"]])
+        for r in spark.read.parquet(f"{index_path}/centroids").collect()
+    ]
+    cents.sort(key=lambda t: t[0])
+    assigned = ivf_assign(
+        df, k=len(cents), id_col=id_col, vec_col=vec_col, centroids=cents
+    )
+
+    v = as_double_array(F.col(vec_col))
+    normed = df.select(
+        F.col(id_col),
+        F.transform(v, lambda x: x / norm(v)).alias("_nv"),
+    )
+    cnorm = meta.get("cnorm", {})
+    if cnorm:
+        cnorm_df = local_rows_df(
+            spark,
+            sorted((int(c), vec) for c, vec in cnorm.items()),
+            "cell int, _cn array<double>",
+        )
+        residual = (
+            normed.join(assigned.select(id_col, "cell"), id_col)
+            .join(F.broadcast(cnorm_df), "cell")
+            .select(
+                F.col(id_col),
+                F.zip_with("_nv", "_cn", lambda a, b: a - b).alias("_rv"),
+            )
+        )
+    else:  # legacy flat-PQ index
+        residual = normed.withColumnRenamed("_nv", "_rv")
+    enc = PQ.pq_encode(residual, meta["codebooks"], id_col=id_col, vec_col="_rv")
+    (
+        assigned.select(
+            F.col(id_col), as_double_array(F.col(vec_col)).alias("vec"), "cell"
+        )
+        .join(enc, id_col)
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(f"{index_path}/vectors")
+    )

@@ -314,3 +314,49 @@ def test_ivf_pq_residual_recall_at_tight_shortlist(spark, tmp_path):
     }
     hits = sum(len(set(want[q]) & got.get(q, set())) for q in qids)
     assert hits / (len(qids) * 5) >= 0.7
+
+
+def test_ivf_pq_index_append_and_compact_preserve_search(spark, tmp_path):
+    """Fused-index lifecycle: vectors appended after the build are
+    encoded with the EXISTING codebooks/centroids and become
+    searchable immediately (a query next to an appended cluster member
+    must retrieve appended ids); ivf_index_compact on the same layout
+    preserves the exact search results while reducing file count."""
+    rng = np.random.default_rng(7)
+    n_clusters, per = 8, 30
+    centers = rng.normal(size=(n_clusters, DIM)) * 8.0
+    mat = np.vstack(
+        [centers[c] + rng.normal(size=(per, DIM)) for c in range(n_clusters)]
+    )
+    ids = list(range(n_clusters * per))
+    base_n = 6 * per  # clusters 0-5 at build time; 6-7 appended
+    idx = str(tmp_path / "ivfpq-app")
+    similarity.ivf_pq_index_build(
+        _vec_df(spark, "vec_id", "embedding", mat[:base_n], ids[:base_n]),
+        idx, k=12, iters=4, m=8, ksub=16, pq_sample_n=4096,
+    )
+    similarity.ivf_pq_index_append(
+        spark, idx,
+        _vec_df(spark, "vec_id", "embedding", mat[base_n:], ids[base_n:]),
+    )
+    # all rows present, codes populated everywhere
+    allrows = spark.read.parquet(f"{idx}/vectors")
+    assert allrows.count() == len(ids)
+    assert allrows.filter(F.col("codes").isNull()).count() == 0
+
+    qvec = mat[base_n + per + 3] + 0.01 * rng.normal(size=DIM)
+    queries = _vec_df(spark, "qid", "qvec", qvec[None, :], [99_999])
+    res1 = similarity.ivf_pq_search(
+        spark, idx, queries, k=5, probes=2, shortlist=40
+    ).collect()
+    got = {r.vec_id for r in res1}
+    appended = set(ids[base_n:])
+    assert got & appended, "search missed all appended vectors"
+
+    similarity.ivf_index_compact(spark, idx, files_per_cell=1)
+    res2 = similarity.ivf_pq_search(
+        spark, idx, queries, k=5, probes=2, shortlist=40
+    ).collect()
+    assert sorted((r.vec_id, r.score) for r in res1) == sorted(
+        (r.vec_id, r.score) for r in res2
+    )
