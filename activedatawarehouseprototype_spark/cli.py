@@ -156,6 +156,52 @@ def _build_parser() -> argparse.ArgumentParser:
     pis.add_argument("--qvec-col", default="embedding",
                      help="query vector column in --queries")
 
+    ppb = sub.add_parser(
+        "pq-index-build",
+        help="build a persisted fused IVF+PQ ANN index "
+        "(cell partitions x residual PQ codes)",
+    )
+    ppb.add_argument("--input", required=True, help="embeddings parquet path")
+    ppb.add_argument("--index", required=True, help="index output directory")
+    ppb.add_argument("--k", type=int, default=16, help="number of cells")
+    ppb.add_argument("--iters", type=int, default=4, help="k-means iterations")
+    ppb.add_argument("--m", type=int, default=8, help="PQ sub-quantizers")
+    ppb.add_argument("--ksub", type=int, default=16, help="codes per sub-quantizer")
+    ppb.add_argument("--id-col", default="vec_id")
+    ppb.add_argument("--vec-col", default="embedding")
+    ppb.add_argument(
+        "--seed-only", action="store_true",
+        help="deterministic lowest-id seed centroids (skip k-means)",
+    )
+
+    pps = sub.add_parser(
+        "pq-index-search",
+        help="batch top-k ANN search against a fused IVF+PQ index "
+        "(prune -> codes-only ADC shortlist -> exact re-rank)",
+    )
+    pps.add_argument("--index", required=True, help="index directory")
+    pps.add_argument("--queries", required=True, help="queries parquet path")
+    pps.add_argument("--output", required=True, help="output parquet path")
+    pps.add_argument("--k", type=int, default=5)
+    pps.add_argument("--probes", type=int, default=2)
+    pps.add_argument("--shortlist", type=int, default=None,
+                     help="ADC shortlist size (default 4*k)")
+    pps.add_argument("--id-col", default="vec_id")
+    pps.add_argument("--qid-col", default="vec_id",
+                     help="query id column in --queries")
+    pps.add_argument("--qvec-col", default="embedding",
+                     help="query vector column in --queries")
+
+    ppa = sub.add_parser(
+        "pq-index-append",
+        help="append a batch to a fused IVF+PQ index (existing "
+        "centroids + codebooks; no retraining)",
+    )
+    ppa.add_argument("--input", required=True, help="embeddings parquet path")
+    ppa.add_argument("--index", required=True, help="index directory")
+    ppa.add_argument("--id-col", default="vec_id")
+    ppa.add_argument("--vec-col", default="embedding")
+
     pdb = sub.add_parser(
         "dedup-index-build",
         help="persist a MinHash-LSH dedup index (bucket-partitioned "
@@ -459,6 +505,61 @@ def main(argv: list[str] | None = None) -> int:
         )
         out.write.mode("overwrite").parquet(args.output)
         print(f"{out.count()} result rows -> {args.output}", file=sys.stderr)
+        return 0
+
+    if args.cmd == "pq-index-build":
+        from activedatawarehouseprototype_spark.catalog import load_parquet
+        from activedatawarehouseprototype_spark.operators import similarity
+
+        similarity.ivf_pq_index_build(
+            load_parquet(spark, args.input),
+            args.index,
+            k=args.k,
+            iters=args.iters,
+            m=args.m,
+            ksub=args.ksub,
+            id_col=args.id_col,
+            vec_col=args.vec_col,
+            use_kmeans=not args.seed_only,
+        )
+        print(f"{args.k} cells x {args.m} codes -> {args.index}", file=sys.stderr)
+        return 0
+
+    if args.cmd == "pq-index-search":
+        from pyspark.sql import functions as F
+
+        from activedatawarehouseprototype_spark.catalog import load_parquet
+        from activedatawarehouseprototype_spark.operators import similarity
+
+        queries = load_parquet(spark, args.queries).select(
+            F.col(args.qid_col).alias("qid"),
+            F.col(args.qvec_col).alias("qvec"),
+        )
+        out = similarity.ivf_pq_search(
+            spark,
+            args.index,
+            queries,
+            k=args.k,
+            probes=args.probes,
+            shortlist=args.shortlist,
+            id_col=args.id_col,
+        )
+        out.write.mode("overwrite").parquet(args.output)
+        print(f"{out.count()} result rows -> {args.output}", file=sys.stderr)
+        return 0
+
+    if args.cmd == "pq-index-append":
+        from activedatawarehouseprototype_spark.catalog import load_parquet
+        from activedatawarehouseprototype_spark.operators import similarity
+
+        similarity.ivf_pq_index_append(
+            spark,
+            args.index,
+            load_parquet(spark, args.input),
+            id_col=args.id_col,
+            vec_col=args.vec_col,
+        )
+        print(f"appended -> {args.index}", file=sys.stderr)
         return 0
 
     if args.cmd == "dedup-index-build":

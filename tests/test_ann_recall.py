@@ -360,3 +360,46 @@ def test_ivf_pq_index_append_and_compact_preserve_search(spark, tmp_path):
     assert sorted((r.vec_id, r.score) for r in res1) == sorted(
         (r.vec_id, r.score) for r in res2
     )
+
+
+def test_cli_pq_index_build_search_append(spark, tmp_path):
+    """pq-index-build / pq-index-search / pq-index-append e2e: search
+    results land in parquet; after appending a new batch its vectors
+    are retrievable."""
+    from activedatawarehouseprototype_spark.cli import main
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(4, DIM)) * 8.0
+    mat = np.vstack([centers[c] + rng.normal(size=(20, DIM)) for c in range(4)])
+    ids = list(range(80))
+    emb_p = str(tmp_path / "emb.parquet")
+    _vec_df(spark, "vec_id", "embedding", mat, ids).write.parquet(emb_p)
+    q_p = str(tmp_path / "q.parquet")
+    _vec_df(
+        spark, "vec_id", "embedding",
+        (mat[5] + 0.01 * rng.normal(size=DIM))[None, :], [9000],
+    ).write.parquet(q_p)
+
+    idx = str(tmp_path / "pqidx")
+    out = str(tmp_path / "hits")
+    assert main(["pq-index-build", "--input", emb_p, "--index", idx,
+                 "--k", "4", "--seed-only"]) == 0
+    assert main(["pq-index-search", "--index", idx, "--queries", q_p,
+                 "--output", out, "--k", "3"]) == 0
+    hits = spark.read.parquet(out).collect()
+    assert len(hits) == 3 and all(r.qid == 9000 for r in hits)
+
+    app = np.vstack([centers[0] + rng.normal(size=(5, DIM))])
+    app_p = str(tmp_path / "app.parquet")
+    _vec_df(spark, "vec_id", "embedding", app, range(500, 505)).write.parquet(app_p)
+    assert main(["pq-index-append", "--input", app_p, "--index", idx]) == 0
+    q2_p = str(tmp_path / "q2.parquet")
+    _vec_df(
+        spark, "vec_id", "embedding",
+        (app[2] + 0.005 * rng.normal(size=DIM))[None, :], [9001],
+    ).write.parquet(q2_p)
+    out2 = str(tmp_path / "hits2")
+    assert main(["pq-index-search", "--index", idx, "--queries", q2_p,
+                 "--output", out2, "--k", "3", "--shortlist", "40"]) == 0
+    got2 = {r.vec_id for r in spark.read.parquet(out2).collect()}
+    assert got2 & set(range(500, 505)), got2
