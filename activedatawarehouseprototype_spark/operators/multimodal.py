@@ -192,6 +192,50 @@ def extract_features(df: DataFrame, dim: int = 16) -> DataFrame:
     return df.mapInPandas(batches, EMBED_SCHEMA)
 
 
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("content", BinaryType()),
+        StructField("orig_len", LongType()),
+        StructField("new_len", LongType()),
+    ]
+)
+
+
+def resize_blob(df: DataFrame, factor: int = 4) -> DataFrame:
+    """Resize plumbing (the make-a-thumbnail shape: ONE blob row in ->
+    ONE smaller blob row out, unlike ``sample_frames``'s fan-out).
+    Without codecs, "resize" is deterministic byte decimation (every
+    ``factor``-th byte) — with a real image library the body becomes
+    decode -> PIL/vips resize -> re-encode while the Arrow batching,
+    1:1 row contract, and output schema stay identical. Partition-
+    local, no shuffle; output is ~1/factor of the input bytes, which
+    is also the IO story a real thumbnail pass has at scale."""
+    if factor <= 0:
+        raise ValueError("factor must be positive")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: list[bytes] = []
+            lens: list[int] = []
+            for blob in pdf["content"]:
+                b = bytes(blob)
+                out.append(b[::factor])
+                lens.append(len(b))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "content": pd.Series(out, dtype="object"),
+                    "orig_len": pd.Series(lens, dtype="int64"),
+                    "new_len": pd.Series(
+                        [len(o) for o in out], dtype="int64"
+                    ),
+                }
+            )
+
+    return df.mapInPandas(batches, RESIZE_SCHEMA)
+
+
 def decode_image(df: DataFrame) -> DataFrame:
     """STUB: image decode requires codecs not present in this
     container. The signature and schema are the contract; swap the

@@ -1505,3 +1505,20 @@ def test_bigram_interp_scores_edge_docs(spark):
     import math as _math
 
     assert all(_math.isfinite(r.avg_lp) for r in out.values())
+
+
+def test_resize_blob_deterministic_and_one_to_one(spark, docs):
+    """resize_blob: 1 row in -> 1 row out, content is exact
+    every-factor-th-byte decimation, lengths recorded."""
+    blobs = multimodal.attach_blobs(docs.limit(8))
+    out = {r.doc_id: r for r in multimodal.resize_blob(blobs, factor=4).collect()}
+    src = {r.doc_id: bytes(r.content) for r in blobs.collect()}
+    assert set(out) == set(src)
+    for did, b in src.items():
+        r = out[did]
+        assert bytes(r.content) == b[::4]
+        assert r.orig_len == len(b) and r.new_len == len(b[::4])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        multimodal.resize_blob(blobs, factor=0)
