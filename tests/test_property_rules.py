@@ -471,3 +471,65 @@ def test_resample_ffill_matches_naive_interpreter(spark, data):
             else:
                 want[(k, b * day_ms)] = (last, False)
     assert got == want
+
+
+# --- repeated-span dedup properties -----------------------------------------
+
+_span_docs = st.lists(
+    st.lists(
+        st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"]),
+        min_size=0,
+        max_size=24,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=_span_docs, chunk_words=st.sampled_from([2, 3, 4]))
+def test_repeated_span_dedup_matches_python_reference(spark, docs, chunk_words):
+    """Pure-Python reference implementation vs the distributed plan on
+    random small-vocab corpora (small vocab => collisions are common,
+    exercising the removal path), plus the round-trip invariant: when a
+    doc shares no chunk with any other doc, clean_text == text."""
+    from activedatawarehouseprototype_spark.operators.dedup import (
+        repeated_span_dedup,
+    )
+
+    texts = [" ".join(ws) for ws in docs]
+    rows = [(i, t) for i, t in enumerate(texts)]
+
+    # reference: chunk, count distinct docs per chunk, rebuild
+    chunks_per_doc = {}
+    for i, ws in enumerate(docs):
+        nc = len(ws) // chunk_words
+        chunks_per_doc[i] = [
+            " ".join(ws[j * chunk_words : (j + 1) * chunk_words])
+            for j in range(nc)
+        ]
+    doc_freq = {}
+    for i, cs in chunks_per_doc.items():
+        for c in set(cs):
+            doc_freq[c] = doc_freq.get(c, 0) + 1
+    expect = {}
+    for i, ws in enumerate(docs):
+        nc = len(ws) // chunk_words
+        kept = [c for c in chunks_per_doc[i] if doc_freq[c] < 2]
+        tail = ws[nc * chunk_words :]
+        parts = [t for t in [" ".join(kept), " ".join(tail)] if t]
+        expect[i] = (nc, nc - len(kept), " ".join(parts))
+
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r.doc_id: (r.n_chunks, r.chunks_removed, r.clean_text)
+        for r in repeated_span_dedup(
+            df, "doc_id", "text", chunk_words=chunk_words, min_docs=2
+        ).collect()
+    }
+    assert got == expect
