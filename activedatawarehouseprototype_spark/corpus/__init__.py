@@ -74,27 +74,31 @@ from activedatawarehouseprototype_spark.corpus import stats  # noqa: E402,F401
 #     cross-table embedding decontamination, PQ codes (now
 #     ORACLE-BACKED, upgraded from rows-only this round), resample,
 #     alert cooldown;
-#   - 10 queries NEW in round 5, all oracle-backed: fused IVF+PQ
-#     search, pipeline CDC enrichment MV, and the 8 remaining
-#     TPC-H shapes expressible on the fixture (q9/q12/q13/q15/q17/
-#     q19/q21/q22 — q2/q11/q16/q20 need the absent partsupp table);
-#   - the 12 r3-green sit-outs round 4 parked, whose evidence is now
-#     the oldest in the registry;
-#   - 2 mid-round-5 additions (repeated-span dedup, DSIR importance
-#     weights — no prior rows by construction) plus 2 r3-latest
-#     entries for family diversity (as-of join, session windows);
-#     the minhash-LSH and multimodal r3-green canaries were displaced
-#     to make room and park with the round-6 set below.
+#   - 16 queries NEW in round 5, all oracle-backed: fused IVF+PQ
+#     search, pipeline CDC enrichment MV, repeated-span dedup, DSIR
+#     importance weights, and ALL 14 remaining TPC-H shapes — 8
+#     spec-faithful on the fixture (q9/q12/q13/q15/q17/q19/q21/q22)
+#     plus the 4 partsupp-bound ones adapted via lineitem's observed
+#     supplier-part relation (q2/q11/q16/q20) — completing 22 of 22;
+#   - 8 of the 12 r3-green sit-outs round 4 parked, whose evidence is
+#     now the oldest in the registry;
+#   - 2 r3-latest entries for family diversity (as-of join, session
+#     windows). Six r3-green entries (minhash LSH, multimodal bytes,
+#     window_top3, dedup_exact, ann_topk_cosine, text_quality_filter)
+#     were displaced mid-round to make room for the new entries — a
+#     new entry with NO driver row anywhere outranks refreshing a
+#     2-round-old hash-match — and park with the round-6 set below.
 # With the 6-entry stable core that fills the 50-slot window exactly.
 # After this round EVERY oracle-backed entry in the registry's history
-# has a driver hash-match; the 30 r3-green entries left outside
+# has a driver hash-match; the 34 r3-green entries left outside
 # (rule_passthrough, tpch_q3/q6, percentile/pivot x2/grouping-sets/
-# running-totals, the four UDF tiers, stats, bool aggs, regexp,
+# running-totals/top3, the four UDF tiers, stats, bool aggs, regexp,
 # histogram, hourly profile, null semantics, bigrams, sketches, string
-# scalars, repetition, the four ANN bucket/cell batch paths, embedding
-# arrays, range join, minhash LSH, multimodal bytes) rotate back in
-# round 6, by which point their evidence is 3 rounds old — front-load
-# them (test_registry_order enumerates the exact set).
+# scalars, repetition, quality filter, exact dedup, the five ANN
+# brute/bucket/cell batch paths, embedding arrays, range join, minhash
+# LSH, multimodal bytes) rotate back in round 6, by which point their
+# evidence is 3 rounds old — front-load them (test_registry_order
+# enumerates the exact set).
 # ---------------------------------------------------------------------------
 
 _DRIVER_ROTATION = [
@@ -130,19 +134,27 @@ _DRIVER_ROTATION = [
     "tpch_q19_discounted_revenue",
     "tpch_q21_lone_returner",
     "tpch_q22_idle_balances",
-    # the 12 r3-green sit-outs from round 4 (oldest evidence first)
+    # mid-round-5 additions completing ALL 22 TPC-H shapes (the four
+    # partsupp-bound queries adapted via lineitem's observed
+    # supplier-part relation; new entries — no prior rows by
+    # construction — displacing four r3-green sit-outs whose families
+    # stay represented in-window: window_top3 (ranking windows ->
+    # window_order_price_delta family r4-green + 18 TPC-H), dedup_exact
+    # (4 other dedup entries in-window), ann_topk_cosine
+    # (ivf_pq_search_topk), text_quality_filter (dsir/text tier)
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_stock",
+    "tpch_q16_parts_supplier_relationship",
+    "tpch_q20_heavy_gear_suppliers",
+    # the remaining 8 r3-green sit-outs from round 4 (oldest evidence)
     "rule_sliding_max",
     "rule_count_tumbling",
-    "window_top3_orders_per_customer",
     "rollup_lineitem_qty",
     "join_full_outer_nation_activity",
     "sql_correlated_subquery_share",
     "json_extract_props",
     "geo_grid_cell_agg",
-    "dedup_exact_text",
     "dedup_minhash_components",
-    "ann_topk_cosine",
-    "text_quality_filter",
     # 4 more entries (family diversity: repeated-span dedup is new in
     # round 5 — no prior row by construction — displacing the r3-green
     # dedup_minhash_lsh canary whose family stays represented 3x

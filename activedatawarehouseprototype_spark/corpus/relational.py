@@ -1259,7 +1259,8 @@ def join_mv_cdc_maintenance_orders(spark: SparkSession, sf_dir: str) -> DataFram
 # shipmode/commitdate/receiptdate/phone/container columns — q2, q11,
 # q16 and q20 are partsupp-bound and therefore out of scope; the
 # others are adapted to available columns, adaptation noted per
-# query). With these the corpus covers 18 of the 22 TPC-H shapes. ---
+# query). With these the corpus covered 18 of the 22 TPC-H shapes;
+# the round-5b block below adapts the remaining four. ---
 
 
 # Q9 adaptation: profit = net-of-tax discounted revenue (no
@@ -1606,4 +1607,230 @@ def tpch_q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("numcust"),
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
+    )
+
+
+# --- Round-5b: the four partsupp-bound shapes, adapted. The fixture
+# ships no partsupp table; the OBSERVED supplier-part relation from
+# lineitem (which pairs actually transacted, their unit prices and
+# shipped quantities) stands in for it, preserving each query's join
+# graph and subquery shape. With these the corpus covers all 22 TPC-H
+# shapes (18 spec-faithful + 4 partsupp-adapted). ---
+
+
+# Q2 adaptation: ps_supplycost -> min observed unit price
+# (l_extendedprice / l_quantity) per (part, supplier); the correlated
+# min-cost-supplier-per-part subquery over a region is unchanged.
+# Unit costs are per-row IEEE divisions folded with MIN (no sums), so
+# values ship UNROUNDED and the equality predicate is engine-exact.
+@register(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+WITH cost AS (
+  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+         MIN(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem GROUP BY 1, 2
+),
+eu AS (
+  SELECT s_suppkey, s_acctbal, s_name, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+best AS (
+  SELECT c.partkey, MIN(c.unit_cost) AS best_cost
+  FROM cost c JOIN eu s ON s.s_suppkey = c.suppkey
+  GROUP BY 1
+)
+SELECT s.s_acctbal, s.s_name, s.n_name,
+       CAST(p.p_partkey AS BIGINT) AS p_partkey, c.unit_cost
+FROM part p
+JOIN cost c ON c.partkey = p.p_partkey
+JOIN eu s ON s.s_suppkey = c.suppkey
+JOIN best b ON b.partkey = p.p_partkey AND c.unit_cost = b.best_cost
+WHERE p.p_size IN (3, 4, 5) AND p.p_type = 'STANDARD'
+ORDER BY s.s_acctbal DESC, s.n_name, s.s_name, p.p_partkey
+LIMIT 100
+""",
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    cost = li.groupBy(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    eu = (
+        s.join(broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(broadcast(r.filter(F.col("r_name") == "EUROPE")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    eu_cost = cost.join(broadcast(eu), cost.suppkey == eu.s_suppkey)
+    # correlated min per part as ONE window pass (a groupBy-min +
+    # re-join would be a second fact-fact shuffle join)
+    from pyspark.sql import Window
+
+    best = Window.partitionBy("partkey")
+    return (
+        eu_cost.withColumn("best_cost", F.min("unit_cost").over(best))
+        .filter(F.col("unit_cost") == F.col("best_cost"))
+        .join(
+            broadcast(
+                p.filter(F.col("p_size").isin(3, 4, 5) & (F.col("p_type") == "STANDARD"))
+            ),
+            F.col("partkey") == F.col("p_partkey"),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "unit_cost")
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", F.col("p_partkey")
+        )
+        .limit(100)
+    )
+
+
+# Q11 adaptation: stock value -> shipped discounted revenue per part
+# from one nation's suppliers; the value > fraction * total scalar
+# threshold is unchanged.
+@register(
+    "tpch_q11_important_stock",
+    oracle="""
+WITH val AS (
+  SELECT l.l_partkey AS partkey,
+         SUM(l.l_extendedprice * (1 - l.l_discount)) AS value_
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE n.n_name = 'NATION_7'
+  GROUP BY 1
+)
+SELECT CAST(partkey AS BIGINT) AS partkey,
+       ROUND(value_, 2) AS value_
+FROM val
+WHERE value_ > (SELECT SUM(value_) FROM val) * 0.001
+""",
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    val = (
+        li.join(
+            broadcast(
+                s.join(
+                    broadcast(n.filter(F.col("n_name") == "NATION_7")),
+                    s.s_nationkey == n.n_nationkey,
+                ).select("s_suppkey")
+            ),
+            li.l_suppkey == F.col("s_suppkey"),
+        )
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "value_"
+            )
+        )
+    )
+    total = val.agg(F.sum("value_").alias("_tot"))
+    return (
+        val.crossJoin(F.broadcast(total))  # 1-row scalar subquery
+        .filter(F.col("value_") > F.col("_tot") * 0.001)
+        .select("partkey", F.round("value_", 2).alias("value_"))
+    )
+
+
+# Q16 adaptation: partsupp -> distinct transacting suppliers per part
+# attribute group from lineitem; the complaint-supplier NOT IN
+# exclusion becomes negative-balance suppliers. Pure counts: exact.
+@register(
+    "tpch_q16_parts_supplier_relationship",
+    oracle="""
+SELECT p.p_brand, p.p_type, CAST(p.p_size AS INT) AS p_size,
+       CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 2, 3, 4, 5)
+  AND l.l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0
+  )
+GROUP BY 1, 2, 3
+""",
+)
+def tpch_q16_parts_supplier_relationship(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    complained = s.filter(F.col("s_acctbal") < 0.0).select("s_suppkey")
+    keep_parts = p.filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 2, 3, 4, 5)
+    )
+    return (
+        li.join(broadcast(keep_parts), li.l_partkey == p.p_partkey)
+        .join(
+            broadcast(complained), li.l_suppkey == complained.s_suppkey, "left_anti"
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# Q20 adaptation: "suppliers with excess stock of green parts" ->
+# suppliers in one nation whose 1997 shipped quantity of gear parts
+# exceeds a threshold (sums of integral quantities: exact); the
+# semi-join through a correlated aggregate is unchanged.
+@register(
+    "tpch_q20_heavy_gear_suppliers",
+    oracle="""
+WITH q AS (
+  SELECT l.l_suppkey, SUM(l.l_quantity) AS qty
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_name LIKE '%gear%'
+    AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l.l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY 1
+  HAVING SUM(l.l_quantity) > 50
+)
+SELECT s.s_name, s.s_acctbal
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE n.n_name IN ('NATION_3', 'NATION_4', 'NATION_5')
+  AND s.s_suppkey IN (SELECT l_suppkey FROM q)
+""",
+)
+def tpch_q20_heavy_gear_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    q = (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .join(
+            broadcast(p.filter(F.col("p_name").like("%gear%"))),
+            li.l_partkey == p.p_partkey,
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(
+            broadcast(n.filter(F.col("n_name").isin("NATION_3", "NATION_4", "NATION_5"))),
+            s.s_nationkey == n.n_nationkey,
+        )
+        .join(q, s.s_suppkey == q.l_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
     )

@@ -36,6 +36,8 @@ HEADLINE = [
     "tpch_q10_returned_items",
     "tpch_q14_promo_effect",
     "tpch_q18_large_volume_customers",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q16_parts_supplier_relationship",
     "join_revenue_by_nation",
     "topk_customers_by_spend",
     "window_top3_orders_per_customer",

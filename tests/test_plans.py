@@ -152,6 +152,10 @@ def test_new_tpch_queries_broadcast_dims_no_smj(spark):
         ("tpch_q8_market_share", 3),        # p, s, n
         ("tpch_q10_returned_items", 2),     # c, n
         ("tpch_q18_large_volume_customers", 1),  # c
+        ("tpch_q2_min_cost_supplier", 2),   # eu suppliers, filtered parts
+        ("tpch_q11_important_stock", 2),    # nation suppliers, 1-row total
+        ("tpch_q16_parts_supplier_relationship", 2),  # parts, complained
+        ("tpch_q20_heavy_gear_suppliers", 2),  # gear parts, nations
     ]:
         df = QUERIES[name](spark, SF)
         assert broadcast_join_count(df) >= min_bc, name
