@@ -572,9 +572,40 @@ def test_curation_pipeline_end_to_end(spark):
     n_deduped = deduped.count()
     assert n_deduped <= n_kept
 
+    # 2b. boilerplate scrub: repeated cross-doc spans removed IN PLACE
+    # (rewrites docs rather than dropping them)
+    scrubbed = (
+        dedup.repeated_span_dedup(deduped, "doc_id", "text")
+        .join(deduped.drop("text"), "doc_id")
+        .withColumnRenamed("clean_text", "text")
+    )
+    assert scrubbed.count() == n_deduped  # 1:1 rewrite, no drops
+    # upstream near-dup removal already evicted the span-sharing
+    # clusters here, so the scrub must be a clean passthrough:
+    # zero removals ⇒ text survives byte-identical
+    untouched = scrubbed.filter(F2.col("chunks_removed") == 0)
+    orig = deduped.select("doc_id", F2.col("text").alias("_orig"))
+    assert (
+        untouched.join(orig, "doc_id")
+        .filter(F2.col("text") != F2.col("_orig"))
+        .count()
+        == 0
+    )
+
+    # 2c. DSIR selection toward the en slice: weighted resampling gate
+    weights = text.dsir_log_weights(
+        scrubbed.select("doc_id", "text"),
+        scrubbed.filter(F2.col("lang") == "en").select("doc_id", "text"),
+    )
+    selected = scrubbed.join(
+        weights.filter(F2.col("log_weight") > -0.05).select("doc_id"), "doc_id"
+    )
+    n_selected = selected.count()
+    assert 0 < n_selected <= n_deduped
+
     # 3. stratified mix + 4. split + 5. packing
     mixed = sampling.stratified_sample(
-        deduped, {"en": 1.0}, "lang", ["doc_id"], default_rate=0.5
+        selected, {"en": 1.0}, "lang", ["doc_id"], default_rate=0.5
     )
     final = mixed.withColumn("split", sampling.assign_split(["doc_id"]))
     packed = packing.pack_sequences(
