@@ -162,11 +162,12 @@ _DRIVER_ROTATION = [
     # other ANN paths stay represented via ann_topk_cosine +
     # ivf_pq_search_topk)
     "dedup_repeated_spans",
-    # dsir_importance_weights is new in round 5 (no prior row by
-    # construction), displacing the r3-green multimodal_byte_stats
-    # (multimodal stays covered by the full-corpus pytest mirror)
+    # dsir_importance_weights / contrastive_pairs_mining are new in
+    # round 5 (no prior rows by construction), displacing the r3-green
+    # multimodal_byte_stats and asof_click_latest_purchase (both stay
+    # covered by the full-corpus pytest mirror)
     "dsir_importance_weights",
-    "asof_click_latest_purchase",
+    "contrastive_pairs_mining",
     "session_windows_per_user",
 ]
 

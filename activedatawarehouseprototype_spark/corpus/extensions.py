@@ -2198,3 +2198,62 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bigrams",
         F.round("log_weight", 6).alias("log_weight"),
     )
+
+
+# --- Contrastive pair mining: positives + hard negatives in one pass ---
+
+
+@register(
+    "contrastive_pairs_mining",
+    oracle="""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.5) AS v
+  FROM embeddings WHERE vec_id % 11 = 0
+),
+b AS (
+  SELECT vec_id, v,
+         array_to_string(list_transform(range(0, 8), p ->
+           CASE WHEN list_sum(list_transform(range(1, 65), d ->
+                  v[d] * (CASE WHEN substr(md5(concat(p, ':', d)), 1, 1) >= '8'
+                          THEN 1.0 ELSE -1.0 END))) > 0
+           THEN '1' ELSE '0' END), '') AS bucket
+  FROM base
+),
+pairs AS (
+  SELECT CAST(a.vec_id AS BIGINT) AS id_a,
+         CAST(bb.vec_id AS BIGINT) AS id_b,
+         ROUND(list_cosine_similarity(a.v, bb.v), 6) AS score
+  FROM b a
+  JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+)
+SELECT id_a, id_b, score,
+       CAST(CASE WHEN score >= 0.9 THEN 1 ELSE 0 END AS INT) AS label
+FROM pairs
+WHERE score >= 0.9
+   OR (score < 0.5 AND (id_a + id_b) % 3 = 0)
+""",
+)
+def contrastive_pairs_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positives = planted scaled copies (same direction, cos 1.0) +
+    natural near-dups; hard negatives = same-bucket dissimilar pairs,
+    deterministically thinned (see similarity.contrastive_pairs)."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id", similarity.as_double_array(F.col("embedding")).alias("v")
+    )
+    scaled = e.filter(F.col("vec_id") % 11 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("v", lambda x: x * F.lit(1.5)).alias("v"),
+    )
+    return similarity.contrastive_pairs(
+        e.unionByName(scaled),
+        "vec_id",
+        "v",
+        n_planes=8,
+        dim=64,
+        pos_threshold=0.9,
+        neg_threshold=0.5,
+        neg_mod=3,
+    )

@@ -1090,3 +1090,61 @@ def ivf_pq_index_append(
         .partitionBy("cell")
         .parquet(f"{index_path}/vectors")
     )
+
+
+def contrastive_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+    pos_threshold: float = 0.9,
+    neg_threshold: float = 0.5,
+    neg_mod: int = 3,
+) -> DataFrame:
+    """Contrastive training-pair mining over an embedding corpus:
+    POSITIVES are same-bucket pairs with cosine >= ``pos_threshold``
+    (near-duplicates / paraphrases — label 1); HARD NEGATIVES are
+    same-bucket pairs with cosine < ``neg_threshold`` (same coarse
+    sign-LSH region yet dissimilar — the informative negatives random
+    sampling misses — label 0), deterministically thinned to
+    1/``neg_mod`` by ``(id_a + id_b) % neg_mod == 0`` so the negative
+    side stays a bounded multiple of the positive side.
+
+    Returns (id_a, id_b, score, label). Same scale bound as the
+    near-dup pass it extends: candidates are Σ_b |bucket_b|², never
+    |corpus|²; raise ``n_planes`` as the corpus grows. One bucket
+    self-join serves both labels (single scan of the pair stream).
+    """
+    b = df.select(
+        F.col(id_col),
+        as_double_array(F.col(vec_col)).alias("_v"),
+        random_hyperplane_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
+    )
+    a, c = b.alias("a"), b.alias("b")
+    pairs = a.join(
+        c,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.round(cosine_pairs_score(F.col("a._v"), F.col("b._v")), 6).alias(
+            "score"
+        ),
+    )
+    return pairs.filter(
+        (F.col("score") >= pos_threshold)
+        | (
+            (F.col("score") < neg_threshold)
+            & ((F.col("id_a") + F.col("id_b")) % neg_mod == 0)
+        )
+    ).select(
+        "id_a",
+        "id_b",
+        "score",
+        F.when(F.col("score") >= pos_threshold, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("label"),
+    )

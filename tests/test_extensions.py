@@ -1553,3 +1553,32 @@ def test_resize_blob_deterministic_and_one_to_one(spark, docs):
 
     with _pytest.raises(ValueError):
         multimodal.resize_blob(blobs, factor=0)
+
+
+def test_contrastive_pairs_semantics(spark, emb):
+    """Planted scaled copies (cos 1.0) must appear as positives; every
+    label agrees with its score side; negatives only from the thinned
+    residue class."""
+    e = emb.select(
+        "vec_id", similarity.as_double_array(F.col("embedding")).alias("v")
+    )
+    scaled = e.filter(F.col("vec_id") % 11 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("v", lambda x: x * F.lit(1.5)).alias("v"),
+    )
+    rows = similarity.contrastive_pairs(
+        e.unionByName(scaled), "vec_id", "v", pos_threshold=0.9,
+        neg_threshold=0.5, neg_mod=3,
+    ).collect()
+    planted = {
+        (int(r.vec_id), int(r.vec_id) + 1000000)
+        for r in e.filter(F.col("vec_id") % 11 == 0).collect()
+    }
+    pos = {(r.id_a, r.id_b) for r in rows if r.label == 1}
+    assert planted <= pos  # same direction => same bucket, cos 1.0
+    for r in rows:
+        if r.label == 1:
+            assert r.score >= 0.9
+        else:
+            assert r.score < 0.5 and (r.id_a + r.id_b) % 3 == 0
+    assert any(r.label == 0 for r in rows)  # hard negatives present

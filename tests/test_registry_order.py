@@ -104,6 +104,9 @@ def test_whole_registry_has_driver_evidence_within_two_rounds():
         "dedup_exact_text",
         "ann_topk_cosine",
         "text_quality_filter",
+        # displaced by contrastive_pairs_mining (new in r5, no prior
+        # row; this entry holds an r3 driver hash-match)
+        "asof_click_latest_purchase",
     }
     unexpected = [n for n in stale if n not in allowed_r3_parked]
     assert not unexpected, (
