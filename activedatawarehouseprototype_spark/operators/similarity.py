@@ -1015,6 +1015,10 @@ def ivf_pq_search(
                 "score"
             ),
         )
+        # a crash-replayed ivf_pq_index_append can leave duplicate
+        # (id, vec) rows in a cell; identical duplicates must not
+        # occupy two top-k slots
+        .dropDuplicates([qid_col, id_col])
     )
     w_final = Window.partitionBy(qid_col).orderBy(
         F.col("score").desc(), F.col(id_col).asc()

@@ -130,3 +130,71 @@ class DedupIngest:
         # the store is laid out as batch=<id> partition dirs (replay
         # idempotence); the discovery column is bookkeeping, not data
         return self.spark.read.parquet(docs).drop("batch")
+
+
+class AnnIngest:
+    """foreachBatch handler for similarity-at-the-door: every
+    micro-batch of (id, embedding) rows is appended to a persisted
+    fused IVF+PQ index (existing centroids + codebooks — no
+    retraining), so the index serves searches over everything admitted
+    before, across batches and restarts.
+
+    Idempotence contract: ``_done/{batch_id}`` markers (written LAST)
+    make exact replays no-ops. A crash BETWEEN the append and the
+    marker re-runs the batch and duplicates its rows in the landing
+    cells — ``ivf_pq_search`` collapses identical duplicates before
+    top-k (dropDuplicates on (qid, id)), so results stay correct; run
+    ``ivf_index_compact`` on the usual schedule to reclaim the space.
+
+    At 100 TB: per-batch cost is O(|batch|) — assignment against k
+    broadcast centroids, one Arrow encode pass, partitioned append
+    touching only the landing cells. Nothing reads the accumulated
+    index on the write path."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_path: str,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ):
+        self.spark = spark
+        self.index_path = index_path
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.metrics = {"batches": 0, "appended": 0}
+
+    def _marker(self, batch_id: int) -> str:
+        return os.path.join(self.index_path, "_done", str(batch_id))
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        if os.path.exists(self._marker(batch_id)):
+            return  # exact replay of a completed batch — no-op
+        batch_df = batch_df.select(self.id_col, self.vec_col)
+        if batch_df.isEmpty():
+            self._mark_done(batch_id)
+            return
+        from activedatawarehouseprototype_spark.operators import similarity
+
+        similarity.ivf_pq_index_append(
+            self.spark,
+            self.index_path,
+            batch_df,
+            id_col=self.id_col,
+            vec_col=self.vec_col,
+        )
+        self.metrics["batches"] += 1
+        self.metrics["appended"] += batch_df.count()
+        self._mark_done(batch_id)
+
+    def _mark_done(self, batch_id: int) -> None:
+        os.makedirs(os.path.dirname(self._marker(batch_id)), exist_ok=True)
+        with open(self._marker(batch_id), "w") as f:
+            f.write("done")
+
+    def run_stream(self, stream_df: DataFrame, available_now: bool = True):
+        """Attach to a streaming DataFrame via foreachBatch."""
+        writer = stream_df.writeStream.foreachBatch(self.process_batch)
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()

@@ -220,3 +220,59 @@ def test_partial_failure_replay_does_not_duplicate_store(spark, tmp_path):
     ing.process_batch(batch, 0)  # at-least-once re-delivery
     assert ing.admitted().count() == 2  # no duplicates
     assert {r.doc_id for r in ing.admitted().collect()} == {900, 901}
+
+
+def test_ann_ingest_append_replay_and_search(spark, tmp_path):
+    """AnnIngest: streamed batches append to the fused IVF+PQ index
+    (searchable immediately); an exact replay is a marker no-op; a
+    crash-style replay (marker removed, rows double-appended) still
+    yields duplicate-free, correct search results."""
+    import numpy as np
+
+    from activedatawarehouseprototype_spark.operators import similarity
+    from activedatawarehouseprototype_spark.streaming.ingest import AnnIngest
+
+    rng = np.random.default_rng(5)
+    DIM = 64
+    centers = rng.normal(size=(4, DIM)) * 8.0
+    base = np.vstack([centers[c] + rng.normal(size=(15, DIM)) for c in range(4)])
+
+    def vdf(mat, ids):
+        return spark.createDataFrame(
+            [(int(i), [float(x) for x in v]) for i, v in zip(ids, mat)],
+            "vec_id bigint, embedding array<double>",
+        )
+
+    idx = str(tmp_path / "ann-idx")
+    similarity.ivf_pq_index_build(
+        vdf(base, range(60)), idx, k=8, iters=4, m=8, ksub=16, pq_sample_n=4096
+    )
+    ing = AnnIngest(spark, idx)
+
+    b1 = np.vstack([centers[1] + rng.normal(size=(5, DIM))])
+    ing.process_batch(vdf(b1, range(100, 105)), 0)
+    n_after_b1 = spark.read.parquet(f"{idx}/vectors").count()
+    assert n_after_b1 == 65 and ing.metrics == {"batches": 1, "appended": 5}
+
+    # exact replay: marker short-circuits, nothing appended
+    ing.process_batch(vdf(b1, range(100, 105)), 0)
+    assert spark.read.parquet(f"{idx}/vectors").count() == 65
+    assert ing.metrics == {"batches": 1, "appended": 5}
+
+    # appended vectors are searchable
+    q = vdf((b1[2] + 0.005 * rng.normal(size=DIM))[None, :], [9000]).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    res = similarity.ivf_pq_search(spark, idx, q, k=3, probes=2, shortlist=40)
+    assert {r.vec_id for r in res.collect()} & set(range(100, 105))
+
+    # crash-style replay: marker lost AFTER append -> rows duplicate,
+    # search results must stay duplicate-free and k-sized
+    os.remove(os.path.join(idx, "_done", "0"))
+    ing.process_batch(vdf(b1, range(100, 105)), 0)
+    assert spark.read.parquet(f"{idx}/vectors").count() == 70  # dup rows
+    rows = similarity.ivf_pq_search(
+        spark, idx, q, k=3, probes=2, shortlist=40
+    ).collect()
+    assert len(rows) == 3
+    assert len({(r.qid, r.vec_id) for r in rows}) == 3
