@@ -161,7 +161,7 @@ def dedup_index_build(
     # WRITTEN table — one cheap scan of digests, never a recompute of
     # the signature pass
     written = spark.read.schema(
-        f"sid {sid_type}, band int, band_sig string, bucket int"
+        _bands_schema({"sid_type": sid_type})
     ).parquet(f"{index_path}/bands")
     _refresh_bucket_stats(
         spark,
@@ -413,9 +413,13 @@ def dedup_index_compact(
                 ),
             )
         )
-        n_parts = min(total_files, spark.sparkContext.defaultParallelism)
+        # NOT capped by defaultParallelism: the per-bucket split
+        # guarantee (ceil(n_rows/max_rows_per_file) files) needs one
+        # shuffle partition per (bucket, salt) group — on a low-core
+        # host a cap would silently merge a hot bucket's salts back
+        # into oversized files; extra partitions just queue.
         (
-            salted.repartition(max(1, n_parts), "bucket", "_salt")
+            salted.repartition(max(1, total_files), "bucket", "_salt")
             .drop("_nsplit", "_salt")
             .write.mode("overwrite")
             .partitionBy("bucket")

@@ -812,53 +812,49 @@ def ivf_pq_index_build(
         if use_kmeans
         else ivf_seed_centroids(df, k, id_col=id_col, vec_col=vec_col)
     )
-    assigned = ivf_assign(df, k=k, id_col=id_col, vec_col=vec_col, centroids=cents)
+    # the assignment (k x dim distance exprs per row) feeds BOTH the
+    # residual pass and the final vectors write — persist so the build
+    # evaluates it once, not three times (train sample, encode, write)
+    assigned = ivf_assign(
+        df, k=k, id_col=id_col, vec_col=vec_col, centroids=cents
+    ).persist()
+    try:
+        # residual PQ (Jegou et al.'s actual IVF-ADC recipe): quantize
+        # nv - cnorm(cell). Residuals concentrate around 0 regardless
+        # of which cell a vector lives in, so one shared codebook fits
+        # them far better than the raw (cell-offset) points — sharper
+        # ADC shortlists at the same m x ksub budget.
+        cnorm = {}
+        for sid, sv in cents:
+            n_ = _math.sqrt(sum(float(x) * float(x) for x in sv)) or 1.0
+            cnorm[int(sid)] = [float(x) / n_ for x in sv]
 
-    # residual PQ (Jegou et al.'s actual IVF-ADC recipe): quantize
-    # nv - cnorm(cell), the residual of the L2-normalized vector from
-    # its cell's L2-normalized centroid. Residuals concentrate around
-    # 0 regardless of which cell a vector lives in, so one shared
-    # codebook fits them far better than the raw (cell-offset) points
-    # — sharper ADC shortlists at the same m x ksub budget.
-    cnorm = {}
-    for sid, sv in cents:
-        n_ = _math.sqrt(sum(float(x) * float(x) for x in sv)) or 1.0
-        cnorm[int(sid)] = [float(x) / n_ for x in sv]
+        residual = _encode_side_residuals(
+            df, assigned, cnorm, id_col=id_col, vec_col=vec_col
+        ).persist()
+        try:
+            codebooks = PQ.pq_train(
+                residual, m=m, ksub=ksub, iters=pq_iters,
+                sample_n=pq_sample_n, id_col=id_col, vec_col="_rv",
+            )
+            enc = PQ.pq_encode(residual, codebooks, id_col=id_col, vec_col="_rv")
 
-    v = as_double_array(F.col(vec_col))
-    normed = df.select(
-        F.col(id_col),
-        F.transform(v, lambda x: x / norm(v)).alias("_nv"),
-    )
+            (
+                assigned.select(
+                    F.col(id_col),
+                    as_double_array(F.col(vec_col)).alias("vec"),
+                    "cell",
+                )
+                .join(enc, id_col)
+                .write.mode("overwrite")
+                .partitionBy("cell")
+                .parquet(f"{index_path}/vectors")
+            )
+        finally:
+            residual.unpersist()
+    finally:
+        assigned.unpersist()
     spark = df.sparkSession
-    cnorm_df = local_rows_df(
-        spark,
-        [(c, vec) for c, vec in sorted(cnorm.items())],
-        "cell int, _cn array<double>",
-    )
-    residual = (
-        normed.join(assigned.select(id_col, "cell"), id_col)
-        .join(F.broadcast(cnorm_df), "cell")
-        .select(
-            F.col(id_col),
-            F.zip_with("_nv", "_cn", lambda a, b: a - b).alias("_rv"),
-        )
-    )
-    codebooks = PQ.pq_train(
-        residual, m=m, ksub=ksub, iters=pq_iters, sample_n=pq_sample_n,
-        id_col=id_col, vec_col="_rv",
-    )
-    enc = PQ.pq_encode(residual, codebooks, id_col=id_col, vec_col="_rv")
-
-    (
-        assigned.select(
-            F.col(id_col), as_double_array(F.col(vec_col)).alias("vec"), "cell"
-        )
-        .join(enc, id_col)
-        .write.mode("overwrite")
-        .partitionBy("cell")
-        .parquet(f"{index_path}/vectors")
-    )
     local_rows_df(
         spark,
         [(int(sid), [float(x) for x in sv]) for sid, sv in cents],
@@ -877,6 +873,42 @@ def ivf_pq_index_build(
             },
             f,
         )
+
+
+def _encode_side_residuals(
+    df: DataFrame,
+    assigned: DataFrame,
+    cnorm: dict[int, list[float]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, _rv): the residual of each L2-normalized vector from its
+    assigned cell's L2-normalized centroid — the ONE definition of
+    what PQ codes quantize, shared by ``ivf_pq_index_build`` and
+    ``ivf_pq_index_append`` so build-time and append-time encodings
+    cannot drift (the ADC stage must subtract the same values
+    encoding did). Empty ``cnorm`` (legacy flat-PQ index) degrades to
+    a zero offset."""
+    v = as_double_array(F.col(vec_col))
+    normed = df.select(
+        F.col(id_col),
+        F.transform(v, lambda x: x / norm(v)).alias("_nv"),
+    )
+    if not cnorm:
+        return normed.select(F.col(id_col), F.col("_nv").alias("_rv"))
+    cnorm_df = local_rows_df(
+        df.sparkSession,
+        sorted((int(c), vec) for c, vec in cnorm.items()),
+        "cell int, _cn array<double>",
+    )
+    return (
+        normed.join(assigned.select(id_col, "cell"), id_col)
+        .join(F.broadcast(cnorm_df), "cell")
+        .select(
+            F.col(id_col),
+            F.zip_with("_nv", "_cn", lambda a, b: a - b).alias("_rv"),
+        )
+    )
 
 
 def ivf_pq_search(
@@ -1060,40 +1092,29 @@ def ivf_pq_index_append(
     cents.sort(key=lambda t: t[0])
     assigned = ivf_assign(
         df, k=len(cents), id_col=id_col, vec_col=vec_col, centroids=cents
-    )
-
-    v = as_double_array(F.col(vec_col))
-    normed = df.select(
-        F.col(id_col),
-        F.transform(v, lambda x: x / norm(v)).alias("_nv"),
-    )
-    cnorm = meta.get("cnorm", {})
-    if cnorm:
-        cnorm_df = local_rows_df(
-            spark,
-            sorted((int(c), vec) for c, vec in cnorm.items()),
-            "cell int, _cn array<double>",
+    ).persist()
+    try:
+        residual = _encode_side_residuals(
+            df,
+            assigned,
+            {int(c): vec for c, vec in meta.get("cnorm", {}).items()},
+            id_col=id_col,
+            vec_col=vec_col,
         )
-        residual = (
-            normed.join(assigned.select(id_col, "cell"), id_col)
-            .join(F.broadcast(cnorm_df), "cell")
-            .select(
-                F.col(id_col),
-                F.zip_with("_nv", "_cn", lambda a, b: a - b).alias("_rv"),
+        enc = PQ.pq_encode(
+            residual, meta["codebooks"], id_col=id_col, vec_col="_rv"
+        )
+        (
+            assigned.select(
+                F.col(id_col), as_double_array(F.col(vec_col)).alias("vec"), "cell"
             )
+            .join(enc, id_col)
+            .write.mode("append")
+            .partitionBy("cell")
+            .parquet(f"{index_path}/vectors")
         )
-    else:  # legacy flat-PQ index
-        residual = normed.withColumnRenamed("_nv", "_rv")
-    enc = PQ.pq_encode(residual, meta["codebooks"], id_col=id_col, vec_col="_rv")
-    (
-        assigned.select(
-            F.col(id_col), as_double_array(F.col(vec_col)).alias("vec"), "cell"
-        )
-        .join(enc, id_col)
-        .write.mode("append")
-        .partitionBy("cell")
-        .parquet(f"{index_path}/vectors")
-    )
+    finally:
+        assigned.unpersist()
 
 
 def contrastive_pairs(

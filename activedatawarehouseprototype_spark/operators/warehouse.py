@@ -510,43 +510,61 @@ def merge_upsert_cdc(
     and the merge itself reuses the standard anti-join + union. Cost
     is the same class as ``merge_upsert`` plus one classification
     join. Returns the changelog DataFrame."""
-    data_cols = [c for c in updates.columns]
-    if os.path.exists(target_path):
-        target = spark.read.parquet(target_path)
-        non_key = [c for c in data_cols if c not in key_cols]
-        changed = None
-        for c in non_key:
-            p = ~F.col(c).eqNullSafe(F.col(f"_old_{c}"))
-            changed = p if changed is None else (changed | p)
-        # a key is NEW when the left join found no target row; detect
-        # via a sentinel presence column to survive all-null rows
-        joined = updates.alias("u").join(
-            target.select(*key_cols, F.lit(1).alias("_present"),
-                          *[F.col(c).alias(f"_old_{c}") for c in non_key]),
-            key_cols,
-            "left",
-        )
-        inserts = joined.filter(F.col("_present").isNull()).select(
-            F.lit("insert").alias("op"), *data_cols
-        )
-        changed_rows = joined.filter(
-            F.col("_present").isNotNull() & (changed if changed is not None else F.lit(False))
-        )
-        pre = changed_rows.select(
-            F.lit("update_preimage").alias("op"),
-            *key_cols,
-            *[F.col(f"_old_{c}").alias(c) for c in non_key],
-        ).select("op", *data_cols)
-        post = changed_rows.select(
-            F.lit("update_postimage").alias("op"), *data_cols
-        )
-        changelog = inserts.unionByName(pre).unionByName(post).localCheckpoint()
-    else:
-        changelog = updates.select(
-            F.lit("insert").alias("op"), *data_cols
-        ).localCheckpoint()
+    current = (
+        spark.read.parquet(target_path) if os.path.exists(target_path) else None
+    )
+    changelog = cdc_changelog(current, updates, key_cols)
     merge_upsert(spark, target_path, updates, key_cols)
     return changelog
+
+
+def cdc_changelog(
+    current: DataFrame | None,
+    updates: DataFrame,
+    key_cols: list[str],
+) -> DataFrame:
+    """Classify ``updates`` against ``current`` into the CDC feed
+    (op in insert / update_preimage / update_postimage; no-op updates
+    emit nothing). Standalone so callers can anchor the classification
+    on WHICHEVER state is committed last in their protocol (see
+    ``ActivePipeline.update_enrich_dim`` — anchoring on an
+    already-merged table makes a crash-retry's changelog empty and
+    permanently diverges downstream consumers). localCheckpointed:
+    the log must survive whatever rewrite the caller commits next."""
+    data_cols = [c for c in updates.columns]
+    if current is None:
+        return updates.select(
+            F.lit("insert").alias("op"), *data_cols
+        ).localCheckpoint()
+    non_key = [c for c in data_cols if c not in key_cols]
+    changed = None
+    for c in non_key:
+        p = ~F.col(c).eqNullSafe(F.col(f"_old_{c}"))
+        changed = p if changed is None else (changed | p)
+    # a key is NEW when the left join found no target row; detect
+    # via a sentinel presence column to survive all-null rows
+    joined = updates.alias("u").join(
+        current.select(*key_cols, F.lit(1).alias("_present"),
+                       *[F.col(c).alias(f"_old_{c}") for c in non_key]),
+        key_cols,
+        "left",
+    )
+    inserts = joined.filter(F.col("_present").isNull()).select(
+        F.lit("insert").alias("op"), *data_cols
+    )
+    changed_rows = joined.filter(
+        F.col("_present").isNotNull()
+        & (changed if changed is not None else F.lit(False))
+    )
+    pre = changed_rows.select(
+        F.lit("update_preimage").alias("op"),
+        *key_cols,
+        *[F.col(f"_old_{c}").alias(c) for c in non_key],
+    ).select("op", *data_cols)
+    post = changed_rows.select(
+        F.lit("update_postimage").alias("op"), *data_cols
+    )
+    return inserts.unionByName(pre).unionByName(post).localCheckpoint()
 
 
 def _jmv_has_batch(vt, batch_id: int) -> bool:
@@ -659,6 +677,14 @@ def apply_cdc_to_join_mv(
     versions readable until vacuum), and the whole application is a
     state OVERWRITE, hence naturally idempotent: re-applying the same
     changelog removes the same keys and re-adds the same rows.
+
+    Commit ORDER is part of the crash contract: the MV commits FIRST
+    and the changed side's snapshot LAST, because that snapshot is
+    the state callers anchor changelog regeneration on
+    (``cdc_changelog`` against ``vt_this``). A crash after the MV
+    commit leaves the snapshot stale, so a retry regenerates the SAME
+    changelog and re-applies it — converging — whereas the reverse
+    order would make the retry's changelog empty and strand the MV.
     Returns the updated MV."""
     from activedatawarehouseprototype_spark.operators.versioned import (
         VersionedTable,
@@ -676,21 +702,24 @@ def apply_cdc_to_join_mv(
     ).drop("op")
     changed_keys = pre.select(*pk).union(post.select(*pk)).distinct()
 
-    # patch the changed side's snapshot: drop all changed pks, add
-    # post-images. The read must materialize BEFORE the overwrite
-    # commit replaces the snapshot it reads from — localCheckpoint
-    # cuts the dependency (same discipline as the CDC changelog).
+    # compute BOTH new states before committing either (reads must
+    # materialize before the overwrite commits replace what they read
+    # from — localCheckpoint cuts the dependency, same discipline as
+    # the CDC changelog):
+    # patched snapshot of the changed side: drop changed pks, add
+    # post-images
     cur = vt_this.read()
     patched = cur.join(changed_keys, pk, "left_anti").unionByName(
         post
     ).localCheckpoint()
-    vt_this.commit(patched, mode="overwrite", op=f"cdc-patch-{side}")
-
     # retract + add on the MV
     mv = vt_mv.read()
     kept = mv.join(changed_keys, pk, "left_anti")
     added = post.join(vt_other.read(), on)
     mv_cols = mv.columns
     new_mv = kept.unionByName(added.select(*mv_cols)).localCheckpoint()
+
+    # MV first, changelog-anchor snapshot LAST (see docstring)
     vt_mv.commit(new_mv, mode="overwrite", op=f"cdc-{side}")
+    vt_this.commit(patched, mode="overwrite", op=f"cdc-patch-{side}")
     return vt_mv.read()

@@ -35,7 +35,37 @@ from pyspark.sql import functions as F
 from activedatawarehouseprototype_spark.operators import dedup_index as DI
 
 
-class DedupIngest:
+class _MarkerIngest:
+    """Shared replay-marker machinery for foreachBatch ingest handlers:
+    ``_done/{batch_id}`` files under ``_marker_root`` (written LAST by
+    subclasses) short-circuit exact replays, and ``run_stream``
+    attaches the handler with an availableNow trigger. Subclasses
+    implement ``process_batch`` and call ``_mark_done`` as their final
+    step. Note neither handler sets a checkpointLocation — batch ids
+    restart at 0 after an uncheckpointed restart, which the markers
+    treat as replays by design (the store/index carry the durable
+    state); pass a checkpointed writer upstream when batch ids must
+    advance across restarts."""
+
+    _marker_root: str
+
+    def _marker(self, batch_id: int) -> str:
+        return os.path.join(self._marker_root, "_done", str(batch_id))
+
+    def _mark_done(self, batch_id: int) -> None:
+        os.makedirs(os.path.dirname(self._marker(batch_id)), exist_ok=True)
+        with open(self._marker(batch_id), "w") as f:
+            f.write("done")
+
+    def run_stream(self, stream_df: DataFrame, available_now: bool = True):
+        """Attach to a streaming DataFrame via foreachBatch."""
+        writer = stream_df.writeStream.foreachBatch(self.process_batch)
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+
+class DedupIngest(_MarkerIngest):
     """foreachBatch handler: lookup → drop matches → append survivors
     to the clean store (parquet) and the dedup index."""
 
@@ -52,10 +82,8 @@ class DedupIngest:
         self.store_path = store_path
         self.id_col = id_col
         self.text_col = text_col
+        self._marker_root = store_path
         self.metrics = {"batches": 0, "admitted": 0, "dropped": 0}
-
-    def _marker(self, batch_id: int) -> str:
-        return os.path.join(self.store_path, "_done", str(batch_id))
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         if os.path.exists(self._marker(batch_id)):
@@ -113,18 +141,6 @@ class DedupIngest:
         self.metrics["dropped"] += n_total - n_kept
         self._mark_done(batch_id)
 
-    def _mark_done(self, batch_id: int) -> None:
-        os.makedirs(os.path.dirname(self._marker(batch_id)), exist_ok=True)
-        with open(self._marker(batch_id), "w") as f:
-            f.write("done")
-
-    def run_stream(self, stream_df: DataFrame, available_now: bool = True):
-        """Attach to a streaming DataFrame via foreachBatch."""
-        writer = stream_df.writeStream.foreachBatch(self.process_batch)
-        if available_now:
-            writer = writer.trigger(availableNow=True)
-        return writer.start()
-
     def admitted(self) -> DataFrame:
         docs = os.path.join(self.store_path, "docs")
         # the store is laid out as batch=<id> partition dirs (replay
@@ -132,7 +148,7 @@ class DedupIngest:
         return self.spark.read.parquet(docs).drop("batch")
 
 
-class AnnIngest:
+class AnnIngest(_MarkerIngest):
     """foreachBatch handler for similarity-at-the-door: every
     micro-batch of (id, embedding) rows is appended to a persisted
     fused IVF+PQ index (existing centroids + codebooks — no
@@ -162,16 +178,18 @@ class AnnIngest:
         self.index_path = index_path
         self.id_col = id_col
         self.vec_col = vec_col
+        self._marker_root = index_path
         self.metrics = {"batches": 0, "appended": 0}
-
-    def _marker(self, batch_id: int) -> str:
-        return os.path.join(self.index_path, "_done", str(batch_id))
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         if os.path.exists(self._marker(batch_id)):
             return  # exact replay of a completed batch — no-op
-        batch_df = batch_df.select(self.id_col, self.vec_col)
-        if batch_df.isEmpty():
+        # count ONCE (empty check + metric): each action re-evaluates
+        # a real streaming batch's lineage, and a crash-replay that
+        # lost its marker should record the batch a single time
+        batch_df = batch_df.select(self.id_col, self.vec_col).localCheckpoint()
+        n = batch_df.count()
+        if n == 0:
             self._mark_done(batch_id)
             return
         from activedatawarehouseprototype_spark.operators import similarity
@@ -184,17 +202,5 @@ class AnnIngest:
             vec_col=self.vec_col,
         )
         self.metrics["batches"] += 1
-        self.metrics["appended"] += batch_df.count()
+        self.metrics["appended"] += n
         self._mark_done(batch_id)
-
-    def _mark_done(self, batch_id: int) -> None:
-        os.makedirs(os.path.dirname(self._marker(batch_id)), exist_ok=True)
-        with open(self._marker(batch_id), "w") as f:
-            f.write("done")
-
-    def run_stream(self, stream_df: DataFrame, available_now: bool = True):
-        """Attach to a streaming DataFrame via foreachBatch."""
-        writer = stream_df.writeStream.foreachBatch(self.process_batch)
-        if available_now:
-            writer = writer.trigger(availableNow=True)
-        return writer.start()

@@ -360,29 +360,34 @@ class ActivePipeline:
         ``apply_cdc_to_join_mv``: MV rows for changed keys — including
         rows produced by PAST batches — are retracted and reapplied
         with the new attributes, cost O(|MV| + |changed|·match), never
-        a full join recompute."""
+        a full join recompute.
+
+        Crash contract (at-least-once retries converge): the changelog
+        is classified against the MV's ``/right`` SNAPSHOT — the state
+        ``apply_cdc_to_join_mv`` commits LAST — never against the
+        already-merged ``dim_table``. Anchoring on the merged table
+        would make a retry's changelog empty after a crash between the
+        merge and the MV patch, silently freezing ``enriched()`` on
+        the old attributes forever; anchored on the snapshot, every
+        retry regenerates the same changelog until the final commit
+        lands."""
         from activedatawarehouseprototype_spark.operators.versioned import (
             VersionedTable,
         )
         from activedatawarehouseprototype_spark.operators.warehouse import (
             apply_cdc_to_join_mv,
+            cdc_changelog,
             incremental_join_mv,
-            merge_upsert_cdc,
+            merge_upsert,
         )
 
         if not self.enrich_on:
             raise ValueError("update_enrich_dim requires enrich_on")
         dim_tbl = os.path.join(self.work_dir, "enrich", "dim_table")
-        seeded = (
-            VersionedTable(
-                self.spark, f"{self._enrich_jmv_base}/right"
-            ).latest_version()
-            is not None
-        )
-        log = merge_upsert_cdc(
-            self.spark, dim_tbl, updates, [self.enrich_on]
-        )
+        vt_right = VersionedTable(self.spark, f"{self._enrich_jmv_base}/right")
+        seeded = vt_right.latest_version() is not None
         if not seeded:
+            merge_upsert(self.spark, dim_tbl, updates, [self.enrich_on])
             incremental_join_mv(
                 self.spark,
                 self._enrich_jmv_base,
@@ -390,6 +395,8 @@ class ActivePipeline:
                 right_batch=updates,
             )
         else:
+            log = cdc_changelog(vt_right.read(), updates, [self.enrich_on])
+            merge_upsert(self.spark, dim_tbl, updates, [self.enrich_on])
             apply_cdc_to_join_mv(
                 self.spark,
                 self._enrich_jmv_base,
@@ -808,6 +815,14 @@ class ActivePipeline:
             # frame IS the buffer.
             return batch_df.limit(0)
 
+        # a crash mid-compaction must not lose the buffer: recover the
+        # last committed state before reading (shared swap protocol)
+        from activedatawarehouseprototype_spark.operators.warehouse import (
+            commit_swap,
+            recover_swap,
+        )
+
+        recover_swap(self.buffer_path)
         buffer = self.spark.read.parquet(self.buffer_path)
 
         def _retained(df: DataFrame) -> DataFrame:
@@ -823,15 +838,19 @@ class ActivePipeline:
         if self._batch_count % self.PRUNE_EVERY == 0 and not buffer.isEmpty():
             # (isEmpty guard: a partitioned write of 0 rows emits no
             # files, and the re-read below couldn't infer a schema)
-            staging = self.buffer_path + ".next"
+            staging = self.buffer_path + ".staging"
             # the rewrite keeps the per-batch partition level: rows stay
             # under their original _batch=<id>, so a later replay of any
-            # batch still lands as an idempotent directory overwrite
+            # batch still lands as an idempotent directory overwrite;
+            # the swap itself uses the crash-safe protocol (a crash at
+            # any point leaves either the old or compacted buffer — a
+            # naive rmtree+rename window would silently evaluate every
+            # open window over an EMPTY buffer after a restart, since
+            # the checkpointed stream does not re-deliver old batches)
             buffer.write.mode("overwrite").partitionBy(
                 self.BATCH_COL, self.BUCKET_COL
             ).parquet(staging)
-            shutil.rmtree(self.buffer_path)
-            os.replace(staging, self.buffer_path)
+            commit_swap(self.buffer_path, staging)
             if horizon is not None:
                 # events behind the horizon are now physically gone —
                 # record it so a later widening of the logical horizon

@@ -2054,3 +2054,67 @@ def test_pipeline_hot_key_salted_grouped_soak(spark, tmp_path, monkeypatch):
         assert got == want, f"rule {rule.query_id} mismatch"
     assert len(emitted) > 100
     events.unpersist()
+
+
+def test_enrich_dim_update_crash_retry_converges(spark, tmp_path):
+    """A crash between the dim_table merge and the MV patch must NOT
+    strand the enrichment MV: the changelog anchors on the MV's /right
+    snapshot (committed last), so retrying the same update regenerates
+    it and converges (the review-found divergence: anchoring on the
+    already-merged dim_table made the retry's changelog empty)."""
+    from activedatawarehouseprototype_spark.operators import warehouse
+    from activedatawarehouseprototype_spark.streaming.pipeline import (
+        ActivePipeline,
+    )
+    from activedatawarehouseprototype_spark.streaming.registry import RuleRegistry
+
+    rule = {
+        "queryId": 7, "queryState": "ACTIVE", "lastTime": -1,
+        "windowMilliseconds": 60_000, "frequencyMilliseconds": None,
+        "groupingKeyNames": ["carId"], "windowFilterRules": [],
+        "aggregatorFunctionType": "AVG", "limitOperatorType": ">",
+        "limit": 0, "aggregateFieldName": "speed",
+    }
+    reg = RuleRegistry()
+    reg.apply_json(json.dumps(rule))
+    pipe = ActivePipeline(
+        spark=spark, registry=reg, work_dir=str(tmp_path / "crash_retry"),
+        enrich_on="key",
+    )
+    pipe.update_enrich_dim(
+        spark.createDataFrame([("{carId=1}", "alice")], "key string, owner string")
+    )
+    pipe.process_batch(car_df(spark, [(1, 0, 50.0)]), 0)
+    pipe.process_batch(car_df(spark, [(1, 70, 30.0)]), 1)
+    assert {(r.key, r.owner) for r in pipe.enriched().collect()} == {
+        ("{carId=1}", "alice")
+    }
+
+    # crash INSIDE update_enrich_dim: dim_table merge committed, MV
+    # patch never ran
+    orig = warehouse.apply_cdc_to_join_mv
+    calls = {"n": 0}
+
+    def boom(*a, **k):
+        calls["n"] += 1
+        raise RuntimeError("simulated crash before MV patch")
+
+    warehouse.apply_cdc_to_join_mv = boom
+    upd = spark.createDataFrame([("{carId=1}", "dave")], "key string, owner string")
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError):
+            pipe.update_enrich_dim(upd)
+    finally:
+        warehouse.apply_cdc_to_join_mv = orig
+    assert calls["n"] == 1
+    # MV still shows the old owner (patch never landed)...
+    assert {(r.key, r.owner) for r in pipe.enriched().collect()} == {
+        ("{carId=1}", "alice")
+    }
+    # ...and the RETRY of the same update converges
+    pipe.update_enrich_dim(upd)
+    assert {(r.key, r.owner) for r in pipe.enriched().collect()} == {
+        ("{carId=1}", "dave")
+    }
