@@ -57,9 +57,20 @@ class _MarkerIngest:
         with open(self._marker(batch_id), "w") as f:
             f.write("done")
 
-    def run_stream(self, stream_df: DataFrame, available_now: bool = True):
-        """Attach to a streaming DataFrame via foreachBatch."""
+    def run_stream(
+        self,
+        stream_df: DataFrame,
+        available_now: bool = True,
+        checkpoint_location: str | None = None,
+    ):
+        """Attach to a streaming DataFrame via foreachBatch. Pass
+        ``checkpoint_location`` when batch ids must keep advancing
+        across restarts (see class docstring); without it a restarted
+        stream re-numbers from 0 and the markers treat those batches
+        as replays."""
         writer = stream_df.writeStream.foreachBatch(self.process_batch)
+        if checkpoint_location is not None:
+            writer = writer.option("checkpointLocation", checkpoint_location)
         if available_now:
             writer = writer.trigger(availableNow=True)
         return writer.start()
