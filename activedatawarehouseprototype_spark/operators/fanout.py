@@ -35,7 +35,9 @@ RULES_DF_SCHEMA = (
     "grouping_keys array<string>"
 )
 
-_NUMERIC_PREFIXES = ("int", "bigint", "smallint", "tinyint", "float", "double", "decimal")
+from activedatawarehouseprototype_spark.rules.compiler import (  # noqa: E402
+    _NUMERIC_PREFIXES,
+)
 
 
 def rules_to_df(spark: SparkSession, rules: list[Rule]) -> DataFrame:

@@ -19,6 +19,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
@@ -154,6 +155,14 @@ def scd2_upsert(
             f"latest effective_ts upstream, e.g. row_number() over key "
             f"ordered by {effective_ts_col} desc = 1)"
         )
+    # an SCD2 version with no start instant is meaningless, and a NULL
+    # valid_from would also break the full-outer presence logic below
+    # — reject it loudly rather than silently dropping/duplicating rows
+    if updates.filter(F.col(effective_ts_col).isNull()).limit(1).collect():
+        raise ValueError(
+            f"scd2_upsert: NULL {effective_ts_col} in updates — every "
+            f"version needs a start instant"
+        )
     upd = updates.select(
         *key_cols,
         *tracked_cols,
@@ -173,15 +182,23 @@ def scd2_upsert(
         p = ~F.col(f"cur.{c}").eqNullSafe(F.col(f"upd.{c}"))
         changed_pred = p if changed_pred is None else (changed_pred | p)
 
-    joined = current.alias("cur").join(
-        upd.alias("upd"), key_cols, "full_outer"
+    # explicit presence sentinels (same discipline as cdc_changelog):
+    # testing valid_from for row presence would misclassify any
+    # legacy row whose valid_from is NULL
+    joined = current.select("*", F.lit(1).alias("_cp")).alias("cur").join(
+        upd.select("*", F.lit(1).alias("_up")).alias("upd"),
+        key_cols,
+        "full_outer",
     )
+    cur_cols = [c for c in current.columns]
     # current rows: keep as-is when no differing update; close when changed
     kept_current = joined.filter(
-        F.col("upd.valid_from").isNull() | ~changed_pred
-    ).filter(F.col("cur.valid_from").isNotNull()).select("cur.*")
+        F.col("upd._up").isNull() | ~changed_pred
+    ).filter(F.col("cur._cp").isNotNull()).select(
+        *[F.col(f"cur.{c}") for c in cur_cols]
+    )
     closed = (
-        joined.filter(F.col("cur.valid_from").isNotNull() & changed_pred)
+        joined.filter(F.col("cur._cp").isNotNull() & changed_pred)
         .select(
             *[F.col(f"cur.{c}") for c in key_cols + tracked_cols],
             F.col("cur.valid_from"),
@@ -191,8 +208,8 @@ def scd2_upsert(
     )
     inserted = (
         joined.filter(
-            F.col("upd.valid_from").isNotNull()
-            & (F.col("cur.valid_from").isNull() | changed_pred)
+            F.col("upd._up").isNotNull()
+            & (F.col("cur._cp").isNull() | changed_pred)
         )
         .select(
             *[F.col(f"upd.{c}") for c in key_cols + tracked_cols],
@@ -510,6 +527,11 @@ def merge_upsert_cdc(
     and the merge itself reuses the standard anti-join + union. Cost
     is the same class as ``merge_upsert`` plus one classification
     join. Returns the changelog DataFrame."""
+    # recover BEFORE the classification read: after a crash inside a
+    # previous swap the committed state lives in `.old` and the target
+    # dir is absent — classifying against "no table" would emit an
+    # all-inserts changelog and permanently diverge downstream feeds
+    recover_swap(target_path)
     current = (
         spark.read.parquet(target_path) if os.path.exists(target_path) else None
     )
@@ -567,9 +589,63 @@ def cdc_changelog(
     return inserts.unionByName(pre).unionByName(post).localCheckpoint()
 
 
-def _jmv_has_batch(vt, batch_id: int) -> bool:
-    marker = f"jmv-batch:{batch_id}"
-    return any(h["op"] == marker for h in vt.history())
+def _jmv_last_applied(vt, table_path: str) -> int:
+    """Watermark of the highest ``jmv-batch:<id>`` applied to this
+    table, from a sibling ``_jmv_meta.json`` — O(1) per batch instead
+    of replaying the whole commit log (which made every batch's check
+    O(history), O(n²) over a stream's life), and it SURVIVES
+    ``vacuum`` (markers in vacuumed log entries are gone, so without
+    the meta a replay of an old batch would re-append its delta).
+    Initialized once from a full log scan for tables that predate the
+    meta file."""
+    mp = table_path + "_jmv_meta.json"
+    if os.path.exists(mp):
+        with open(mp) as f:
+            return json.load(f).get("last_batch_id", -1)
+    if vt.latest_version() is None:
+        return -1  # table not created yet — nothing to initialize
+    last = -1
+    for h in vt.history():
+        op = h["op"]
+        if op.startswith("jmv-batch:"):
+            last = max(last, int(op.split(":", 1)[1]))
+    with open(mp, "w") as f:
+        json.dump({"last_batch_id": last}, f)
+    return last
+
+
+def _jmv_record_applied(table_path: str, batch_id: int) -> None:
+    mp = table_path + "_jmv_meta.json"
+    last = -1
+    if os.path.exists(mp):
+        with open(mp) as f:
+            last = json.load(f).get("last_batch_id", -1)
+    os.makedirs(os.path.dirname(mp), exist_ok=True)
+    with open(mp, "w") as f:
+        json.dump({"last_batch_id": max(last, batch_id)}, f)
+
+
+def _jmv_has_batch(vt, table_path: str, batch_id: int) -> bool:
+    """Batch-id idempotence check: the meta watermark answers the
+    common case in O(1) (foreachBatch ids are monotone); ids above the
+    watermark — the crash window between a commit and its meta write —
+    fall back to scanning ONLY the log suffix newer than the
+    watermark (markers are monotone, so the scan stops at the first
+    one at or below it)."""
+    last = _jmv_last_applied(vt, table_path)
+    if batch_id <= last:
+        return True
+    if vt.latest_version() is None:
+        return False
+    for h in vt.history():  # newest first
+        op = h["op"]
+        if op.startswith("jmv-batch:"):
+            bid = int(op.split(":", 1)[1])
+            if bid == batch_id:
+                return True
+            if bid <= last:
+                break
+    return False
 
 
 def incremental_join_mv(
@@ -606,22 +682,27 @@ def incremental_join_mv(
         VersionedTable,
     )
 
-    vt_l = VersionedTable(spark, f"{base_path}/left")
-    vt_r = VersionedTable(spark, f"{base_path}/right")
-    vt_mv = VersionedTable(spark, f"{base_path}/mv")
+    paths = {
+        "l": f"{base_path}/left",
+        "r": f"{base_path}/right",
+        "mv": f"{base_path}/mv",
+    }
+    vt_l = VersionedTable(spark, paths["l"])
+    vt_r = VersionedTable(spark, paths["r"])
+    vt_mv = VersionedTable(spark, paths["mv"])
     marker = f"jmv-batch:{batch_id}" if batch_id is not None else None
 
-    def done(vt):
-        return (
-            marker is not None
-            and vt.latest_version() is not None
-            and _jmv_has_batch(vt, batch_id)
-        )
+    def done(vt, path):
+        return marker is not None and _jmv_has_batch(vt, path, batch_id)
+
+    def record(path):
+        if batch_id is not None:
+            _jmv_record_applied(path, batch_id)
 
     l_exists = vt_l.latest_version() is not None
     r_exists = vt_r.latest_version() is not None
 
-    if not done(vt_mv):
+    if not done(vt_mv, paths["mv"]):
         terms = []
         if left_batch is not None and r_exists:
             terms.append(left_batch.join(vt_r.read(), on))
@@ -634,14 +715,17 @@ def incremental_join_mv(
             for t in terms[1:]:
                 delta = delta.unionByName(t)
             vt_mv.commit(delta, mode="append", op=marker or "append")
+            record(paths["mv"])
         # (no joinable term: the MV table appears with the first batch
         # that has a partner to join — replay-safe because one-sided
         # batches never change the snapshot the OTHER side's future
         # delta terms read)
-    if left_batch is not None and not done(vt_l):
+    if left_batch is not None and not done(vt_l, paths["l"]):
         vt_l.commit(left_batch, mode="append", op=marker or "append")
-    if right_batch is not None and not done(vt_r):
+        record(paths["l"])
+    if right_batch is not None and not done(vt_r, paths["r"]):
         vt_r.commit(right_batch, mode="append", op=marker or "append")
+        record(paths["r"])
 
     if vt_mv.latest_version() is not None:
         return vt_mv.read()

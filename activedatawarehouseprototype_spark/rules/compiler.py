@@ -66,6 +66,11 @@ EVAL_COLUMNS = (
     "fired",
 )
 
+# the ONE numeric-type classifier shared by the compiled-literal path
+# here, the rules-as-data fan-out (operators/fanout.py), and grouped
+# evaluation's field validation (streaming/group_eval.py) — the two
+# physical strategies are equivalence-tested, so their type dispatch
+# must come from a single definition
 _NUMERIC_PREFIXES = ("int", "bigint", "smallint", "tinyint", "float", "double", "decimal")
 
 

@@ -84,7 +84,11 @@ def rule_to_sql(
         raise ValueError("only ACTIVE rules generate SQL")
     numeric_cols = numeric_cols or set()
     mode = window_mode(rule)
-    where = _filters_sql(rule, numeric_cols)
+    # the compiler drops NULL-timestamp rows in every mode
+    # (compiler.py ts IS NOT NULL contract) — the SQL twin must too,
+    # or it emits spurious NULL-bucket rows exactly when used as the
+    # correctness oracle
+    where = f"{_ident(ts_col)} IS NOT NULL AND ({_filters_sql(rule, numeric_cols)})"
     key = _key_sql(rule)
     qid = f"CAST({rule.query_id} AS BIGINT)"
     keys = ", ".join(

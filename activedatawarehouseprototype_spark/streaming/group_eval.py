@@ -65,7 +65,9 @@ from activedatawarehouseprototype_spark.rules.compiler import (
 from activedatawarehouseprototype_spark.rules.model import Rule, RuleState
 from activedatawarehouseprototype_spark.session import local_rows_df
 
-_NUMERIC_PREFIXES = ("int", "bigint", "smallint", "tinyint", "float", "double", "decimal")
+from activedatawarehouseprototype_spark.rules.compiler import (  # noqa: E402
+    _NUMERIC_PREFIXES,
+)
 
 RULE_META_SCHEMA = (
     "shape_id bigint, query_id bigint, agg_fn string, is_count boolean, "
@@ -128,7 +130,9 @@ def _shape_struct(shape_id: int, rep: Rule, events: DataFrame) -> Column:
     literal — whole-stage-codegen) filter rejects the row, else the
     shape's id/key/value/window geometry. One array of these per event,
     compacted and exploded, IS the fan-out — no join, no maps."""
-    if rep.is_count:
+    if rep.is_count or rep.aggregate_field_name is None:
+        # COUNT shapes and W0 passthrough rules (which validly carry
+        # no aggregate field) have no value column to read
         value = F.lit(None).cast("double")
     else:
         value = F.col(rep.aggregate_field_name).cast("double")
@@ -195,10 +199,19 @@ def _w1_fused_group(pdf):
     ones = pd.Series(np.ones(len(ts)), index=idx).rolling(
         window, closed="both", min_periods=1
     )
+    # non-null observation count per window: the JVM aggregates return
+    # NULL over an all-NULL window, while a pandas rolling kernel
+    # returns NaN — and Arrow hands NaN back to Spark as a NON-null
+    # double that compares GREATER than every number, silently firing
+    # `agg > limit` thresholds the JVM path would not fire
+    nn = pd.Series(
+        np.where(np.isnan(vals), 0.0, 1.0), index=idx
+    ).rolling(window, closed="both", min_periods=1).sum()
     # causal rolling at row i covers rows [0..i]; the LAST peer of each
     # timestamp covers the full inclusive [t - w, t] set — broadcast it
     # back to every peer (RANGE-frame peer semantics)
     last_peer = np.searchsorted(ts, ts, side="right") - 1
+    empty = nn.to_numpy()[last_peer] < 0.5
     out = {}
     for name, series in (
         ("_sum", roll.sum()),
@@ -207,7 +220,13 @@ def _w1_fused_group(pdf):
         ("_max", roll.max()),
         ("_cnt", ones.sum()),
     ):
-        out[name] = series.to_numpy()[last_peer]
+        arr = series.to_numpy()[last_peer]
+        if name != "_cnt":
+            masked = pd.array(arr, dtype="Float64")
+            masked[empty] = pd.NA
+            out[name] = masked
+        else:
+            out[name] = arr
     return pd.DataFrame(
         {
             "shape_id": pdf["shape_id"].iloc[0],

@@ -150,21 +150,41 @@ def make_w1_processor(rule: Rule, ts_col: str = "ts", value_col: str = "value"):
         else:
             ts_buf = np.empty(0, dtype=np.int64)
             val_buf = np.empty(0, dtype=np.float64)
+        def render(v) -> str:
+            # String.valueOf / CAST AS STRING parity with the
+            # compiler's composite_key: NULL -> "null", booleans
+            # lowercase (Python would print None/True/False)
+            if v is None:
+                return "null"
+            if isinstance(v, bool):
+                return "true" if v else "false"
+            return str(v)
+
         key_str = "{" + ";".join(
-            f"{n[1:] if n.startswith('$') else n}={v}"
+            f"{n[1:] if n.startswith('$') else n}={render(v)}"
             for n, v in zip(rule.grouping_key_names, key)
         ) + "}"
-        for pdf in pdfs:
-            new_ts = (pdf[ts_col].astype("int64") // 1_000_000).to_numpy(
+        # merge ALL Arrow chunks before aggregating: a large group
+        # arrives as several pdfs (maxRecordsPerBatch), and chunk 1's
+        # trailing windows must see chunk 2's same-or-earlier
+        # timestamps to stay bit-equal to the batch RANGE frame
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            whole = (
+                chunks[0]
+                if len(chunks) == 1
+                else pd.concat(chunks, ignore_index=True)
+            )
+            new_ts = (whole[ts_col].astype("int64") // 1_000_000).to_numpy(
                 dtype=np.int64
             )
             # COUNT-sentinel rules name no real value column
             # (aggregateFieldName is the COUNT_FLINK marker) — the
             # aggregate never reads values, so feed zeros.
             if is_count:
-                new_val = np.zeros(len(pdf), dtype=np.float64)
+                new_val = np.zeros(len(whole), dtype=np.float64)
             else:
-                new_val = pdf[value_col].astype("float64").to_numpy(
+                new_val = whole[value_col].astype("float64").to_numpy(
                     dtype=np.float64
                 )
             out_ts, out_agg, ts_buf, val_buf = w1_batch_aggregate(

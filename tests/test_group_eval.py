@@ -287,3 +287,50 @@ def test_w1_fused_many_sizes_equals_union(spark, tmp_path):
         plan_few._jdf.queryExecution().executedPlan().toString()
     )
     assert canon(plan_few) == canon(evaluate_rules(spark.read.parquet(pq), few))
+
+
+def test_w0_rule_without_aggregate_field(spark):
+    """A passthrough rule carrying NO aggregateFieldName is valid (the
+    compiler's W0 path never reads it) — the grouped evaluator must
+    not crash on F.col(None) and must agree with the per-rule path."""
+    rule = Rule.from_dict(
+        {
+            "queryId": 90,
+            "queryState": "ACTIVE",
+            "windowFilterRules": [{"field": "kind", "operator": "=", "value": "a"}],
+            "groupingKeyNames": ["carId"],
+            "windowMilliseconds": 0,
+        }
+    )
+    ev = events_df(spark)
+    got = evaluate_rules_grouped(ev, [rule]).collect()
+    want = evaluate_rules(ev, [rule]).collect()
+    key = lambda r: (r.query_id, r.key, r.window_start)  # noqa: E731
+    assert sorted(map(key, got)) == sorted(map(key, want))
+    assert len(got) == 20  # kind == 'a' half
+
+
+def test_fused_w1_all_null_window_yields_null_not_nan(spark):
+    """>= W1_FUSE_MIN_SIZES distinct W1 sizes routes through the pandas
+    rolling kernel; a key whose values are all NULL must yield NULL
+    aggregates (not NaN, which Spark orders above every number and
+    would FIRE `agg > limit`). The JVM RANGE path returns NULL for the
+    same window — behavior must not flip with the size count."""
+    rows = [
+        (9, "a", BASE + dt.timedelta(seconds=i * 3), None) for i in range(6)
+    ]
+    ev = spark.createDataFrame(
+        rows, "carId int, kind string, ts timestamp, speed double"
+    )
+    rules = [
+        mk({"queryId": 100 + j, "windowMilliseconds": 10_000 * (j + 1),
+            "frequencyMilliseconds": 0})
+        for j in range(4)  # 4 distinct sizes -> fused path
+    ]
+    got = evaluate_rules_grouped(ev, rules).collect()
+    assert len(got) == 6 * 4
+    assert all(r.agg_value is None for r in got)
+    assert not any(r.fired for r in got)
+    # and the JVM (<4 sizes) path agrees
+    jvm = evaluate_rules_grouped(ev, rules[:2]).collect()
+    assert all(r.agg_value is None and not r.fired for r in jvm)

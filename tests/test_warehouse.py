@@ -874,3 +874,61 @@ def test_zorder_key_bits_guard():
     # the documented maximum is fine
     warehouse.zorder_key(["a", "b", "c", "d"], bits=15)
     warehouse.zorder_key(["a"], bits=63)
+
+
+def test_join_mv_replay_idempotence_survives_vacuum(spark, tmp_path):
+    """The batch-id watermark lives OUTSIDE the commit log, so
+    vacuuming old versions (which destroys their jmv-batch markers)
+    must not re-open old batches for replay — before the meta file, a
+    replay of a vacuumed batch silently re-appended its delta."""
+    from activedatawarehouseprototype_spark.operators import versioned as V
+    from activedatawarehouseprototype_spark.operators.warehouse import (
+        incremental_join_mv,
+    )
+
+    base = str(tmp_path / "jmv_vac")
+    for b in range(4):
+        L = spark.createDataFrame([(b, f"l{b}")], "k bigint, lval string")
+        R = spark.createDataFrame([(b, float(b))], "k bigint, rval double")
+        incremental_join_mv(
+            spark, base, ["k"], left_batch=L, right_batch=R, batch_id=b
+        )
+    mv = V.VersionedTable(spark, f"{base}/mv")
+    n_before = mv.read().count()
+    assert n_before == 4
+    # vacuum every table down to the latest version: all old log
+    # entries (and their markers) are gone
+    for side in ("mv", "left", "right"):
+        V.VersionedTable(spark, f"{base}/{side}").vacuum(retain_last=1)
+    # replay an OLD batch: still a no-op
+    L0 = spark.createDataFrame([(0, "l0")], "k bigint, lval string")
+    R0 = spark.createDataFrame([(0, 0.0)], "k bigint, rval double")
+    incremental_join_mv(
+        spark, base, ["k"], left_batch=L0, right_batch=R0, batch_id=0
+    )
+    assert mv.read().count() == n_before
+    assert V.VersionedTable(spark, f"{base}/left").read().count() == 4
+
+
+def test_scd2_upsert_rejects_null_effective_ts(spark, tmp_path):
+    """A NULL effective_ts row would silently vanish or duplicate
+    through the full-outer presence logic — rejected loudly instead."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from activedatawarehouseprototype_spark.operators.warehouse import (
+        scd2_upsert,
+    )
+
+    tgt = str(tmp_path / "scd2_null")
+    ok = spark.createDataFrame(
+        [(1, "a", dt.datetime(2024, 1, 1))],
+        "k bigint, attr string, eff timestamp",
+    )
+    scd2_upsert(spark, tgt, ok, ["k"], ["attr"], "eff")
+    bad = spark.createDataFrame(
+        [(2, "b", None)], "k bigint, attr string, eff timestamp"
+    )
+    with _pytest.raises(ValueError, match="NULL eff"):
+        scd2_upsert(spark, tgt, bad, ["k"], ["attr"], "eff")
