@@ -762,8 +762,8 @@ def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH t AS (
   SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
-         CAST(concat('0x', substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 2))
-              AS INT) % 16 AS shard
+         CAST(concat('0x', substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 16 AS shard
   FROM documents
 ), p AS (
   SELECT shard,

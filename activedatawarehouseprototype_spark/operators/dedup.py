@@ -339,6 +339,13 @@ def band_signatures(
     permutation collisions are negligible extra candidates (candidates
     are verified downstream anyway), and the DuckDB oracles compute
     the same sorted-multiset semantics."""
+    if k % bands != 0:
+        raise ValueError(
+            f"k={k} not divisible by bands={bands}: truncated "
+            f"rows-per-band would silently create extra (possibly "
+            f"1-minhash) bands, blowing up the candidate-pair count "
+            f"and shifting the similarity knee"
+        )
     rows_per_band = k // bands
     return (
         sig.withColumn("band", (F.col("hash_idx") / rows_per_band).cast("int"))
@@ -552,6 +559,10 @@ def connected_components(
     n_edges = edges.count()
     sc = pairs.sparkSession.sparkContext
     n_parts = max(1, min(sc.defaultParallelism, n_edges // 200_000 + 1))
+    # keep a handle to the PERSISTED frame: unpersist() on the
+    # repartitioned child would not sameResult-match the cached plan,
+    # leaking one cached edge table per call into executor storage
+    edges_cached = edges
     edges = edges.repartition(n_parts, "a")
     labels = edges.select(F.col("a").alias("id")).distinct().select(
         "id", F.col("id").alias("comp")
@@ -603,7 +614,7 @@ def connected_components(
                 converged = True
                 break
     finally:
-        edges.unpersist()
+        edges_cached.unpersist()
     if not converged:
         msg = (
             f"connected_components did not converge within {max_iter} "

@@ -30,13 +30,15 @@ from pyspark.sql import functions as F
 def shard_of(id_col: str, n_shards: int = 16, salt: str = "pack") -> Column:
     """Deterministic shard in [0, n_shards): md5-derived, so any engine
     reproduces the sharding. n_shards should be >= cluster parallelism
-    at scale; 16 here keeps the oracle's window count readable."""
-    hex2 = F.substring(
+    at scale. Eight hex chars (2^32 values) back the modulus — two
+    chars would silently leave every shard past 255 permanently empty
+    on a wide cluster."""
+    hex8 = F.substring(
         F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")).cast("binary")),
         1,
-        2,
+        8,
     )
-    return F.pmod(F.conv(hex2, 16, 10).cast("int"), F.lit(n_shards))
+    return F.pmod(F.conv(hex8, 16, 10).cast("bigint"), F.lit(n_shards)).cast("int")
 
 
 def chunk_documents(

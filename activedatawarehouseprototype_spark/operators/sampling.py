@@ -29,8 +29,28 @@ _TWO_32 = float(1 << 32)
 
 
 def hash_fraction(key_cols: list[str], salt: str = "s1") -> Column:
-    """Uniform [0,1) fraction, a pure function of (salt, key columns)."""
-    key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    """Uniform [0,1) fraction, a pure function of (salt, key columns).
+
+    Multi-column keys are serialized injectively — each component
+    length-prefixed, NULL encoded as a sentinel no real string
+    produces — so ('a|b','c') vs ('a','b|c') and ('a',NULL) vs
+    (NULL,'a') hash differently (concat_ws would silently collide
+    them into one sampling/split decision). The single-column form is
+    the plain cast (NULL → '', the historical behavior every SQL
+    oracle twin mirrors)."""
+    if len(key_cols) == 1:
+        key = F.concat_ws("|", F.col(key_cols[0]).cast("string"))
+    else:
+        parts = []
+        for c in key_cols:
+            s = F.col(c).cast("string")
+            parts.append(
+                F.coalesce(
+                    F.concat(F.length(s).cast("string"), F.lit(":"), s),
+                    F.lit("\\N"),
+                )
+            )
+        key = F.concat_ws("|", *parts)
     hex8 = F.substring(
         F.md5(F.concat(F.lit(f"{salt}:"), key).cast("binary")), 1, 8
     )
@@ -231,7 +251,12 @@ def write_training_shards(
     )
     (
         out.repartition("shard")
-        .sortWithinPartitions("_pos")
+        # leading 'shard' satisfies the dynamic-partition writer's
+        # required ordering, so it does NOT insert its own SortExec —
+        # which would both redo the work and, on spill, lose the _pos
+        # order inside shard files (sort-merge of equal shard keys is
+        # not stable)
+        .sortWithinPartitions("shard", "_pos")
         .write.partitionBy("shard")
         .mode("overwrite")
         .parquet(path)

@@ -233,16 +233,38 @@ def unigram_logprobs(counts: DataFrame, alpha: float = 0.5) -> DataFrame:
     )
 
 
+def unigram_oov_logprob(counts: DataFrame, alpha: float = 0.5) -> float:
+    """The add-alpha-smoothed log-probability an UNSEEN token gets
+    under ``unigram_logprobs``'s model: ln(alpha / (N + alpha * V)).
+    One 1-row control-plane aggregate — pass the result to
+    ``doc_cross_entropy(oov_lp=...)`` for open-vocabulary scoring."""
+    import math
+
+    row = counts.agg(F.sum("c").alias("n"), F.count("*").alias("v")).head()
+    return math.log(alpha / (int(row["n"]) + alpha * int(row["v"])))
+
+
 def doc_cross_entropy(
     df: DataFrame,
     lm: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    oov_lp: float | None = None,
 ) -> DataFrame:
     """Per-document cross-entropy (nats/token) under a unigram LM —
     the CCNet-style LM quality gate: fluent in-domain text scores low,
     gibberish / boilerplate / wrong-language text scores high, and the
     percentile of this column is the standard keep/drop knob.
+
+    ``oov_lp`` is the log-probability assigned to tokens OUTSIDE the
+    LM's vocabulary (use ``unigram_oov_logprob`` for the smoothed
+    value consistent with the LM). Pass it whenever the scored corpus
+    can diverge from the LM's training corpus: without it (None, the
+    closed-vocabulary form the same-corpus oracle entries use), OOV
+    tokens are EXCLUDED from the average — a wholly-OOV document
+    yields no row and a half-gibberish document is scored only on its
+    fluent half, inverting the gate for exactly the documents it
+    exists to catch.
 
     Returns (id_col, n_tokens, ce_nats). The LM side is BROADCAST:
     a natural-language vocabulary is millions of rows (~tens of MB) —
@@ -255,13 +277,15 @@ def doc_cross_entropy(
     ce is -avg(lp); summation order varies run-to-run, so consumers
     round before hashing/comparing (corpus float discipline)."""
     tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
-    return (
-        tok.join(F.broadcast(lm), "token")
-        .groupBy(id_col)
-        .agg(
-            F.count("*").alias("n_tokens"),
-            (-F.avg("lp")).alias("ce_nats"),
+    if oov_lp is None:
+        scored = tok.join(F.broadcast(lm), "token")
+    else:
+        scored = tok.join(F.broadcast(lm), "token", "left").withColumn(
+            "lp", F.coalesce("lp", F.lit(float(oov_lp)))
         )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        (-F.avg("lp")).alias("ce_nats"),
     )
 
 

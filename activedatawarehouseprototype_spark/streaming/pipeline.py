@@ -249,6 +249,14 @@ class ActivePipeline:
         )
 
         state_path = os.path.join(self.alerts_path, "cooldown_state")
+        # a crash mid-swap leaves the state only in `.old`; a bare
+        # exists() check would skip cooldown filtering for this batch
+        # (alert storm through the window) before merge_upsert recovers
+        from activedatawarehouseprototype_spark.operators.warehouse import (
+            recover_swap,
+        )
+
+        recover_swap(state_path)
         cand = fired.withColumn("_ms", F.unix_millis("window_end"))
         if os.path.exists(state_path):
             st = self.spark.read.parquet(state_path)
@@ -495,10 +503,16 @@ class ActivePipeline:
             obs_cols += [F.avg(lat).alias("avg_ms"), F.max(lat).alias("max_ms")]
         batch_df = batch_df.observe(obs, *obs_cols)
         if has_latency:
+            # per-batch overwrite dir: an at-least-once replay of this
+            # batch replaces its own rows instead of appending
+            # duplicates (same idempotence shape as the buffer/
+            # quarantine writes)
             batch_df.select(
                 F.col(self.ts_col).alias("event_ts"),
                 lat.alias("latency_ms"),
-            ).write.mode("append").parquet(self.latency_path)
+            ).write.mode("overwrite").parquet(
+                os.path.join(self.latency_path, f"batch={batch_id}")
+            )
 
         # (2) shared event buffer with widest-window retention
         buffer = self._update_buffer(batch_df, batch_id)
@@ -636,7 +650,17 @@ class ActivePipeline:
 
         evals.persist()
         try:
-            evals.write.mode("append").parquet(self.evals_path)
+            # per-batch overwrite dir (replay-idempotent): a crash
+            # BEFORE _persist_watermarks re-delivers the batch with
+            # unchanged gate state, recomputing the identical rows —
+            # the overwrite replaces them 1:1 instead of appending
+            # duplicates. A replay AFTER the watermark commit emits
+            # nothing (the gate is monotone), so an empty output skips
+            # the write entirely rather than erasing the original rows.
+            if not evals.isEmpty():
+                evals.write.mode("overwrite").parquet(
+                    os.path.join(self.evals_path, f"batch={batch_id}")
+                )
             # (4b) enrichment join MV: this batch's evaluations are the
             # left delta — ONE delta join against the dim snapshot,
             # batch-id-idempotent (foreachBatch replays are no-ops)
@@ -658,7 +682,11 @@ class ActivePipeline:
                 if self.alert_cooldown_ms
                 else fired
             )
-            emitted.write.mode("append").parquet(self.alerts_path + "/data")
+            if not emitted.isEmpty():
+                # same skip-when-empty idempotence contract as evals
+                emitted.write.mode("overwrite").parquet(
+                    os.path.join(self.alerts_path, "data", f"batch={batch_id}")
+                )
             wm_rows = (
                 evals.groupBy("query_id")
                 .agg(F.max(F.unix_millis("window_end")).alias("max_end"))
@@ -787,6 +815,16 @@ class ActivePipeline:
         runs every PRUNE_EVERY batches. This is the parquet stand-in
         for a Delta table partitioned by event date with retention —
         same shape, swap the writer."""
+        # recover a crashed compaction swap BEFORE writing into the
+        # buffer dir: the batch write below recreates the target, and
+        # a recover_swap that runs only after it would then classify
+        # the .old holding the ENTIRE committed buffer as post-commit
+        # garbage and delete it
+        from activedatawarehouseprototype_spark.operators.warehouse import (
+            recover_swap,
+        )
+
+        recover_swap(self.buffer_path)
         batch_df.withColumn(self.BUCKET_COL, self._bucket_expr()).write.mode(
             "overwrite"
         ).partitionBy(self.BUCKET_COL).parquet(
@@ -815,14 +853,12 @@ class ActivePipeline:
             # frame IS the buffer.
             return batch_df.limit(0)
 
-        # a crash mid-compaction must not lose the buffer: recover the
-        # last committed state before reading (shared swap protocol)
+        # (crash recovery for a mid-compaction swap already ran at the
+        # top of this method, before the batch write)
         from activedatawarehouseprototype_spark.operators.warehouse import (
             commit_swap,
-            recover_swap,
         )
 
-        recover_swap(self.buffer_path)
         buffer = self.spark.read.parquet(self.buffer_path)
 
         def _retained(df: DataFrame) -> DataFrame:
@@ -876,7 +912,10 @@ class ActivePipeline:
 
     def alerts(self) -> DataFrame:
         try:
-            return self.spark.read.parquet(self.alerts_path + "/data")
+            # batch= partition dirs are replay bookkeeping, not data
+            return self.spark.read.parquet(self.alerts_path + "/data").drop(
+                "batch"
+            )
         except Exception:
             return local_rows_df(
                 self.spark,
@@ -886,14 +925,14 @@ class ActivePipeline:
 
     def evaluations(self) -> DataFrame:
         try:
-            return self.spark.read.parquet(self.evals_path)
+            return self.spark.read.parquet(self.evals_path).drop("batch")
         except Exception:
             return self.alerts().limit(0)
 
     def latency(self) -> DataFrame:
         """K3 latency side-output stream (event_ts, latency_ms)."""
         try:
-            return self.spark.read.parquet(self.latency_path)
+            return self.spark.read.parquet(self.latency_path).drop("batch")
         except Exception:
             return local_rows_df(
                 self.spark, [], "event_ts timestamp, latency_ms bigint"
@@ -915,9 +954,13 @@ class ActivePipeline:
         def _batch(df: DataFrame, bid: int) -> None:
             self.process_batch(df, bid)
             if self.registry.stop_requested and not holder.get("stopping"):
-                holder["stopping"] = True
                 q = holder.get("q")
+                # latch only once the query handle exists: the first
+                # batch can finish before writer.start() returns on
+                # the main thread, and latching with q=None would make
+                # every later batch skip the stop forever
                 if q is not None:
+                    holder["stopping"] = True
                     threading.Thread(target=q.stop, daemon=True).start()
 
         writer = events_stream.writeStream.foreachBatch(_batch).option(

@@ -1582,3 +1582,31 @@ def test_contrastive_pairs_semantics(spark, emb):
         else:
             assert r.score < 0.5 and (r.id_a + r.id_b) % 3 == 0
     assert any(r.label == 0 for r in rows)  # hard negatives present
+
+
+def test_doc_cross_entropy_oov_scoring(spark, docs):
+    """Open-vocabulary scoring: with oov_lp, a wholly-gibberish doc
+    gets a row and scores HIGHER than fluent in-domain text (the gate
+    property the closed-vocab form inverts by dropping OOV tokens)."""
+    lm_counts = T.unigram_counts(docs)
+    lm = T.unigram_logprobs(lm_counts)
+    oov = T.unigram_oov_logprob(lm_counts)
+    in_domain = docs.limit(3).select("doc_id", "text")
+    gib = spark.createDataFrame(
+        [(999001, "zzq1 zzq2 zzq3 zzq4 zzq5 zzq6 zzq7 zzq8")],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in T.doc_cross_entropy(
+            in_domain.unionByName(gib), lm, oov_lp=oov
+        ).collect()
+    }
+    assert 999001 in out and out[999001].n_tokens == 8
+    gib_ce = out[999001].ce_nats
+    assert all(
+        out[r.doc_id].ce_nats < gib_ce for r in in_domain.collect()
+    )
+    # closed-vocab form: the gibberish doc vanishes (documented)
+    closed = T.doc_cross_entropy(gib, lm).collect()
+    assert closed == []
