@@ -87,7 +87,11 @@ class Constraint:
         if self.kind == "matches_regex":
             return c.isNull() | ~c.rlike(self.pattern)
         if self.kind == "expression":
-            return ~F.expr(self.expr)
+            # NULL must count as a violation like every other kind: a
+            # bare ~expr yields NULL for NULL inputs, which sum() and
+            # when() silently skip — rows dodging the check via NULL
+            # would flow downstream untagged
+            return ~F.coalesce(F.expr(self.expr), F.lit(False))
         if self.kind == "unique":
             return None
         raise ValueError(f"unknown constraint kind {self.kind!r}")
@@ -129,7 +133,7 @@ def check_constraints(df: DataFrame, constraints: list[Constraint]) -> DataFrame
     mapping = F.create_map(
         *[x for name, i in order.items() for x in (F.lit(name), F.lit(i))]
     )
-    return out.orderBy(mapping[F.col("constraint")]).drop("_ord")
+    return out.orderBy(mapping[F.col("constraint")])
 
 
 def enforce(

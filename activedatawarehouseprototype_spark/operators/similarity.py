@@ -40,8 +40,21 @@ def norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
 
 
+def safe_norm(a: Column) -> Column:
+    """L2 norm with a 1.0 divisor for the zero vector: x / safe_norm(x)
+    leaves an all-zero embedding as zeros instead of throwing
+    DIVIDE_BY_ZERO under the session's ANSI default."""
+    n = norm(a)
+    return F.when(n == 0.0, F.lit(1.0)).otherwise(n)
+
+
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity; a zero-norm side scores 0.0 (undefined
+    direction — never a spurious top-k hit, and never an ANSI
+    DIVIDE_BY_ZERO crash; the vectorized twin cosine_pairs_score
+    applies the same convention)."""
+    denom = norm(a) * norm(b)
+    return F.when(denom == 0.0, F.lit(0.0)).otherwise(dot(a, b) / denom)
 
 
 def topk_brute_force(
@@ -545,7 +558,10 @@ def cosine_pairs_score(va: Column, vb: Column) -> Column:
             num += A[:, j] * B[:, j]
             na += A[:, j] * A[:, j]
             nb += B[:, j] * B[:, j]
-        return pandas.Series(num / (np.sqrt(na) * np.sqrt(nb)))
+        den = np.sqrt(na) * np.sqrt(nb)
+        # zero-norm convention shared with cosine(): score 0.0, not
+        # NaN (which Spark would sort ABOVE every real score)
+        return pandas.Series(np.where(den == 0.0, 0.0, num / np.where(den == 0.0, 1.0, den)))
 
     _cos.__annotations__ = {
         "a": pandas.Series,
@@ -750,13 +766,24 @@ def ivf_index_compact(
     df = spark.read.parquet(vec_path)
     n_cells = spark.read.parquet(f"{index_path}/centroids").count()
     staging = vec_path + ".staging"
-    n_parts = min(
-        max(1, n_cells * files_per_cell),
-        spark.sparkContext.defaultParallelism,
-    )
-    df.repartition(n_parts, "cell").write.mode("overwrite").partitionBy(
-        "cell"
-    ).parquet(staging)
+    if files_per_cell > 1:
+        # repartitioning on the cell alone lands each cell in ONE task
+        # (one output file regardless of files_per_cell) — a salt in
+        # the key is what actually splits a skewed giant cell
+        df = df.withColumn(
+            "_salt", F.pmod(F.xxhash64("vec_id"), F.lit(files_per_cell))
+        )
+        (
+            df.repartition(max(1, n_cells * files_per_cell), "cell", "_salt")
+            .drop("_salt")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(staging)
+        )
+    else:
+        df.repartition(max(1, n_cells), "cell").write.mode(
+            "overwrite"
+        ).partitionBy("cell").parquet(staging)
     commit_swap(vec_path, staging)
 
 
@@ -892,7 +919,7 @@ def _encode_side_residuals(
     v = as_double_array(F.col(vec_col))
     normed = df.select(
         F.col(id_col),
-        F.transform(v, lambda x: x / norm(v)).alias("_nv"),
+        F.transform(v, lambda x: x / safe_norm(v)).alias("_nv"),
     )
     if not cnorm:
         return normed.select(F.col(id_col), F.col("_nv").alias("_rv"))
@@ -971,7 +998,7 @@ def ivf_pq_search(
     q = queries_df.select(
         F.col(qid_col),
         qv.alias("_qv"),
-        F.transform(qv, lambda x: x / norm(qv)).alias("_qvn"),
+        F.transform(qv, lambda x: x / safe_norm(qv)).alias("_qvn"),
         F.explode(
             F.slice(_ivf_sorted_cells(F.col(qvec_col), cents), 1, probes)
         ).alias("_pcell"),

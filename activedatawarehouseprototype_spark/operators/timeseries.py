@@ -43,7 +43,12 @@ def resample_ffill(
         F.col(value_col).alias("_v"),
         *( [F.col(tie_col).alias("_tie")] if tie_col else [] ),
     ).withColumn("bucket", F.floor(F.col("_ms") / F.lit(step_ms)))
-    order = [F.col("_ms").desc()] + ([F.col("_tie").desc()] if tie_col else [])
+    # the bucket's representative is the latest NON-NULL observation:
+    # ordering nulls-last first means a trailing NULL reading cannot
+    # mask an earlier real value (and mark the bucket unobserved)
+    order = [F.col("_v").isNull().asc(), F.col("_ms").desc()] + (
+        [F.col("_tie").desc()] if tie_col else []
+    )
     wlast = Window.partitionBy(key_col, "bucket").orderBy(*order)
     lastb = (
         ev.withColumn("_rn", F.row_number().over(wlast))

@@ -34,19 +34,33 @@ def parse_car_lines(lines: DataFrame, value_col: str = "value") -> DataFrame:
     yield nulls and are dropped, like the flatMap-with-catch in
     ``source/ShCarDataDeserializer.java:22-27``."""
     c = F.split(F.col(value_col), r"\|")
+
+    # try_element_at + try_to_number/try_to_timestamp, NOT plain
+    # cast/element_at: under Spark 4's ANSI default (which the tuned
+    # session deliberately leaves on) a plain CAST of one dirty field
+    # throws and aborts the whole batch instead of nulling the row —
+    # and this is the reference's known-dirty taxi feed
+    def fld(i: int):
+        return F.try_element_at(c, F.lit(i))
+
+    def num(i: int, t: str):
+        return F.expr(
+            f"try_cast(try_element_at(split({value_col}, '\\\\|'), {i}) AS {t})"
+        )
+
     parsed = lines.select(
-        F.element_at(c, 1).cast("int").alias("carId"),
+        num(1, "int").alias("carId"),
         # +8h offset parity with CarDataParser.java:34-41 (naive local
         # time stamped in UTC+8, normalized to UTC).
         (
-            F.to_timestamp(F.element_at(c, 10), "yyyy-MM-dd HH:mm:ss")
+            F.try_to_timestamp(fld(10), F.lit("yyyy-MM-dd HH:mm:ss"))
             - F.expr("INTERVAL 8 HOURS")
         ).alias("eventTime"),
         F.current_timestamp().alias("processTime"),
-        F.element_at(c, 11).cast("float").alias("lon"),
-        F.element_at(c, 12).cast("float").alias("lat"),
-        F.element_at(c, 13).cast("float").alias("speed"),
-        F.element_at(c, 14).cast("float").alias("angle"),
+        num(11, "float").alias("lon"),
+        num(12, "float").alias("lat"),
+        num(13, "float").alias("speed"),
+        num(14, "float").alias("angle"),
         F.size(c).alias("_n"),
     )
     cleaned = (

@@ -112,13 +112,16 @@ class SpawnThrottle:
     (template, trigger) in quick succession (KafkaSender.java:65-79)."""
 
     size: int = 10
-    _recent: deque = field(default_factory=lambda: deque(maxlen=10))
+    _recent: deque = field(default=None)
 
     def __post_init__(self) -> None:
         self._recent = deque(maxlen=self.size)
 
     def allow(self, template_query_id: int | None, trigger_key: str) -> bool:
-        tag = f"{template_query_id}{trigger_key}"
+        # a TUPLE tag, not string concatenation: two id-less templates
+        # (or '1'+'2x' vs '12'+'x') must not collide into one entry and
+        # wrongly suppress each other's spawns
+        tag = (template_query_id, trigger_key)
         if tag in self._recent:
             return False
         self._recent.append(tag)

@@ -60,7 +60,16 @@ def save_rules_table(spark: SparkSession, registry: RuleRegistry, path: str) -> 
 
 def load_rules_table(spark: SparkSession, path: str) -> RuleRegistry:
     """Rebuild a registry from the rules table (restart recovery)."""
+    from activedatawarehouseprototype_spark.operators.warehouse import (
+        recover_swap,
+    )
+
     reg = RuleRegistry()
+    # a crash mid-swap during save_rules_table leaves the committed
+    # table only in `.old`; without recovery this restart path would
+    # return an EMPTY registry and the next save would persist the
+    # empty set — every standing query silently deleted
+    recover_swap(path)
     if not os.path.exists(path):
         return reg
     for row in spark.read.parquet(path).collect():

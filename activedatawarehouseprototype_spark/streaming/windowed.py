@@ -74,8 +74,21 @@ def session_rule_stream(
     windows — SURVEY §2.6): per-key sessions close after ``gap_ms`` of
     inactivity; the rule's aggregate + threshold apply per session.
     Batch equivalence: the gaps-and-islands plan in corpus/temporal.py."""
-    filtered = events.filter(compile_filter(rule, events)).withWatermark(
-        ts_col, watermark
+    if gap_ms <= 0:
+        raise ValueError(f"gap_ms must be positive, got {gap_ms}")
+    # same contracts as windowed_rule_stream: NULL event times are
+    # dropped (not a NULL session group), and a passthrough/per-event
+    # rule must not silently acquire session semantics
+    if rule.window_milliseconds is not None and rule.window_milliseconds <= 0:
+        raise ValueError(
+            "session_rule_stream: rule is W0 passthrough "
+            "(windowMilliseconds <= 0) — sessionizing it would silently "
+            "change its semantics"
+        )
+    filtered = (
+        events.filter(F.col(ts_col).isNotNull())
+        .filter(compile_filter(rule, events))
+        .withWatermark(ts_col, watermark)
     )
     win = F.session_window(F.col(ts_col), f"{gap_ms} milliseconds")
     grouped = filtered.groupBy(win.alias("w"), *key_columns(rule)).agg(

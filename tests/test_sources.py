@@ -164,3 +164,20 @@ def test_catalog_register_views_sql(spark):
     assert n == 5
     dfs = load_all(spark, "/root/testdata/sf0.001")
     assert set(dfs) >= {"region", "events", "documents", "embeddings"}
+
+
+def test_parse_car_lines_drops_malformed_under_ansi(spark):
+    """Spark 4 ships with ANSI mode ON: one dirty field must null the
+    row (and the row then drops), never throw CAST_INVALID_INPUT and
+    abort the batch — the reference feed is known-dirty."""
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+    rows = [
+        ("1|a|b|c|d|e|f|g|h|2016-01-02 10:00:00|1.0|2.0|3.0|4.0",),
+        ("x|a|b|c|d|e|f|g|h|2016-01-02 10:00:00|abc|2.0|3.0|4.0",),
+        ("1|a|b|c|d|e|f|g|h|not-a-date|1.0|2.0|3.0|4.0",),
+        ("short|line",),
+    ]
+    out = parse_car_lines(
+        spark.createDataFrame(rows, "value string")
+    ).collect()
+    assert len(out) == 1 and out[0].carId == 1 and out[0].speed == 3.0

@@ -2118,3 +2118,34 @@ def test_enrich_dim_update_crash_retry_converges(spark, tmp_path):
     assert {(r.key, r.owner) for r in pipe.enriched().collect()} == {
         ("{carId=1}", "dave")
     }
+
+
+def test_rules_table_load_recovers_crashed_swap(spark, tmp_path):
+    """Crash inside the rules-table swap (target renamed to .old,
+    staging not yet promoted): restart recovery must restore the
+    committed rules, not return an empty registry whose next save
+    would permanently delete every standing query."""
+    import os
+    import shutil as _sh
+
+    from activedatawarehouseprototype_spark.streaming.rule_table import (
+        load_rules_table,
+        save_rules_table,
+    )
+
+    reg = RuleRegistry()
+    reg.apply_json(json.dumps({
+        "queryId": 5, "queryState": "ACTIVE", "lastTime": -1,
+        "windowMilliseconds": 1000, "groupingKeyNames": ["carId"],
+        "windowFilterRules": [], "aggregatorFunctionType": "AVG",
+        "limitOperatorType": ">", "limit": 1,
+        "aggregateFieldName": "speed",
+    }))
+    path = str(tmp_path / "rules_tbl")
+    save_rules_table(spark, reg, path)
+    # simulate the crash window: committed state lives only in .old
+    os.replace(path, path + ".old")
+    assert not os.path.exists(path)
+    recovered = load_rules_table(spark, path)
+    assert set(recovered.rules) == {5}
+    _sh.rmtree(path + ".old", ignore_errors=True)
