@@ -310,6 +310,25 @@ def _build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _parse_mv_hist(spec: str | None):
+    """lo,hi,bins — validated HERE so a malformed value fails at the
+    command line, not as an unpacking error deep inside the first
+    micro-batch."""
+    if not spec:
+        return None
+    parts = spec.split(",")
+    if len(parts) != 3:
+        raise SystemExit(
+            f"--mv-hist expects exactly lo,hi,bins — got {spec!r}"
+        )
+    try:
+        return (float(parts[0]), float(parts[1]), int(parts[2]))
+    except ValueError:
+        raise SystemExit(
+            f"--mv-hist expects lo,hi numeric and bins integer — got {spec!r}"
+        ) from None
+
+
 def main(argv: list[str] | None = None) -> int:
     args = _build_parser().parse_args(argv)
 
@@ -589,7 +608,7 @@ def main(argv: list[str] | None = None) -> int:
         batch = load_parquet(spark, args.batch)
         out = dedup_index.dedup_index_lookup(
             spark, args.index, batch, id_col=args.id_col, text_col=args.text_col
-        )
+        ).localCheckpoint()  # 3 consumers (write/count/anti-join): run the band join once
         out.write.mode("overwrite").parquet(args.output)
         n_pairs = out.count()
         if args.append:
@@ -760,15 +779,7 @@ def main(argv: list[str] | None = None) -> int:
             rules_dir=args.rules_dir,
             mv_key_cols=args.mv_key.split(",") if args.mv_key else None,
             mv_value_col=args.mv_value,
-            mv_hist_bins=(
-                tuple(
-                    f(x) for f, x in zip(
-                        (float, float, int), args.mv_hist.split(",")
-                    )
-                )
-                if args.mv_hist
-                else None
-            ),
+            mv_hist_bins=_parse_mv_hist(args.mv_hist),
             alert_cooldown_ms=args.alert_cooldown_ms,
         )
         from activedatawarehouseprototype_spark.catalog import load_parquet

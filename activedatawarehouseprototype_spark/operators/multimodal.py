@@ -84,7 +84,10 @@ def byte_stats(df: DataFrame) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            blobs = pdf["content"]
+            # a nullable binary column is the normal parquet shape for
+            # media blobs: treat NULL as empty instead of crashing the
+            # task on len(None)
+            blobs = pdf["content"].map(lambda b: b if b is not None else b"")
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),

@@ -27,7 +27,10 @@ def misra_gries_partials(col_values: pd.Series, k: int) -> dict[str, int]:
     """One pass of the k-counter Misra-Gries summary over a series."""
     counters: dict[str, int] = {}
     for v in col_values:
-        if v is None:
+        # pd.isna catches pd.NA/NaN from astype('string'), which a
+        # bare `is None` does not — a null-heavy column would otherwise
+        # burn one of the k counters on <NA> and evict a real item
+        if v is None or pd.isna(v):
             continue
         if v in counters:
             counters[v] += 1

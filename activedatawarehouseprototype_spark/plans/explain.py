@@ -29,7 +29,10 @@ def pushed_filters(df: DataFrame) -> list[str]:
 
 
 def read_schemas(df: DataFrame) -> list[str]:
-    return re.findall(r"ReadSchema: struct<([^>]*)>", formatted_plan(df))
+    # greedy to end-of-line: a NESTED column type (struct/array/map)
+    # contains '>' characters, and a lazy [^>]* capture would truncate
+    # at the first one, leaking nested field names into scan_columns
+    return re.findall(r"ReadSchema: struct<(.*)>", formatted_plan(df))
 
 
 def has_pushed_filter(df: DataFrame, fragment: str) -> bool:
@@ -37,19 +40,45 @@ def has_pushed_filter(df: DataFrame, fragment: str) -> bool:
 
 
 def scan_columns(df: DataFrame) -> list[set[str]]:
-    """Column sets actually read from each parquet scan (pruning check)."""
-    return [
-        {c.split(":")[0] for c in s.split(",") if c}
-        for s in read_schemas(df)
-    ]
+    """TOP-LEVEL column sets read by each parquet scan (pruning
+    check). Splits on commas at nesting depth 0 only, so a nested
+    struct/array column counts as one column under its own name."""
+    out = []
+    for s in read_schemas(df):
+        cols, depth, cur = set(), 0, []
+        for ch in s:
+            if ch == "<":
+                depth += 1
+            elif ch == ">":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                frag = "".join(cur)
+                if frag:
+                    cols.add(frag.split(":")[0])
+                cur = []
+                continue
+            cur.append(ch)
+        frag = "".join(cur)
+        if frag:
+            cols.add(frag.split(":")[0])
+        out.append(cols)
+    return out
 
 
 def broadcast_join_count(df: DataFrame) -> int:
-    return len(re.findall(r"BroadcastHashJoin|BroadcastNestedLoopJoin", formatted_plan(df)))
+    """Counts the numbered detail headers only — each join node appears
+    TWICE in a formatted explain (tree line + '(N) <Node>' detail), so
+    an unanchored match would double-count every join."""
+    return len(
+        re.findall(
+            r"\(\d+\) (?:BroadcastHashJoin|BroadcastNestedLoopJoin)",
+            formatted_plan(df),
+        )
+    )
 
 
 def sort_merge_join_count(df: DataFrame) -> int:
-    return len(re.findall(r"SortMergeJoin", formatted_plan(df)))
+    return len(re.findall(r"\(\d+\) SortMergeJoin", formatted_plan(df)))
 
 
 def has_take_ordered(df: DataFrame) -> bool:
@@ -70,6 +99,9 @@ def exchange_count(df: DataFrame) -> int:
     strongest scale property a transform can have. Broadcast exchanges
     don't count (they move only the small side)."""
     plan = formatted_plan(df)
-    return len(re.findall(r"\(\d+\) Exchange", plan)) - len(
-        re.findall(r"\(\d+\) BroadcastExchange", plan)
-    )
+    # '(N) Exchange' headers are exactly the shuffle exchanges —
+    # broadcast exchanges print as '(N) BroadcastExchange', which this
+    # pattern does not match. (The old subtraction of broadcast
+    # headers under-counted: it could return -1, or report 0 for a
+    # plan with one real shuffle plus one broadcast join.)
+    return len(re.findall(r"\(\d+\) Exchange", plan))

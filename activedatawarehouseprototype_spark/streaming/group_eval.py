@@ -82,6 +82,19 @@ def validate_rule_fields(rule: Rule, dtypes: dict[str, str]) -> None:
     for f in rule.window_filter_rules:
         if f.field not in dtypes:
             raise ValueError(f"rule {rule.query_id}: unknown filter field {f.field!r}")
+        # an unparseable numeric literal must quarantine the rule, not
+        # silently match zero events: the compiled-literal path raises
+        # at float(), but the rules-as-data fan_out path would cast to
+        # NULL and drop every row — the two equivalence-tested
+        # strategies must fail identically
+        if dtypes[f.field].startswith(_NUMERIC_PREFIXES):
+            try:
+                float(f.value)
+            except (TypeError, ValueError):
+                raise ValueError(
+                    f"rule {rule.query_id}: non-numeric comparison value "
+                    f"{f.value!r} for numeric field {f.field!r}"
+                ) from None
     for k in key_columns(rule):
         if k not in dtypes:
             raise ValueError(f"rule {rule.query_id}: unknown grouping key {k!r}")

@@ -73,13 +73,15 @@ def w1_batch_aggregate(
     new_val: np.ndarray,
     w_ms: int,
     kind: str,
-) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Vectorized core of the W1 streaming operator.
 
     Merges the retained buffer with a batch of new events, computes the
     trailing ``[t - w, t]`` inclusive aggregate for every NEW event, and
-    returns ``(out_ts, out_agg, kept_ts, kept_val)`` where the kept
-    arrays are the next state (evicted to ``[t_max - w, t_max]``).
+    returns ``(out_ts, out_agg, out_empty, kept_ts, kept_val)`` where
+    ``out_empty`` marks windows with zero non-null observations (emit
+    NULL, never NaN — see inline note) and the kept arrays are the
+    next state (evicted to ``[t_max - w, t_max]``).
 
     O(n log n) for the sort; the rolling aggregate itself is a single
     pandas time-window pass (C kernel) re-indexed to last-peer
@@ -114,16 +116,34 @@ def w1_batch_aggregate(
     # [t - w, t] set — broadcast its value back to every peer.
     last_peer = np.searchsorted(all_ts, all_ts, side="right") - 1
     agg = causal.to_numpy()[last_peer]
+    # all-null windows: the batch RANGE frame yields NULL, while the
+    # pandas kernel yields NaN — a NON-null double Spark orders above
+    # every number, and np.not_equal(NaN, limit) is True, so a '!='
+    # threshold would fire on exactly the windows the batch path does
+    # not. Track the non-null observation count and surface the empty
+    # mask so callers can emit NULL + fired=False (same mask the fused
+    # group_eval kernel applies).
+    if kind == "COUNT":
+        empty = np.zeros(len(all_ts), dtype=bool)[last_peer]
+    else:
+        nn = (
+            pd.Series(np.where(np.isnan(all_val), 0.0, 1.0), index=idx)
+            .rolling(window, closed="both", min_periods=1)
+            .sum()
+            .to_numpy()[last_peer]
+        )
+        empty = nn < 0.5
 
     out_ts = all_ts[is_new]
     out_agg = agg[is_new]
+    out_empty = empty[is_new]
 
     if len(all_ts):
         keep = all_ts >= all_ts[-1] - w_ms
         kept_ts, kept_val = all_ts[keep], all_val[keep]
     else:
         kept_ts, kept_val = all_ts, all_val
-    return out_ts, out_agg, kept_ts, kept_val
+    return out_ts, out_agg, out_empty, kept_ts, kept_val
 
 
 def make_w1_processor(rule: Rule, ts_col: str = "ts", value_col: str = "value"):
@@ -187,15 +207,17 @@ def make_w1_processor(rule: Rule, ts_col: str = "ts", value_col: str = "value"):
                 new_val = whole[value_col].astype("float64").to_numpy(
                     dtype=np.float64
                 )
-            out_ts, out_agg, ts_buf, val_buf = w1_batch_aggregate(
+            out_ts, out_agg, out_empty, ts_buf, val_buf = w1_batch_aggregate(
                 ts_buf, val_buf, new_ts, new_val, w_ms, kind
             )
+            agg_col = pd.array(out_agg, dtype="Float64")
+            agg_col[out_empty] = pd.NA  # NULL, matching the RANGE frame
             yield pd.DataFrame(
                 {
                     "key": key_str,
                     "event_ts_ms": out_ts,
-                    "agg_value": out_agg,
-                    "fired": fire(out_agg),
+                    "agg_value": agg_col,
+                    "fired": np.where(out_empty, False, fire(out_agg)),
                 }
             )
         state.update((ts_buf.tolist(), val_buf.tolist()))

@@ -147,7 +147,18 @@ class RuleRegistry:
         if os.path.exists(persist_path):
             with open(persist_path) as f:
                 for line in f:
-                    if line.strip():
+                    if not line.strip():
+                        continue
+                    # drop-on-error parity with apply_json (the
+                    # RuleDeserializer contract): one corrupted line
+                    # must not abort startup and take down every
+                    # healthy standing query; id-less lines are
+                    # rejected the same way apply_json rejects them
+                    try:
                         r = Rule.from_json(line)
-                        reg.rules[r.query_id] = r
+                    except Exception:
+                        continue
+                    if r.query_id is None:
+                        continue
+                    reg.rules[r.query_id] = r
         return reg

@@ -1268,7 +1268,7 @@ def test_w1_core_throughput_100k():
     new_ts = np.sort(rng.integers(0, 10_000_000, 100_000)).astype(np.int64)
     new_val = rng.normal(size=100_000)
     t0 = time.perf_counter()
-    out_ts, out_agg, _, _ = w1_batch_aggregate(
+    out_ts, out_agg, _, _, _ = w1_batch_aggregate(
         np.empty(0, np.int64), np.empty(0), new_ts, new_val, 10_000, "AVG"
     )
     elapsed = time.perf_counter() - t0
