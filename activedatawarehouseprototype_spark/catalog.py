@@ -65,7 +65,18 @@ def _nanos_ts_columns(path: str) -> list[str]:
             target = files[0]
         schema = pq.read_schema(target)
         return [f.name for f in schema if str(f.type) == "timestamp[ns]"]
-    except Exception:
+    except ImportError:
+        return []  # no pyarrow in this environment: nothing to repair
+    except Exception as e:  # corrupt/unreadable footer: say so — a
+        # silent [] here disables the timestamp[ns] repair and the
+        # failure then surfaces as confusing epoch math far downstream
+        import sys
+
+        print(
+            f"catalog: footer inspection of {path!r} failed ({e!r}); "
+            f"timestamp[ns] repair skipped",
+            file=sys.stderr,
+        )
         return []
 
 

@@ -65,12 +65,26 @@ def asof_join(
         .orderBy(F.col(ts).asc(), F.col("_is_right").desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # ONE struct carries all value columns of the matched right row
+    # together: carrying columns independently with last(ignorenulls)
+    # would (a) skip a right row whose value is genuinely NULL and
+    # carry a STALE older value — DuckDB ASOF JOIN (the oracle) matches
+    # the latest row and returns its NULL — and (b) mix columns from
+    # different right rows. The struct is non-null exactly on right
+    # rows, so ignorenulls selects whole rows, never values.
+    row_struct = F.when(
+        F.col("_is_right") == 1,
+        F.struct(*[F.col(f"_r_{c}").alias(c) for c in value_cols]),
+    )
     carried = unioned.select(
         *lcols,
         "_is_right",
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in value_cols
-        ],
+        F.last(row_struct, ignorenulls=True).over(w).alias("_match"),
     )
-    return carried.filter(F.col("_is_right") == 0).drop("_is_right")
+    return (
+        carried.filter(F.col("_is_right") == 0)
+        .select(
+            *lcols,
+            *[F.col(f"_match.{c}").alias(f"{c}{suffix}") for c in value_cols],
+        )
+    )

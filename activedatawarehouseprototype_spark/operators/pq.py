@@ -61,7 +61,17 @@ def pq_train(
         .limit(sample_n)
         .collect()
     )
+    if not rows:
+        raise ValueError(
+            "pq_train: empty training sample — the input DataFrame has "
+            "no rows (or every row was filtered upstream)"
+        )
     X = np.array([r["_v"] for r in rows], dtype="float64")
+    if X.ndim != 2:
+        raise ValueError(
+            "pq_train: ragged vector lengths in the training sample — "
+            "all vectors must share one dimension"
+        )
     n, dim = X.shape
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")

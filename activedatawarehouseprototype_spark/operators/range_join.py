@@ -28,6 +28,12 @@ def band_range_join(
     """Inner join on |left_val - right_val| <= delta (and optional
     equi-key). Caller projects/filters afterwards; columns keep their
     original names (disambiguate before the call if they collide)."""
+    if delta <= 0:
+        raise ValueError(
+            f"band_range_join: delta must be positive, got {delta} "
+            f"(the bucket quantization divides by it; for exact value "
+            f"equality use a plain equi-join)"
+        )
     bucket_l = F.floor(F.col(left_val) / F.lit(delta))
     bucket_r = F.floor(F.col(right_val) / F.lit(delta))
     l = left.withColumn(

@@ -83,6 +83,23 @@ def calibration_probe_seconds(spark) -> float:
     return time.perf_counter() - t0
 
 
+def _synthetic_events(spark, n_events: int):
+    """ONE synthetic telemetry distribution for every streaming
+    benchmark (5000 cars, 1k events/s, speeds 0-160) — diverging
+    copies would silently make the W1/W2/50-rule numbers measure
+    different data."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    base = int(dt.datetime(2024, 1, 1).timestamp())
+    return spark.range(n_events).select(
+        (F.col("id") % 5000).cast("int").alias("carId"),
+        F.timestamp_seconds(F.lit(base) + F.col("id") / 1000.0).alias("ts"),
+        (F.col("id") * 7 % 160).cast("double").alias("speed"),
+    )
+
+
 def streaming_events_per_sec(spark, n_events: int = 1_000_000) -> float:
     """Reference parity metric: sustained events/s through the rule
     pipeline (the reference simulates ≈13k events/s on one node —
@@ -96,12 +113,7 @@ def streaming_events_per_sec(spark, n_events: int = 1_000_000) -> float:
     from activedatawarehouseprototype_spark.streaming.pipeline import ActivePipeline
     from activedatawarehouseprototype_spark.streaming.registry import RuleRegistry
 
-    base = int(dt.datetime(2024, 1, 1).timestamp())
-    events = spark.range(n_events).select(
-        (F.col("id") % 5000).cast("int").alias("carId"),
-        F.timestamp_seconds(F.lit(base) + F.col("id") / 1000.0).alias("ts"),
-        (F.col("id") * 7 % 160).cast("double").alias("speed"),
-    )
+    events = _synthetic_events(spark, n_events)
     reg = RuleRegistry()
     reg.apply_json(
         _json.dumps(
@@ -122,21 +134,25 @@ def streaming_events_per_sec(spark, n_events: int = 1_000_000) -> float:
             }
         )
     )
-    pipe = ActivePipeline(
-        spark=spark, registry=reg, work_dir=tempfile.mkdtemp(prefix="adw-bench-")
-    )
-    halves = [
-        events.filter(F.col("carId") % 2 == i).persist() for i in (0, 1)
-    ]
-    for h in halves:
-        h.count()
-    t0 = time.perf_counter()
-    for i, h in enumerate(halves):
-        pipe.process_batch(h, i)
-    elapsed = time.perf_counter() - t0
-    for h in halves:
-        h.unpersist()
-    return n_events / elapsed
+    import shutil
+
+    work = tempfile.mkdtemp(prefix="adw-bench-")
+    try:
+        pipe = ActivePipeline(spark=spark, registry=reg, work_dir=work)
+        halves = [
+            events.filter(F.col("carId") % 2 == i).persist() for i in (0, 1)
+        ]
+        for h in halves:
+            h.count()
+        t0 = time.perf_counter()
+        for i, h in enumerate(halves):
+            pipe.process_batch(h, i)
+        elapsed = time.perf_counter() - t0
+        for h in halves:
+            h.unpersist()
+        return n_events / elapsed
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def streaming_w1_events_per_sec(spark, n_events: int = 2_000_000) -> float:
@@ -160,13 +176,8 @@ def streaming_w1_events_per_sec(spark, n_events: int = 2_000_000) -> float:
         w1_stream,
     )
 
-    base = int(dt.datetime(2024, 1, 1).timestamp())
     work = tempfile.mkdtemp(prefix="adw-w1bench-")
-    events = spark.range(n_events).select(
-        (F.col("id") % 5000).cast("int").alias("carId"),
-        F.timestamp_seconds(F.lit(base) + F.col("id") / 1000.0).alias("ts"),
-        (F.col("id") * 7 % 160).cast("double").alias("speed"),
-    )
+    events = _synthetic_events(spark, n_events)
     events.write.mode("overwrite").parquet(f"{work}/events")
     rule = Rule.from_dict(
         {
@@ -215,12 +226,7 @@ def streaming_50rule_events_per_sec(spark, n_events: int = 800_000) -> float:
     from activedatawarehouseprototype_spark.streaming.pipeline import ActivePipeline
     from activedatawarehouseprototype_spark.streaming.registry import RuleRegistry
 
-    base = int(dt.datetime(2024, 1, 1).timestamp())
-    events = spark.range(n_events).select(
-        (F.col("id") % 5000).cast("int").alias("carId"),
-        F.timestamp_seconds(F.lit(base) + F.col("id") / 1000.0).alias("ts"),
-        (F.col("id") * 7 % 160).cast("double").alias("speed"),
-    ).persist()
+    events = _synthetic_events(spark, n_events).persist()
     events.count()
     reg = RuleRegistry()
     for i in range(50):
@@ -243,14 +249,18 @@ def streaming_50rule_events_per_sec(spark, n_events: int = 800_000) -> float:
                 }
             )
         )
-    pipe = ActivePipeline(
-        spark=spark, registry=reg, work_dir=tempfile.mkdtemp(prefix="adw-bench50-")
-    )
-    t0 = time.perf_counter()
-    pipe.process_batch(events, 0)
-    elapsed = time.perf_counter() - t0
-    events.unpersist()
-    return n_events / elapsed
+    import shutil
+
+    work = tempfile.mkdtemp(prefix="adw-bench50-")
+    try:
+        pipe = ActivePipeline(spark=spark, registry=reg, work_dir=work)
+        t0 = time.perf_counter()
+        pipe.process_batch(events, 0)
+        elapsed = time.perf_counter() - t0
+        events.unpersist()
+        return n_events / elapsed
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def ingest_docs_per_sec(spark, n_docs: int = 30_000) -> float:
@@ -326,6 +336,11 @@ def main() -> None:
     # min of two runs per query: the box runs other tenants, so a
     # single sample conflates engine cost with scheduler noise.
     timings: dict[str, float] = {}
+    skipped = [n for n in HEADLINE if n not in QUERIES]
+    if skipped:
+        # a silently shrinking headline reads as a speedup; say so
+        print(f"WARNING: headline queries missing from the registry: "
+              f"{skipped}", file=sys.stderr)
     for name in HEADLINE:
         fn = QUERIES.get(name)
         if fn is None:

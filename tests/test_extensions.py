@@ -1610,3 +1610,23 @@ def test_doc_cross_entropy_oov_scoring(spark, docs):
     # closed-vocab form: the gibberish doc vanishes (documented)
     closed = T.doc_cross_entropy(gib, lm).collect()
     assert closed == []
+
+
+def test_asof_join_null_valued_match_not_stale(spark):
+    """The latest matching right row wins even when its value is NULL —
+    carrying columns independently would skip it and return a STALE
+    older value (DuckDB ASOF JOIN semantics: match the row, return its
+    NULL); multi-column carries must come from ONE right row."""
+    from activedatawarehouseprototype_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 30)], "k bigint, ts bigint")
+    right = spark.createDataFrame(
+        [(1, 10, 5.0, "a"), (1, 20, None, "b")],
+        "k bigint, ts bigint, v double, tag string",
+    )
+    row = asof_join(left, right, "k", "ts", ["v", "tag"]).collect()[0]
+    assert row.v_asof is None and row.tag_asof == "b"
+    # no preceding right row -> NULLs
+    left2 = spark.createDataFrame([(2, 5)], "k bigint, ts bigint")
+    row2 = asof_join(left2, right.filter("k = 1"), "k", "ts", ["v", "tag"]).collect()
+    assert row2 == [] or (row2[0].v_asof is None and row2[0].tag_asof is None)

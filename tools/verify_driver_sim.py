@@ -20,11 +20,10 @@ rows = e.entry(spark).collect()
 print(f"entry: {len(rows)} rows OK")
 
 qs, os_ = e.queries(), e.oracle_sql()
+from activedatawarehouseprototype_spark.catalog import TABLES
+
 con = duckdb.connect()
-for t in [
-    "region", "nation", "customer", "supplier", "part", "orders",
-    "lineitem", "events", "documents", "embeddings",
-]:
+for t in TABLES:
     con.execute(
         f"CREATE VIEW {t} AS SELECT * FROM read_parquet('/root/testdata/sf0.01/{t}.parquet')"
     )
@@ -47,10 +46,16 @@ for name in names:
         print(f"{name}: {'OK' if ok else 'MISMATCH'} ({len(s)} vs {len(o)})")
         if not ok:
             fails.append(name)
-            for a, b in list(zip(s, o))[:3]:
-                if a != b:
-                    print("  spark:", a)
-                    print("  oracle:", b)
+            # first DIFFERING pairs (not the first 3 pairs, which may
+            # all agree when the divergence is deep in the sort order)
+            diffs = [(a, b) for a, b in zip(s, o) if a != b][:3]
+            for a, b in diffs:
+                print("  spark:", a)
+                print("  oracle:", b)
+            if not diffs and len(s) != len(o):
+                print("  (row-count difference only; tail rows:)")
+                print("  spark tail:", s[-1] if s else None)
+                print("  oracle tail:", o[-1] if o else None)
     except Exception as ex:
         fails.append(name)
         print(f"{name}: ERROR {type(ex).__name__}: {ex}")
