@@ -77,6 +77,15 @@ def broadcast_join_count(df: DataFrame) -> int:
     )
 
 
+def broadcast_hash_join_count(df: DataFrame) -> int:
+    """BHJ ONLY — use this for 'dims must broadcast' assertions on
+    EQUI-joins: broadcast_join_count also counts
+    BroadcastNestedLoopJoin, so it would keep passing if a refactor
+    lost the key equality and the plan degraded to an O(n*m)
+    nested-loop join (the exact scale regression those tests pin)."""
+    return len(re.findall(r"\(\d+\) BroadcastHashJoin", formatted_plan(df)))
+
+
 def sort_merge_join_count(df: DataFrame) -> int:
     return len(re.findall(r"\(\d+\) SortMergeJoin", formatted_plan(df)))
 

@@ -25,8 +25,13 @@ def run_oracle(sql: str, sf_dir: str):
 
 
 def _norm_cell(v):
+    # DuckDB→pandas surfaces SQL NULL in double columns as NaN, so the
+    # oracle side cannot distinguish NULL from NaN for floats —
+    # normalize BOTH to one token or a legitimately-NULL float cell
+    # (e.g. AVG of an empty outer-join group) would always mismatch
+    # Spark's None against the oracle's "NaN"
     if v is None:
-        return None
+        return "NaN"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -35,7 +40,16 @@ def _norm_cell(v):
 
 
 def _sorted_rows(rows):
-    return sorted(rows, key=lambda r: tuple(str(c) for c in r))
+    # floats sort by a ROUNDED repr: two rows equal within the compare
+    # tolerance but with different last-ulp reprs would otherwise sort
+    # into different positions on the two sides and misalign the
+    # element-wise comparison (false mismatches for a correct query)
+    def k(c):
+        if isinstance(c, float):
+            return f"{c:.6e}"
+        return str(c)
+
+    return sorted(rows, key=lambda r: tuple(k(c) for c in r))
 
 
 def compare(spark_df, oracle_pdf, float_tol: float = 1e-9) -> list[str]:

@@ -55,14 +55,31 @@ def test_bucketed_join_has_no_shuffle(spark, bucketed_tables):
     # disable broadcast so the join itself must pick a strategy
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
+        from activedatawarehouseprototype_spark.plans.explain import (
+            exchange_count,
+        )
+
         plan = formatted_plan(joined)
-        join_section = plan.split("HashAggregate")[0]
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
-        # no Exchange feeding the join: bucketing provides the
-        # distribution, so the only exchange allowed is the final
-        # aggregation's.
-        n_exchanges = len(re.findall(r"Exchange", join_section))
-        assert n_exchanges == 0, f"join should be shuffle-free:\n{plan[:2000]}"
+        # bucketing provides the join distribution, so the ONLY shuffle
+        # in the whole plan is the final aggregation's. (The old check
+        # grepped the text BEFORE the first HashAggregate — which is
+        # just the plan header and can never contain an Exchange, so it
+        # passed even for a fully-shuffled unbucketed join.)
+        n_bucketed = exchange_count(joined)
+        assert n_bucketed <= 1, f"join should be shuffle-free:\n{plan[:2000]}"
+        # non-vacuous control: the SAME join unbucketed must shuffle
+        # BOTH sides — strictly more exchanges than the bucketed plan
+        plain_join = (
+            load(spark, SF, "orders")
+            .join(
+                load(spark, SF, "lineitem"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            .groupBy("o_orderstatus")
+            .agg(F.sum("l_quantity").alias("q"))
+        )
+        assert exchange_count(plain_join) > n_bucketed
         # and the result is still correct
         plain = (
             load(spark, SF, "orders")

@@ -25,18 +25,21 @@ def test_entry_smoke(spark):
     import __spark_entry__ as e
 
     df = e.entry(spark)
-    assert df.count() >= 0
+    # the driver only requires >= 0, but OUR flagship query returns
+    # rows on every fixture — an empty result here means the entry
+    # regressed, and `count() >= 0` is a tautology that cannot fail
+    assert df.count() > 0
     assert len(df.columns) > 0
 
 
-def test_stateful_corpus_entries_are_rerunnable(spark):
+def test_stateful_corpus_entries_are_rerunnable(spark, sf_dir):
     """Corpus entries that build temp on-disk state (indexes, versioned
     tables, MVs) must return identical results on a second invocation
     — no leakage between runs (the driver may execute them in any
     round, any number of times)."""
     from activedatawarehouseprototype_spark.corpus import QUERIES
 
-    sf = "/root/testdata/sf0.001"
+    sf = sf_dir  # honors ADW_TEST_SF_DIR like the oracle-match test
     for name in (
         "dedup_index_incremental",
         "timetravel_orders_rollup",

@@ -7,7 +7,7 @@ import pytest
 
 from activedatawarehouseprototype_spark.corpus import QUERIES
 from activedatawarehouseprototype_spark.plans.explain import (
-    broadcast_join_count,
+    broadcast_hash_join_count,
     has_pushed_filter,
     has_take_ordered,
     scan_columns,
@@ -27,6 +27,7 @@ def test_q1_projection_pruned(spark):
     df = QUERIES["tpch_q1_pricing_summary"](spark, SF)
     assert has_pushed_filter(df, "LessThanOrEqual(l_shipdate")
     cols = scan_columns(df)
+    assert cols  # an empty list would make the pruning check vacuous
     # the 11-column lineitem scan must read only the 6 needed columns
     assert all(
         c <= {"l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
@@ -37,7 +38,7 @@ def test_q1_projection_pruned(spark):
 
 def test_star_join_broadcasts_dims_no_smj(spark):
     df = QUERIES["join_revenue_by_nation"](spark, SF)
-    assert broadcast_join_count(df) >= 3  # customer, nation, region at least
+    assert broadcast_hash_join_count(df) >= 3  # customer, nation, region at least
     assert sort_merge_join_count(df) == 0
 
 
@@ -49,6 +50,7 @@ def test_topk_uses_take_ordered_not_global_sort(spark):
 def test_events_scan_prunes_unused_columns(spark):
     df = QUERIES["rule_per_event_avg"](spark, SF)
     cols = scan_columns(df)
+    assert cols  # an empty list would make the pruning check vacuous
     for c in cols:
         assert "props" not in c and "event_id" not in c, cols
 
@@ -84,13 +86,14 @@ def test_grouped_eval_scan_prunes_to_referenced_fields(spark):
     ]
     df = evaluate_rules_grouped(load(spark, SF, "events"), rules)
     assert parquet_scan_count(df) == 1
+    assert scan_columns(df)  # non-empty, or the loop below is vacuous
     for cols in scan_columns(df):
         assert "props" not in cols and "event_id" not in cols, cols
 
 
 def test_q5_broadcasts_all_dims_no_smj(spark):
     df = QUERIES["tpch_q5_local_supplier_volume"](spark, SF)
-    assert broadcast_join_count(df) >= 4  # customer, supplier, nation, region
+    assert broadcast_hash_join_count(df) >= 4  # customer, supplier, nation, region
     assert sort_merge_join_count(df) == 0
 
 
@@ -103,6 +106,7 @@ def test_chunking_and_pii_are_shuffle_free(spark):
     for name in ("chunk_documents_tokens", "pii_redaction_scrub"):
         df = QUERIES[name](spark, SF)
         assert exchange_count(df) == 0, f"{name} shuffles"
+        assert scan_columns(df), name  # non-empty, or the loop is vacuous
         for cols in scan_columns(df):
             assert cols <= {"doc_id", "text"}, (name, cols)
 
@@ -127,7 +131,7 @@ def test_lm_and_tfidf_broadcast_the_vocab(spark):
     |corpus|-scaled side and stopword keys make a shuffle join skewed."""
     for name in ("lm_unigram_doc_scores", "tfidf_top_terms_per_doc"):
         df = QUERIES[name](spark, SF)
-        assert broadcast_join_count(df) >= 1, name
+        assert broadcast_hash_join_count(df) >= 1, name
         assert sort_merge_join_count(df) == 0, name
 
 
@@ -158,7 +162,7 @@ def test_new_tpch_queries_broadcast_dims_no_smj(spark):
         ("tpch_q20_heavy_gear_suppliers", 2),  # gear parts, nations
     ]:
         df = QUERIES[name](spark, SF)
-        assert broadcast_join_count(df) >= min_bc, name
+        assert broadcast_hash_join_count(df) >= min_bc, name
         assert sort_merge_join_count(df) == 0, name
 
 
@@ -259,7 +263,7 @@ def test_dsir_broadcasts_lm_tables_no_smj(spark):
     vocabulary-bounded side; the exploded bigram stream is never
     shuffled by token (stopword-pair keys would skew a shuffle join)."""
     df = QUERIES["dsir_importance_weights"](spark, SF)
-    assert broadcast_join_count(df) >= 6
+    assert broadcast_hash_join_count(df) >= 6
     assert sort_merge_join_count(df) == 0
 
 

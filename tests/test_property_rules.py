@@ -66,7 +66,25 @@ def python_reference(events, rule: Rule):
         )
     ]
     kind = "COUNT" if rule.is_count else rule.aggregator_function_type.value
-    mode = window_mode(rule)
+    # mode dispatch reimplemented HERE, independent of the compiler's
+    # window_mode (README W0-W3 spec): importing window_mode would make
+    # the trickiest part of the semantics shared code — a dispatch bug
+    # would produce identical wrong output on both sides and the
+    # property tests would pass with the documented behavior broken
+    w_ms = int(rule.window_milliseconds or 0)
+    f_ms = rule.frequency_milliseconds
+    if w_ms <= 0:
+        mode = "W0"
+    elif f_ms is not None and int(f_ms) == 0:
+        mode = "W1"
+    elif f_ms is None or int(f_ms) > w_ms:
+        mode = "W2"
+    else:
+        mode = "W3"
+    assert mode == window_mode(rule), (
+        f"python reference and compiler disagree on the window mode "
+        f"for w={w_ms} f={f_ms}: {mode} vs {window_mode(rule)}"
+    )
     out = []
     if mode == "W0":
         for u, tms, v in filt:
