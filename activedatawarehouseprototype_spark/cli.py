@@ -191,6 +191,11 @@ def _build_parser() -> argparse.ArgumentParser:
                      help="query id column in --queries")
     pps.add_argument("--qvec-col", default="embedding",
                      help="query vector column in --queries")
+    pps.add_argument("--include-self", action="store_true",
+                     help="keep corpus rows whose id equals the query "
+                     "id (use when --qid-col is a DIFFERENT id space "
+                     "than the corpus; default drops them, the "
+                     "query-corpus-against-itself shape)")
 
     ppa = sub.add_parser(
         "pq-index-append",
@@ -562,6 +567,7 @@ def main(argv: list[str] | None = None) -> int:
             probes=args.probes,
             shortlist=args.shortlist,
             id_col=args.id_col,
+            exclude_self=not args.include_self,
         )
         out.write.mode("overwrite").parquet(args.output)
         print(f"{out.count()} result rows -> {args.output}", file=sys.stderr)

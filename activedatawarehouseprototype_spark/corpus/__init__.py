@@ -42,6 +42,7 @@ from activedatawarehouseprototype_spark.corpus import temporal  # noqa: E402,F40
 from activedatawarehouseprototype_spark.corpus import analytics  # noqa: E402,F401
 from activedatawarehouseprototype_spark.corpus import udfs  # noqa: E402,F401
 from activedatawarehouseprototype_spark.corpus import stats  # noqa: E402,F401
+from activedatawarehouseprototype_spark.corpus import advanced  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
@@ -102,73 +103,67 @@ from activedatawarehouseprototype_spark.corpus import stats  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 
 _DRIVER_ROTATION = [
-    # never driver-checked until now: TPC-H additions (corpus/relational.py)
-    "tpch_q4_late_orders",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q10_returned_items",
-    "tpch_q14_promo_effect",
-    "tpch_q18_large_volume_customers",
-    # never driver-checked: warehouse / MV / CDC tier
-    "timetravel_orders_rollup",
-    "quality_constraints_orders",
-    "cdc_merge_changelog_orders",
-    "join_mv_incremental_orders",
-    "join_mv_cdc_maintenance_orders",
-    "mv_histogram_merge_algebra",
-    "zorder_key_part_layout",
-    # never driver-checked: SQL dialect / decontamination / PQ / ts / alerts
-    "sql_shared_text_rollup",
-    "cross_decontaminate_embeddings",
-    "pq_codes_stats",
-    "resample_ffill_daily_values",
-    "alert_cooldown_bursts",
-    # new in round 5 (no prior row by construction)
-    "ivf_pq_search_topk",
-    "cdc_enrich_pipeline_evals",
-    "tpch_q9_product_profit",
-    "tpch_q12_priority_shipping",
-    "tpch_q13_customer_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity",
-    "tpch_q19_discounted_revenue",
-    "tpch_q21_lone_returner",
-    "tpch_q22_idle_balances",
-    # mid-round-5 additions completing ALL 22 TPC-H shapes (the four
-    # partsupp-bound queries adapted via lineitem's observed
-    # supplier-part relation; new entries — no prior rows by
-    # construction — displacing four r3-green sit-outs whose families
-    # stay represented in-window: window_top3 (ranking windows ->
-    # window_order_price_delta family r4-green + 18 TPC-H), dedup_exact
-    # (4 other dedup entries in-window), ann_topk_cosine
-    # (ivf_pq_search_topk), text_quality_filter (dsir/text tier)
-    "tpch_q2_min_cost_supplier",
-    "tpch_q11_important_stock",
-    "tpch_q16_parts_supplier_relationship",
-    "tpch_q20_heavy_gear_suppliers",
-    # the remaining 8 r3-green sit-outs from round 4 (oldest evidence)
-    "rule_sliding_max",
-    "rule_count_tumbling",
-    "rollup_lineitem_qty",
-    "join_full_outer_nation_activity",
-    "sql_correlated_subquery_share",
-    "json_extract_props",
-    "geo_grid_cell_agg",
-    "dedup_minhash_components",
-    # 4 more entries (family diversity: repeated-span dedup is new in
-    # round 5 — no prior row by construction — displacing the r3-green
-    # dedup_minhash_lsh canary whose family stays represented 3x
-    # in-window; multimodal bytes, as-of join, session windows; the
-    # other ANN paths stay represented via ann_topk_cosine +
-    # ivf_pq_search_topk)
-    "dedup_repeated_spans",
-    # dsir_importance_weights / contrastive_pairs_mining are new in
-    # round 5 (no prior rows by construction), displacing the r3-green
-    # multimodal_byte_stats and asof_click_latest_purchase (both stay
-    # covered by the full-corpus pytest mirror)
-    "dsir_importance_weights",
-    "contrastive_pairs_mining",
-    "session_windows_per_user",
+    # -- round-6 rotation -------------------------------------------------
+    # After round 5, EVERY oracle-backed entry in the registry's
+    # history has a driver hash-match; the evidence-age ledger is now
+    # 35 entries last driver-checked in r3 (3 rounds old — the
+    # registry's oldest, including the rows-only sketch entry), 45 in
+    # r4, 50 in r5 (last round's window). This rotation front-loads
+    # ALL 35 r3-era entries, then backfills with the oldest (r4)
+    # evidence, family-diverse. The 6-entry stable core fills the
+    # window to exactly 50.
+    #
+    # the five ANN paths (r3)
+    "ann_topk_cosine",
+    "ann_lsh_bucket_topk",
+    "ann_lsh_batch_multiprobe_topk",
+    "ann_ivf_topk",
+    "ann_ivf_batch_topk",
+    # embeddings / multimodal / as-of / range (r3)
+    "array_embedding_stats",
+    "multimodal_byte_stats",
+    "asof_click_latest_purchase",
+    "range_join_price_bands",
+    # dedup / text tier (r3)
+    "dedup_exact_text",
+    "dedup_minhash_lsh",
+    "text_quality_filter",
+    "text_repetition",
+    "text_top_bigrams",
+    # relational / analytic (r3)
+    "rule_passthrough",
+    "tpch_q3_shipping_priority",
+    "tpch_q6_revenue_delta",
+    "grouping_sets_orders",
+    "percentile_order_prices",
+    "pivot_status_by_priority",
+    "pivot_native_status_by_priority",
+    "window_running_order_totals",
+    "window_top3_orders_per_customer",
+    "stats_price_quantity",
+    "bool_aggs_per_segment",
+    "null_semantics_aggs",
+    "histogram_event_values",
+    "hourly_activity_profile",
+    "regexp_part_type_tokens",
+    "scalar_string_fns",
+    # the four UDF registration tiers (r3)
+    "udf_pandas_log_score",
+    "udaf_weighted_avg_price",
+    "udf_sql_registered_brand_code",
+    "udtf_token_explode",
+    # rows-only sketch entry (r3, weaker rows-only driver check)
+    "sketch_approx_distinct_and_quantiles",
+    # -- new in round 6 (no prior row by construction) --------------------
+    "graph_pagerank_suppliers",
+    "retention_cohorts_monthly",
+    "funnel_match_recognize_strict",
+    "reservoir_sample_fixed_k",
+    "ntile_equidepth_histogram",
+    "entropy_quality_scores",
+    "skew_salted_join_topk",
+    "interval_overlap_sessions",
+    "weighted_sample_by_quality",
 ]
 
 _STABLE_CORE = [

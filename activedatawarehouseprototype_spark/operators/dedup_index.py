@@ -372,11 +372,15 @@ def dedup_index_compact(
     ``max_rows_per_file`` is the HOT-BUCKET splitter: a pathological
     batch whose signatures all land in one bucket (boilerplate-
     identical documents) leaves a giant partition that one lookup task
-    must read whole. When set, each bucket is salted into
-    ``ceil(n_rows / max_rows_per_file)`` files (never fewer than
-    ``files_per_bucket``), so the pruned lookup scan parallelizes over
-    the hot bucket's files. Per-bucket counts are refreshed from
-    actuals as part of the same pass (self-healing if stats drifted)."""
+    must read whole. When set, the per-file ROW BOUND is hard — the
+    write carries ``maxRecordsPerFile``, so no output file exceeds
+    ``max_rows_per_file`` rows even when two salt groups of the same
+    bucket hash-collide into one shuffle partition. The file COUNT is
+    best-effort ~``ceil(n_rows / max_rows_per_file)`` per bucket
+    (salting spreads the write across tasks; a salt collision yields
+    the same total rows in the same number of files, just written by
+    fewer tasks). Per-bucket counts are refreshed from actuals as
+    part of the same pass (self-healing if stats drifted)."""
     from activedatawarehouseprototype_spark.operators.warehouse import (
         commit_swap,
         recover_swap,
@@ -413,15 +417,19 @@ def dedup_index_compact(
                 ),
             )
         )
-        # NOT capped by defaultParallelism: the per-bucket split
-        # guarantee (ceil(n_rows/max_rows_per_file) files) needs one
-        # shuffle partition per (bucket, salt) group — on a low-core
-        # host a cap would silently merge a hot bucket's salts back
-        # into oversized files; extra partitions just queue.
+        # NOT capped by defaultParallelism: parallelizing the write
+        # wants ~one shuffle partition per (bucket, salt) group; on a
+        # low-core host a cap would funnel a hot bucket through one
+        # task. The hard per-file row bound does NOT depend on the
+        # salt layout though — hash repartition can collide two salt
+        # groups of one bucket into a single partition, so the write
+        # itself carries maxRecordsPerFile (Spark rolls a new file
+        # every max_rows_per_file rows within a task).
         (
             salted.repartition(max(1, total_files), "bucket", "_salt")
             .drop("_nsplit", "_salt")
             .write.mode("overwrite")
+            .option("maxRecordsPerFile", max_rows_per_file)
             .partitionBy("bucket")
             .parquet(staging)
         )

@@ -222,7 +222,10 @@ def resize_blob(df: DataFrame, factor: int = 4) -> DataFrame:
             out: list[bytes] = []
             lens: list[int] = []
             for blob in pdf["content"]:
-                b = bytes(blob)
+                # NULL content is the normal parquet shape for media
+                # blobs (same guard as byte_stats): map to b'' so a
+                # null cell yields an empty thumbnail, not a dead task
+                b = bytes(blob) if blob is not None else b""
                 out.append(b[::factor])
                 lens.append(len(b))
             yield pd.DataFrame(

@@ -86,6 +86,19 @@ def stratified_sample(
     return df.filter(frac < rate)
 
 
+def weighted_bernoulli_sample(
+    df: DataFrame, weight: Column, key_cols: list[str], salt: str = "w1"
+) -> DataFrame:
+    """Deterministic weighted Bernoulli sampling: keep a row iff its
+    hash fraction < ``weight`` (a per-row Column in [0, 1] — e.g. a
+    quality score). The training-data curation shape "keep documents
+    with probability proportional to quality": a pure per-row filter
+    (no shuffle, no RNG state), reproducible across engines, and
+    samples at scaled weights nest just like ``deterministic_sample``
+    rates do."""
+    return df.filter(hash_fraction(key_cols, salt) < weight)
+
+
 def assign_split(
     key_cols: list[str],
     weights: dict[str, float] | None = None,

@@ -948,6 +948,7 @@ def ivf_pq_search(
     qid_col: str = "qid",
     qvec_col: str = "qvec",
     id_col: str = "vec_id",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Batch ANN search over an ``ivf_pq_index_build`` index — the
     three-stage production recipe (prune -> ADC shortlist -> exact
@@ -1017,7 +1018,14 @@ def ivf_pq_search(
     cand = codes_scan.join(
         F.broadcast(q.select(qid_col, "_qvn", "_pcell")),
         F.col("cell") == F.col("_pcell"),
-    ).filter(F.col(id_col) != F.col(qid_col))
+    )
+    if exclude_self:
+        # assumes queries share the corpus id space (the
+        # query-the-corpus-against-itself shape); pass
+        # exclude_self=False when qids come from a DIFFERENT id
+        # space, or a corpus vector numerically equal to a qid would
+        # be silently dropped from that query's results
+        cand = cand.filter(F.col(id_col) != F.col(qid_col))
 
     out_schema = f"{qid_col} bigint, {id_col} bigint, adc_dist double"
 

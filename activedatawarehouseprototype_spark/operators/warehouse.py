@@ -625,6 +625,44 @@ def _jmv_record_applied(table_path: str, batch_id: int) -> None:
         json.dump({"last_batch_id": max(last, batch_id)}, f)
 
 
+def _jmv_sync_meta(vt, table_path: str) -> None:
+    """Fold every ``jmv-batch:<id>`` marker still visible in the log
+    into the meta watermark. Must run BEFORE a vacuum: vacuum destroys
+    markers in dropped log entries, and a crash between a commit and
+    its meta write leaves exactly one marker that only the log knows
+    about — absorbing it here closes the duplicate-append window."""
+    if vt.latest_version() is None:
+        return
+    last = -1
+    for h in vt.history():
+        op = h["op"]
+        if op.startswith("jmv-batch:"):
+            last = max(last, int(op.split(":", 1)[1]))
+    if last >= 0:
+        _jmv_record_applied(table_path, last)
+
+
+def jmv_vacuum(spark, base_path: str, retain_last: int = 1) -> None:
+    """Retention for the three join-MV state tables (``mv``, ``left``,
+    ``right`` under ``base_path``). ALWAYS use this instead of calling
+    ``VersionedTable.vacuum`` on them directly: each table's meta
+    watermark absorbs the markers in its log FIRST (``_jmv_sync_meta``),
+    so a marker whose meta write was lost to a crash survives the
+    vacuum as a watermark instead of re-opening that batch for a
+    duplicate append on replay."""
+    from activedatawarehouseprototype_spark.operators.versioned import (
+        VersionedTable,
+    )
+
+    for sub in ("mv", "left", "right"):
+        p = f"{base_path}/{sub}"
+        vt = VersionedTable(spark, p)
+        if vt.latest_version() is None:
+            continue
+        _jmv_sync_meta(vt, p)
+        vt.vacuum(retain_last=retain_last)
+
+
 def _jmv_has_batch(vt, table_path: str, batch_id: int) -> bool:
     """Batch-id idempotence check: the meta watermark answers the
     common case in O(1) (foreachBatch ids are monotone); ids above the
@@ -677,7 +715,17 @@ def incremental_join_mv(
     contain this batch (the side commits always follow the MV
     commit). Returns the current MV (``None`` while only one side has
     ever contributed — the join schema is unknowable until both sides
-    appear)."""
+    appear).
+
+    **Batch ids must be monotone non-decreasing across calls** — the
+    ``foreachBatch`` contract this API is built for. The idempotence
+    check keeps a high-watermark (``_jmv_meta.json``), so a FIRST-TIME
+    id below an already-applied id is treated as already applied and
+    silently skipped; callers minting their own ids out of order must
+    renumber, not rely on per-id tracking. For retention use
+    ``jmv_vacuum`` (never ``VersionedTable.vacuum`` directly) — it
+    folds log markers into the watermark before dropping log entries,
+    closing the commit-vs-meta crash window."""
     from activedatawarehouseprototype_spark.operators.versioned import (
         VersionedTable,
     )

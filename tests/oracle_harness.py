@@ -24,14 +24,16 @@ def run_oracle(sql: str, sf_dir: str):
     return con.execute(sql).df()
 
 
-def _norm_cell(v):
+def _norm_cell(v, is_float: bool = False):
     # DuckDB→pandas surfaces SQL NULL in double columns as NaN, so the
     # oracle side cannot distinguish NULL from NaN for floats —
     # normalize BOTH to one token or a legitimately-NULL float cell
     # (e.g. AVG of an empty outer-join group) would always mismatch
-    # Spark's None against the oracle's "NaN"
+    # Spark's None against the oracle's "NaN". Only FLOAT columns get
+    # this collapse: a NULL string/int cell must stay distinct from a
+    # literal 'NaN' string or a genuine NaN, or the oracle weakens.
     if v is None:
-        return "NaN"
+        return "NaN" if is_float else None
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -60,11 +62,29 @@ def compare(spark_df, oracle_pdf, float_tol: float = 1e-9) -> list[str]:
     if s_cols != o_cols:
         return [f"column mismatch: spark={s_cols} oracle={o_cols}"]
 
+    # a column is float if EITHER side types it float (symmetric, so
+    # both sides apply the same NULL↔NaN collapse)
+    import pandas as pd
+
+    s_types = dict(spark_df.dtypes)
+    is_float = {
+        c: s_types.get(c) in ("double", "float")
+        or pd.api.types.is_float_dtype(oracle_pdf[c])
+        for c in s_cols
+    }
+
     s_rows = [
-        tuple(_norm_cell(row[c]) for c in s_cols) for row in spark_df.collect()
+        tuple(_norm_cell(row[c], is_float[c]) for c in s_cols)
+        for row in spark_df.collect()
     ]
     o_raw = oracle_pdf[s_cols].itertuples(index=False, name=None)
-    o_rows = [tuple(_norm_cell(_to_py(c)) for c in r) for r in (tuple(t) for t in o_raw)]
+    o_rows = [
+        tuple(
+            _norm_cell(_to_py(c), is_float[col])
+            for col, c in zip(s_cols, r)
+        )
+        for r in (tuple(t) for t in o_raw)
+    ]
 
     if len(s_rows) != len(o_rows):
         problems.append(f"row count: spark={len(s_rows)} oracle={len(o_rows)}")
@@ -87,6 +107,9 @@ def _to_py(v):
     import numpy as np
     import pandas as pd
 
+    if v is pd.NA or v is pd.NaT:
+        return None  # nullable-dtype NULL → plain None (typed collapse
+        # to 'NaN' happens in _norm_cell for float columns only)
     if isinstance(v, (np.integer,)):
         return int(v)
     if isinstance(v, (np.floating,)):

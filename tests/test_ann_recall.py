@@ -362,6 +362,40 @@ def test_ivf_pq_index_append_and_compact_preserve_search(spark, tmp_path):
     )
 
 
+def test_ivf_pq_search_exclude_self_toggle(spark, tmp_path):
+    """Round-5 ADVICE: when query ids come from a DIFFERENT id space
+    than the corpus, a corpus vector whose id numerically equals a qid
+    must not be silently dropped — exclude_self=False keeps it; the
+    default (True, the query-the-corpus-against-itself shape) drops
+    it."""
+    rng = np.random.default_rng(7)
+    mat = rng.normal(size=(60, DIM))
+    ids = list(range(60))
+    corpus = _vec_df(spark, "vec_id", "embedding", mat, ids)
+    idx = str(tmp_path / "selfidx")
+    similarity.ivf_pq_index_build(
+        corpus, idx, k=4, iters=2, m=4, ksub=8, pq_sample_n=1024
+    )
+    # qid 7 collides with corpus vec_id 7, and the query IS vector 7 —
+    # the colliding row is the nearest neighbor by construction
+    queries = _vec_df(spark, "qid", "qvec", mat[[7]], [7])
+
+    got_default = {
+        r.vec_id
+        for r in similarity.ivf_pq_search(
+            spark, idx, queries, k=5, probes=4, shortlist=60
+        ).collect()
+    }
+    assert 7 not in got_default
+
+    res = similarity.ivf_pq_search(
+        spark, idx, queries, k=5, probes=4, shortlist=60,
+        exclude_self=False,
+    ).collect()
+    by_score = sorted(res, key=lambda r: -r.score)
+    assert by_score[0].vec_id == 7  # the exact-match row wins re-rank
+
+
 def test_cli_pq_index_build_search_append(spark, tmp_path):
     """pq-index-build / pq-index-search / pq-index-append e2e: search
     results land in parquet; after appending a new batch its vectors

@@ -317,6 +317,14 @@ def test_bucket_skew_guard_warns_and_compact_splits(spark, tmp_path, corpus_rows
     hot_dir = os.path.join(idx, "bands", f"bucket={hot[0]}")
     n_files = len([f for f in os.listdir(hot_dir) if f.endswith(".parquet")])
     assert n_files >= 2, f"hot bucket not split: {n_files} file(s)"
+    # the per-file ROW BOUND is hard (maxRecordsPerFile), even if two
+    # salt groups hash-collide into one shuffle partition
+    import pyarrow.parquet as pq
+
+    for f in os.listdir(hot_dir):
+        if f.endswith(".parquet"):
+            nr = pq.ParquetFile(os.path.join(hot_dir, f)).metadata.num_rows
+            assert nr <= 200, f"file {f} has {nr} rows > max_rows_per_file"
     after = {
         (r.id_new, r.id_indexed)
         for r in DI.dedup_index_lookup(spark, idx, probe).collect()

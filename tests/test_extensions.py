@@ -1555,6 +1555,53 @@ def test_resize_blob_deterministic_and_one_to_one(spark, docs):
         multimodal.resize_blob(blobs, factor=0)
 
 
+def test_weighted_bernoulli_sample_nests_and_bounds(spark, docs):
+    """Scaled weights nest (0.5w sample ⊂ w sample — same hash coin)
+    and weight 0 / 1 are the empty / full corpus."""
+    from pyspark.sql import functions as F
+
+    from activedatawarehouseprototype_spark.operators.sampling import (
+        weighted_bernoulli_sample,
+    )
+
+    d = docs.select("doc_id", "n_chars")
+    w = F.col("n_chars") / F.lit(600.0)
+    full = {r.doc_id for r in weighted_bernoulli_sample(d, w, ["doc_id"]).collect()}
+    half = {
+        r.doc_id
+        for r in weighted_bernoulli_sample(d, w / 2, ["doc_id"]).collect()
+    }
+    assert half <= full
+    assert weighted_bernoulli_sample(d, F.lit(0.0), ["doc_id"]).count() == 0
+    assert weighted_bernoulli_sample(d, F.lit(1.0), ["doc_id"]).count() == d.count()
+
+
+def test_resize_blob_null_content_survives(spark):
+    """Round-5 ADVICE (medium): a NULL content cell is the normal
+    parquet shape for media blobs — resize must map it to an empty
+    thumbnail (same guard as byte_stats), not kill the task."""
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"abcdefgh")), (2, None)],
+        StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("content", BinaryType()),
+            ]
+        ),
+    )
+    out = {r.doc_id: r for r in multimodal.resize_blob(df, factor=2).collect()}
+    assert bytes(out[1].content) == b"aceg"
+    assert bytes(out[2].content) == b"" and out[2].orig_len == 0
+    assert out[2].new_len == 0
+
+
 def test_contrastive_pairs_semantics(spark, emb):
     """Planted scaled copies (cos 1.0) must appear as positives; every
     label agrees with its score side; negatives only from the thinned

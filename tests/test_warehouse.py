@@ -910,6 +910,49 @@ def test_join_mv_replay_idempotence_survives_vacuum(spark, tmp_path):
     assert V.VersionedTable(spark, f"{base}/left").read().count() == 4
 
 
+def test_jmv_vacuum_closes_commit_meta_crash_window(spark, tmp_path):
+    """Round-5 ADVICE: a crash AFTER a jmv commit but BEFORE its meta
+    watermark write leaves the batch's only record in the log; a raw
+    vacuum then destroys that marker and a replay re-appends the
+    delta. jmv_vacuum must fold log markers into the meta watermark
+    before dropping log entries, so the replay stays a no-op."""
+    import glob
+    import os as _os
+
+    from activedatawarehouseprototype_spark.operators import versioned as V
+    from activedatawarehouseprototype_spark.operators.warehouse import (
+        incremental_join_mv,
+        jmv_vacuum,
+    )
+
+    base = str(tmp_path / "jmv_crash")
+    for b in range(3):
+        L = spark.createDataFrame([(b, f"l{b}")], "k bigint, lval string")
+        R = spark.createDataFrame([(b, float(b))], "k bigint, rval double")
+        incremental_join_mv(
+            spark, base, ["k"], left_batch=L, right_batch=R, batch_id=b
+        )
+    # simulate the crash window: the commits (and their log markers)
+    # exist but every meta watermark write was lost
+    for mp in glob.glob(str(tmp_path / "jmv_crash" / "*_jmv_meta.json")):
+        _os.remove(mp)
+
+    jmv_vacuum(spark, base, retain_last=1)
+
+    mv = V.VersionedTable(spark, f"{base}/mv")
+    n_before = mv.read().count()
+    assert n_before == 3
+    # replay the newest batch (the one whose marker a raw vacuum
+    # would have destroyed): must be a no-op
+    L2 = spark.createDataFrame([(2, "l2")], "k bigint, lval string")
+    R2 = spark.createDataFrame([(2, 2.0)], "k bigint, rval double")
+    incremental_join_mv(
+        spark, base, ["k"], left_batch=L2, right_batch=R2, batch_id=2
+    )
+    assert mv.read().count() == n_before
+    assert V.VersionedTable(spark, f"{base}/left").read().count() == 3
+
+
 def test_scd2_upsert_rejects_null_effective_ts(spark, tmp_path):
     """A NULL effective_ts row would silently vanish or duplicate
     through the full-outer presence logic — rejected loudly instead."""
