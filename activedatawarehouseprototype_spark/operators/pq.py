@@ -72,6 +72,20 @@ def pq_train(
             "pq_train: ragged vector lengths in the training sample — "
             "all vectors must share one dimension"
         )
+    return train_codebooks_array(X, m=m, ksub=ksub, iters=iters)
+
+
+def train_codebooks_array(
+    X, m: int = 8, ksub: int = 16, iters: int = 8
+) -> list[list[list[float]]]:
+    """The numpy core of ``pq_train``: Lloyd iterations per
+    sub-quantizer over an (n, dim) sample matrix. Exposed so callers
+    that already hold the training sample driver-side (e.g. the fused
+    IVF+PQ build, which derives residuals from an already-collected
+    assignment sample) can train without materializing a Spark
+    residual DataFrame first."""
+    import numpy as np
+
     n, dim = X.shape
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -102,6 +116,24 @@ def pq_train(
     return codebooks
 
 
+def encode_batch(X, C) -> "object":
+    """Encode an (n, dim) float64 matrix to (n, m) int64 codes against
+    codebook arrays ``C`` (list of (ksub, dsub) ndarrays). The shared
+    numpy kernel of ``pq_encode`` and the fused IVF+PQ writer — ONE
+    definition of the argmin/tie-break so the two paths cannot
+    drift."""
+    import numpy as np
+
+    m = len(C)
+    dsub = C[0].shape[1]
+    out = np.empty((X.shape[0], m), dtype="int64")
+    for s in range(m):
+        sub = X[:, s * dsub : (s + 1) * dsub]
+        d2 = ((sub[:, None, :] - C[s][None, :, :]) ** 2).sum(axis=2)
+        out[:, s] = d2.argmin(axis=1)
+    return out
+
+
 def pq_encode(
     df: DataFrame,
     codebooks: list[list[list[float]]],
@@ -116,18 +148,12 @@ def pq_encode(
     from pyspark.sql.functions import pandas_udf
 
     C = [np.array(cb, dtype="float64") for cb in codebooks]
-    m = len(C)
-    dsub = C[0].shape[1]
 
     def _enc(vs):
         if len(vs) == 0:
             return pandas.Series([], dtype="object")
         X = np.stack(vs.to_numpy()).astype("float64")
-        out = np.empty((X.shape[0], m), dtype="int64")
-        for s in range(m):
-            sub = X[:, s * dsub : (s + 1) * dsub]
-            d2 = ((sub[:, None, :] - C[s][None, :, :]) ** 2).sum(axis=2)
-            out[:, s] = d2.argmin(axis=1)
+        out = encode_batch(X, C)
         return pandas.Series(list(out))
 
     _enc.__annotations__ = {"vs": pandas.Series, "return": pandas.Series}

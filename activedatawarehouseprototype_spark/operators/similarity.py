@@ -834,14 +834,15 @@ def ivf_pq_index_build(
 
     import math as _math
 
+    import numpy as _np
+
     cents = (
         ivf_kmeans_centroids(df, k, iters, id_col=id_col, vec_col=vec_col)
         if use_kmeans
         else ivf_seed_centroids(df, k, id_col=id_col, vec_col=vec_col)
     )
-    # the assignment (k x dim distance exprs per row) feeds BOTH the
-    # residual pass and the final vectors write — persist so the build
-    # evaluates it once, not three times (train sample, encode, write)
+    # the assignment feeds BOTH the training sample and the final
+    # vectors write — persist so the build evaluates it once
     assigned = ivf_assign(
         df, k=k, id_col=id_col, vec_col=vec_col, centroids=cents
     ).persist()
@@ -856,29 +857,50 @@ def ivf_pq_index_build(
             n_ = _math.sqrt(sum(float(x) * float(x) for x in sv)) or 1.0
             cnorm[int(sid)] = [float(x) / n_ for x in sv]
 
-        residual = _encode_side_residuals(
-            df, assigned, cnorm, id_col=id_col, vec_col=vec_col
-        ).persist()
-        try:
-            codebooks = PQ.pq_train(
-                residual, m=m, ksub=ksub, iters=pq_iters,
-                sample_n=pq_sample_n, id_col=id_col, vec_col="_rv",
+        # training sample: the pq_sample_n lowest-id (vector, cell)
+        # rows — the ONE bounded control-plane collect (standard PQ
+        # recipe: codebooks train on a sample); residuals for the
+        # sample are computed driver-side with the SAME numpy recipe
+        # the fused writer applies executor-side
+        sample = (
+            assigned.select(
+                F.col(id_col).alias("_id"),
+                as_double_array(F.col(vec_col)).alias("_v"),
+                "cell",
             )
-            enc = PQ.pq_encode(residual, codebooks, id_col=id_col, vec_col="_rv")
+            .orderBy("_id")
+            .limit(pq_sample_n)
+            .collect()
+        )
+        if not sample:
+            raise ValueError(
+                "ivf_pq_index_build: empty input — nothing to index"
+            )
+        Xs = _np.array([r["_v"] for r in sample], dtype="float64")
+        if Xs.ndim != 2:
+            raise ValueError(
+                "ivf_pq_index_build: ragged vector lengths — all "
+                "vectors must share one dimension"
+            )
+        Rs = _residual_batch(
+            Xs, _np.array([int(r["cell"]) for r in sample]), cnorm
+        )
+        codebooks = PQ.train_codebooks_array(
+            Rs, m=m, ksub=ksub, iters=pq_iters
+        )
 
-            (
-                assigned.select(
-                    F.col(id_col),
-                    as_double_array(F.col(vec_col)).alias("vec"),
-                    "cell",
-                )
-                .join(enc, id_col)
-                .write.mode("overwrite")
-                .partitionBy("cell")
-                .parquet(f"{index_path}/vectors")
+        # fused write: ONE Arrow pass computes normalize -> residual ->
+        # codes in-place and writes (id, vec, cell, codes) — no
+        # residual DataFrame, no encode join, and crucially no
+        # full-corpus shuffle (the previous join-by-id was one)
+        (
+            _fused_residual_codes(
+                assigned, cnorm, codebooks, id_col=id_col, vec_col=vec_col
             )
-        finally:
-            residual.unpersist()
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(f"{index_path}/vectors")
+        )
     finally:
         assigned.unpersist()
     spark = df.sparkSession
@@ -902,40 +924,72 @@ def ivf_pq_index_build(
         )
 
 
-def _encode_side_residuals(
-    df: DataFrame,
+def _residual_batch(X, cells, cnorm: dict[int, list[float]]):
+    """(n, dim) residual matrix: L2-normalize each row of ``X`` and
+    subtract its assigned cell's L2-normalized centroid — the ONE
+    definition of what PQ codes quantize, shared by the build-time
+    training sample, the fused build/append writer, and (query-side,
+    per probed cell) the ADC stage, so encodings cannot drift. Empty
+    ``cnorm`` (legacy flat-PQ index) degrades to a zero offset."""
+    import numpy as np
+
+    norms = np.sqrt((X * X).sum(axis=1))
+    norms[norms == 0.0] = 1.0
+    NV = X / norms[:, None]
+    if not cnorm:
+        return NV
+    keys = np.array(sorted(cnorm), dtype="int64")
+    CN = np.array([cnorm[int(kk)] for kk in keys], dtype="float64")
+    idx = np.searchsorted(keys, cells)
+    # an unknown cell id would silently grab a neighbor's centroid
+    if (idx >= len(keys)).any() or (keys[np.clip(idx, 0, len(keys) - 1)]
+                                    != cells).any():
+        raise ValueError("cell id not present in cnorm centroid map")
+    return NV - CN[idx]
+
+
+def _fused_residual_codes(
     assigned: DataFrame,
     cnorm: dict[int, list[float]],
+    codebooks: list[list[list[float]]],
     id_col: str,
     vec_col: str,
 ) -> DataFrame:
-    """(id, _rv): the residual of each L2-normalized vector from its
-    assigned cell's L2-normalized centroid — the ONE definition of
-    what PQ codes quantize, shared by ``ivf_pq_index_build`` and
-    ``ivf_pq_index_append`` so build-time and append-time encodings
-    cannot drift (the ADC stage must subtract the same values
-    encoding did). Empty ``cnorm`` (legacy flat-PQ index) degrades to
-    a zero offset."""
-    v = as_double_array(F.col(vec_col))
-    normed = df.select(
+    """(id, vec, cell, codes) in ONE Arrow pass over the assigned
+    corpus: normalize -> subtract cell centroid -> PQ-encode, with the
+    full vector carried through for the exact re-rank column. No
+    shuffle — this replaced a full-corpus join-by-id between the
+    assignment and a separate encode pass."""
+    import numpy as np
+    import pandas
+
+    from activedatawarehouseprototype_spark.operators import pq as PQ
+
+    C = [np.array(cb, dtype="float64") for cb in codebooks]
+    schema = f"{id_col} bigint, vec array<double>, cell bigint, codes array<int>"
+
+    def it(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["_v"].to_numpy()).astype("float64")
+            cells = pdf["cell"].to_numpy().astype("int64")
+            R = _residual_batch(X, cells, cnorm)
+            codes = PQ.encode_batch(R, C)
+            yield pandas.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    "vec": list(X),
+                    "cell": cells,
+                    "codes": list(codes.astype("int32")),
+                }
+            )
+
+    return assigned.select(
         F.col(id_col),
-        F.transform(v, lambda x: x / safe_norm(v)).alias("_nv"),
-    )
-    if not cnorm:
-        return normed.select(F.col(id_col), F.col("_nv").alias("_rv"))
-    cnorm_df = local_rows_df(
-        df.sparkSession,
-        sorted((int(c), vec) for c, vec in cnorm.items()),
-        "cell int, _cn array<double>",
-    )
-    return (
-        normed.join(assigned.select(id_col, "cell"), id_col)
-        .join(F.broadcast(cnorm_df), "cell")
-        .select(
-            F.col(id_col),
-            F.zip_with("_nv", "_cn", lambda a, b: a - b).alias("_rv"),
-        )
-    )
+        as_double_array(F.col(vec_col)).alias("_v"),
+        "cell",
+    ).mapInPandas(it, schema)
 
 
 def ivf_pq_search(
@@ -1003,7 +1057,9 @@ def ivf_pq_search(
         F.explode(
             F.slice(_ivf_sorted_cells(F.col(qvec_col), cents), 1, probes)
         ).alias("_pcell"),
-    )
+    ).localCheckpoint()  # |queries| x probes rows, used THREE times
+    # (probe-cell collect, ADC broadcast, re-rank broadcast) — without
+    # this each use re-runs the probe-order pandas_udf over the queries
     probe_cells = sorted(
         {r["_pcell"] for r in q.select("_pcell").distinct().collect()}
     )
@@ -1116,8 +1172,6 @@ def ivf_pq_index_append(
     import json as _json
     import os as _os
 
-    from activedatawarehouseprototype_spark.operators import pq as PQ
-
     with open(_os.path.join(index_path, "_pq_codebooks.json")) as f:
         meta = _json.load(f)
     cents = [
@@ -1127,29 +1181,22 @@ def ivf_pq_index_append(
     cents.sort(key=lambda t: t[0])
     assigned = ivf_assign(
         df, k=len(cents), id_col=id_col, vec_col=vec_col, centroids=cents
-    ).persist()
-    try:
-        residual = _encode_side_residuals(
-            df,
+    )
+    # same fused normalize -> residual -> encode pass as the build (no
+    # shuffle, one Arrow pass), against the PERSISTED cnorm/codebooks
+    # so append-time encodings cannot drift from build-time ones
+    (
+        _fused_residual_codes(
             assigned,
             {int(c): vec for c, vec in meta.get("cnorm", {}).items()},
+            meta["codebooks"],
             id_col=id_col,
             vec_col=vec_col,
         )
-        enc = PQ.pq_encode(
-            residual, meta["codebooks"], id_col=id_col, vec_col="_rv"
-        )
-        (
-            assigned.select(
-                F.col(id_col), as_double_array(F.col(vec_col)).alias("vec"), "cell"
-            )
-            .join(enc, id_col)
-            .write.mode("append")
-            .partitionBy("cell")
-            .parquet(f"{index_path}/vectors")
-        )
-    finally:
-        assigned.unpersist()
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(f"{index_path}/vectors")
+    )
 
 
 def contrastive_pairs(
