@@ -453,3 +453,164 @@ def weighted_sample_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
+
+
+# --- Snapshot diff (added / removed / changed / unchanged) -------------------
+
+
+@register(
+    "snapshot_diff_documents",
+    oracle="""
+WITH old AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 0),
+new AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || ' [edited]' ELSE text END
+           AS text
+  FROM documents
+  WHERE doc_id % 13 <> 0
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 23 = 0
+),
+d AS (
+  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+         CASE WHEN o.doc_id IS NULL THEN 'added'
+              WHEN n.doc_id IS NULL THEN 'removed'
+              WHEN o.text IS DISTINCT FROM n.text THEN 'changed'
+              ELSE 'unchanged' END AS op
+  FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+)
+SELECT op, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(doc_id) AS BIGINT) AS min_id,
+       CAST(MAX(doc_id) AS BIGINT) AS max_id
+FROM d GROUP BY op
+""",
+)
+def snapshot_diff_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """snapshot_diff (operators/warehouse.py) over a derived
+    old/new pair of the documents table exercising all four classes:
+    doc_id%17=0 absent from old (-> added), doc_id%13=0 absent from
+    new (-> removed), doc_id%5=0 edited (-> changed), shifted copies
+    of doc_id%23=0 inserted (-> added). The oracle recomputes the
+    classification with an independent FULL OUTER JOIN."""
+    from activedatawarehouseprototype_spark.operators.warehouse import (
+        snapshot_diff,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 17 != 0).select("doc_id", "text")
+    new = (
+        d.filter(F.col("doc_id") % 13 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 5 == 0, F.concat("text", F.lit(" [edited]"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 23 == 0).select(
+                (F.col("doc_id") + 100000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return (
+        snapshot_diff(old, new, ["doc_id"])
+        .groupBy("op")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("doc_id").cast("bigint").alias("min_id"),
+            F.max("doc_id").cast("bigint").alias("max_id"),
+        )
+    )
+
+
+# --- Per-source quota cap -----------------------------------------------------
+
+
+@register(
+    "source_quota_cap_stats",
+    oracle="""
+WITH f AS (
+  SELECT source, doc_id, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY CAST(concat('0x',
+                    substr(md5('q1:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) / 4294967296.0,
+                  doc_id
+         ) AS rn
+  FROM documents
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM f WHERE rn <= 40
+GROUP BY source
+""",
+)
+def source_quota_cap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """group_quota_cap (operators/sampling.py): at most 40 documents
+    per source, chosen by the deterministic md5-hash order — the
+    per-domain quota primitive. The oracle recomputes the hash rank
+    in SQL."""
+    from activedatawarehouseprototype_spark.operators.sampling import (
+        group_quota_cap,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    kept = group_quota_cap(d, ["source"], ["doc_id"], max_per_group=40)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+# --- Rolling z-score anomaly detection ---------------------------------------
+
+
+@register(
+    "rolling_zscore_anomalies",
+    oracle="""
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS d, SUM(value) AS x
+  FROM events GROUP BY user_id, date_trunc('day', ts)
+),
+zz AS (
+  SELECT user_id, d, x,
+         AVG(x) OVER w AS mu,
+         STDDEV_SAMP(x) OVER w AS sd,
+         COUNT(x) OVER w AS nb
+  FROM daily
+  WINDOW w AS (PARTITION BY user_id ORDER BY d
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, strftime(d, '%Y-%m-%d') AS day,
+       ROUND((x - mu) / sd, 4) AS zscore,
+       ABS(ROUND((x - mu) / sd, 4)) > 3.0 AS anomaly
+FROM zz
+WHERE nb >= 3 AND sd IS NOT NULL AND sd > 0.0
+""",
+)
+def rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rolling_zscore (operators/timeseries.py) over per-user daily
+    value totals: each day scored against the user's own trailing
+    7-day baseline (current day excluded), |z| > 3 flagged — the
+    active-warehouse anomaly-alert shape with a full SQL twin."""
+    from activedatawarehouseprototype_spark.operators.timeseries import (
+        rolling_zscore,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.sum("value").alias("x"))
+    z = rolling_zscore(
+        daily, key_col="user_id", order_col="d", value_col="x",
+        lookback=7, min_periods=3, round_to=4,
+    )
+    return z.filter(F.col("zscore").isNotNull()).select(
+        "user_id",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "zscore",
+        "anomaly",
+    )

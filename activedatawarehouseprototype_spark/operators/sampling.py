@@ -86,6 +86,36 @@ def stratified_sample(
     return df.filter(frac < rate)
 
 
+def group_quota_cap(
+    df: DataFrame,
+    group_cols: list[str],
+    key_cols: list[str],
+    max_per_group: int,
+    salt: str = "q1",
+) -> DataFrame:
+    """Keep at most ``max_per_group`` rows per group, chosen by the
+    deterministic hash order (ties by key) — the per-source /
+    per-domain quota primitive ("no single crawl domain may exceed N
+    documents in the mix"). Unlike a rate-based sample, the cap is
+    EXACT per group, yet which rows survive is still a pure function
+    of (salt, key): stable across runs and engines.
+
+    One window over the group (a single shuffle on group_cols); the
+    ROW_NUMBER frame is streaming (no buffering beyond the current
+    row), so a pathologically hot group costs one partition's scan,
+    not memory."""
+    if max_per_group < 1:
+        raise ValueError("max_per_group must be >= 1")
+    w = Window.partitionBy(*group_cols).orderBy(
+        hash_fraction(key_cols, salt), *[F.col(c) for c in key_cols]
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_per_group)
+        .drop("_rn")
+    )
+
+
 def weighted_bernoulli_sample(
     df: DataFrame, weight: Column, key_cols: list[str], salt: str = "w1"
 ) -> DataFrame:

@@ -75,3 +75,49 @@ def resample_ffill(
             F.col("_obs").isNotNull().alias("observed"),
         )
     )
+
+
+def rolling_zscore(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    lookback: int = 7,
+    min_periods: int = 3,
+    round_to: int | None = 4,
+) -> DataFrame:
+    """Rolling z-score anomaly detection — the active-warehouse
+    alerting shape ("today's volume is 4 sigma off this key's recent
+    baseline"). For each row: z = (x - mean(prev)) / stddev(prev)
+    over the ``lookback`` PRECEDING rows only (the current row is
+    excluded from its own baseline, so a spike cannot mask itself).
+
+    NULL z when the baseline has fewer than ``min_periods`` rows or
+    zero variance (a constant baseline makes sigma meaningless, and
+    dividing by it would crash under ANSI). One shuffle on the key;
+    the window is a bounded ROWS frame, so state per key is O(lookback)
+    — at 100 TB this is the same plan with more partitions.
+
+    Input must be unique per (key, order) — pre-aggregate to the grid
+    (e.g. daily sums) first; the z ordering is then deterministic and
+    a SQL twin reproduces it exactly (modulo float rounding, absorbed
+    by ``round_to``)."""
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(order_col)
+        .rowsBetween(-lookback, -1)
+    )
+    mu = F.avg(value_col).over(w)
+    sd = F.stddev_samp(value_col).over(w)
+    n = F.count(value_col).over(w)
+    z = F.when(
+        (n >= min_periods) & sd.isNotNull() & (sd > 0.0),
+        (F.col(value_col) - mu) / sd,
+    )
+    if round_to is not None:
+        z = F.round(z, round_to)
+    return df.select(
+        "*",
+        z.alias("zscore"),
+        (F.abs(z) > 3.0).alias("anomaly"),
+    )

@@ -589,6 +589,53 @@ def cdc_changelog(
     return inserts.unionByName(pre).unionByName(post).localCheckpoint()
 
 
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Corpus/table snapshot diff: one row per key present in either
+    snapshot, classified ``added`` / ``removed`` / ``changed`` /
+    ``unchanged`` — the audit primitive for "what did this pipeline
+    run do to the corpus" and the input to incremental re-processing
+    (only ``added`` + ``changed`` keys need re-embedding/re-scoring).
+
+    ``compare_cols`` defaults to every shared non-key column;
+    comparison is null-safe (NULL == NULL). ONE full-outer hash join
+    on the key — no collect, no window; at 100 TB both sides bucket
+    by the same key and the join co-locates."""
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    if compare_cols is None:
+        shared = [c for c in old.columns if c in set(new.columns)]
+        compare_cols = [c for c in shared if c not in set(key_cols)]
+    o = old.select(
+        *key_cols,
+        F.lit(1).alias("_in_old"),
+        *[F.col(c).alias(f"_old_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *key_cols,
+        F.lit(1).alias("_in_new"),
+        *[F.col(c).alias(f"_new_{c}") for c in compare_cols],
+    )
+    changed = F.lit(False)
+    for c in compare_cols:
+        changed = changed | ~F.col(f"_old_{c}").eqNullSafe(F.col(f"_new_{c}"))
+    return (
+        o.join(n, key_cols, "full_outer")
+        .select(
+            *key_cols,
+            F.when(F.col("_in_old").isNull(), "added")
+            .when(F.col("_in_new").isNull(), "removed")
+            .when(changed, "changed")
+            .otherwise("unchanged")
+            .alias("op"),
+        )
+    )
+
+
 def _jmv_last_applied(vt, table_path: str) -> int:
     """Watermark of the highest ``jmv-batch:<id>`` applied to this
     table, from a sibling ``_jmv_meta.json`` — O(1) per batch instead

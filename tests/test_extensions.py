@@ -1677,3 +1677,80 @@ def test_asof_join_null_valued_match_not_stale(spark):
     left2 = spark.createDataFrame([(2, 5)], "k bigint, ts bigint")
     row2 = asof_join(left2, right.filter("k = 1"), "k", "ts", ["v", "tag"]).collect()
     assert row2 == [] or (row2[0].v_asof is None and row2[0].tag_asof is None)
+
+
+def test_snapshot_diff_classes_and_null_safety(spark):
+    from activedatawarehouseprototype_spark.operators.warehouse import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c"), (4, "d")], "id long, v string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "C"), (5, "e")], "id long, v string"
+    )
+    got = {r.id: r.op for r in snapshot_diff(old, new, ["id"]).collect()}
+    # NULL == NULL must be 'unchanged', not 'changed'
+    assert got == {
+        1: "unchanged",
+        2: "unchanged",
+        3: "changed",
+        4: "removed",
+        5: "added",
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        snapshot_diff(old, new, [])
+
+
+def test_group_quota_cap_exact_and_layout_independent(spark, docs):
+    from activedatawarehouseprototype_spark.operators.sampling import (
+        group_quota_cap,
+    )
+
+    capped = group_quota_cap(docs, ["source"], ["doc_id"], max_per_group=7)
+    per = {r.source: r.n for r in capped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    sizes = {r.source: r.n for r in docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    for s, n in per.items():
+        assert n == min(7, sizes[s])
+    # survivor set is a pure function of the key — partitioning must not matter
+    a = {r.doc_id for r in capped.collect()}
+    b = {
+        r.doc_id
+        for r in group_quota_cap(
+            docs.repartition(13), ["source"], ["doc_id"], max_per_group=7
+        ).collect()
+    }
+    assert a == b
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        group_quota_cap(docs, ["source"], ["doc_id"], max_per_group=0)
+
+
+def test_rolling_zscore_hand_computed(spark):
+    """Baseline excludes the current row; NULL until min_periods; a
+    planted spike after a flat-ish baseline flags as anomaly."""
+    import math
+
+    from activedatawarehouseprototype_spark.operators.timeseries import (
+        rolling_zscore,
+    )
+
+    rows = [(1, d, x) for d, x in enumerate([10.0, 12.0, 11.0, 10.5, 60.0])]
+    df = spark.createDataFrame(rows, "k long, t long, x double")
+    out = {r.t: r for r in rolling_zscore(
+        df, "k", "t", "x", lookback=7, min_periods=3, round_to=None
+    ).collect()}
+    assert out[0].zscore is None and out[1].zscore is None
+    assert out[2].zscore is None  # only 2 preceding rows < min_periods
+    base = [10.0, 12.0, 11.0]
+    mu = sum(base) / 3
+    sd = math.sqrt(sum((v - mu) ** 2 for v in base) / 2)
+    assert math.isclose(out[3].zscore, (10.5 - mu) / sd, rel_tol=1e-12)
+    assert out[3].anomaly is False
+    assert out[4].anomaly is True  # the spike vs its preceding baseline
