@@ -388,28 +388,24 @@ GROUP BY 1
 """,
 )
 def interval_overlap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Interval-overlap self-join: per day, how many user pairs had
-    overlapping activity intervals. The join is EQUI on the day block
-    (a hash join, never a cartesian product) with the overlap
-    inequality as a post-join residual — the standard time-bucket
-    blocking that keeps interval joins O(sum of block^2) instead of
-    O(n^2); at 100 TB the block is an hour/minute, chosen so blocks
-    fit in memory."""
+    """Per day, how many user pairs had overlapping activity
+    intervals — computed by the O(n log n) endpoint sweep
+    (``interval_overlap_pair_counts``, operators/range_join.py), NOT
+    by enumerating pairs: the day-blocked pair join is Θ(Σ block²)
+    candidates (26.7M at sf0.1) while the sweep is one window pass.
+    The oracle deliberately stays the naive quadratic SQL self-join —
+    a fully independent recomputation of the same counts."""
+    from activedatawarehouseprototype_spark.operators.range_join import (
+        interval_overlap_pair_counts,
+    )
+
     ev = _t(spark, sf_dir, "events")
     iv = ev.groupBy(
         "user_id", F.date_trunc("day", "ts").alias("d")
     ).agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
-    a, b = iv.alias("a"), iv.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.d") == F.col("b.d"))
-            & (F.col("a.user_id") < F.col("b.user_id"))
-            & (F.col("a.lo") <= F.col("b.hi"))
-            & (F.col("b.lo") <= F.col("a.hi")),
-        )
-        .groupBy(F.date_format("a.d", "yyyy-MM-dd").alias("day"))
-        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    counts = interval_overlap_pair_counts(iv, "d", "lo", "hi")
+    return counts.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"), "n_pairs"
     )
 
 

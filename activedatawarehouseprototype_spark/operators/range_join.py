@@ -13,7 +13,7 @@ and is the standard interval-join realization on hash engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -47,3 +47,75 @@ def band_range_join(
     return joined.filter(
         F.abs(l[left_val] - r[right_val]) <= F.lit(delta)
     ).drop("_bucket")
+
+
+def interval_overlap_pair_counts(
+    df: DataFrame,
+    block_col: str,
+    lo_col: str,
+    hi_col: str,
+) -> DataFrame:
+    """(block, n_pairs): how many unordered interval pairs within each
+    block overlap (``a.lo <= b.hi AND b.lo <= a.hi``) — WITHOUT
+    enumerating pairs. The naive blocked self-join is Θ(Σ block²)
+    candidates (26.7M at sf0.1 already; quadratic blow-up at scale);
+    when only the COUNT is needed, the endpoint-sweep identity does it
+    in one window pass:
+
+        overlapping(block) = C(n, 2) − #{ordered (a, b): a.hi < b.lo}
+
+    (each non-overlapping unordered pair is counted exactly once on
+    the right — whichever interval ends first is `a`). The strict-<
+    count is a classic merged-endpoint rank: sort each block's lo- and
+    hi-endpoints together by (value, type) with lo before hi on ties
+    (so a.hi == b.lo — an overlap under <= — is NOT counted), then for
+    every lo-endpoint the number of PRECEDING hi-endpoints is exactly
+    #{hi < lo}. One shuffle on the block, one ordered window, O(n log n)
+    per block, O(1) state per row — this survives the 100× scale-up
+    the pair join cannot.
+
+    Blocks with zero overlapping pairs are omitted (matching what a
+    pair-enumerating GROUP BY would produce). Intervals must satisfy
+    lo <= hi."""
+    pts = df.select(
+        F.col(block_col).alias("_blk"),
+        F.col(lo_col).alias("_val"),
+        F.lit(0).alias("_type"),
+    ).unionByName(
+        df.select(
+            F.col(block_col).alias("_blk"),
+            F.col(hi_col).alias("_val"),
+            F.lit(1).alias("_type"),
+        )
+    )
+    w = (
+        Window.partitionBy("_blk")
+        .orderBy("_val", "_type")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    swept = pts.withColumn(
+        "_hi_before", F.coalesce(F.sum("_type").over(w), F.lit(0))
+    )
+    per_block = (
+        swept.groupBy("_blk")
+        .agg(
+            # n intervals = half the endpoints; non-overlap = Σ over
+            # lo-endpoints of preceding-hi counts
+            (F.count(F.lit(1)) / 2).cast("bigint").alias("_n"),
+            F.sum(
+                F.when(F.col("_type") == 0, F.col("_hi_before")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("bigint")
+            .alias("_nonov"),
+        )
+        .select(
+            F.col("_blk").alias(block_col),
+            (
+                (F.col("_n") * (F.col("_n") - 1) / 2).cast("bigint")
+                - F.col("_nonov")
+            ).alias("n_pairs"),
+        )
+    )
+    return per_block.filter(F.col("n_pairs") > 0)

@@ -59,6 +59,14 @@ HEADLINE = [
     "pack_sequences_stats",
     "resample_ffill_daily_values",
     "timetravel_orders_rollup",
+    # round-6 additions
+    "graph_pagerank_suppliers",
+    "retention_cohorts_monthly",
+    "entropy_quality_scores",
+    "interval_overlap_sessions",
+    "skew_salted_join_topk",
+    "rolling_zscore_anomalies",
+    "snapshot_diff_documents",
 ]
 
 

@@ -1754,3 +1754,46 @@ def test_rolling_zscore_hand_computed(spark):
     assert math.isclose(out[3].zscore, (10.5 - mu) / sd, rel_tol=1e-12)
     assert out[3].anomaly is False
     assert out[4].anomaly is True  # the spike vs its preceding baseline
+
+
+def test_interval_overlap_sweep_matches_enumeration(spark):
+    """The O(n log n) endpoint sweep must count exactly what the
+    naive pair join enumerates — random blocks incl. touching
+    endpoints (hi == lo is an overlap under <=) and singletons."""
+    import random
+
+    from activedatawarehouseprototype_spark.operators.range_join import (
+        interval_overlap_pair_counts,
+    )
+
+    rng = random.Random(17)
+    rows = []
+    for blk in range(6):
+        n = [1, 2, 5, 17, 40, 3][blk]
+        for i in range(n):
+            lo = rng.randrange(0, 50)
+            rows.append((blk, i, lo, lo + rng.randrange(0, 12)))
+    # plant a touching pair: a.hi == b.lo must count as overlapping
+    rows.append((7, 0, 100, 110))
+    rows.append((7, 1, 110, 115))
+    df = spark.createDataFrame(rows, "blk long, iid long, lo long, hi long")
+
+    got = {
+        r.blk: r.n_pairs
+        for r in interval_overlap_pair_counts(df, "blk", "lo", "hi").collect()
+    }
+    by_blk: dict[int, list[tuple[int, int]]] = {}
+    for blk, _, lo, hi in rows:
+        by_blk.setdefault(blk, []).append((lo, hi))
+    want = {}
+    for blk, ivs in by_blk.items():
+        c = sum(
+            1
+            for i in range(len(ivs))
+            for j in range(i + 1, len(ivs))
+            if ivs[i][0] <= ivs[j][1] and ivs[j][0] <= ivs[i][1]
+        )
+        if c:
+            want[blk] = c
+    assert got == want
+    assert got[7] == 1  # the touching pair
