@@ -312,6 +312,46 @@ def _build_parser() -> argparse.ArgumentParser:
         help="dedup = bands/bucket= layout; ivf = vectors/cell= layout",
     )
     pcomp.add_argument("--files-per-partition", type=int, default=1)
+
+    pdiff = sub.add_parser(
+        "snapshot-diff",
+        help="classify keys across two table snapshots as "
+        "added/removed/changed/unchanged",
+    )
+    pdiff.add_argument("--old", required=True, help="old snapshot parquet")
+    pdiff.add_argument("--new", required=True, help="new snapshot parquet")
+    pdiff.add_argument("--keys", required=True,
+                       help="comma-separated key columns")
+    pdiff.add_argument("--compare-cols", default=None,
+                       help="comma-separated value columns "
+                       "(default: all shared non-key columns)")
+    pdiff.add_argument("--output", required=True)
+
+    ppr = sub.add_parser(
+        "pagerank",
+        help="weighted PageRank over an edge table (fixed iterations)",
+    )
+    ppr.add_argument("--edges", required=True,
+                     help="edge parquet with src/dst[/weight] columns")
+    ppr.add_argument("--src-col", default="src")
+    ppr.add_argument("--dst-col", default="dst")
+    ppr.add_argument("--weight-col", default=None)
+    ppr.add_argument("--iters", type=int, default=3)
+    ppr.add_argument("--damping", type=float, default=0.85)
+    ppr.add_argument("--output", required=True)
+
+    pqc = sub.add_parser(
+        "quota-cap",
+        help="keep at most N rows per group by deterministic hash order",
+    )
+    pqc.add_argument("--input", required=True)
+    pqc.add_argument("--group-cols", required=True,
+                     help="comma-separated group columns")
+    pqc.add_argument("--key-cols", required=True,
+                     help="comma-separated key columns (the hash seed)")
+    pqc.add_argument("--max-per-group", type=int, required=True)
+    pqc.add_argument("--salt", default="q1")
+    pqc.add_argument("--output", required=True)
     return p
 
 
@@ -765,6 +805,67 @@ def main(argv: list[str] | None = None) -> int:
         )
         out.write.mode("overwrite").parquet(args.output)
         print(f"{out.count()} grid rows -> {args.output}", file=sys.stderr)
+        return 0
+
+    if args.cmd == "snapshot-diff":
+        from pyspark.sql import functions as F
+
+        from activedatawarehouseprototype_spark.catalog import load_parquet
+        from activedatawarehouseprototype_spark.operators.warehouse import (
+            snapshot_diff,
+        )
+
+        out = snapshot_diff(
+            load_parquet(spark, args.old),
+            load_parquet(spark, args.new),
+            key_cols=args.keys.split(","),
+            compare_cols=(
+                args.compare_cols.split(",") if args.compare_cols else None
+            ),
+        )
+        out.write.mode("overwrite").parquet(args.output)
+        summary = {
+            r["op"]: r["n"]
+            for r in out.groupBy("op").agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
+        }
+        print(json.dumps(summary), file=sys.stderr)
+        return 0
+
+    if args.cmd == "pagerank":
+        from activedatawarehouseprototype_spark.catalog import load_parquet
+        from activedatawarehouseprototype_spark.operators.graph import (
+            pagerank,
+        )
+
+        out = pagerank(
+            load_parquet(spark, args.edges),
+            damping=args.damping,
+            iters=args.iters,
+            src=args.src_col,
+            dst=args.dst_col,
+            weight=args.weight_col,
+        )
+        out.write.mode("overwrite").parquet(args.output)
+        print(f"{out.count()} node ranks -> {args.output}", file=sys.stderr)
+        return 0
+
+    if args.cmd == "quota-cap":
+        from activedatawarehouseprototype_spark.catalog import load_parquet
+        from activedatawarehouseprototype_spark.operators.sampling import (
+            group_quota_cap,
+        )
+
+        out = group_quota_cap(
+            load_parquet(spark, args.input),
+            group_cols=args.group_cols.split(","),
+            key_cols=args.key_cols.split(","),
+            max_per_group=args.max_per_group,
+            salt=args.salt,
+        )
+        out.write.mode("overwrite").parquet(args.output)
+        print(f"{out.count()} rows kept -> {args.output}", file=sys.stderr)
         return 0
 
     if args.cmd == "run":

@@ -1797,3 +1797,51 @@ def test_interval_overlap_sweep_matches_enumeration(spark):
             want[blk] = c
     assert got == want
     assert got[7] == 1  # the touching pair
+
+
+def test_cli_snapshot_diff_pagerank_quota_cap(spark, tmp_path):
+    """Round-6 CLI verbs end-to-end: snapshot-diff classifications,
+    pagerank node count + mass bound, quota-cap exact cap."""
+    from activedatawarehouseprototype_spark.cli import main
+
+    old_p = str(tmp_path / "old.parquet")
+    new_p = str(tmp_path / "new.parquet")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+    ).write.parquet(old_p)
+    spark.createDataFrame(
+        [(2, "B"), (3, "c"), (4, "d")], "id long, v string"
+    ).write.parquet(new_p)
+    diff_out = str(tmp_path / "diff")
+    assert main(["snapshot-diff", "--old", old_p, "--new", new_p,
+                 "--keys", "id", "--output", diff_out]) == 0
+    got = {r.id: r.op for r in spark.read.parquet(diff_out).collect()}
+    assert got == {1: "removed", 2: "changed", 3: "unchanged", 4: "added"}
+
+    edges_p = str(tmp_path / "edges.parquet")
+    spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0), (3, 1, 1.0), (1, 3, 2.0)],
+        "src long, dst long, w double",
+    ).write.parquet(edges_p)
+    pr_out = str(tmp_path / "ranks")
+    assert main(["pagerank", "--edges", edges_p, "--weight-col", "w",
+                 "--iters", "2", "--output", pr_out]) == 0
+    ranks = {r.node: r.rank for r in spark.read.parquet(pr_out).collect()}
+    assert set(ranks) == {1, 2, 3}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9  # no dangling: mass conserved
+
+    docs_p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, "s%d" % (i % 2)) for i in range(30)], "doc_id long, source string"
+    ).write.parquet(docs_p)
+    cap_out = str(tmp_path / "capped")
+    assert main(["quota-cap", "--input", docs_p, "--group-cols", "source",
+                 "--key-cols", "doc_id", "--max-per-group", "4",
+                 "--output", cap_out]) == 0
+    per = (
+        spark.read.parquet(cap_out)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert all(r.n == 4 for r in per) and len(per) == 2
