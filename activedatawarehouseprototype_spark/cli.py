@@ -73,6 +73,20 @@ def _build_parser() -> argparse.ArgumentParser:
         help="lo,hi,bins — add a mergeable histogram column to the "
         "summary MV (approximate percentiles)",
     )
+    pr.add_argument(
+        "--anomaly-key", default=None,
+        help="comma-separated key columns: flag per-key values whose "
+        "bucket total deviates from the key's own trailing baseline "
+        "(rolling z-score) at <work-dir>/anomalies",
+    )
+    pr.add_argument(
+        "--anomaly-value", default=None,
+        help="value column for the anomaly stage",
+    )
+    pr.add_argument(
+        "--anomaly-threshold", type=float, default=3.0,
+        help="|z| above this emits an anomaly row (default 3.0)",
+    )
 
     ps = sub.add_parser("sql", help="print the rule's generated ANSI-SQL twin")
     ps.add_argument("--rule", required=True)
@@ -888,6 +902,11 @@ def main(argv: list[str] | None = None) -> int:
             mv_value_col=args.mv_value,
             mv_hist_bins=_parse_mv_hist(args.mv_hist),
             alert_cooldown_ms=args.alert_cooldown_ms,
+            anomaly_key_cols=(
+                args.anomaly_key.split(",") if args.anomaly_key else None
+            ),
+            anomaly_value_col=args.anomaly_value,
+            anomaly_threshold=args.anomaly_threshold,
         )
         from activedatawarehouseprototype_spark.catalog import load_parquet
 

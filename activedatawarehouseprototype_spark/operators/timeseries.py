@@ -79,7 +79,7 @@ def resample_ffill(
 
 def rolling_zscore(
     df: DataFrame,
-    key_col: str,
+    key_col: str | list[str],
     order_col: str,
     value_col: str,
     lookback: int = 7,
@@ -102,8 +102,9 @@ def rolling_zscore(
     (e.g. daily sums) first; the z ordering is then deterministic and
     a SQL twin reproduces it exactly (modulo float rounding, absorbed
     by ``round_to``)."""
+    keys = [key_col] if isinstance(key_col, str) else list(key_col)
     w = (
-        Window.partitionBy(key_col)
+        Window.partitionBy(*keys)
         .orderBy(order_col)
         .rowsBetween(-lookback, -1)
     )

@@ -164,6 +164,26 @@ class ActivePipeline:
     # carry the batch-id marker (incremental_join_mv), dim updates are
     # idempotent overwrite commits (apply_cdc_to_join_mv).
     enrich_on: str | None = None
+    # rolling z-score anomaly detection (optional): when
+    # anomaly_key_cols + anomaly_value_col are set, every batch's
+    # events aggregate into (key, bucket) partials appended to
+    # ``work_dir/anomaly_history`` (per-batch overwrite dir → replay
+    # idempotent), and the batch's touched buckets are scored against
+    # each key's OWN trailing baseline (operators/timeseries.py
+    # rolling_zscore over the aggregated history — the current bucket
+    # never pollutes its own baseline); |z| > anomaly_threshold rows
+    # land in ``work_dir/anomalies/batch=<id>``. This is the adaptive-
+    # threshold complement to fixed rule limits: "alert when this key
+    # deviates from its own recent behavior", no per-key constant to
+    # tune. A bucket split across batches is re-scored with its
+    # updated total in each touching batch (each batch's anomaly dir
+    # is a snapshot as-of that batch). Read back with ``anomalies()``.
+    anomaly_key_cols: "list[str] | None" = None
+    anomaly_value_col: str | None = None
+    anomaly_bucket_ms: int = 3_600_000
+    anomaly_lookback: int = 7
+    anomaly_min_periods: int = 3
+    anomaly_threshold: float = 3.0
     # per-rule emission high-watermark: query_id -> max emitted window_end (ms)
     _emitted_wm: dict[int, int] = dc_field(default_factory=dict)
     _has_buffer: bool = False
@@ -328,6 +348,81 @@ class ActivePipeline:
         (requires ``mv_key_cols``/``mv_value_col``)."""
         return self.spark.read.parquet(self.summary_mv_path)
 
+    @property
+    def anomaly_history_path(self) -> str:
+        return os.path.join(self.work_dir, "anomaly_history")
+
+    @property
+    def anomalies_path(self) -> str:
+        return os.path.join(self.work_dir, "anomalies")
+
+    def anomalies(self) -> DataFrame:
+        """All emitted z-score anomalies (requires
+        ``anomaly_key_cols``/``anomaly_value_col``): one row per
+        (key, bucket_ms) flagged in some batch, with the batch id as
+        the ``batch`` partition column."""
+        return self.spark.read.parquet(self.anomalies_path)
+
+    def _update_anomalies(self, batch_df: DataFrame, batch_id: int) -> None:
+        """Per-batch adaptive anomaly stage. History partials live in
+        per-batch OVERWRITE dirs (replay idempotent, same shape as the
+        buffer/quarantine writes); scoring aggregates the full history
+        per (key, bucket) — buckets split across batches score against
+        their updated total — and keeps only this batch's touched
+        buckets with |z| above the threshold."""
+        from activedatawarehouseprototype_spark.operators.timeseries import (
+            rolling_zscore,
+        )
+
+        keys = self.anomaly_key_cols
+        bms = self.anomaly_bucket_ms
+        bucket = (
+            F.floor(F.unix_millis(F.col(self.ts_col)) / bms) * bms
+        ).cast("bigint").alias("bucket_ms")
+        part = (
+            batch_df.groupBy(*keys, bucket)
+            .agg(
+                F.sum(F.col(self.anomaly_value_col).cast("double")).alias("x")
+            )
+            .localCheckpoint()  # one materialization: write + semi-join
+        )
+        part.write.mode("overwrite").parquet(
+            os.path.join(self.anomaly_history_path, f"batch={batch_id}")
+        )
+        # full-history per-(key, bucket) totals. The `batch` partition
+        # column from dir discovery is metadata, not data — drop it.
+        hist = (
+            self.spark.read.parquet(self.anomaly_history_path)
+            .groupBy(*keys, "bucket_ms")
+            .agg(F.sum("x").alias("x"))
+        )
+        scored = rolling_zscore(
+            hist,
+            key_col=keys,
+            order_col="bucket_ms",
+            value_col="x",
+            lookback=self.anomaly_lookback,
+            min_periods=self.anomaly_min_periods,
+            round_to=4,
+        )
+        flagged = (
+            scored.filter(
+                F.col("zscore").isNotNull()
+                & (F.abs(F.col("zscore")) > self.anomaly_threshold)
+            )
+            # only buckets THIS batch touched emit now (earlier buckets
+            # were scored by their own batches)
+            .join(part.select(*keys, "bucket_ms"), [*keys, "bucket_ms"],
+                  "left_semi")
+            # the operator's fixed |z|>3 'anomaly' column would
+            # contradict a custom threshold — the decision here is
+            # the threshold filter above
+            .select(*keys, "bucket_ms", "x", "zscore")
+        )
+        flagged.write.mode("overwrite").parquet(
+            os.path.join(self.anomalies_path, f"batch={batch_id}")
+        )
+
     def summary_percentile(self, key: dict, p: float) -> float:
         """Approximate percentile of ``mv_value_col`` for one MV key
         from the mergeable histogram (requires ``mv_hist_bins``; error
@@ -487,6 +582,11 @@ class ActivePipeline:
                 batch_id=batch_id,
                 hist_bins=self.mv_hist_bins,
             )
+
+        # (1b3) rolling z-score anomaly stage (optional): history
+        # append + adaptive-baseline scoring of this batch's buckets
+        if self.anomaly_key_cols and self.anomaly_value_col:
+            self._update_anomalies(batch_df, batch_id)
 
         # (1b) observed batch metrics (ingest count + K3 latency) —
         # df.observe piggybacks the buffer write below, so NO extra

@@ -2149,3 +2149,60 @@ def test_rules_table_load_recovers_crashed_swap(spark, tmp_path):
     recovered = load_rules_table(spark, path)
     assert set(recovered.rules) == {5}
     _sh.rmtree(path + ".old", ignore_errors=True)
+
+
+def test_pipeline_rolling_zscore_anomaly_stage(spark, tmp_path):
+    """The adaptive-threshold anomaly stage: a car whose hourly speed
+    total spikes vs its OWN trailing baseline is flagged; a steady car
+    never is; a foreachBatch replay adds no duplicate history or
+    anomaly rows."""
+    reg = RuleRegistry(persist_path=str(tmp_path / "rules.jsonl"))
+    reg.apply_json(json.dumps(SPEEDING_RULE))
+    pipe = ActivePipeline(
+        spark=spark,
+        registry=reg,
+        work_dir=str(tmp_path / "wk"),
+        anomaly_key_cols=["carId"],
+        anomaly_value_col="speed",
+        anomaly_bucket_ms=3_600_000,
+        anomaly_lookback=7,
+        anomaly_min_periods=3,
+        anomaly_threshold=3.0,
+    )
+    HOUR = 3600
+    # batches 0-3: four flat hourly buckets for cars 1 and 2
+    for b in range(4):
+        rows = [(1, b * HOUR, 50.0 + b), (2, b * HOUR, 50.0 - b)]
+        pipe.process_batch(car_df(spark, rows), b)
+    assert pipe.anomalies().count() == 0  # flat history: nothing flags
+
+    # batch 4: car 1 spikes 40x; car 2 stays flat
+    pipe.process_batch(
+        car_df(spark, [(1, 4 * HOUR, 2000.0), (2, 4 * HOUR, 50.0)]), 4
+    )
+    got = pipe.anomalies().collect()
+    assert {r.carId for r in got} == {1}
+    assert len(got) == 1 and abs(got[0].zscore) > 3.0
+    # the flagged bucket is the newest one (buckets are absolute epoch ms)
+    newest = (
+        spark.read.parquet(pipe.anomaly_history_path)
+        .agg(F.max("bucket_ms"))
+        .collect()[0][0]
+    )
+    assert got[0].bucket_ms == newest
+
+    # replay of batch 4 (at-least-once): identical state afterwards
+    pipe.process_batch(
+        car_df(spark, [(1, 4 * HOUR, 2000.0), (2, 4 * HOUR, 50.0)]), 4
+    )
+    assert pipe.anomalies().count() == 1
+    hist = spark.read.parquet(pipe.anomaly_history_path)
+    # 5 buckets x 2 cars, exactly once despite the replay
+    assert hist.count() == 10
+    # history totals are per-(key, bucket) sums of the batch partials
+    assert (
+        hist.filter((F.col("carId") == 1) & (F.col("batch") == 4))
+        .collect()[0]
+        .x
+        == 2000.0
+    )
