@@ -838,11 +838,14 @@ def main(argv: list[str] | None = None) -> int:
             ),
         )
         out.write.mode("overwrite").parquet(args.output)
+        # summarize from the WRITTEN parquet — re-running `out` would
+        # execute the full-outer join a second time
         summary = {
             r["op"]: r["n"]
-            for r in out.groupBy("op").agg(
-                F.count(F.lit(1)).alias("n")
-            ).collect()
+            for r in spark.read.parquet(args.output)
+            .groupBy("op")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
         }
         print(json.dumps(summary), file=sys.stderr)
         return 0

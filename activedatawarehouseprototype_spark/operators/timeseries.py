@@ -85,12 +85,14 @@ def rolling_zscore(
     lookback: int = 7,
     min_periods: int = 3,
     round_to: int | None = 4,
+    threshold: float = 3.0,
 ) -> DataFrame:
     """Rolling z-score anomaly detection — the active-warehouse
     alerting shape ("today's volume is 4 sigma off this key's recent
     baseline"). For each row: z = (x - mean(prev)) / stddev(prev)
     over the ``lookback`` PRECEDING rows only (the current row is
-    excluded from its own baseline, so a spike cannot mask itself).
+    excluded from its own baseline, so a spike cannot mask itself);
+    ``anomaly`` = |z| > ``threshold``.
 
     NULL z when the baseline has fewer than ``min_periods`` rows or
     zero variance (a constant baseline makes sigma meaningless, and
@@ -120,5 +122,5 @@ def rolling_zscore(
     return df.select(
         "*",
         z.alias("zscore"),
-        (F.abs(z) > 3.0).alias("anomaly"),
+        (F.abs(z) > F.lit(float(threshold))).alias("anomaly"),
     )

@@ -227,6 +227,14 @@ class ActivePipeline:
     )
 
     def __post_init__(self) -> None:
+        # half-specified anomaly config silently skipping the stage is
+        # the kind of mistake a user discovers only when the anomalies
+        # dir never appears — fail at construction instead
+        if bool(self.anomaly_key_cols) != bool(self.anomaly_value_col):
+            raise ValueError(
+                "anomaly detection needs BOTH anomaly_key_cols and "
+                "anomaly_value_col (got only one)"
+            )
         if self.work_dir is None:
             self.work_dir = tempfile.mkdtemp(prefix="adw-pipeline-")
         if self.rule_source is None and self.rules_dir:
@@ -389,10 +397,17 @@ class ActivePipeline:
         part.write.mode("overwrite").parquet(
             os.path.join(self.anomaly_history_path, f"batch={batch_id}")
         )
-        # full-history per-(key, bucket) totals. The `batch` partition
-        # column from dir discovery is metadata, not data — drop it.
+        # per-(key, bucket) totals for THIS BATCH'S KEYS ONLY — the
+        # baseline only needs the touched keys' history, and without
+        # the key prefilter the per-batch window would re-score every
+        # key ever seen (O(total stream history) per batch). The
+        # `batch` partition column from dir discovery is metadata, not
+        # data — drop it via the column selection.
         hist = (
             self.spark.read.parquet(self.anomaly_history_path)
+            .join(
+                F.broadcast(part.select(*keys).distinct()), keys, "left_semi"
+            )
             .groupBy(*keys, "bucket_ms")
             .agg(F.sum("x").alias("x"))
         )
@@ -404,19 +419,14 @@ class ActivePipeline:
             lookback=self.anomaly_lookback,
             min_periods=self.anomaly_min_periods,
             round_to=4,
+            threshold=self.anomaly_threshold,
         )
         flagged = (
-            scored.filter(
-                F.col("zscore").isNotNull()
-                & (F.abs(F.col("zscore")) > self.anomaly_threshold)
-            )
+            scored.filter(F.col("anomaly"))
             # only buckets THIS batch touched emit now (earlier buckets
             # were scored by their own batches)
             .join(part.select(*keys, "bucket_ms"), [*keys, "bucket_ms"],
                   "left_semi")
-            # the operator's fixed |z|>3 'anomaly' column would
-            # contradict a custom threshold — the decision here is
-            # the threshold filter above
             .select(*keys, "bucket_ms", "x", "zscore")
         )
         flagged.write.mode("overwrite").parquet(
