@@ -276,3 +276,61 @@ def test_repeated_span_dedup_no_cartesian_and_pruned_scan(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     cols = scan_columns(df)
     assert all(set(c) <= {"doc_id", "text"} for c in cols), cols
+
+
+def test_pagerank_edges_build_broadcasts_dims(spark):
+    """graph_pagerank_suppliers: the customer/supplier dims ride
+    broadcast joins (never SMJ) in the edge build; the iterative part
+    is checkpointed so its joins don't appear in this plan."""
+    df = QUERIES["graph_pagerank_suppliers"](spark, SF)
+    assert sort_merge_join_count(df) == 0
+
+
+def test_reservoir_sample_uses_take_ordered(spark):
+    """Fixed-k hash reservoir must be TakeOrderedAndProject (per-
+    partition heaps), never a global sort + limit."""
+    df = QUERIES["reservoir_sample_fixed_k"](spark, SF)
+    assert has_take_ordered(df)
+
+
+def test_interval_overlap_sweep_has_no_join(spark):
+    """The endpoint sweep's whole point: NO pair join of any kind —
+    not a hash join, not a BroadcastNestedLoopJoin — just a union,
+    a window, and an aggregate."""
+    from activedatawarehouseprototype_spark.plans.explain import (
+        formatted_plan,
+    )
+
+    df = QUERIES["interval_overlap_sessions"](spark, SF)
+    plan = formatted_plan(df)
+    assert "Join" not in plan, "sweep plan regressed to a pair join"
+
+
+def test_skew_salted_join_spreads_on_salt(spark):
+    """The salted join must actually join on (user_id, _salt) — if a
+    refactor drops the salt from the join key the hot-key spread is
+    silently gone while results stay identical."""
+    from activedatawarehouseprototype_spark.plans.explain import (
+        formatted_plan,
+    )
+
+    df = QUERIES["skew_salted_join_topk"](spark, SF)
+    plan = formatted_plan(df)
+    assert "_salt" in plan, "salt column missing from the physical plan"
+    assert has_take_ordered(df)
+
+
+def test_snapshot_diff_prunes_to_key_and_compare_cols(spark):
+    """snapshot_diff must not drag unused document columns through
+    the full-outer join: scans read only doc_id + text."""
+    df = QUERIES["snapshot_diff_documents"](spark, SF)
+    assert scan_columns(df), "no scans found"
+    for cols in scan_columns(df):
+        assert cols <= {"doc_id", "text"}, cols
+
+
+def test_entropy_scan_prunes_to_id_and_text(spark):
+    df = QUERIES["entropy_quality_scores"](spark, SF)
+    assert scan_columns(df), "no scans found"
+    for cols in scan_columns(df):
+        assert cols <= {"doc_id", "text"}, cols

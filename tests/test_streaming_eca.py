@@ -2206,3 +2206,43 @@ def test_pipeline_rolling_zscore_anomaly_stage(spark, tmp_path):
         .x
         == 2000.0
     )
+
+
+def test_anomaly_stage_survives_restart_and_validates_config(spark, tmp_path):
+    """History lives on disk, so a RESTARTED pipeline (fresh object,
+    same work_dir) scores new batches against the pre-restart
+    baseline; half-specified anomaly config raises at construction."""
+    import pytest as _pytest
+
+    def mk():
+        reg = RuleRegistry(persist_path=str(tmp_path / "rules.jsonl"))
+        reg.apply_json(json.dumps(SPEEDING_RULE))
+        return ActivePipeline(
+            spark=spark,
+            registry=reg,
+            work_dir=str(tmp_path / "wk"),
+            anomaly_key_cols=["carId"],
+            anomaly_value_col="speed",
+            anomaly_min_periods=3,
+        )
+
+    HOUR = 3600
+    p1 = mk()
+    for b in range(4):
+        p1.process_batch(car_df(spark, [(1, b * HOUR, 50.0 + b)]), b)
+    assert p1.anomalies().count() == 0
+
+    # restart: new pipeline object, same work_dir — the spike batch
+    # must still see the four pre-restart baseline buckets
+    p2 = mk()
+    p2.process_batch(car_df(spark, [(1, 4 * HOUR, 2000.0)]), 4)
+    got = p2.anomalies().collect()
+    assert len(got) == 1 and got[0].carId == 1
+
+    with _pytest.raises(ValueError, match="anomaly"):
+        ActivePipeline(
+            spark=spark,
+            registry=RuleRegistry(persist_path=str(tmp_path / "r2.jsonl")),
+            work_dir=str(tmp_path / "wk2"),
+            anomaly_key_cols=["carId"],  # value col missing
+        )
