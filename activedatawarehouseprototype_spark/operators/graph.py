@@ -61,7 +61,9 @@ def pagerank(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint()  # reused every superstep + final left join
+        # eager: the count() below materializes it anyway, and every
+        # superstep + the final left join reuse the cached copy
+        .localCheckpoint()
     )
     n = nodes.count()  # control-plane scalar
     if n == 0:
@@ -69,9 +71,11 @@ def pagerank(
     # normalized out-weights once: contribution of edge (u,v) is
     # rank(u) * w/outw(u)
     outw = e.groupBy("src").agg(F.sum("w").alias("_ow"))
+    # lazy: materializes with the first superstep's job and is cached
+    # for the rest — no standalone pass just to checkpoint it
     norm = e.join(outw, "src").select(
         "src", "dst", (F.col("w") / F.col("_ow")).alias("nw")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
 
     base = (1.0 - damping) / n
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
@@ -90,7 +94,13 @@ def pagerank(
                     + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))
                 ).alias("rank"),
             )
-            .localCheckpoint()  # cut lineage: keeps superstep plans O(1)
+            # small iters: lazy checkpoint — the whole rank chain
+            # computes in ONE cascading job instead of iters+1 (each
+            # level caches as the cascade passes it). Large iters:
+            # eager, because the lazy cascade's FIRST action compiles
+            # a plan nesting every superstep — the exact plan blow-up
+            # checkpointing exists to prevent.
+            .localCheckpoint(eager=iters > 4)
         )
     if round_to is not None:
         ranks = ranks.select("node", F.round("rank", round_to).alias("rank"))
