@@ -1,0 +1,65 @@
+"""Recursive CTE support (new in Spark 4.x): the IDENTICAL SQL text —
+a WITH RECURSIVE reachability query over the nation trade graph — runs
+on Spark and DuckDB and must agree exactly (the zero-dialect-
+translation contract sql_shared_text_rollup pins for the core
+relational dialect, extended to recursion).
+
+Round-7 editor: promote this to a registered corpus entry
+(`sql_recursive_reachability`) when the driver window has a free slot —
+the query text below is already both the Spark query and its oracle.
+"""
+
+from __future__ import annotations
+
+from activedatawarehouseprototype_spark.catalog import TABLES, load
+from tests.oracle_harness import compare, run_oracle
+
+SF = "/root/testdata/sf0.001"
+
+REACHABILITY_SQL = """
+WITH RECURSIVE edges AS (
+  SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  WHERE c.c_nationkey <> s.s_nationkey
+),
+reach(node, hops) AS (
+  SELECT CAST(0 AS INT) AS node, CAST(0 AS INT) AS hops
+  UNION ALL
+  SELECT e.dst AS node, CAST(r.hops + 1 AS INT) AS hops
+  FROM reach r JOIN edges e ON e.src = r.node
+  WHERE r.hops < 3
+)
+SELECT node, CAST(MIN(hops) AS INT) AS min_hops
+FROM reach
+GROUP BY node
+"""
+
+
+def test_recursive_cte_shared_text_matches_duckdb(spark):
+    for t in TABLES:
+        load(spark, SF, t).createOrReplaceTempView(t)
+    sdf = spark.sql(REACHABILITY_SQL)
+    opdf = run_oracle(REACHABILITY_SQL, SF)
+    assert compare(sdf, opdf) == []
+    # non-vacuous: the traversal must actually reach beyond the anchor
+    assert sdf.count() > 1
+
+
+def test_recursive_cte_depth_bound_semantics(spark):
+    """The hop bound is a real frontier cut: raising it can only ADD
+    nodes (monotone reachability), and min_hops never exceeds it."""
+    for t in TABLES:
+        load(spark, SF, t).createOrReplaceTempView(t)
+    three = {r.node: r.min_hops for r in spark.sql(REACHABILITY_SQL).collect()}
+    one = {
+        r.node: r.min_hops
+        for r in spark.sql(REACHABILITY_SQL.replace("r.hops < 3", "r.hops < 1")).collect()
+    }
+    assert set(one) <= set(three)
+    assert all(h <= 1 for h in one.values())
+    assert all(h <= 3 for h in three.values())
+    for n, h in one.items():
+        assert three[n] == h  # min_hops of an already-reached node is stable
