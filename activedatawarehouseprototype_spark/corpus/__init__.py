@@ -175,6 +175,17 @@ _STABLE_CORE = [
     # (rule_per_event_avg, rule_fanout_match_counts,
     # tpch_q1_pricing_summary) all hold fresh r5 hash-matches and stay
     # in the full-corpus pytest mirror.
+    #
+    # Round-7 editor: (a) front-load the 45 r4-green entries (their
+    # evidence will then be 3 rounds old — test_whole_registry_
+    # evidence trips if any is left out); (b) REGISTER two queued
+    # capabilities that shipped in round 6 with pytest-only evidence
+    # because this window was full: prefix_filtered_jaccard_pairs
+    # (operators/dedup.py — oracle can recompute prefix selection +
+    # verification in SQL, or reuse the ngram_jaccard oracle since
+    # outputs are equal) and the shared-text WITH RECURSIVE
+    # reachability query (tests/test_sql_recursive.py REACHABILITY_SQL
+    # is simultaneously the Spark query and its oracle).
     "rule_tumbling_avg",
     "tpch_q5_local_supplier_volume",
     "topk_customers_by_spend",
