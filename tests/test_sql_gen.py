@@ -47,3 +47,37 @@ def test_generated_sql_matches_compiled_plan(spark, rule):
     )
     problems = compare(spark_df, oracle, float_tol=1e-6)
     assert not problems, problems
+
+
+# --- differential fuzz: random rules, three-way agreement ---------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+
+from tests.test_property_rules import rule_strategy  # noqa: E402
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rule=rule_strategy)
+def test_generated_sql_matches_compiled_plan_fuzzed(spark, rule):
+    """Random rules (all window modes x filters x aggs x COUNT
+    sentinel): the generated ANSI-SQL twin run by DuckDB must agree
+    with the compiled DataFrame plan on the real events fixture.
+    Together with test_compiler_matches_python_reference this
+    triangulates compiler <-> SQL generator <-> naive interpreter."""
+    sql = rule_to_sql(rule, table="events", ts_col="ts", numeric_cols=NUMERIC)
+    oracle = run_oracle(sql, SF)
+    spark_df = evaluate_rule(load(spark, SF, "events"), rule).select(
+        "query_id",
+        "key",
+        F.unix_millis("window_start").alias("window_start_ms"),
+        F.unix_millis("window_end").alias("window_end_ms"),
+        "agg_value",
+        "fired",
+    )
+    problems = compare(spark_df, oracle, float_tol=1e-6)
+    assert not problems, (rule.to_dict() if hasattr(rule, "to_dict") else rule, problems)
