@@ -696,7 +696,14 @@ def jmv_vacuum(spark, base_path: str, retain_last: int = 1) -> None:
     watermark absorbs the markers in its log FIRST (``_jmv_sync_meta``),
     so a marker whose meta write was lost to a crash survives the
     vacuum as a watermark instead of re-opening that batch for a
-    duplicate append on replay."""
+    duplicate append on replay.
+
+    NAMED markers (``seed_marker`` commits) are history-scan-only —
+    they have no watermark to absorb into — so do not vacuum between a
+    failed seed and its retry (in practice: retry the seed to
+    completion first; once both its commits landed, idempotence is
+    carried by the right table's existence and the marker may be
+    vacuumed freely)."""
     from activedatawarehouseprototype_spark.operators.versioned import (
         VersionedTable,
     )
@@ -740,6 +747,7 @@ def incremental_join_mv(
     left_batch: DataFrame | None = None,
     right_batch: DataFrame | None = None,
     batch_id: int | None = None,
+    seed_marker: str | None = None,
 ) -> DataFrame | None:
     """Incrementally-maintained INNER-JOIN materialized view for
     APPEND-ONLY sides — the delta-propagation identity
@@ -785,10 +793,23 @@ def incremental_join_mv(
     vt_l = VersionedTable(spark, paths["l"])
     vt_r = VersionedTable(spark, paths["r"])
     vt_mv = VersionedTable(spark, paths["mv"])
+    if batch_id is not None and seed_marker is not None:
+        raise ValueError("pass batch_id OR seed_marker, not both")
     marker = f"jmv-batch:{batch_id}" if batch_id is not None else None
 
     def done(vt, path):
-        return marker is not None and _jmv_has_batch(vt, path, batch_id)
+        if marker is not None:
+            return _jmv_has_batch(vt, path, batch_id)
+        if seed_marker is not None:
+            # named-marker idempotence for out-of-band calls (e.g. a
+            # dimension SEED that may run after numbered batches have
+            # already advanced the MV watermark — a numeric id would
+            # either collide or be swallowed by the watermark). Scan
+            # cost is O(history) but such calls are rare one-offs.
+            return vt.latest_version() is not None and any(
+                h["op"] == seed_marker for h in vt.history()
+            )
+        return False
 
     def record(path):
         if batch_id is not None:
@@ -809,17 +830,17 @@ def incremental_join_mv(
             delta = terms[0]
             for t in terms[1:]:
                 delta = delta.unionByName(t)
-            vt_mv.commit(delta, mode="append", op=marker or "append")
+            vt_mv.commit(delta, mode="append", op=marker or seed_marker or "append")
             record(paths["mv"])
         # (no joinable term: the MV table appears with the first batch
         # that has a partner to join — replay-safe because one-sided
         # batches never change the snapshot the OTHER side's future
         # delta terms read)
     if left_batch is not None and not done(vt_l, paths["l"]):
-        vt_l.commit(left_batch, mode="append", op=marker or "append")
+        vt_l.commit(left_batch, mode="append", op=marker or seed_marker or "append")
         record(paths["l"])
     if right_batch is not None and not done(vt_r, paths["r"]):
-        vt_r.commit(right_batch, mode="append", op=marker or "append")
+        vt_r.commit(right_batch, mode="append", op=marker or seed_marker or "append")
         record(paths["r"])
 
     if vt_mv.latest_version() is not None:

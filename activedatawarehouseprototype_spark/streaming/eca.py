@@ -79,16 +79,31 @@ def instantiate_child(
     parent_query_id: int,
     now_ms: int,
     id_worker: SnowflakeIdWorker,
-) -> Rule:
+) -> "Rule | None":
     """C6: clone the child template; every ``$field`` grouping key is
     stripped and pinned to the trigger's value via an appended equality
-    filter (KafkaSender.java:82-115)."""
+    filter (KafkaSender.java:82-115).
+
+    Returns ``None`` — spawn skipped — when a ``$field`` resolves to
+    the rendered NULL (composite keys print a NULL key as ``null``,
+    String.valueOf parity). DOCUMENTED DEVIATION: the reference pins
+    the literal string "null" and its stringified per-event comparison
+    then MATCHES null-keyed events; this engine compares typed
+    columns, so that pin would either never match (string field) or
+    quarantine the child every batch (numeric field — float('null')
+    fails validation). A null-key standing query is not expressible in
+    the 6-operator filter grammar, so the spawn is refused loudly
+    (callers count it) instead of registering a dead rule. A literal
+    string value 'null' is indistinguishable from a rendered NULL in
+    the key format and is skipped too."""
     child = copy.deepcopy(template)
     fixed_keys: list[str] = []
     for k in child.grouping_key_names:
         if k.startswith("$"):
             name = k[1:]
             value = trigger_key_values.get(name)
+            if value == "null":
+                return None
             if value is not None:
                 child.window_filter_rules.append(
                     WindowFilterRule(field=name, operator=LimitOperatorType.EQUAL, value=value)

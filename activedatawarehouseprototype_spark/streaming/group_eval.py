@@ -201,40 +201,35 @@ def _w1_fused_group(pdf):
     import numpy as np
     import pandas as pd
 
+    from activedatawarehouseprototype_spark.streaming.per_event_window import (
+        trailing_window_aggregates,
+    )
+
     w = int(pdf["window_ms"].iloc[0])
     ts = pdf["_tsl"].to_numpy(np.int64)
     order = np.argsort(ts, kind="stable")
     ts = ts[order]
     vals = pdf["_value"].to_numpy(np.float64)[order]
-    idx = pd.to_datetime(ts, unit="ms")
-    window = pd.Timedelta(milliseconds=w)
-    roll = pd.Series(vals, index=idx).rolling(window, closed="both", min_periods=1)
-    ones = pd.Series(np.ones(len(ts)), index=idx).rolling(
-        window, closed="both", min_periods=1
+    # ONE shared kernel with the W1 streaming operator (inclusive
+    # [t - w, t] bounds, last-peer re-indexing, NaN->NULL empty mask) —
+    # see trailing_window_aggregates; a boundary fix lands in both
+    # paths at once
+    aggs, empty = trailing_window_aggregates(
+        ts, vals, w, ("SUM", "AVG", "MIN", "MAX", "COUNT")
     )
-    # non-null observation count per window: the JVM aggregates return
-    # NULL over an all-NULL window, while a pandas rolling kernel
-    # returns NaN — and Arrow hands NaN back to Spark as a NON-null
-    # double that compares GREATER than every number, silently firing
-    # `agg > limit` thresholds the JVM path would not fire
-    nn = pd.Series(
-        np.where(np.isnan(vals), 0.0, 1.0), index=idx
-    ).rolling(window, closed="both", min_periods=1).sum()
-    # causal rolling at row i covers rows [0..i]; the LAST peer of each
-    # timestamp covers the full inclusive [t - w, t] set — broadcast it
-    # back to every peer (RANGE-frame peer semantics)
-    last_peer = np.searchsorted(ts, ts, side="right") - 1
-    empty = nn.to_numpy()[last_peer] < 0.5
     out = {}
-    for name, series in (
-        ("_sum", roll.sum()),
-        ("_avg", roll.mean()),
-        ("_min", roll.min()),
-        ("_max", roll.max()),
-        ("_cnt", ones.sum()),
+    for name, kind in (
+        ("_sum", "SUM"),
+        ("_avg", "AVG"),
+        ("_min", "MIN"),
+        ("_max", "MAX"),
+        ("_cnt", "COUNT"),
     ):
-        arr = series.to_numpy()[last_peer]
+        arr = aggs[kind]
         if name != "_cnt":
+            # the JVM aggregates return NULL over an all-NULL window
+            # while the pandas kernel returns NaN — a NON-null double
+            # Spark orders above every number; mask to genuine NULL
             masked = pd.array(arr, dtype="Float64")
             masked[empty] = pd.NA
             out[name] = masked
@@ -498,6 +493,20 @@ def evaluate_rules_grouped(
         )
         # window_ms is functionally dependent on shape_id — a free
         # rider in the grouping key, needed for window_end.
+        #
+        # KNOWN EDGE (documented, not a bug): grouping here is by the
+        # RENDERED key string — reference parity (DynamicKeyFunction
+        # keys the stream by the composite-key STRING, so NULL and the
+        # literal string 'null' in one column merge into one group).
+        # The compiled per-rule path (rules/compiler.py) groups by the
+        # actual typed columns and would keep them separate. The two
+        # paths agree on every input whose key columns don't contain a
+        # value that renders identically to another (in practice: a
+        # string column holding the literal text 'null' alongside real
+        # NULLs). The pipeline's path switch (grouped_min_rules) is
+        # therefore value-transparent except on that pathological
+        # collision, where the grouped path is the reference-faithful
+        # one.
         group_cols = ["shape_id", "key", "ws", "window_ms"]
         if salt_buckets and salt_buckets > 1:
             salted = w23.withColumn(

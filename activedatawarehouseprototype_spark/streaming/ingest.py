@@ -116,14 +116,31 @@ class DedupIngest(_MarkerIngest):
         survivors = batch_df.join(dup_ids, self.id_col, "left_anti")
         # within-batch dups: keep the min-id representative of any
         # group of survivors matching EACH OTHER's bands (cheap local
-        # LSH pass on the batch only)
-        from activedatawarehouseprototype_spark.operators import dedup
-
+        # LSH pass on the batch only). Signatures come from the SAME
+        # recipe the index uses (_banded_for honors the persisted
+        # hot-shingle list): a plain lsh_candidates call here ignored
+        # the hot list, so two distinct docs sharing only capped
+        # boilerplate collided intra-batch and one was silently
+        # dropped at the door — while the same pair arriving in
+        # separate batches was (correctly) admitted by the capped
+        # lookup. One consistent signature definition for both paths.
         m = DI._read_meta(self.spark, self.index_path)
-        intra = dedup.lsh_candidates(
+        hot = self.spark.read.parquet(f"{self.index_path}/hot_shingles")
+        banded = DI._banded_for(
             survivors, self.id_col, self.text_col,
-            n=m["n"], k=m["k"], bands=m["bands"],
-        ).select(F.col("id_b").alias(self.id_col)).distinct()
+            m["n"], m["k"], m["bands"], m["n_buckets"], hot,
+        ).localCheckpoint(eager=False)
+        a, b = banded.alias("a"), banded.alias("b")
+        intra = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.band_sig") == F.col("b.band_sig"))
+                & (F.col("a.sid") < F.col("b.sid")),
+            )
+            .select(F.col("b.sid").alias(self.id_col))
+            .distinct()
+        )
         survivors = survivors.join(intra, self.id_col, "left_anti")
         # three consumers follow (store write, index append, count):
         # materialize the anti-join chain once instead of three times

@@ -66,6 +66,59 @@ _FIRE_OPS = {
 }
 
 
+def trailing_window_aggregates(
+    all_ts: np.ndarray,
+    all_val: np.ndarray,
+    w_ms: int,
+    kinds: tuple[str, ...],
+) -> tuple[dict, np.ndarray]:
+    """THE causal trailing-window kernel — the one definition of the
+    inclusive ``[t - w, t]`` RANGE-frame semantics shared by the W1
+    streaming operator (``w1_batch_aggregate``) and the fused grouped
+    evaluator (``group_eval._w1_fused_group``), so a boundary or
+    NaN-handling fix cannot desynchronize the two paths.
+
+    ``all_ts`` must be sorted ascending. Returns ``(aggs, empty)``:
+    ``aggs[kind]`` is the per-row aggregate re-indexed to LAST-PEER
+    positions (same-ts events aggregate together — RANGE-frame peer
+    semantics, matching the batch compiler exactly), and ``empty``
+    marks windows with zero non-null observations (pandas rolling
+    yields NaN there — a NON-null double Spark orders above every
+    number — so callers must emit NULL instead; COUNT callers ignore
+    the mask, a row's own window always holds >= 1 row)."""
+    idx = pd.to_datetime(all_ts, unit="ms")
+    window = pd.Timedelta(milliseconds=w_ms)
+    last_peer = np.searchsorted(all_ts, all_ts, side="right") - 1
+    aggs: dict = {}
+    roll = None
+    for kind in kinds:
+        if kind == "COUNT":
+            causal = (
+                pd.Series(np.ones(len(all_ts)), index=idx)
+                .rolling(window, closed="both", min_periods=1)
+                .sum()
+            )
+        else:
+            if roll is None:
+                roll = pd.Series(all_val, index=idx).rolling(
+                    window, closed="both", min_periods=1
+                )
+            causal = {
+                "SUM": roll.sum,
+                "AVG": roll.mean,
+                "MIN": roll.min,
+                "MAX": roll.max,
+            }[kind]()
+        aggs[kind] = causal.to_numpy()[last_peer]
+    nn = (
+        pd.Series(np.where(np.isnan(all_val), 0.0, 1.0), index=idx)
+        .rolling(window, closed="both", min_periods=1)
+        .sum()
+        .to_numpy()[last_peer]
+    )
+    return aggs, nn < 0.5
+
+
 def w1_batch_aggregate(
     state_ts: np.ndarray,
     state_val: np.ndarray,
@@ -97,42 +150,12 @@ def w1_batch_aggregate(
     order = np.argsort(all_ts, kind="stable")
     all_ts, all_val, is_new = all_ts[order], all_val[order], is_new[order]
 
-    idx = pd.to_datetime(all_ts, unit="ms")
-    window = pd.Timedelta(milliseconds=w_ms)
+    aggs, empty = trailing_window_aggregates(all_ts, all_val, w_ms, (kind,))
+    agg = aggs[kind]
     if kind == "COUNT":
-        ser = pd.Series(np.ones(len(all_ts)), index=idx)
-        causal = ser.rolling(window, closed="both", min_periods=1).sum()
-    else:
-        ser = pd.Series(all_val, index=idx)
-        roll = ser.rolling(window, closed="both", min_periods=1)
-        causal = {
-            "SUM": roll.sum,
-            "AVG": roll.mean,
-            "MIN": roll.min,
-            "MAX": roll.max,
-        }[kind]()
-    # causal rolling at row i covers rows [0..i] with ts >= t_i - w; the
-    # LAST peer of each timestamp therefore covers the full inclusive
-    # [t - w, t] set — broadcast its value back to every peer.
-    last_peer = np.searchsorted(all_ts, all_ts, side="right") - 1
-    agg = causal.to_numpy()[last_peer]
-    # all-null windows: the batch RANGE frame yields NULL, while the
-    # pandas kernel yields NaN — a NON-null double Spark orders above
-    # every number, and np.not_equal(NaN, limit) is True, so a '!='
-    # threshold would fire on exactly the windows the batch path does
-    # not. Track the non-null observation count and surface the empty
-    # mask so callers can emit NULL + fired=False (same mask the fused
-    # group_eval kernel applies).
-    if kind == "COUNT":
-        empty = np.zeros(len(all_ts), dtype=bool)[last_peer]
-    else:
-        nn = (
-            pd.Series(np.where(np.isnan(all_val), 0.0, 1.0), index=idx)
-            .rolling(window, closed="both", min_periods=1)
-            .sum()
-            .to_numpy()[last_peer]
-        )
-        empty = nn < 0.5
+        # a row's own window always holds >= 1 row; NULL values still
+        # count as events (reference COUNT_FLINK counts events)
+        empty = np.zeros(len(all_ts), dtype=bool)
 
     out_ts = all_ts[is_new]
     out_agg = agg[is_new]

@@ -207,7 +207,11 @@ class ActivePipeline:
     # window while a wide rule is paused). Emission floor =
     # coverage_start + window_ms - 1 on window_end, i.e. only windows
     # whose full [start, end] span lies inside the readable buffer emit.
-    _watching: set[int] = dc_field(default_factory=set)
+    # Maps qid -> the window_ms it was last evaluated with: a C1/C2
+    # re-upsert that WIDENS a standing rule's window under the same
+    # query_id is a coverage re-entry too (the wider history may be
+    # pruned), so it re-floors — membership alone missed that.
+    _watching: dict[int, int] = dc_field(default_factory=dict)
     # buffer coverage start for the CURRENT batch's evaluation read:
     # max(logical retention horizon, highest physical prune horizon).
     # None = buffer still covers the whole stream history.
@@ -254,7 +258,15 @@ class ActivePipeline:
                 raw = _json.load(f)
             self._max_event_ts = raw.pop("__max_event_ts__", None)
             self._pruned_to = raw.pop("__pruned_to__", None)
-            self._watching = set(raw.pop("__watching__", []))
+            rawwatch = raw.pop("__watching__", [])
+            # legacy format was a bare qid list: window unknown -> -1,
+            # which forces one conservative re-floor on the next batch
+            self._watching = {
+                (int(e[0]) if isinstance(e, list) else int(e)): (
+                    int(e[1]) if isinstance(e, list) else -1
+                )
+                for e in rawwatch
+            }
             self._emitted_wm = {int(k): v for k, v in raw.items()}
         self._has_buffer = self._buffer_data_exists()
 
@@ -307,16 +319,33 @@ class ActivePipeline:
         self.metrics["alerts_suppressed"] = self.metrics.get(
             "alerts_suppressed", 0
         ) + (fired.count() - n_emitted)
-        if n_emitted:
-            merge_upsert(
-                self.spark,
-                state_path,
-                emitted.select(
-                    "query_id", "key", F.col("_ms").alias("last_ms")
-                ),
-                ["query_id", "key"],
-            )
+        # state commit deliberately DEFERRED to _commit_alert_cooldown,
+        # called AFTER the alerts sink write: merging first opened a
+        # crash window (state committed, sink write lost) where the
+        # replay's candidate failed the cooldown gate and the alert was
+        # permanently lost. Write-then-commit turns that window into an
+        # idempotent re-write of the same per-batch dir instead.
+        self._cooldown_pending = emitted if n_emitted else None
         return emitted.drop("_ms")
+
+    def _commit_alert_cooldown(self) -> None:
+        """Merge this batch's emitted-alert clocks into the durable
+        cooldown state — the second half of _apply_alert_cooldown,
+        ordered after the sink write (see comment there)."""
+        from activedatawarehouseprototype_spark.operators.warehouse import (
+            merge_upsert,
+        )
+
+        emitted = getattr(self, "_cooldown_pending", None)
+        if emitted is None:
+            return
+        self._cooldown_pending = None
+        merge_upsert(
+            self.spark,
+            os.path.join(self.alerts_path, "cooldown_state"),
+            emitted.select("query_id", "key", F.col("_ms").alias("last_ms")),
+            ["query_id", "key"],
+        )
 
     def _persist_watermarks(self) -> None:
         import json as _json
@@ -328,7 +357,9 @@ class ActivePipeline:
         if self._pruned_to is not None:
             payload["__pruned_to__"] = self._pruned_to
         if self._watching:
-            payload["__watching__"] = sorted(self._watching)
+            payload["__watching__"] = sorted(
+                [int(q), int(w)] for q, w in self._watching.items()
+            )
         with open(tmp, "w") as f:
             _json.dump(payload, f)
         os.replace(tmp, self._wm_path)
@@ -501,11 +532,17 @@ class ActivePipeline:
         seeded = vt_right.latest_version() is not None
         if not seeded:
             merge_upsert(self.spark, dim_tbl, updates, [self.enrich_on])
+            # named seed marker: a crash between the MV commit and the
+            # right-side commit leaves seeded=False, and without a
+            # marker the retry would append the L_old ⋈ ΔR delta a
+            # second time (a numbered id can't serve here — left
+            # batches have already advanced the MV watermark)
             incremental_join_mv(
                 self.spark,
                 self._enrich_jmv_base,
                 [self.enrich_on],
                 right_batch=updates,
+                seed_marker="jmv-seed",
             )
         else:
             log = cdc_changelog(vt_right.read(), updates, [self.enrich_on])
@@ -635,7 +672,7 @@ class ActivePipeline:
         active = self.registry.active()
         self.metrics["active_rules"] = len(active)
         if not active:
-            self._watching = set()  # nothing evaluated this batch
+            self._watching = {}  # nothing evaluated this batch
             self._persist_watermarks()
             self.metrics["last_batch_seconds"] = time.perf_counter() - t_start
             return
@@ -657,7 +694,7 @@ class ActivePipeline:
                 self.metrics["rule_errors"] = self.metrics.get("rule_errors", 0) + 1
                 self._quarantine(rule)
         if not by_id:
-            self._watching = set()  # nothing evaluated this batch
+            self._watching = {}  # nothing evaluated this batch
             self._persist_watermarks()
             self.metrics["last_batch_seconds"] = time.perf_counter() - t_start
             return
@@ -678,14 +715,17 @@ class ActivePipeline:
         # readable.
         cov = self._cov_start
         for qid, rule in by_id.items():
-            if qid in self._watching:
-                continue
             w_ms = int(rule.window_milliseconds or 0)
+            prev_w = self._watching.get(qid)
+            if prev_w is not None and w_ms <= prev_w:
+                continue  # continuously watched at this width or wider
             if cov is None or w_ms <= 0:
                 continue  # full history covered, or W0 (no aggregation)
             floor = cov + w_ms - 1
             self._emitted_wm[qid] = max(self._emitted_wm.get(qid, 0), floor)
-        self._watching = set(by_id)
+        self._watching = {
+            qid: int(r.window_milliseconds or 0) for qid, r in by_id.items()
+        }
 
         if len(by_id) >= self.grouped_min_rules:
             evals = evaluate_rules_grouped(
@@ -709,6 +749,12 @@ class ActivePipeline:
                     del by_id[rule.query_id]
                     self._quarantine(rule)
             if not parts:
+                # same bookkeeping as the other nothing-evaluated exits:
+                # without the persist, a PRUNE batch that ends here loses
+                # its _pruned_to advance on crash and a later wide rule
+                # floors against a stale horizon
+                self._watching = {}
+                self._persist_watermarks()
                 self.metrics["last_batch_seconds"] = time.perf_counter() - t_start
                 return
             evals = reduce(lambda a, b: a.unionByName(b), parts)
@@ -797,6 +843,9 @@ class ActivePipeline:
                 emitted.write.mode("overwrite").parquet(
                     os.path.join(self.alerts_path, "data", f"batch={batch_id}")
                 )
+            if self.alert_cooldown_ms:
+                # durable clock commits only after the sink write above
+                self._commit_alert_cooldown()
             wm_rows = (
                 evals.groupBy("query_id")
                 .agg(F.max(F.unix_millis("window_end")).alias("max_end"))
@@ -835,17 +884,26 @@ class ActivePipeline:
                 child = instantiate_child(
                     template, key_values, rule.query_id, now, self.id_worker
                 )
+                if child is None:  # NULL trigger key — see eca.py
+                    self.metrics["spawns_skipped_null_key"] = (
+                        self.metrics.get("spawns_skipped_null_key", 0) + 1
+                    )
+                    continue
                 self.registry.apply(child, now)
                 self.metrics["rules_spawned"] += 1
         self.metrics["last_batch_seconds"] = time.perf_counter() - t_start
 
     def _quarantine(self, rule: Rule) -> None:
         """A rule whose plan no longer compiles is PAUSEd in place (it
-        stays visible for inspection) rather than killing the batch."""
+        stays visible for inspection) rather than killing the batch.
+        Persisted immediately: without it a restart would reload the
+        rule as ACTIVE and re-fail it every cycle, and persisted state
+        would disagree with what the pipeline actually ran."""
         from activedatawarehouseprototype_spark.rules.model import RuleState
 
         rule.query_state = RuleState.PAUSE
         self.registry.rules[rule.query_id] = rule
+        self.registry._persist()
 
     # -- rule-source polling ----------------------------------------------------
 

@@ -55,13 +55,32 @@ class RuleRegistry:
         # C2: an incoming rule matching an existing one on
         # (windowFilterRules, activeId) is a re-trigger of the same
         # standing query — reuse its id, refresh its expiry
-        # (DynamicKeyFunction.java:120-128).
+        # (DynamicKeyFunction.java:120-128). DOCUMENTED DEVIATION: the
+        # reference matches on (activeId, filters) alone, which
+        # collapses SIBLING ECA children — two templates of one parent
+        # spawn with the same active_id and (after key pinning)
+        # identical filters, so the second child would overwrite the
+        # first and one standing query silently vanishes. The match
+        # here additionally requires the aggregation signature, so a
+        # true re-trigger (the identical query re-sent) still refreshes
+        # in place while distinct sibling templates coexist.
         if rule.active_id is not None:
             for existing in self.rules.values():
                 if (
                     existing.active_id == rule.active_id
                     and [f.to_dict() for f in existing.window_filter_rules]
                     == [f.to_dict() for f in rule.window_filter_rules]
+                    and existing.aggregator_function_type
+                    == rule.aggregator_function_type
+                    and existing.aggregate_field_name
+                    == rule.aggregate_field_name
+                    and existing.limit_operator_type
+                    == rule.limit_operator_type
+                    and existing.limit == rule.limit
+                    and existing.window_milliseconds
+                    == rule.window_milliseconds
+                    and existing.frequency_milliseconds
+                    == rule.frequency_milliseconds
                 ):
                     rule.query_id = existing.query_id
                     if rule.last_time and rule.last_time > 0:

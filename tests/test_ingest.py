@@ -276,3 +276,38 @@ def test_ann_ingest_append_replay_and_search(spark, tmp_path):
     ).collect()
     assert len(rows) == 3
     assert len({(r.qid, r.vec_id) for r in rows}) == 3
+
+
+def test_intra_batch_dedup_honors_hot_shingle_cap(spark, tmp_path):
+    """Round-6 review finding 4: the within-batch LSH pass must use the
+    SAME capped signature recipe the index uses — two distinct docs
+    sharing only capped boilerplate must BOTH be admitted when they
+    arrive in one batch (they already are when arriving separately)."""
+    from activedatawarehouseprototype_spark.operators import dedup_index as DI
+    from activedatawarehouseprototype_spark.streaming.ingest import DedupIngest
+
+    boiler = "common boiler plate header text shared by every doc "
+    corpus = spark.createDataFrame(
+        [(i, boiler + f"unique body {i} " + " ".join(
+            f"w{i}_{j}" for j in range(8))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "hotidx")
+    # cap far below corpus size: every boilerplate shingle is hot
+    DI.dedup_index_build(corpus, idx, n=3, k=12, bands=3, max_doc_freq=8)
+    hot_n = spark.read.parquet(f"{idx}/hot_shingles").count()
+    assert hot_n > 0, "test needs a non-empty hot list to be meaningful"
+
+    ing = DedupIngest(spark, idx, str(tmp_path / "store"))
+    batch = spark.createDataFrame(
+        [
+            (1000, boiler + "alpha beta gamma delta epsilon zeta eta"),
+            (1001, boiler + "one two three four five six seven"),
+        ],
+        "doc_id long, text string",
+    )
+    ing.process_batch(batch, 0)
+    admitted = {r.doc_id for r in ing.admitted().collect()}
+    assert admitted == {1000, 1001}, (
+        "boilerplate-only intra-batch collision dropped a distinct doc"
+    )

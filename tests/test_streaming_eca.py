@@ -2246,3 +2246,130 @@ def test_anomaly_stage_survives_restart_and_validates_config(spark, tmp_path):
             work_dir=str(tmp_path / "wk2"),
             anomaly_key_cols=["carId"],  # value col missing
         )
+
+
+def test_widened_window_reupsert_refloors_coverage_gate(spark, pipeline):
+    """Round-6 review finding 1: upserting a standing rule under the
+    SAME query_id with a WIDER window is a coverage re-entry — the
+    wider history may already be pruned, so the first wide windows
+    must not emit as final with a truncated aggregate."""
+    reg = pipeline.registry
+    narrow = {
+        "queryId": 400, "queryState": "ACTIVE", "lastTime": -1,
+        "windowMilliseconds": 20_000, "frequencyMilliseconds": None,
+        "groupingKeyNames": ["carId"], "windowFilterRules": [],
+        "aggregatorFunctionType": "SUM", "limitOperatorType": ">",
+        "limit": 1e9, "aggregateFieldName": "speed",
+    }
+    reg.apply_json(json.dumps(narrow))
+    pipeline.process_batch(
+        car_df(spark, [(1, 0, 10.0), (1, 10, 10.0), (1, 25, 10.0)]), 0
+    )
+    pipeline.process_batch(car_df(spark, [(1, 70, 10.0)]), 1)
+
+    # C1 upsert: same query_id, window widened 20s -> 60s. Retention
+    # has long stopped covering t=0; the widened [0, 60s) window would
+    # aggregate a truncated set (the 0s event is beyond coverage).
+    wide = dict(narrow, windowMilliseconds=60_000)
+    reg.apply_json(json.dumps(wide))
+    pipeline.process_batch(car_df(spark, [(1, 80, 10.0)]), 2)
+    pipeline.process_batch(car_df(spark, [(1, 130, 10.0)]), 3)
+
+    rows = [
+        r
+        for r in pipeline.evaluations().collect()
+        if (r.window_end - r.window_start).total_seconds() == 60.0
+    ]
+    starts = {(r.window_start - BASE).total_seconds() for r in rows}
+    assert 0.0 not in starts, "truncated widened window emitted as final"
+    assert 60.0 in starts
+    got = [r for r in rows if (r.window_start - BASE).total_seconds() == 60.0]
+    assert got[0].agg_value == 20.0  # complete: the 70s + 80s events
+
+
+def test_sibling_eca_children_coexist_in_registry(spark):
+    """Round-6 review finding 2: two ECA children of ONE parent
+    (same active_id, identical pinned filters) but different
+    aggregation templates must both stand; re-sending an identical
+    child must still refresh in place (C2 id reuse)."""
+    reg = RuleRegistry()
+    base = {
+        "queryState": "ACTIVE", "lastTime": -1,
+        "windowMilliseconds": 10_000, "frequencyMilliseconds": None,
+        "groupingKeyNames": ["carId"],
+        "windowFilterRules": [{"field": "carId", "operator": "=", "value": "9"}],
+        "limitOperatorType": ">", "aggregateFieldName": "speed",
+        "activeId": 1,
+    }
+    sum_child = dict(base, queryId=501, aggregatorFunctionType="SUM", limit=100)
+    cnt_child = dict(
+        base, queryId=502, aggregatorFunctionType="AVG", limit=5
+    )
+    reg.apply_json(json.dumps(sum_child))
+    reg.apply_json(json.dumps(cnt_child))
+    assert len(reg.rules) == 2, "sibling child was collapsed away"
+
+    # true re-trigger: identical query re-sent under a new id — must
+    # reuse the standing id instead of duplicating
+    resend = dict(sum_child, queryId=999)
+    reg.apply_json(json.dumps(resend))
+    assert len(reg.rules) == 2
+    assert 501 in reg.rules and 999 not in reg.rules
+
+
+def test_cooldown_state_commits_only_after_sink_write(spark, tmp_path):
+    """Round-6 review finding 3: the durable cooldown clock must not
+    advance before the alerts sink write — a crash between the two
+    would otherwise suppress the replayed alert forever. The split
+    filter/commit halves make the order testable: before commit, a
+    re-filter still emits; after commit, it suppresses."""
+    reg = RuleRegistry(persist_path=str(tmp_path / "rules.jsonl"))
+    reg.apply_json(json.dumps(SPEEDING_RULE))
+    pipe = ActivePipeline(
+        spark=spark, registry=reg, work_dir=str(tmp_path / "wk"),
+        alert_cooldown_ms=3_600_000,
+    )
+    fired = spark.createDataFrame(
+        [(1, "{carId=9}", BASE, BASE + dt.timedelta(seconds=10), 130.0, True)],
+        "query_id long, key string, window_start timestamp, "
+        "window_end timestamp, agg_value double, fired boolean",
+    )
+    first = pipe._apply_alert_cooldown(fired)
+    assert first.count() == 1
+    # crash-before-commit simulation: state untouched -> replay emits
+    pipe._cooldown_pending = None
+    again = pipe._apply_alert_cooldown(fired)
+    assert again.count() == 1, "alert lost in the write-vs-commit window"
+    # now commit (as process_batch does AFTER the sink write)
+    pipe._apply_alert_cooldown(fired)
+    pipe._commit_alert_cooldown()
+    suppressed = pipe._apply_alert_cooldown(fired)
+    assert suppressed.count() == 0
+
+
+def test_instantiate_child_skips_null_trigger_key(spark):
+    """Round-6 review finding 7: a NULL trigger key renders 'null' in
+    the composite key; pinning it as a literal makes a dead child —
+    the spawn is refused (None) instead."""
+    from activedatawarehouseprototype_spark.rules.model import Rule
+    from activedatawarehouseprototype_spark.streaming.eca import (
+        instantiate_child,
+    )
+    from activedatawarehouseprototype_spark.rules.snowflake import (
+        SnowflakeIdWorker,
+    )
+
+    template = Rule.from_dict({
+        "queryId": 7, "queryState": "ACTIVE", "lastTime": -1,
+        "windowMilliseconds": 10_000, "frequencyMilliseconds": None,
+        "groupingKeyNames": ["$carId"], "windowFilterRules": [],
+        "aggregatorFunctionType": "SUM", "limitOperatorType": ">",
+        "limit": 1, "aggregateFieldName": "speed",
+    })
+    w = SnowflakeIdWorker()
+    assert instantiate_child(template, {"carId": "null"}, 1, 0, w) is None
+    ok = instantiate_child(template, {"carId": "9"}, 1, 0, w)
+    assert ok is not None
+    assert any(
+        f.field == "carId" and f.value == "9" for f in ok.window_filter_rules
+    )

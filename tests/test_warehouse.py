@@ -975,3 +975,45 @@ def test_scd2_upsert_rejects_null_effective_ts(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="NULL eff"):
         scd2_upsert(spark, tgt, bad, ["k"], ["attr"], "eff")
+
+
+def test_jmv_seed_marker_prevents_duplicate_seed_delta(spark, tmp_path):
+    """Round-6 review finding 6: a dimension SEED that crashes between
+    the MV commit and the right-side commit must not re-append the
+    L_old ⋈ ΔR delta on retry — the named seed marker makes the MV
+    commit detectable even though numbered left batches already
+    advanced the MV watermark."""
+    import shutil as _sh
+
+    import pytest
+
+    from activedatawarehouseprototype_spark.operators import versioned as V
+    from activedatawarehouseprototype_spark.operators.warehouse import (
+        incremental_join_mv,
+    )
+
+    base = str(tmp_path / "jmv_seed")
+    # left side accumulates first (numbered batches)
+    for b in range(3):
+        L = spark.createDataFrame([(b % 2, f"l{b}")], "k bigint, lval string")
+        incremental_join_mv(spark, base, ["k"], left_batch=L, batch_id=b)
+    R = spark.createDataFrame([(0, 1.0), (1, 2.0)], "k bigint, rval double")
+    incremental_join_mv(spark, base, ["k"], right_batch=R,
+                        seed_marker="jmv-seed")
+    mv = V.VersionedTable(spark, f"{base}/mv")
+    n = mv.read().count()
+    assert n == 3  # every left row found its dim partner
+
+    # simulate the crash window: the right-side commit is lost, the MV
+    # commit (with its marker) survives
+    _sh.rmtree(f"{base}/right")
+    retry = incremental_join_mv(spark, base, ["k"], right_batch=R,
+                                seed_marker="jmv-seed")
+    assert mv.read().count() == n, "seed retry duplicated the MV delta"
+    # and the retry completed the missing right-side state
+    assert V.VersionedTable(spark, f"{base}/right").read().count() == 2
+    assert retry.count() == n
+
+    with pytest.raises(ValueError):
+        incremental_join_mv(spark, base, ["k"], right_batch=R,
+                            batch_id=9, seed_marker="x")
