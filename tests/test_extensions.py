@@ -197,9 +197,90 @@ def test_multimodal_byte_stats_deterministic(spark, docs):
     assert abs(out["byte_entropy"] - ent) < 1e-9
 
 
-def test_decode_image_is_stub(spark, docs):
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image(multimodal.attach_blobs(docs.limit(1)))
+def test_decode_image_fake_codec_roundtrip(spark):
+    """decode_image runs the documented deterministic FIMG codec:
+    make_fake_image -> decode recovers exact dimensions and
+    per-channel means; corrupt and NULL blobs yield per-row errors,
+    never task failures."""
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    good = multimodal.make_fake_image(7, width=4, height=3, channels=2)
+    df = spark.createDataFrame(
+        [
+            (7, bytearray(good)),
+            (8, bytearray(b"JUNKJUNKJUNK")),
+            (9, None),
+            (10, bytearray(good[:-1])),  # truncated pixel payload
+        ],
+        StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("content", BinaryType()),
+            ]
+        ),
+    )
+    out = {r.doc_id: r for r in multimodal.decode_image(df).collect()}
+    ok = out[7]
+    assert (ok.width, ok.height, ok.channels) == (4, 3, 2)
+    assert ok.decode_error is None
+    # exact per-channel means from the pure pixel function
+    px = good[9:]
+    for ch in range(2):
+        sel = px[ch::2]
+        assert abs(ok.channel_means[ch] - sum(sel) / len(sel)) < 1e-12
+    assert out[8].decode_error == "not a FIMG blob"
+    assert out[9].decode_error == "not a FIMG blob"
+    assert "truncated" in out[10].decode_error
+    assert out[8].width is None and out[10].channel_means is None
+
+
+def test_decode_feeds_feature_chain(spark):
+    """The decode -> channel-mean 'embedding' chain is a real
+    DataFrame pipeline: decoded means are array<double> usable by the
+    similarity operators directly."""
+    rows = [
+        (i, bytearray(multimodal.make_fake_image(i, 6, 6, 3)))
+        for i in range(12)
+    ]
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    df = spark.createDataFrame(
+        rows,
+        StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("content", BinaryType()),
+            ]
+        ),
+    )
+    dec = multimodal.decode_image(df).filter("decode_error IS NULL")
+    assert dec.count() == 12
+    from activedatawarehouseprototype_spark.operators.similarity import (
+        cosine,
+    )
+
+    a = dec.select(
+        F.col("doc_id").alias("id_a"), F.col("channel_means").alias("va")
+    )
+    b = dec.select(
+        F.col("doc_id").alias("id_b"), F.col("channel_means").alias("vb")
+    )
+    pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("s"))
+    )
+    assert pairs.count() == 66
+    assert pairs.filter("s IS NULL").count() == 0
 
 
 def test_text_helpers(spark):
