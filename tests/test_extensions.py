@@ -1948,14 +1948,10 @@ def test_prefix_filtered_jaccard_matches_exact(spark, docs):
             ).collect()
         }
         assert fast == base, f"threshold {t}: {fast ^ base}"
-    assert base or fast or True  # non-vacuous guard below
-    # the fixture must actually contain near-dup pairs at 0.5, or the
-    # equality above proves nothing
-    assert len(
-        dedup.ngram_jaccard_pairs(
-            docs, "doc_id", "text", n=3, threshold=0.5, max_doc_freq=None
-        ).collect()
-    ) > 0
+        if t == 0.5:
+            # the fixture must actually contain near-dup pairs at 0.5,
+            # or the equality above proves nothing
+            assert len(base) > 0
 
 
 def test_prefix_index_much_smaller_and_skew_immune(spark):
