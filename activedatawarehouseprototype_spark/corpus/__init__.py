@@ -183,9 +183,13 @@ _STABLE_CORE = [
     # because this window was full: prefix_filtered_jaccard_pairs
     # (operators/dedup.py — oracle can recompute prefix selection +
     # verification in SQL, or reuse the ngram_jaccard oracle since
-    # outputs are equal) and the shared-text WITH RECURSIVE
+    # outputs are equal), the shared-text WITH RECURSIVE
     # reachability query (tests/test_sql_recursive.py REACHABILITY_SQL
-    # is simultaneously the Spark query and its oracle).
+    # is simultaneously the Spark query and its oracle), and a
+    # skipping-index pruned-scan rollup (operators/skipping.py — the
+    # DuckDB oracle is plain SQL over the ORIGINAL parquet, since
+    # pruning must be invisible to results; see
+    # tests/test_skipping.py::test_matches_duckdb_oracle).
     "rule_tumbling_avg",
     "tpch_q5_local_supplier_volume",
     "topk_customers_by_spend",

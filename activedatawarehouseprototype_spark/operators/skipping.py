@@ -1,0 +1,284 @@
+"""File-level data-skipping index: per-file min/max/null-count
+manifest + predicate-driven file pruning BEFORE any data IO.
+
+Parquet footers already let Spark skip row groups once a file is
+*opened* (``spark.sql.parquet.filterPushdown``), and ``cluster_write``
+(warehouse.py) lays data out so those stats are tight. What footers do
+NOT give you at 100 TB is scheduling: with millions of files, every
+query still lists and opens every footer. Table formats solve this
+with a stats manifest consulted on the driver (Delta data skipping,
+Iceberg manifest min/max; same idea as Snowflake micro-partition
+pruning — reference parity: the prototype's clustered-scan path,
+reference `storage/Clustered*.java`, relies on engine-side zone maps).
+This module is that manifest for plain parquet directories:
+
+- ``build_skipping_index(spark, path, stats_cols)`` — ONE distributed
+  scan of the stats columns grouped by ``input_file_name()``; writes a
+  small parquet manifest next to the data (``<path>_skip_index``) via
+  the same staging + atomic-rename protocol as the other indexes.
+- ``prune_files(spark, path, predicates)`` — evaluates conjunctive
+  predicates against the manifest (a Spark filter over the manifest
+  table, NOT a driver loop) and returns the surviving file list.
+- ``read_with_skipping(spark, path, predicates)`` — reads ONLY the
+  surviving files, then re-applies the exact predicate, so pruning is
+  strictly an optimization: a stale/conservative manifest can cost
+  speed, never correctness — with one caveat, below.
+
+The manifest is AUTHORITATIVE for the snapshot it indexed (like a
+table-format transaction log): ``read_with_skipping`` reads only files
+present in the manifest, and refuses (raises) if the directory has
+files the manifest doesn't know, rather than silently returning a
+partial table. Rebuild after each write/compact — build cost is one
+column-pruned scan, the same order as the write that preceded it.
+
+Pruning semantics per file f and predicate p (conjunction over
+predicates; a file survives only if EVERY predicate might match):
+
+    =  v        keep iff min_c <= v <= max_c
+    <  v        keep iff min_c <  v
+    <= v        keep iff min_c <= v
+    >  v        keep iff max_c >  v
+    >= v        keep iff max_c >= v
+    between     keep iff max_c >= lo AND min_c <= hi
+    in (vs)     keep iff any v in [min_c, max_c]
+
+Files where the column is entirely NULL (min/max both NULL) are
+skipped for any predicate on that column — SQL comparisons never
+accept NULL. Consequently the predicates passed here have standard
+SQL filter semantics (NULL rows never match); do not use this to
+express ``c IS NULL`` scans (the manifest records ``nulls_<c>`` so an
+IS-NULL variant is a straightforward extension).
+
+Scale check: the manifest is O(files) rows and the pruned file list is
+collected on the driver — bounded by the very list the Spark scheduler
+must hold to plan ANY scan of those files, so this adds no new
+driver-side scaling term.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from activedatawarehouseprototype_spark.operators.warehouse import (
+    commit_swap,
+    recover_swap,
+)
+from activedatawarehouseprototype_spark.session import local_rows_df
+
+_OPS = {"=", "==", "<", "<=", ">", ">=", "between", "in"}
+
+
+@dataclass(frozen=True)
+class Pred:
+    """One conjunct: ``col op value`` (``between`` takes ``(lo, hi)``,
+    ``in`` takes a non-empty list/tuple of values)."""
+
+    col: str
+    op: str
+    value: object
+
+    def __post_init__(self):
+        if self.op not in _OPS:
+            raise ValueError(f"unsupported op {self.op!r}; one of {sorted(_OPS)}")
+        if self.op == "between":
+            if not (isinstance(self.value, (tuple, list)) and len(self.value) == 2):
+                raise ValueError("between takes (lo, hi)")
+        if self.op == "in":
+            if not (isinstance(self.value, (tuple, list)) and len(self.value) > 0):
+                raise ValueError("in takes a non-empty list of values")
+
+
+def _index_path(path: str) -> str:
+    return path.rstrip("/") + "_skip_index"
+
+
+def build_skipping_index(
+    spark: SparkSession, path: str, stats_cols: list[str]
+) -> str:
+    """Scan ``path`` once (column-pruned to ``stats_cols``) and write
+    the per-file stats manifest. Returns the manifest path.
+
+    Manifest schema: ``file`` (absolute URI as Spark reports it),
+    ``rows``, and per stats column ``min_<c>``, ``max_<c>``,
+    ``nulls_<c>`` with the column's own type preserved for min/max —
+    typed stats are what make range pruning exact (no string-compare
+    surprises on ints/dates)."""
+    if not stats_cols:
+        raise ValueError("build_skipping_index needs at least one stats column")
+    recover_swap(path)
+    df = spark.read.parquet(path).select(*stats_cols)
+    aggs = [F.count(F.lit(1)).alias("rows")]
+    for c in stats_cols:
+        aggs += [
+            F.min(c).alias(f"min_{c}"),
+            F.max(c).alias(f"max_{c}"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"nulls_{c}"),
+        ]
+    manifest = (
+        df.withColumn("file", F.input_file_name())
+        .groupBy("file")
+        .agg(*aggs)
+    )
+    # ZERO-ROW files (empty write partitions, empty-df appends, compactor
+    # leftovers) yield no rows, hence no groupBy entry — but they DO sit
+    # in the directory, so read_with_skipping's staleness check would
+    # flag them forever. Synthesize their manifest rows: rows=0, NULL
+    # min/max (NULL stats already mean "prunable for any predicate",
+    # which is exactly right for an empty file). The listing is O(files)
+    # on the driver — the same listing any scan of this path performs.
+    listing = [
+        f
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    ]
+    types = {f.name: f.dataType for f in df.schema.fields}
+    files_df = local_rows_df(
+        spark,
+        [
+            ("file:" + os.path.abspath(os.path.join(path, f)), f)
+            for f in listing
+        ],
+        "file string, _base string",
+    )
+    empty_rows = (
+        files_df.join(
+            manifest.select(
+                F.element_at(F.split("file", "/"), -1).alias("_base")
+            ),
+            "_base",
+            "left_anti",
+        )
+        .select(
+            "file",
+            F.lit(0).cast("long").alias("rows"),
+            *[
+                col
+                for c in stats_cols
+                for col in (
+                    F.lit(None).cast(types[c]).alias(f"min_{c}"),
+                    F.lit(None).cast(types[c]).alias(f"max_{c}"),
+                    F.lit(0).cast("long").alias(f"nulls_{c}"),
+                )
+            ],
+        )
+    )
+    manifest = manifest.unionByName(empty_rows)
+    ip = _index_path(path)
+    staging = ip + ".staging"
+    # O(files) rows -> one output file is right until the table has
+    # tens of millions of files; coalesce, don't repartition (no
+    # shuffle: the groupBy already reduced to O(files) rows).
+    manifest.coalesce(1).write.mode("overwrite").parquet(staging)
+    commit_swap(ip, staging)
+    return ip
+
+
+def _survives(p: Pred) -> F.Column:
+    """Column expression over the manifest: does predicate p possibly
+    match any row of this file? NULL stats (all-NULL file) compare to
+    NULL -> coalesce(False): skip the file."""
+    mn, mx = F.col(f"min_{p.col}"), F.col(f"max_{p.col}")
+    v = p.value
+    if p.op in ("=", "=="):
+        c = (mn <= F.lit(v)) & (mx >= F.lit(v))
+    elif p.op == "<":
+        c = mn < F.lit(v)
+    elif p.op == "<=":
+        c = mn <= F.lit(v)
+    elif p.op == ">":
+        c = mx > F.lit(v)
+    elif p.op == ">=":
+        c = mx >= F.lit(v)
+    elif p.op == "between":
+        lo, hi = v
+        c = (mx >= F.lit(lo)) & (mn <= F.lit(hi))
+    else:  # in
+        c = F.lit(False)
+        for item in v:
+            c = c | ((mn <= F.lit(item)) & (mx >= F.lit(item)))
+    return F.coalesce(c, F.lit(False))
+
+
+def _filter_expr(preds: list[Pred]) -> F.Column:
+    """The EXACT row-level filter the predicates denote — re-applied
+    after the pruned read so manifest pruning can only ever be
+    conservative, never wrong."""
+    c = F.lit(True)
+    for p in preds:
+        col = F.col(p.col)
+        if p.op in ("=", "=="):
+            c = c & (col == F.lit(p.value))
+        elif p.op == "<":
+            c = c & (col < F.lit(p.value))
+        elif p.op == "<=":
+            c = c & (col <= F.lit(p.value))
+        elif p.op == ">":
+            c = c & (col > F.lit(p.value))
+        elif p.op == ">=":
+            c = c & (col >= F.lit(p.value))
+        elif p.op == "between":
+            c = c & col.between(F.lit(p.value[0]), F.lit(p.value[1]))
+        else:
+            c = c & col.isin(list(p.value))
+    return c
+
+
+def _load_manifest(spark: SparkSession, path: str) -> DataFrame:
+    ip = _index_path(path)
+    recover_swap(ip)
+    if not os.path.isdir(ip):
+        raise FileNotFoundError(
+            f"no skipping index at {ip}; run build_skipping_index first"
+        )
+    return spark.read.parquet(ip)
+
+
+def prune_files(
+    spark: SparkSession, path: str, predicates: list[Pred]
+) -> list[str]:
+    """Manifest-side pruning: the list of files whose [min, max] ranges
+    can satisfy EVERY predicate. Predicates on columns the manifest
+    didn't index are ignored for pruning (they still filter rows in
+    ``read_with_skipping``)."""
+    manifest = _load_manifest(spark, path)
+    cond = F.lit(True)
+    for p in predicates:
+        if f"min_{p.col}" not in manifest.columns:
+            continue
+        cond = cond & _survives(p)
+    return [r["file"] for r in manifest.filter(cond).select("file").collect()]
+
+
+def read_with_skipping(
+    spark: SparkSession, path: str, predicates: list[Pred]
+) -> DataFrame:
+    """Read only the files the manifest can't rule out, then apply the
+    exact predicate. Raises if the directory holds data files the
+    manifest has never seen (stale index — rebuild), because silently
+    ignoring unindexed files would DROP their rows."""
+    manifest = _load_manifest(spark, path)
+    known = {
+        os.path.basename(r["file"])
+        for r in manifest.select("file").collect()
+    }
+    on_disk = {
+        f
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    }
+    unknown = on_disk - known
+    if unknown:
+        raise RuntimeError(
+            f"skipping index at {_index_path(path)} is stale: "
+            f"{len(unknown)} data file(s) not in the manifest "
+            f"(e.g. {sorted(unknown)[:3]}); rebuild the index"
+        )
+    files = prune_files(spark, path, predicates)
+    schema = spark.read.parquet(path).schema
+    if not files:
+        return spark.createDataFrame([], schema).filter(_filter_expr(predicates))
+    return spark.read.schema(schema).parquet(*files).filter(_filter_expr(predicates))
