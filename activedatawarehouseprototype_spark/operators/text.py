@@ -463,3 +463,111 @@ def dsir_log_weights(
             (F.col("t.avg_lp") - F.col("r.avg_lp")).alias("log_weight"),
         )
     )
+
+
+# Gopher-rule stopword presence list (Rae et al. 2021, "Scaling
+# Language Models: ... Gopher", table A1 heuristics — public
+# knowledge). Distinct-PRESENCE is counted, not occurrences.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    stopwords: tuple[str, ...] = GOPHER_STOPWORDS,
+    min_stopwords_present: int = 2,
+) -> DataFrame:
+    """Gopher-style composite quality rules (Rae et al. 2021; the same
+    heuristic family C4/Dolma/RefinedWeb pipelines use). Emits the raw
+    per-document metrics, a reason-coded ``first_fail`` (rule order is
+    the contract, NULL = clean), and ``keep``.
+
+    Rules, in failure-priority order:
+      too_few_words / too_many_words   — word count outside bounds
+      word_len                         — mean word length outside bounds
+      symbol_ratio                     — ('#' chars + '...' runs)/words
+      bullet_lines / ellipsis_lines    — line-shape boilerplate
+      alpha_words                      — frac of words containing [A-Za-z]
+      stopwords                        — < N distinct required stopwords
+
+    Everything is a pure Column expression (one codegen'd projection,
+    no shuffle, no UDF) so the pass is scan-bound at 100 TB; divisions
+    are per-row IEEE arithmetic, bit-identical in the DuckDB SQL twin
+    (ship unrounded). Tokenization is the fixture contract:
+    single-space word split, '\\n' line split.
+    """
+    text = F.col(text_col)
+    words = F.split(text, " ")
+    lines = F.split(text, "\n")
+    n_words = F.size(words).cast("bigint")
+    n_lines = F.size(lines).cast("double")
+    nonspace = F.length(F.replace(text, F.lit(" "), F.lit(""))).cast("double")
+    mean_wl = nonspace / F.nullif(n_words, F.lit(0)).cast("double")
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))
+    ) / 3
+    symbol_ratio = (n_hash + n_ellipsis).cast("double") / F.nullif(
+        n_words, F.lit(0)
+    ).cast("double")
+    bullet_frac = (
+        F.size(
+            F.filter(
+                lines,
+                lambda x: F.ltrim(x).startswith("-")
+                | F.ltrim(x).startswith("*"),
+            )
+        ).cast("double")
+        / n_lines
+    )
+    ellipsis_frac = (
+        F.size(F.filter(lines, lambda x: F.rtrim(x).endswith("..."))).cast(
+            "double"
+        )
+        / n_lines
+    )
+    alpha_frac = (
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))).cast("double")
+        / F.nullif(n_words, F.lit(0)).cast("double")
+    )
+    sw_present = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in stopwords]),
+            lambda s: F.array_contains(words, s),
+        )
+    ).cast("bigint")
+    first_fail = (
+        F.when(n_words < min_words, "too_few_words")
+        .when(n_words > max_words, "too_many_words")
+        .when(
+            (mean_wl < min_mean_word_len) | (mean_wl > max_mean_word_len),
+            "word_len",
+        )
+        .when(symbol_ratio > max_symbol_ratio, "symbol_ratio")
+        .when(bullet_frac > max_bullet_frac, "bullet_lines")
+        .when(ellipsis_frac > max_ellipsis_frac, "ellipsis_lines")
+        .when(alpha_frac < min_alpha_word_frac, "alpha_words")
+        .when(sw_present < min_stopwords_present, "stopwords")
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ellipsis_frac.alias("ellipsis_line_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        sw_present.alias("stopwords_present"),
+        first_fail.alias("first_fail"),
+        first_fail.isNull().alias("keep"),
+    )
