@@ -189,7 +189,15 @@ _STABLE_CORE = [
     # skipping-index pruned-scan rollup (operators/skipping.py — the
     # DuckDB oracle is plain SQL over the ORIGINAL parquet, since
     # pruning must be invisible to results; see
-    # tests/test_skipping.py::test_matches_duckdb_oracle).
+    # tests/test_skipping.py::test_matches_duckdb_oracle); also queued
+    # with ready-made oracles in their tests: the stream-stream
+    # interval join's batch twin (streaming/stream_join.py —
+    # tests/test_stream_join.py CLICK_PURCHASE_SQL), the Gopher
+    # composite quality rules (operators/text.py
+    # gopher_quality_flags — tests/test_gopher.py ORACLE_SQL), and
+    # distinct-users-per-window (streaming/windowed.py
+    # windowed_distinct_batch — tests/test_windowed_distinct.py
+    # ORACLE_SQL).
     "rule_tumbling_avg",
     "tpch_q5_local_supplier_volume",
     "topk_customers_by_spend",
