@@ -124,3 +124,72 @@ def rolling_zscore(
         z.alias("zscore"),
         (F.abs(z) > F.lit(float(threshold))).alias("anomaly"),
     )
+
+
+def ewma(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.25,
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Per-key exponentially weighted moving average — the smoothing
+    recurrence y_0 = x_0, y_t = (1-α)·y_{t-1} + α·x_t over each key's
+    (ts, tie) order. Output: one row per non-NULL input observation,
+    ``(key, seq, ts_ms, value, ewma)`` where ``seq`` is the 0-based
+    position in the key's fold order (the deterministic "which row is
+    last" handle downstream finals/joins need when timestamps repeat).
+
+    An EWMA is an inherently sequential per-key scan, so the operator
+    is a grouped Arrow pass (``applyInPandas`` keyed by ``key_col``):
+    state per key is ONE double, cost is O(rows/key), and keys fan out
+    across executors — the same shape Structured Streaming would use
+    for the stateful variant. The fold is written as literally
+    ``acc*(1-α) + α*x`` so the DuckDB twin's ``list_reduce`` with the
+    SAME expression is bit-identical up to the final ROUND (see
+    tests/test_timeseries_ewma.py ORACLE_SQL — per-key FINAL fold +
+    count, queued for round-7 driver registration as
+    ``ewma_final_by_user``).
+
+    ``tie_col`` breaks same-millisecond ties deterministically (pass
+    the event id; required for an engine-portable order whenever ts
+    can repeat)."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"ewma: alpha must be in (0, 1], got {alpha}")
+    import numpy as np
+    import pandas
+
+    one_minus = 1.0 - alpha
+    ms = F.unix_millis(F.col(ts_col))
+    src = df.select(
+        F.col(key_col).alias("key"),
+        ms.alias("ts_ms"),
+        F.col(value_col).cast("double").alias("value"),
+        *(
+            [F.col(tie_col).cast("bigint").alias("_tie")]
+            if tie_col
+            else [F.lit(0).cast("bigint").alias("_tie")]
+        ),
+    ).filter(F.col("value").isNotNull())  # a NULL reading would poison
+    # every later y_t of its key (NaN propagates through the recurrence)
+    key_t = src.schema["key"].dataType.simpleString()
+
+    def fold(pdf: "pandas.DataFrame") -> "pandas.DataFrame":
+        pdf = pdf.sort_values(["ts_ms", "_tie"], kind="mergesort")
+        x = pdf["value"].to_numpy(dtype="float64")
+        y = np.empty_like(x)
+        acc = x[0]
+        y[0] = acc
+        for i in range(1, len(x)):
+            # associate exactly as the SQL twin: acc*(1-a) + a*x
+            acc = acc * one_minus + alpha * x[i]
+            y[i] = acc
+        out = pdf[["key", "ts_ms", "value"]].copy()
+        out.insert(1, "seq", np.arange(len(x), dtype="int64"))
+        out["ewma"] = y
+        return out
+
+    return src.groupBy("key").applyInPandas(
+        fold, f"key {key_t}, seq bigint, ts_ms bigint, value double, ewma double"
+    )
