@@ -194,10 +194,17 @@ _STABLE_CORE = [
     # interval join's batch twin (streaming/stream_join.py —
     # tests/test_stream_join.py CLICK_PURCHASE_SQL), the Gopher
     # composite quality rules (operators/text.py
-    # gopher_quality_flags — tests/test_gopher.py ORACLE_SQL), and
+    # gopher_quality_flags — tests/test_gopher.py ORACLE_SQL),
     # distinct-users-per-window (streaming/windowed.py
     # windowed_distinct_batch — tests/test_windowed_distinct.py
-    # ORACLE_SQL).
+    # ORACLE_SQL), BM25 retrieval (operators/retrieval.py bm25_topk —
+    # tests/test_retrieval.py ORACLE_SQL), the PCA covariance entries
+    # (operators/pca.py — tests/test_pca.py ORACLE_SQL as
+    # embedding_covariance_entries), per-key EWMA finals
+    # (operators/timeseries.py ewma — tests/test_timeseries_ewma.py
+    # ORACLE_SQL as ewma_final_by_user), and windowed top-k heavy
+    # hitters (streaming/windowed.py windowed_topk_batch —
+    # tests/test_windowed_topk.py ORACLE_SQL as windowed_topk_events).
     "rule_tumbling_avg",
     "tpch_q5_local_supplier_volume",
     "topk_customers_by_spend",
