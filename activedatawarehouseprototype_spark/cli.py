@@ -366,6 +366,64 @@ def _build_parser() -> argparse.ArgumentParser:
     pqc.add_argument("--max-per-group", type=int, required=True)
     pqc.add_argument("--salt", default="q1")
     pqc.add_argument("--output", required=True)
+
+    pbm = sub.add_parser(
+        "bm25", help="BM25 top-k document retrieval for ad-hoc queries"
+    )
+    pbm.add_argument("--docs", required=True, help="documents parquet")
+    pbm.add_argument(
+        "--query", action="append", required=True,
+        help="query string (repeat for a batch; ids are 1-based order)",
+    )
+    pbm.add_argument("--k", type=int, default=10)
+    pbm.add_argument("--id-col", default="doc_id")
+    pbm.add_argument("--text-col", default="text")
+    pbm.add_argument("--output", required=True)
+
+    pew = sub.add_parser(
+        "ewma", help="per-key exponentially weighted moving average"
+    )
+    pew.add_argument("--input", required=True)
+    pew.add_argument("--key-col", required=True)
+    pew.add_argument("--ts-col", default="ts")
+    pew.add_argument("--value-col", required=True)
+    pew.add_argument("--alpha", type=float, default=0.25)
+    pew.add_argument("--tie-col", default=None,
+                     help="deterministic same-timestamp tiebreak column")
+    pew.add_argument("--output", required=True)
+
+    phb = sub.add_parser(
+        "hll-mv-build",
+        help="build a mergeable per-bucket HLL distinct-count MV",
+    )
+    phb.add_argument("--events", required=True)
+    phb.add_argument("--mv", required=True, help="MV output directory")
+    phb.add_argument("--key-col", required=True)
+    phb.add_argument("--ts-col", default="ts")
+    phb.add_argument("--bucket-ms", type=int, default=86_400_000)
+    phb.add_argument("--group-cols", default=None,
+                     help="comma-separated extra grouping columns")
+    phb.add_argument("--lgk", type=int, default=12)
+
+    phd = sub.add_parser(
+        "hll-mv-distinct",
+        help="range distinct-count estimate from an hll-mv-build MV",
+    )
+    phd.add_argument("--mv", required=True)
+    phd.add_argument("--start-ms", type=int, default=None)
+    phd.add_argument("--end-ms", type=int, default=None)
+    phd.add_argument("--group-cols", default=None)
+
+    ppca = sub.add_parser(
+        "pca-project",
+        help="fit a PCA over a vector column and append the projection",
+    )
+    ppca.add_argument("--input", required=True)
+    ppca.add_argument("--d", type=int, default=8)
+    ppca.add_argument("--vec-col", default="embedding")
+    ppca.add_argument("--out-col", default="pca")
+    ppca.add_argument("--whiten", action="store_true")
+    ppca.add_argument("--output", required=True)
     return p
 
 
@@ -883,6 +941,99 @@ def main(argv: list[str] | None = None) -> int:
         )
         out.write.mode("overwrite").parquet(args.output)
         print(f"{out.count()} rows kept -> {args.output}", file=sys.stderr)
+        return 0
+
+    if args.cmd == "bm25":
+        from activedatawarehouseprototype_spark.catalog import load_parquet
+        from activedatawarehouseprototype_spark.operators.retrieval import (
+            bm25_topk,
+        )
+
+        out = bm25_topk(
+            load_parquet(spark, args.docs),
+            [(i + 1, q) for i, q in enumerate(args.query)],
+            k=args.k,
+            id_col=args.id_col,
+            text_col=args.text_col,
+        )
+        out.write.mode("overwrite").parquet(args.output)
+        print(f"{out.count()} result rows -> {args.output}", file=sys.stderr)
+        return 0
+
+    if args.cmd == "ewma":
+        from activedatawarehouseprototype_spark.catalog import load_parquet
+        from activedatawarehouseprototype_spark.operators.timeseries import ewma
+
+        out = ewma(
+            load_parquet(spark, args.input),
+            args.key_col,
+            args.ts_col,
+            args.value_col,
+            alpha=args.alpha,
+            tie_col=args.tie_col,
+        )
+        out.write.mode("overwrite").parquet(args.output)
+        print(f"{out.count()} rows -> {args.output}", file=sys.stderr)
+        return 0
+
+    if args.cmd == "hll-mv-build":
+        from activedatawarehouseprototype_spark.catalog import load_parquet
+        from activedatawarehouseprototype_spark.operators.sketch_mv import (
+            hll_mv_build,
+        )
+
+        gc = tuple(filter(None, (args.group_cols or "").split(",")))
+        hll_mv_build(
+            load_parquet(spark, args.events),
+            args.mv,
+            args.key_col,
+            bucket_ms=args.bucket_ms,
+            group_cols=gc,
+            ts_col=args.ts_col,
+            lgk=args.lgk,
+        )
+        n = spark.read.parquet(args.mv).count()
+        print(f"{n} sketch rows -> {args.mv}", file=sys.stderr)
+        return 0
+
+    if args.cmd == "hll-mv-distinct":
+        from activedatawarehouseprototype_spark.operators.sketch_mv import (
+            hll_mv_distinct,
+        )
+
+        gc = tuple(filter(None, (args.group_cols or "").split(",")))
+        rows = hll_mv_distinct(
+            spark, args.mv, start_ms=args.start_ms, end_ms=args.end_ms,
+            group_cols=gc,
+        ).collect()
+        print(json.dumps([r.asDict() for r in rows]))
+        return 0
+
+    if args.cmd == "pca-project":
+        from activedatawarehouseprototype_spark.catalog import load_parquet
+        from activedatawarehouseprototype_spark.operators.pca import (
+            fit_pca,
+            pca_project,
+        )
+
+        df = load_parquet(spark, args.input)
+        model = fit_pca(df, d=args.d, vec_col=args.vec_col)
+        out = pca_project(
+            df, model, vec_col=args.vec_col, out_col=args.out_col,
+            whiten=args.whiten,
+        )
+        out.write.mode("overwrite").parquet(args.output)
+        print(
+            json.dumps(
+                {
+                    "rows": out.count(),
+                    "explained_variance": [
+                        round(v, 6) for v in model.explained_variance
+                    ],
+                }
+            ),
+            file=sys.stderr,
+        )
         return 0
 
     if args.cmd == "run":

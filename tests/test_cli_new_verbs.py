@@ -1,0 +1,134 @@
+"""End-to-end CLI coverage for the round-6 late verbs: bm25, ewma,
+hll-mv-build/hll-mv-distinct, pca-project — each exercised against its
+operator-level ground truth."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from activedatawarehouseprototype_spark import catalog
+from activedatawarehouseprototype_spark.cli import main
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_cli_bm25(spark, tmp_path):
+    out = str(tmp_path / "hits")
+    assert (
+        main(
+            [
+                "bm25",
+                "--docs", f"{SF}/documents.parquet",
+                "--query", "hash join",
+                "--query", "stream batch",
+                "--k", "5",
+                "--output", out,
+            ]
+        )
+        == 0
+    )
+    rows = spark.read.parquet(out).collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r)
+    assert set(per_q) == {1, 2}
+    assert all(len(v) == 5 for v in per_q.values())
+    from activedatawarehouseprototype_spark.operators.retrieval import bm25_topk
+
+    want = {
+        (r["query_id"], r["doc_id"], r["score"])
+        for r in bm25_topk(
+            catalog.load(spark, SF, "documents"),
+            [(1, "hash join"), (2, "stream batch")],
+            k=5,
+        ).collect()
+    }
+    assert {(r["query_id"], r["doc_id"], r["score"]) for r in rows} == want
+
+
+def test_cli_ewma(spark, tmp_path):
+    out = str(tmp_path / "sm")
+    assert (
+        main(
+            [
+                "ewma",
+                "--input", f"{SF}/events.parquet",
+                "--key-col", "user_id",
+                "--value-col", "value",
+                "--alpha", "0.5",
+                "--tie-col", "event_id",
+                "--output", out,
+            ]
+        )
+        == 0
+    )
+    got = spark.read.parquet(out)
+    assert got.columns == ["key", "seq", "ts_ms", "value", "ewma"]
+    n_in = (
+        catalog.load(spark, SF, "events")
+        .filter("value is not null and ts is not null")
+        .count()
+    )
+    assert got.count() == n_in
+    # first observation per key: ewma == value
+    firsts = got.filter("seq = 0").collect()
+    assert firsts and all(r["ewma"] == r["value"] for r in firsts)
+
+
+def test_cli_hll_mv_roundtrip(spark, tmp_path, capsys):
+    mv = str(tmp_path / "mv")
+    assert (
+        main(
+            [
+                "hll-mv-build",
+                "--events", f"{SF}/events.parquet",
+                "--mv", mv,
+                "--key-col", "user_id",
+                "--bucket-ms", "3600000",
+                "--group-cols", "event_type",
+            ]
+        )
+        == 0
+    )
+    assert main(["hll-mv-distinct", "--mv", mv, "--group-cols", "event_type"]) == 0
+    rows = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    exact = {
+        r["event_type"]: r["d"]
+        for r in catalog.load(spark, SF, "events")
+        .filter("user_id is not null and ts is not null")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("d"))
+        .collect()
+    }
+    assert {r["event_type"] for r in rows} == set(exact)
+    for r in rows:
+        e = exact[r["event_type"]]
+        assert abs(r["distinct_estimate"] - e) <= max(3, 0.05 * e)
+
+
+def test_cli_pca_project(spark, tmp_path, capsys):
+    out = str(tmp_path / "proj")
+    assert (
+        main(
+            [
+                "pca-project",
+                "--input", f"{SF}/embeddings.parquet",
+                "--d", "4",
+                "--whiten",
+                "--output", out,
+            ]
+        )
+        == 0
+    )
+    meta = json.loads(capsys.readouterr().err.strip().splitlines()[-1])
+    assert meta["rows"] == 500 and len(meta["explained_variance"]) == 4
+    got = spark.read.parquet(out)
+    assert "pca" in got.columns
+    import numpy as np
+
+    P = np.array([r["pca"] for r in got.collect()])
+    # whitened: unit variance per axis
+    assert (P * P).mean(axis=0) == pytest.approx(np.ones(4), rel=1e-6)
