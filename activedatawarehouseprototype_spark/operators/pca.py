@@ -153,6 +153,8 @@ def pca_project(
         scale[ev <= 1e-12] = 0.0
 
     cols = df.columns
+    if out_col in cols:
+        raise ValueError(f"pca_project: column {out_col!r} already exists")
     fields = ", ".join(f"`{c}` {df.schema[c].dataType.simpleString()}" for c in cols)
     schema = f"{fields}, {out_col} array<double>"
 

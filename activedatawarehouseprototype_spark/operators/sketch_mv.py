@@ -169,10 +169,12 @@ def hll_mv_distinct(
     if end_ms is not None:
         mv = mv.filter(F.col("bucket") < int(end_ms))
     gc = list(group_cols)
-    agg = mv.groupBy(*gc).agg(
-        F.hll_sketch_estimate(
-            F.hll_union_agg("sketch", F.lit(True))
+    # coalesce: a range touching zero buckets is "0 distinct", not NULL
+    # (the grouped form simply returns no rows, which is already right)
+    return mv.groupBy(*gc).agg(
+        F.coalesce(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch", F.lit(True))),
+            F.lit(0),
         ).cast("bigint").alias("distinct_estimate"),
-        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        F.coalesce(F.sum("n_rows"), F.lit(0)).cast("bigint").alias("n_rows"),
     )
-    return agg

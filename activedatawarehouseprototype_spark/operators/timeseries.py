@@ -171,8 +171,12 @@ def ewma(
             if tie_col
             else [F.lit(0).cast("bigint").alias("_tie")]
         ),
-    ).filter(F.col("value").isNotNull())  # a NULL reading would poison
-    # every later y_t of its key (NaN propagates through the recurrence)
+    ).filter(
+        # a NULL reading would poison every later y_t of its key (NaN
+        # propagates through the recurrence); a NULL timestamp has no
+        # position in the fold order at all
+        F.col("value").isNotNull() & F.col("ts_ms").isNotNull()
+    )
     key_t = src.schema["key"].dataType.simpleString()
 
     def fold(pdf: "pandas.DataFrame") -> "pandas.DataFrame":

@@ -161,6 +161,13 @@ def test_projection_is_shuffle_free(spark):
     assert exchange_count(pca_project(emb, model)) == 0
 
 
+def test_out_col_collision_raises(spark):
+    emb = _emb(spark)
+    model = fit_pca(emb, d=2)
+    with pytest.raises(ValueError, match="already exists"):
+        pca_project(emb, model, out_col="embedding")
+
+
 def test_empty_input_raises(spark):
     emb = _emb(spark).filter("vec_id < 0")
     with pytest.raises(ValueError):

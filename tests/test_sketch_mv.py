@@ -140,6 +140,23 @@ def test_bucket_range_scan_is_partition_pruned(spark, tmp_path):
     assert "bucket" in plan
 
 
+def test_empty_range_is_zero_not_null(spark, tmp_path):
+    ev = _events(spark)
+    p = str(tmp_path / "mv")
+    hll_mv_build(ev, p, "user_id", bucket_ms=HOUR)
+    row = hll_mv_distinct(spark, p, start_ms=0, end_ms=1).head()
+    assert (row["distinct_estimate"], row["n_rows"]) == (0, 0)
+    # grouped form: zero touched buckets => zero rows
+    pg = str(tmp_path / "mvg")
+    hll_mv_build(ev, pg, "user_id", bucket_ms=HOUR, group_cols=("event_type",))
+    assert (
+        hll_mv_distinct(
+            spark, pg, start_ms=0, end_ms=1, group_cols=("event_type",)
+        ).count()
+        == 0
+    )
+
+
 def test_rejects_bad_bucket(spark, tmp_path):
     with pytest.raises(ValueError):
         hll_mv_build(_events(spark), str(tmp_path / "x"), "user_id", bucket_ms=0)

@@ -113,6 +113,26 @@ def test_null_values_are_skipped_not_poisoning(spark):
     assert got[1]["ewma"] == pytest.approx(15.0)
 
 
+def test_null_timestamps_are_dropped(spark):
+    """A NULL ts has no fold position; it must be excluded, not crash
+    the bigint cast or perturb neighbors."""
+    df = spark.createDataFrame(
+        [(1, 1000, 10.0, 1), (1, None, 99.0, 2), (1, 3000, 20.0, 3)],
+        "user_id bigint, ms bigint, value double, event_id bigint",
+    ).select(
+        "user_id",
+        F.timestamp_millis(F.col("ms")).alias("ts"),
+        "value",
+        "event_id",
+    )
+    got = sorted(
+        ewma(df, "user_id", "ts", "value", alpha=0.5, tie_col="event_id").collect(),
+        key=lambda r: r["seq"],
+    )
+    assert [r["ts_ms"] for r in got] == [1000, 3000]
+    assert got[1]["ewma"] == pytest.approx(15.0)
+
+
 def test_same_ts_ties_resolve_by_tie_col(spark):
     df = spark.createDataFrame(
         [(1, 1000, 100.0, 2), (1, 1000, 0.0, 1)],
