@@ -2373,3 +2373,146 @@ def test_instantiate_child_skips_null_trigger_key(spark):
     assert any(
         f.field == "carId" and f.value == "9" for f in ok.window_filter_rules
     )
+
+
+def test_pipeline_all_features_soak_with_restart(spark, tmp_path):
+    """Kitchen-sink soak: EVERY optional pipeline stage enabled at once
+    — ingest quality gate, summary MV + mergeable histogram, alert
+    cooldown, CDC enrichment MV, rolling z-score anomaly stage, and the
+    salted grouped evaluator (grouped_min_rules=1 forces the grouped
+    path, so the soak doubles as its e2e salted-correctness check) —
+    across 8 batches with a mid-soak RESTART and an at-least-once
+    replay of the final batch. Each stage's standalone invariants must
+    hold when all of them compose."""
+    from activedatawarehouseprototype_spark.operators.quality import Constraint
+
+    rule = {
+        "queryId": 1, "queryState": "ACTIVE", "lastTime": -1,
+        "windowMilliseconds": 10_000, "frequencyMilliseconds": None,
+        "groupingKeyNames": ["carId"], "windowFilterRules": [],
+        "aggregatorFunctionType": "AVG", "limitOperatorType": ">",
+        "limit": 0, "aggregateFieldName": "speed",
+    }
+    work = str(tmp_path / "sink")
+    rules_p = str(tmp_path / "rules.jsonl")
+
+    def mk():
+        reg = RuleRegistry.load(rules_p)
+        reg.persist_path = rules_p
+        if 1 not in reg.rules:
+            reg.apply_json(json.dumps(rule))
+        return ActivePipeline(
+            spark=spark, registry=reg, work_dir=work,
+            mv_key_cols=["carId"], mv_value_col="speed",
+            mv_hist_bins=(0.0, 200.0, 10),
+            alert_cooldown_ms=60_000,
+            ingest_constraints=[
+                Constraint("speed_range", "in_range", column="speed",
+                           lo=0.0, hi=200.0),
+            ],
+            enrich_on="key",
+            anomaly_key_cols=["carId"], anomaly_value_col="speed",
+            anomaly_bucket_ms=10_000, anomaly_lookback=7,
+            anomaly_min_periods=3, anomaly_threshold=3.0,
+            salt_buckets=4, grouped_min_rules=1,
+        )
+
+    pipe = mk()
+    pipe.update_enrich_dim(spark.createDataFrame(
+        [(f"{{carId={c}}}", f"fleet{c % 2}") for c in range(1, 5)],
+        "key string, fleet string",
+    ))
+
+    # 8 batches x 10s each; car 1 hot (10 of ~13 rows/batch); car 3
+    # flat until a 180 km/h spike in batch 7; a 9999 glitch every even
+    # batch (quarantined, must never reach any downstream stage)
+    batches, admitted, bad_total = [], [], 0
+    for b in range(8):
+        base = b * 10
+        rows = [(1, base + i, float(40 + (b * 10 + i) % 20)) for i in range(10)]
+        rows.append((2, base + 1, float(60 + b)))
+        rows.append((3, base + 3, 180.0 if b == 7 else float(30 + b)))
+        if b % 2 == 0:
+            rows.append((4, base + 5, 9999.0))
+            bad_total += 1
+        admitted += [r for r in rows if r[2] <= 200.0]
+        batches.append(rows)
+
+    for b in range(4):
+        pipe.process_batch(car_df(spark, batches[b]), b)
+    pipe = mk()  # mid-soak restart: fresh object, same durable state
+    for b in range(4, 8):
+        pipe.process_batch(car_df(spark, batches[b]), b)
+
+    mv_before = sorted(map(tuple, pipe.summary_mv().collect()))
+    n_enriched = pipe.enriched().count()
+    n_alerts = pipe.alerts().count()
+    pipe.process_batch(car_df(spark, batches[7]), 7)  # at-least-once replay
+
+    # 1) evaluations: exactly-once, and exactly the batch twin over
+    # ADMITTED events for every closed window (glitches excluded)
+    emitted = pipe.evaluations().collect()
+    keys = [(r.query_id, r.key, r.window_start) for r in emitted]
+    assert len(keys) == len(set(keys))
+    adm_df = car_df(spark, admitted)
+    close_wm = max(s for _, s, _ in admitted) * 1000 + int(
+        BASE.timestamp() * 1000
+    )
+    want = {
+        (r.query_id, r.key, r.window_start): (r.agg_value, r.fired)
+        for r in evaluate_rule(adm_df, pipe.registry.rules[1]).collect()
+        if int(r.window_end.timestamp() * 1000) <= close_wm
+    }
+    got = {
+        (r.query_id, r.key, r.window_start): (r.agg_value, r.fired)
+        for r in emitted
+    }
+    assert got == want and len(got) >= 21  # 3 cars x 7 closed windows
+
+    # 2) summary MV == per-key recompute over admitted rows; histogram
+    # mass == n; the replay changed nothing
+    assert sorted(map(tuple, pipe.summary_mv().collect())) == mv_before
+    stats = {}
+    for c, _, v in admitted:
+        n, tot, mn, mx = stats.get(c, (0, 0.0, float("inf"), float("-inf")))
+        stats[c] = (n + 1, tot + v, min(mn, v), max(mx, v))
+    mv = {r.carId: (r.n, r.total, r.mn, r.mx) for r in pipe.summary_mv().collect()}
+    assert mv == stats
+    hist = spark.read.parquet(pipe.summary_mv_path)
+    for r in hist.collect():
+        assert sum(r["hist"]) == stats[r["carId"]][0]
+
+    # 3) quarantine: every glitch, exactly once, with blame
+    q = spark.read.parquet(f"{work}/quarantine")
+    assert q.count() == bad_total
+    assert set(q.select("carId").distinct().toPandas()["carId"]) == {4}
+    assert all(r["violated"] == ["speed_range"] for r in q.collect())
+
+    # 4) enrichment MV: one row per evaluation, carrying the dim attr;
+    # replay added nothing; a dim UPDATE rewrites PAST rows
+    assert pipe.enriched().count() == n_enriched == len(got)
+    assert {(r.key, r.fleet) for r in pipe.enriched().collect()} == {
+        (k, f"fleet{int(k[7:-1]) % 2}") for (_, k, _) in got
+    }
+    pipe.update_enrich_dim(spark.createDataFrame(
+        [("{carId=2}", "fleetX")], "key string, fleet string"
+    ))
+    upd = {r.fleet for r in pipe.enriched().filter("key = '{carId=2}'").collect()}
+    assert upd == {"fleetX"}
+
+    # 5) anomaly stage: ONLY car 3's planted spike flags
+    an = pipe.anomalies().collect()
+    assert {r.carId for r in an} == {3} and abs(an[0].zscore) > 3.0
+
+    # 6) cooldown: every window fires (AVG > 0), but each car emits at
+    # most ceil(70s span / 60s cooldown) + 1 = 2 alerts; replay added
+    # none; at least one re-fire was suppressed
+    assert pipe.alerts().count() == n_alerts
+    per_key = {
+        r.key: r.n
+        for r in pipe.alerts().groupBy("key").agg(F.count("*").alias("n")).collect()
+    }
+    fired = sum(1 for v in got.values() if v[1])
+    assert fired >= 21
+    assert all(1 <= v <= 2 for v in per_key.values())
+    assert sum(per_key.values()) < fired  # suppression really happened
