@@ -196,3 +196,22 @@ def test_validation_and_null_handling(spark):
     )
     out = windowed_topk_batch(df, "user_id", HOUR).collect()
     assert len(out) == 1 and out[0]["key"] == "1"
+
+
+def test_transform_with_state_env_gap_documented():
+    """Spark 4 ships transformWithStateInPandas (the successor arbitrary
+    -state API), but its state-server protocol needs `google.protobuf`,
+    which this sandbox lacks (verified: the TWS driver worker crashes
+    with ImportError at query start). applyInPandasWithState is the
+    supported stateful API here — windowed_topk_stream and the W1 path
+    ride it. If protobuf appears in the env, this skip turns into a
+    reminder to add a TWS-based twin."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf absent: transformWithStateInPandas "
+                    "unavailable in this environment (documented gap)")
+    raise AssertionError(
+        "protobuf is now available — port a stateful operator to "
+        "transformWithStateInPandas and drop this tripwire"
+    )
