@@ -1085,32 +1085,49 @@ def ivf_pq_search(
 
     out_schema = f"{qid_col} bigint, {id_col} bigint, adc_dist double"
 
-    def _adc_group(pdf: "pandas.DataFrame") -> "pandas.DataFrame":
-        qn = np.asarray(pdf["_qvn"].iloc[0], dtype="float64")
-        cell = int(pdf["cell"].iloc[0])
-        # residual query: the codes quantize (x_n - cnorm(cell)), so the
-        # table must be built from (q_n - cnorm(cell)) — per (query,
-        # cell) group, which is exactly this applyInPandas key
-        qr = qn - CN.get(cell, 0.0)
-        dt = np.stack(
-            [
-                ((C[s] - qr[s * dsub : (s + 1) * dsub]) ** 2).sum(axis=1)
-                for s in range(m)
-            ]
-        )
-        A = np.stack(pdf["codes"].to_numpy()).astype("int64")
-        tot = np.zeros(A.shape[0])
-        for s in range(m):  # fixed fold order: deterministic sums
-            tot += dt[s][A[:, s]]
-        return pandas.DataFrame(
-            {
-                qid_col: pdf[qid_col].to_numpy(),
-                id_col: pdf[id_col].to_numpy(),
-                "adc_dist": tot,
-            }
-        )
+    def _adc_it(batches):
+        """Score candidates WHERE THE CODES LIVE: the broadcast join
+        preserves the pruned scan's partitioning, so this Arrow pass
+        runs per cell directory with NO shuffle of the candidate set
+        (the former groupBy(qid, cell).applyInPandas moved every
+        candidate row once just to build per-group distance tables —
+        at 100 TB that shuffle is |candidates|-sized). Each batch
+        groups by (qid, cell) in-memory; the m x ksub table per group
+        is microseconds, so locality wins outright."""
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            outs = []
+            for (qv_key, cell), g in pdf.groupby([qid_col, "cell"], sort=False):
+                # residual query: the codes quantize (x_n - cnorm(cell)),
+                # so the table is built from (q_n - cnorm(cell)) per
+                # (query, cell) group
+                qn = np.asarray(g["_qvn"].iloc[0], dtype="float64")
+                qr = qn - CN.get(int(cell), 0.0)
+                dt = np.stack(
+                    [
+                        ((C[s] - qr[s * dsub : (s + 1) * dsub]) ** 2).sum(axis=1)
+                        for s in range(m)
+                    ]
+                )
+                A = np.stack(g["codes"].to_numpy()).astype("int64")
+                tot = np.zeros(A.shape[0])
+                for s in range(m):  # fixed fold order: deterministic sums
+                    tot += dt[s][A[:, s]]
+                outs.append(
+                    pandas.DataFrame(
+                        {
+                            qid_col: g[qid_col].to_numpy(),
+                            id_col: g[id_col].to_numpy(),
+                            "adc_dist": tot,
+                        }
+                    )
+                )
+            yield pandas.concat(outs, ignore_index=True)
 
-    adc = cand.groupBy(qid_col, "cell").applyInPandas(_adc_group, out_schema)
+    adc = cand.select(qid_col, id_col, "cell", "codes", "_qvn").mapInPandas(
+        _adc_it, out_schema
+    )
     w_short = Window.partitionBy(qid_col).orderBy(
         F.col("adc_dist").asc(), F.col(id_col).asc()
     )
@@ -1126,8 +1143,13 @@ def ivf_pq_search(
         .filter(F.col("cell").isin(probe_cells))
         .select(id_col, "vec")
     )
+    # a DEFAULT shortlist (4k/query) broadcasts in KB-MB; an
+    # oracle-style all-covering shortlist is |candidates|-sized and
+    # must NOT be forced through the broadcast path — let AQE pick
+    # (it still broadcasts when the realized size is small)
+    short_side = F.broadcast(short) if n_short <= 65_536 else short
     reranked = (
-        vec_scan.join(F.broadcast(short), id_col)
+        vec_scan.join(short_side, id_col)
         .join(
             F.broadcast(q.select(qid_col, "_qv").distinct()), qid_col
         )
