@@ -414,6 +414,16 @@ def _build_parser() -> argparse.ArgumentParser:
     phd.add_argument("--end-ms", type=int, default=None)
     phd.add_argument("--group-cols", default=None)
 
+    pjv = sub.add_parser(
+        "jmv-verify",
+        help="anti-entropy audit: recompute a join MV from its side "
+        "snapshots and multiset-diff against the stored MV",
+    )
+    pjv.add_argument("--base", required=True, help="incremental_join_mv dir")
+    pjv.add_argument("--on", required=True, help="comma-separated join keys")
+    pjv.add_argument("--sample-fraction", type=float, default=None)
+    pjv.add_argument("--salt", default="v1")
+
     ppca = sub.add_parser(
         "pca-project",
         help="fit a PCA over a vector column and append the projection",
@@ -1008,6 +1018,18 @@ def main(argv: list[str] | None = None) -> int:
         ).collect()
         print(json.dumps([r.asDict() for r in rows]))
         return 0
+
+    if args.cmd == "jmv-verify":
+        from activedatawarehouseprototype_spark.operators.warehouse import (
+            jmv_verify,
+        )
+
+        report = jmv_verify(
+            spark, args.base, args.on.split(","),
+            sample_fraction=args.sample_fraction, salt=args.salt,
+        )
+        print(json.dumps(report))
+        return 0 if report["consistent"] else 1
 
     if args.cmd == "pca-project":
         from activedatawarehouseprototype_spark.catalog import load_parquet

@@ -923,3 +923,75 @@ def apply_cdc_to_join_mv(
     vt_mv.commit(new_mv, mode="overwrite", op=f"cdc-{side}")
     vt_this.commit(patched, mode="overwrite", op=f"cdc-patch-{side}")
     return vt_mv.read()
+
+
+def jmv_verify(
+    spark: SparkSession,
+    base_path: str,
+    on: list[str],
+    sample_fraction: float | None = None,
+    salt: str = "v1",
+) -> dict:
+    """Anti-entropy audit of an ``incremental_join_mv``: recompute
+    L ⋈ R from the accumulated side snapshots and MULTISET-diff it
+    against the stored MV. Incremental maintenance earns trust by
+    being *checkable* — this is the checker a production warehouse
+    schedules after compactions, restores, or suspected replay bugs.
+
+    Returns ``{"mv_rows", "expected_rows", "missing", "extra",
+    "consistent"}`` where ``missing`` counts (row, multiplicity)
+    shortfalls vs the recompute and ``extra`` surpluses — both zero
+    iff the MV is exactly the join of its inputs.
+
+    ``sample_fraction`` audits only the join keys whose
+    ``hash_fraction`` (operators/sampling.py — pure function of
+    (salt, key)) falls below the fraction. Because ALL THREE tables
+    are filtered by the same key predicate, the sampled diff is exact
+    for the sampled keyspace — at 100 TB a 1% audit gives a
+    proportional read with zero false positives. Full-audit cost is
+    one join + one grouped count per side; the driver transfer is a
+    single aggregate row."""
+    from activedatawarehouseprototype_spark.operators.sampling import (
+        hash_fraction,
+    )
+    from activedatawarehouseprototype_spark.operators.versioned import (
+        VersionedTable,
+    )
+
+    vt_l = VersionedTable(spark, f"{base_path}/left")
+    vt_r = VersionedTable(spark, f"{base_path}/right")
+    vt_mv = VersionedTable(spark, f"{base_path}/mv")
+    left, right, mv = vt_l.read(), vt_r.read(), vt_mv.read()
+    if sample_fraction is not None:
+        if not 0.0 < sample_fraction <= 1.0:
+            raise ValueError(
+                f"sample_fraction must be in (0, 1], got {sample_fraction}"
+            )
+        keep = hash_fraction(on, salt=salt) < sample_fraction
+        left, right, mv = (
+            left.filter(keep), right.filter(keep), mv.filter(keep),
+        )
+    expected = left.join(right, on)
+    cols = mv.columns
+    exp_counts = expected.select(*cols).groupBy(*cols).agg(
+        F.count(F.lit(1)).alias("_e")
+    )
+    mv_counts = mv.groupBy(*cols).agg(F.count(F.lit(1)).alias("_m"))
+    diff = exp_counts.join(mv_counts, cols, "full_outer").select(
+        F.coalesce(F.col("_e"), F.lit(0)).alias("_e"),
+        F.coalesce(F.col("_m"), F.lit(0)).alias("_m"),
+    )
+    row = diff.agg(
+        F.sum(F.greatest(F.col("_e") - F.col("_m"), F.lit(0))).alias("missing"),
+        F.sum(F.greatest(F.col("_m") - F.col("_e"), F.lit(0))).alias("extra"),
+        F.sum("_m").alias("mv_rows"),
+        F.sum("_e").alias("expected_rows"),
+    ).head()
+    out = {
+        "mv_rows": int(row["mv_rows"] or 0),
+        "expected_rows": int(row["expected_rows"] or 0),
+        "missing": int(row["missing"] or 0),
+        "extra": int(row["extra"] or 0),
+    }
+    out["consistent"] = out["missing"] == 0 and out["extra"] == 0
+    return out

@@ -132,3 +132,30 @@ def test_cli_pca_project(spark, tmp_path, capsys):
     P = np.array([r["pca"] for r in got.collect()])
     # whitened: unit variance per axis
     assert (P * P).mean(axis=0) == pytest.approx(np.ones(4), rel=1e-6)
+
+
+def test_cli_jmv_verify_exit_codes(spark, tmp_path, capsys):
+    """jmv-verify: exit 0 + consistent report on a healthy MV; exit 1
+    when the MV drifts from its inputs (cron-able ops contract)."""
+    from activedatawarehouseprototype_spark.operators.versioned import (
+        VersionedTable,
+    )
+    from activedatawarehouseprototype_spark.operators.warehouse import (
+        incremental_join_mv,
+    )
+
+    base = str(tmp_path / "jmv")
+    L = spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string")
+    R = spark.createDataFrame([(1, 1.0), (2, 2.0)], "k bigint, w double")
+    incremental_join_mv(spark, base, ["k"], right_batch=R)
+    incremental_join_mv(spark, base, ["k"], left_batch=L, batch_id=0)
+
+    assert main(["jmv-verify", "--base", base, "--on", "k"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["consistent"] and rep["mv_rows"] == 2
+
+    vt = VersionedTable(spark, f"{base}/mv")
+    vt.commit(vt.read().filter("k != 1"), mode="overwrite", op="corrupt")
+    assert main(["jmv-verify", "--base", base, "--on", "k"]) == 1
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["missing"] == 1 and rep["extra"] == 0
