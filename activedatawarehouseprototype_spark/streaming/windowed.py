@@ -225,6 +225,30 @@ def windowed_topk_batch(
     )
 
 
+def mg_merge(counters: dict, batch_counts, cap: int) -> dict:
+    """Batched Misra-Gries update: merge ``batch_counts`` (iterable of
+    (key, count)) into ``counters`` keeping at most ``cap`` entries.
+    When the table is full, the overflow count is distributed as a
+    uniform decrement across all cap+1 counters (incoming included) —
+    the standard MG bound holds: every stored count undercounts its
+    true frequency by at most total/(cap+1), and any key with true
+    frequency > total/(cap+1) is guaranteed present. Pure function
+    (returns the mutated dict) so the property suite can drive it
+    directly; the streaming operator below is its only other caller."""
+    for kk, c in batch_counts:
+        c = int(c)
+        if kk in counters:
+            counters[kk] += c
+        elif len(counters) < cap:
+            counters[kk] = c
+        else:
+            d = min(c, min(counters.values()))
+            counters = {q: v - d for q, v in counters.items() if v - d > 0}
+            if c - d > 0:
+                counters[kk] = c - d
+    return counters
+
+
 def windowed_topk_stream(
     events: DataFrame,
     key_col: str,
@@ -319,22 +343,9 @@ def windowed_topk_stream(
         for pdf in pdfs:
             if not len(pdf):
                 continue
-            for kk, c in pdf["_mgkey"].value_counts().items():
-                c = int(c)
-                if kk in counters:
-                    counters[kk] += c
-                elif len(counters) < cap:
-                    counters[kk] = c
-                else:
-                    # batched Misra-Gries decrement: distribute the
-                    # overflow across all cap+1 counters (incoming
-                    # included); total decrement <= total/(cap+1)
-                    d = min(c, min(counters.values()))
-                    counters = {
-                        q: v - d for q, v in counters.items() if v - d > 0
-                    }
-                    if c - d > 0:
-                        counters[kk] = c - d
+            counters = mg_merge(
+                counters, pdf["_mgkey"].value_counts().items(), cap
+            )
         if due:
             # same-trigger data + expired timeout arrive as ONE data
             # call (no separate timeout call follows): emit now
