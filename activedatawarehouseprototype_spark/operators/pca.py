@@ -155,6 +155,14 @@ def pca_project(
     cols = df.columns
     if out_col in cols:
         raise ValueError(f"pca_project: column {out_col!r} already exists")
+    # the internal staging column must not collide either: withColumn
+    # would silently REPLACE a user column of the same name and the
+    # worker would then drop it, so the declared output schema (which
+    # still lists the original field) no longer matches the yielded
+    # frames. Derive a name the input provably doesn't have.
+    tmp = "_v"
+    while tmp in cols:
+        tmp += "_"
     fields = ", ".join(f"`{c}` {df.schema[c].dataType.simpleString()}" for c in cols)
     schema = f"{fields}, {out_col} array<double>"
 
@@ -162,13 +170,13 @@ def pca_project(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            X = np.stack(pdf["_v"].to_numpy()).astype("float64")
+            X = np.stack(pdf[tmp].to_numpy()).astype("float64")
             P = (X - mu) @ W.T
             if scale is not None:
                 P = P * scale
-            out = pdf.drop(columns=["_v"])
+            out = pdf.drop(columns=[tmp])
             out[out_col] = list(P)
             yield out
 
-    src = df.withColumn("_v", as_double_array(F.col(vec_col)))
+    src = df.withColumn(tmp, as_double_array(F.col(vec_col)))
     return src.mapInPandas(it, schema)

@@ -148,8 +148,13 @@ def hll_mv_append(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", sql_before)
     if batch_id is not None:
-        with open(meta_p, "w") as f:
+        # tmp + os.replace: a crash mid-write must never leave truncated
+        # JSON (which would fail every later json.load until manually
+        # removed) — same atomic pattern as ActivePipeline._persist_watermarks
+        tmp = meta_p + ".tmp"
+        with open(tmp, "w") as f:
             _json.dump({"watermark": int(batch_id)}, f)
+        _os.replace(tmp, meta_p)
 
 
 def hll_mv_distinct(

@@ -8,9 +8,7 @@ NOT give you at 100 TB is scheduling: with millions of files, every
 query still lists and opens every footer. Table formats solve this
 with a stats manifest consulted on the driver (Delta data skipping,
 Iceberg manifest min/max; same idea as Snowflake micro-partition
-pruning — reference parity: the prototype's clustered-scan path,
-reference `storage/Clustered*.java`, relies on engine-side zone maps).
-This module is that manifest for plain parquet directories:
+pruning). This module is that manifest for plain parquet directories:
 
 - ``build_skipping_index(spark, path, stats_cols)`` — ONE distributed
   scan of the stats columns grouped by ``input_file_name()``; writes a
@@ -96,6 +94,32 @@ def _index_path(path: str) -> str:
     return path.rstrip("/") + "_skip_index"
 
 
+def _list_data_files(path: str) -> list[str]:
+    """All ``*.parquet`` data files under ``path``, RECURSIVELY, as
+    paths relative to the table root — a partitioned/nested layout's
+    files must be visible to the staleness check, and relative paths
+    (not basenames) keep same-named files in different subdirectories
+    from colliding."""
+    out = []
+    for dirpath, dirnames, filenames in os.walk(path):
+        dirnames[:] = [d for d in dirnames if not d.startswith(("_", "."))]
+        for f in filenames:
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                out.append(os.path.relpath(os.path.join(dirpath, f), path))
+    return out
+
+
+def _rel_file(uri: str, root: str) -> str:
+    """Map an ``input_file_name()`` URI (``file:/abs`` or
+    ``file:///abs``) to a path relative to the table root."""
+    p = uri
+    if p.startswith("file:"):
+        p = p[len("file:"):]
+        while p.startswith("//"):
+            p = p[1:]
+    return os.path.relpath(p, os.path.abspath(root))
+
+
 def build_skipping_index(
     spark: SparkSession, path: str, stats_cols: list[str]
 ) -> str:
@@ -130,26 +154,25 @@ def build_skipping_index(
     # min/max (NULL stats already mean "prunable for any predicate",
     # which is exactly right for an empty file). The listing is O(files)
     # on the driver — the same listing any scan of this path performs.
-    listing = [
-        f
-        for f in os.listdir(path)
-        if f.endswith(".parquet") and not f.startswith(("_", "."))
-    ]
+    listing = _list_data_files(path)
     types = {f.name: f.dataType for f in df.schema.fields}
+    root_abs = os.path.abspath(path)
     files_df = local_rows_df(
         spark,
-        [
-            ("file:" + os.path.abspath(os.path.join(path, f)), f)
-            for f in listing
-        ],
-        "file string, _base string",
+        [("file:" + os.path.join(root_abs, f), f) for f in listing],
+        "file string, _rel string",
     )
+    # join on the path RELATIVE to the table root (suffix after the
+    # first occurrence of "<root>/"), not the basename — nested layouts
+    # can repeat basenames across subdirectories
+    prefix = root_abs + "/"
+    rel_start = F.locate(prefix, F.col("file")) + F.lit(len(prefix))
     empty_rows = (
         files_df.join(
             manifest.select(
-                F.element_at(F.split("file", "/"), -1).alias("_base")
+                F.col("file").substr(rel_start, F.lit(1 << 20)).alias("_rel")
             ),
-            "_base",
+            "_rel",
             "left_anti",
         )
         .select(
@@ -262,14 +285,10 @@ def read_with_skipping(
     ignoring unindexed files would DROP their rows."""
     manifest = _load_manifest(spark, path)
     known = {
-        os.path.basename(r["file"])
+        _rel_file(r["file"], path)
         for r in manifest.select("file").collect()
     }
-    on_disk = {
-        f
-        for f in os.listdir(path)
-        if f.endswith(".parquet") and not f.startswith(("_", "."))
-    }
+    on_disk = set(_list_data_files(path))
     unknown = on_disk - known
     if unknown:
         raise RuntimeError(

@@ -145,12 +145,15 @@ def ewma(
     is a grouped Arrow pass (``applyInPandas`` keyed by ``key_col``):
     state per key is ONE double, cost is O(rows/key), and keys fan out
     across executors — the same shape Structured Streaming would use
-    for the stateful variant. The fold is written as literally
-    ``acc*(1-α) + α*x`` so the DuckDB twin's ``list_reduce`` with the
-    SAME expression is bit-identical up to the final ROUND (see
+    for the stateful variant. The fold runs as
+    ``Series.ewm(alpha, adjust=False).mean()`` — vectorized C with the
+    identical recurrence and the identical left-to-right order as the
+    DuckDB twin's ``list_reduce`` ``acc*(1-α) + α*x`` (see
     tests/test_timeseries_ewma.py ORACLE_SQL — per-key FINAL fold +
-    count, queued for round-7 driver registration as
-    ``ewma_final_by_user``).
+    count, the ``ewma_final_by_user`` corpus entry). pandas' one extra
+    operation is a divide by ``(1-α)+α`` — exactly 1.0 for dyadic
+    alphas, off by ≤1 ulp otherwise — absorbed by the final ROUND both
+    sides apply before hashing.
 
     ``tie_col`` breaks same-millisecond ties deterministically (pass
     the event id; required for an engine-portable order whenever ts
@@ -160,14 +163,17 @@ def ewma(
     import numpy as np
     import pandas
 
-    one_minus = 1.0 - alpha
     ms = F.unix_millis(F.col(ts_col))
     src = df.select(
         F.col(key_col).alias("key"),
         ms.alias("ts_ms"),
         F.col(value_col).cast("double").alias("value"),
         *(
-            [F.col(tie_col).cast("bigint").alias("_tie")]
+            # native type — a cast would turn e.g. a string event id
+            # into NULL for every row, silently losing the deterministic
+            # same-ts ordering the parameter exists to provide;
+            # sort_values orders any orderable dtype as-is
+            [F.col(tie_col).alias("_tie")]
             if tie_col
             else [F.lit(0).cast("bigint").alias("_tie")]
         ),
@@ -181,16 +187,18 @@ def ewma(
 
     def fold(pdf: "pandas.DataFrame") -> "pandas.DataFrame":
         pdf = pdf.sort_values(["ts_ms", "_tie"], kind="mergesort")
-        x = pdf["value"].to_numpy(dtype="float64")
-        y = np.empty_like(x)
-        acc = x[0]
-        y[0] = acc
-        for i in range(1, len(x)):
-            # associate exactly as the SQL twin: acc*(1-a) + a*x
-            acc = acc * one_minus + alpha * x[i]
-            y[i] = acc
+        # vectorized recurrence (NULLs were filtered above, so no NaN
+        # re-weighting path inside ewm); see docstring for the ulp
+        # contract with the SQL twin
+        y = (
+            pdf["value"]
+            .astype("float64")
+            .ewm(alpha=alpha, adjust=False)
+            .mean()
+            .to_numpy()
+        )
         out = pdf[["key", "ts_ms", "value"]].copy()
-        out.insert(1, "seq", np.arange(len(x), dtype="int64"))
+        out.insert(1, "seq", np.arange(len(pdf), dtype="int64"))
         out["ewma"] = y
         return out
 

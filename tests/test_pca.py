@@ -172,3 +172,15 @@ def test_empty_input_raises(spark):
     emb = _emb(spark).filter("vec_id < 0")
     with pytest.raises(ValueError):
         fit_pca(emb, d=2)
+
+
+def test_internal_temp_col_does_not_collide(spark):
+    """A user column literally named '_v' must survive projection —
+    the staging column derives a non-colliding name."""
+    df = spark.createDataFrame(
+        [([1.0, 0.0], "keepme")], "embedding array<double>, _v string"
+    )
+    m = fit_pca(df, d=1)
+    out = pca_project(df, m).collect()[0]
+    assert out["_v"] == "keepme"
+    assert len(out["pca"]) == 1

@@ -160,3 +160,28 @@ def test_empty_range_is_zero_not_null(spark, tmp_path):
 def test_rejects_bad_bucket(spark, tmp_path):
     with pytest.raises(ValueError):
         hll_mv_build(_events(spark), str(tmp_path / "x"), "user_id", bucket_ms=0)
+
+
+def test_meta_write_is_atomic_no_tmp_left_and_valid_json(spark, tmp_path):
+    """The watermark meta must be written via tmp + os.replace so a
+    crash can never leave truncated JSON wedging every later append;
+    verify the committed file parses and no .tmp residue remains."""
+    import json
+    import os
+
+    ev = _events(spark)
+    path = str(tmp_path / "mv")
+    hll_mv_build(ev, path, "user_id", bucket_ms=HOUR)
+    hll_mv_append(spark, path, ev.limit(10), "user_id", bucket_ms=HOUR, batch_id=7)
+    meta = os.path.join(path, "_hll_mv_meta.json")
+    with open(meta) as f:
+        assert json.load(f)["watermark"] == 7
+    assert not os.path.exists(meta + ".tmp")
+    # and a PRE-EXISTING truncated meta (crash before this fix) must
+    # surface as a clear error on the next append, not silent skip
+    with open(meta, "w") as f:
+        f.write('{"waterm')
+    with pytest.raises(Exception):
+        hll_mv_append(
+            spark, path, ev.limit(10), "user_id", bucket_ms=HOUR, batch_id=8
+        )

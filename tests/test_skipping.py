@@ -290,3 +290,44 @@ def _naive_filter(vals, preds):
         if ok:
             out.append((i, v))
     return sorted(out)
+
+
+def test_nested_partitioned_layout_roundtrip_and_staleness(spark, tmp_path):
+    """A partitionBy layout puts data files in SUBDIRECTORIES; the
+    index must (a) see them (round-trip correctness), (b) flag a file
+    appended into a subdir as stale — the round-6 basename-only
+    os.listdir guard was blind to both."""
+    path = str(tmp_path / "nested")
+    spark.range(0, 100).select(
+        F.col("id"), (F.col("id") % 4).alias("part")
+    ).write.partitionBy("part").parquet(path)
+    build_skipping_index(spark, path, ["id"])
+    got = read_with_skipping(spark, path, [Pred("id", "between", (10, 29))])
+    assert got.count() == 20
+    # append into ONE partition subdir: must now raise, not drop rows
+    spark.range(100, 120).select(
+        F.col("id"), F.lit(1).alias("part")
+    ).write.mode("append").partitionBy("part").parquet(path)
+    with pytest.raises(RuntimeError, match="stale"):
+        read_with_skipping(spark, path, [Pred("id", ">=", 0)])
+
+
+def test_same_basename_in_different_subdirs_not_conflated(spark, tmp_path):
+    """Two partition subdirectories holding files with IDENTICAL
+    basenames (e.g. after a compactor rewrite) must be tracked as
+    distinct files — basename identity would conflate them."""
+    import shutil
+
+    path = str(tmp_path / "twins")
+    os.makedirs(path)
+    staging = str(tmp_path / "stage")
+    spark.range(0, 10).coalesce(1).write.parquet(staging)
+    src = [f for f in os.listdir(staging) if f.endswith(".parquet")][0]
+    for part in ("part=0", "part=1"):
+        os.makedirs(os.path.join(path, part))
+        shutil.copy(
+            os.path.join(staging, src), os.path.join(path, part, "data.parquet")
+        )
+    build_skipping_index(spark, path, ["id"])
+    got = read_with_skipping(spark, path, [Pred("id", ">=", 0)])
+    assert got.count() == 20  # both copies read, neither flagged stale

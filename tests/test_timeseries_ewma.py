@@ -162,3 +162,18 @@ def test_one_shuffle_on_key(spark):
 
     out = ewma(_events(spark), "user_id", "ts", "value", tie_col="event_id")
     assert exchange_count(out) == 1
+
+
+def test_string_tie_col_orders_deterministically(spark):
+    """A non-numeric tie column must keep its native type and still
+    break same-ts ties (the round-6 bigint cast NULLed it out)."""
+    df = spark.createDataFrame(
+        [(1, 1000, 100.0, "b"), (1, 1000, 0.0, "a")],
+        "user_id bigint, ms bigint, value double, event_id string",
+    ).select(
+        "user_id", F.timestamp_millis("ms").alias("ts"), "value", "event_id"
+    )
+    got = ewma(df, "user_id", "ts", "value", alpha=0.5, tie_col="event_id").collect()
+    by_val = {r["value"]: r["ewma"] for r in got}
+    assert by_val[0.0] == 0.0  # "a" sorts first: y_0 = x_0
+    assert by_val[100.0] == pytest.approx(50.0)
