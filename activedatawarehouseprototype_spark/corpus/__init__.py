@@ -43,6 +43,7 @@ from activedatawarehouseprototype_spark.corpus import analytics  # noqa: E402,F4
 from activedatawarehouseprototype_spark.corpus import udfs  # noqa: E402,F401
 from activedatawarehouseprototype_spark.corpus import stats  # noqa: E402,F401
 from activedatawarehouseprototype_spark.corpus import advanced  # noqa: E402,F401
+from activedatawarehouseprototype_spark.corpus import extensions2  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
@@ -103,120 +104,95 @@ from activedatawarehouseprototype_spark.corpus import advanced  # noqa: E402,F40
 # ---------------------------------------------------------------------------
 
 _DRIVER_ROTATION = [
-    # -- round-6 rotation -------------------------------------------------
-    # After round 5, EVERY oracle-backed entry in the registry's
-    # history has a driver hash-match; the evidence-age ledger is now
-    # 35 entries last driver-checked in r3 (3 rounds old — the
-    # registry's oldest, including the rows-only sketch entry), 45 in
-    # r4, 50 in r5 (last round's window). This rotation front-loads
-    # ALL 35 r3-era entries, then backfills with the oldest (r4)
-    # evidence, family-diverse. The 6-entry stable core fills the
-    # window to exactly 50.
+    # -- round-7 rotation -------------------------------------------------
+    # Evidence-age ledger after round 6: 44 entries last driver-checked
+    # in r4 (the registry's oldest), 47 in r5, 50 in r6. This window:
+    #   * the 11 round-6 operators that debuted with pytest-only
+    #     evidence (window was full) — every one now earns its driver
+    #     row (the debut invariant, one round late by documented
+    #     necessity);
+    #   * sketch_approx_distinct_and_quantiles, upgraded this round
+    #     from rows-only (`no_oracle`) to oracle-backed via exact-twin
+    #     columns + in-bound booleans — re-checked to convert the one
+    #     non-hash row into a hash-match;
+    #   * 35 of the 44 r4-era entries (family-diverse pick). The 9
+    #     deferred to round 8 — scalar_date_fns, scalar_math_fns,
+    #     scalar_conditional_fns, join_left_order_counts,
+    #     join_semi_customers_with_open_orders,
+    #     setop_union_intersect_except, cube_orders_status_priority,
+    #     distinct_suppliers_per_flag, window_order_price_delta — are
+    #     pure-relational entries whose operator families keep an
+    #     in-window representative this round (scalar_string_fns was
+    #     r6-green; join_revenue_by_nation / join_anti /
+    #     grouping_sets / window families are in-window below), and
+    #     whose code hasn't changed since they last hash-matched.
+    #     Round-8 editor: front-load those 9 FIRST.
+    # With the 3-entry stable core this fills the 50-slot window
+    # exactly: 11 + 1 + 35 + 3 = 50.
     #
-    # the five ANN paths (r3)
-    "ann_topk_cosine",
-    "ann_lsh_bucket_topk",
-    "ann_lsh_batch_multiprobe_topk",
-    "ann_ivf_topk",
-    "ann_ivf_batch_topk",
-    # embeddings / multimodal / as-of / range (r3)
-    "array_embedding_stats",
-    "multimodal_byte_stats",
-    "asof_click_latest_purchase",
-    "range_join_price_bands",
-    # dedup / text tier (r3)
-    "dedup_exact_text",
-    "dedup_minhash_lsh",
-    "text_quality_filter",
-    "text_repetition",
-    "text_top_bigrams",
-    # relational / analytic (r3)
-    "rule_passthrough",
-    "tpch_q3_shipping_priority",
-    "tpch_q6_revenue_delta",
-    "grouping_sets_orders",
-    "percentile_order_prices",
-    "pivot_status_by_priority",
-    "pivot_native_status_by_priority",
-    "window_running_order_totals",
-    "window_top3_orders_per_customer",
-    "stats_price_quantity",
-    "bool_aggs_per_segment",
-    "null_semantics_aggs",
-    "histogram_event_values",
-    "hourly_activity_profile",
-    "regexp_part_type_tokens",
-    "scalar_string_fns",
-    # the four UDF registration tiers (r3)
-    "udf_pandas_log_score",
-    "udaf_weighted_avg_price",
-    "udf_sql_registered_brand_code",
-    "udtf_token_explode",
-    # rows-only sketch entry (r3, weaker rows-only driver check)
+    # -- new in round 7 (registrations of round-6 operators) --------------
+    "bm25_topk_docs",
+    "ewma_final_by_user",
+    "embedding_covariance_entries",
+    "windowed_topk_events",
+    "windowed_distinct_users",
+    "stream_interval_join_clicks",
+    "text_gopher_quality",
+    "skipping_index_pruned_scan",
+    "dedup_ppjoin_jaccard",
+    "sql_recursive_reachability",
+    "hll_mv_daily_distinct",
+    # -- oracle upgrade re-check ------------------------------------------
     "sketch_approx_distinct_and_quantiles",
-    # -- new in round 6 (no prior row by construction) --------------------
-    "graph_pagerank_suppliers",
-    "retention_cohorts_monthly",
-    "funnel_match_recognize_strict",
-    "reservoir_sample_fixed_k",
-    "ntile_equidepth_histogram",
-    "entropy_quality_scores",
-    "skew_salted_join_topk",
-    "interval_overlap_sessions",
-    "weighted_sample_by_quality",
-    "snapshot_diff_documents",
-    "source_quota_cap_stats",
-    "rolling_zscore_anomalies",
+    # -- the 35 oldest (r4) entries ----------------------------------------
+    "chunk_documents_tokens",
+    "decontaminate_ngram_overlap",
+    "dedup_fingerprint",
+    "dedup_index_incremental",
+    "dedup_ngram_jaccard",
+    "dedup_simhash16",
+    "dedup_winnow_overlap",
+    "dirty_date_filter",
+    "emb_blocked_cosine_hist",
+    "emb_near_dup_pairs",
+    "emb_quantized_int8_stats",
+    "filter_between_in_dates",
+    "funnel_view_click_purchase",
+    "fuzzy_part_name_pairs",
+    "geo_cell_geometry",
+    "geo_path_cells",
+    "join_anti_customers_without_orders",
+    "join_revenue_by_nation",
+    "lm_unigram_doc_scores",
+    "mv_incremental_merge_algebra",
+    "pack_sequences_stats",
+    "pii_redaction_scrub",
+    "quality_percentile_gate",
+    "rule_same_ts_dedup_quirk",
+    "rule_union_alerts",
+    "sample_split_stats",
+    "semantic_cluster_dedup",
+    "shard_manifest",
+    "sql_subquery_above_avg_orders",
+    "stratified_sample_by_lang",
+    "stringagg_statuses_per_flag",
+    "text_lang_id",
+    "text_stats",
+    "tfidf_top_terms_per_doc",
+    "token_budget_mix_stats",
 ]
 
+
 _STABLE_CORE = [
-    # Trimmed 6 -> 3 this round: every slot freed goes to a NEW entry
-    # (debut-round driver-row invariant) and the dropped canaries
-    # (rule_per_event_avg, rule_fanout_match_counts,
-    # tpch_q1_pricing_summary) all hold fresh r5 hash-matches and stay
-    # in the full-corpus pytest mirror.
-    #
-    # Round-7 editor: (a) front-load the 45 r4-green entries (their
-    # evidence will then be 3 rounds old — test_whole_registry_
-    # evidence trips if any is left out); (b) REGISTER two queued
-    # capabilities that shipped in round 6 with pytest-only evidence
-    # because this window was full: prefix_filtered_jaccard_pairs
-    # (operators/dedup.py — oracle can recompute prefix selection +
-    # verification in SQL, or reuse the ngram_jaccard oracle since
-    # outputs are equal), the shared-text WITH RECURSIVE
-    # reachability query (tests/test_sql_recursive.py REACHABILITY_SQL
-    # is simultaneously the Spark query and its oracle), and a
-    # skipping-index pruned-scan rollup (operators/skipping.py — the
-    # DuckDB oracle is plain SQL over the ORIGINAL parquet, since
-    # pruning must be invisible to results; see
-    # tests/test_skipping.py::test_matches_duckdb_oracle); also queued
-    # with ready-made oracles in their tests: the stream-stream
-    # interval join's batch twin (streaming/stream_join.py —
-    # tests/test_stream_join.py CLICK_PURCHASE_SQL), the Gopher
-    # composite quality rules (operators/text.py
-    # gopher_quality_flags — tests/test_gopher.py ORACLE_SQL),
-    # distinct-users-per-window (streaming/windowed.py
-    # windowed_distinct_batch — tests/test_windowed_distinct.py
-    # ORACLE_SQL), BM25 retrieval (operators/retrieval.py bm25_topk —
-    # tests/test_retrieval.py ORACLE_SQL), the PCA covariance entries
-    # (operators/pca.py — tests/test_pca.py ORACLE_SQL as
-    # embedding_covariance_entries), per-key EWMA finals
-    # (operators/timeseries.py ewma — tests/test_timeseries_ewma.py
-    # ORACLE_SQL as ewma_final_by_user), and windowed top-k heavy
-    # hitters (streaming/windowed.py windowed_topk_batch —
-    # tests/test_windowed_topk.py ORACLE_SQL as windowed_topk_events).
+    # 3-entry regression canary set (trimmed from 6 in round 6; the
+    # dropped canaries hold fresh hash-matches and stay in the
+    # full-corpus pytest mirror). Every non-core slot this round goes
+    # to a round-6 debut, the sketch oracle upgrade, or an r4 refresh
+    # (see the _DRIVER_ROTATION header for the exact composition and
+    # the 9 entries deferred to round 8).
     "rule_tumbling_avg",
     "tpch_q5_local_supplier_volume",
     "topk_customers_by_spend",
-    # (The 44 rotated-out r4-green entries — the join_*/setop/cube/
-    # scalar/geo/dedup/text/packing/sampling families — stay covered
-    # every round by the full-corpus pytest mirror; their families
-    # remain represented in-window via the stable core + this round's
-    # picks. Round-6 editor: front-load the 20 r3-green entries listed
-    # in the header comment — their driver evidence will be 3 rounds
-    # old, the registry's oldest — then backfill with the oldest of
-    # the r4 44; test_registry_order's staleness check re-trips if the
-    # 20 are left out.)
 ]
 
 

@@ -247,15 +247,51 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- Approximate sketches (rows-only: approximation algorithms differ
-# by engine; accuracy asserted in pytest instead) ---
+# --- Approximate sketches, upgraded in round 7 from rows-only to
+# oracle-backed: sketch values differ by engine, so the entry outputs
+# the EXACT counts (hash-checked against DuckDB) plus booleans
+# asserting each estimate lands inside its bound — the oracle emits
+# TRUE, so an out-of-bound estimate is a driver hash MISMATCH, not a
+# silent pass. Bounds: HLL++ at default rsd 0.05 -> 3-sigma = 15%;
+# percentile_approx accuracy 1000 -> rank error <= n/1000, well inside
+# the exact p47..p53 band at every fixture SF. ---
 
 
-@register("sketch_approx_distinct_and_quantiles")
+@register(
+    "sketch_approx_distinct_and_quantiles",
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       TRUE AS distinct_ok,
+       TRUE AS median_ok
+FROM lineitem GROUP BY 1
+""",
+)
 def sketch_approx_distinct_and_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median"),
-        F.count(F.lit(1)).alias("n"),
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.count_distinct("l_partkey").cast("bigint").alias("exact_parts"),
+            F.approx_count_distinct("l_partkey").alias("_apx"),
+            F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(1000)).alias(
+                "_amed"
+            ),
+            F.expr("percentile(l_extendedprice, 0.47)").alias("_p47"),
+            F.expr("percentile(l_extendedprice, 0.53)").alias("_p53"),
+        )
+        .select(
+            "l_returnflag",
+            "n",
+            "exact_parts",
+            (
+                F.abs(F.col("_apx") - F.col("exact_parts"))
+                <= F.col("exact_parts") * F.lit(0.15)
+            ).alias("distinct_ok"),
+            (
+                (F.col("_amed") >= F.col("_p47")) & (F.col("_amed") <= F.col("_p53"))
+            ).alias("median_ok"),
+        )
     )

@@ -305,15 +305,17 @@ def test_text_helpers(spark):
 
 
 def test_approx_sketches_within_tolerance(spark):
-    """HLL distinct + approximate quantiles: within documented error of
-    exact answers (engine-specific algorithms → no SQL oracle)."""
+    """HLL distinct + approximate quantiles: the entry's exact columns
+    match an independent recompute and every estimate-bound boolean is
+    TRUE (the driver hashes those booleans against a TRUE-emitting
+    oracle — round-7 upgrade from the rows-only tier)."""
     from activedatawarehouseprototype_spark.corpus.stats import (
         sketch_approx_distinct_and_quantiles,
     )
     from activedatawarehouseprototype_spark.catalog import load
 
     li = load(spark, SF, "lineitem")
-    approx = {
+    got = {
         r.l_returnflag: r
         for r in sketch_approx_distinct_and_quantiles(spark, SF).collect()
     }
@@ -322,14 +324,15 @@ def test_approx_sketches_within_tolerance(spark):
         for r in li.groupBy("l_returnflag")
         .agg(
             F.countDistinct("l_partkey").alias("d"),
-            F.expr("percentile(l_extendedprice, 0.5)").alias("m"),
+            F.count(F.lit(1)).alias("n"),
         )
         .collect()
     }
+    assert set(got) == set(exact)
     for flag, ex in exact.items():
-        ap = approx[flag]
-        assert abs(ap.approx_parts - ex.d) / ex.d < 0.1  # HLL ~2% rsd
-        assert abs(ap.approx_median - ex.m) / ex.m < 0.1
+        g = got[flag]
+        assert (g.exact_parts, g.n) == (ex.d, ex.n)
+        assert g.distinct_ok and g.median_ok, flag
 
 
 def test_connected_components_matches_union_find(spark):

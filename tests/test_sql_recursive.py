@@ -4,38 +4,18 @@ on Spark and DuckDB and must agree exactly (the zero-dialect-
 translation contract sql_shared_text_rollup pins for the core
 relational dialect, extended to recursion).
 
-Round-7 editor: promote this to a registered corpus entry
-(`sql_recursive_reachability`) when the driver window has a free slot —
-the query text below is already both the Spark query and its oracle.
+Registered as the `sql_recursive_reachability` corpus entry in round 7
+(corpus/extensions2.py) — the SQL text is imported from there so the
+test and the driver entry can't drift.
 """
 
 from __future__ import annotations
 
 from activedatawarehouseprototype_spark.catalog import TABLES, load
+from activedatawarehouseprototype_spark.corpus.extensions2 import REACHABILITY_SQL
 from tests.oracle_harness import compare, run_oracle
 
 SF = "/root/testdata/sf0.001"
-
-REACHABILITY_SQL = """
-WITH RECURSIVE edges AS (
-  SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
-  FROM orders o
-  JOIN customer c ON o.o_custkey = c.c_custkey
-  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-  JOIN supplier s ON s.s_suppkey = l.l_suppkey
-  WHERE c.c_nationkey <> s.s_nationkey
-),
-reach(node, hops) AS (
-  SELECT CAST(0 AS INT) AS node, CAST(0 AS INT) AS hops
-  UNION ALL
-  SELECT e.dst AS node, CAST(r.hops + 1 AS INT) AS hops
-  FROM reach r JOIN edges e ON e.src = r.node
-  WHERE r.hops < 3
-)
-SELECT node, CAST(MIN(hops) AS INT) AS min_hops
-FROM reach
-GROUP BY node
-"""
 
 
 def test_recursive_cte_shared_text_matches_duckdb(spark):
