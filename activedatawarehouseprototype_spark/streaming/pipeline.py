@@ -641,7 +641,13 @@ class ActivePipeline:
         from pyspark.sql import Observation
 
         obs = Observation(f"batch_{batch_id}")
-        obs_cols = [F.count(F.lit(1)).alias("n_events")]
+        # the batch's max event ts (advances the event-time high
+        # watermark) rides the SAME observation — computing it with a
+        # dedicated .agg was a second full scan of every batch
+        obs_cols = [
+            F.count(F.lit(1)).alias("n_events"),
+            F.max(F.unix_millis(F.col(self.ts_col))).alias("_max_ts"),
+        ]
         has_latency = self.process_ts_col in batch_df.columns
         if has_latency:
             lat = F.unix_millis(F.current_timestamp()) - F.unix_millis(
@@ -664,6 +670,9 @@ class ActivePipeline:
         # (2) shared event buffer with widest-window retention
         buffer = self._update_buffer(batch_df, batch_id)
         vals = obs.get  # populated by the buffer/latency writes above
+        bmax = vals.get("_max_ts")
+        if bmax is not None:
+            self._max_event_ts = max(self._max_event_ts or 0, int(bmax))
         self.metrics["events_ingested"] += vals.get("n_events", 0)
         if has_latency:
             self.metrics["latency_avg_ms"] = vals.get("avg_ms")
@@ -846,9 +855,16 @@ class ActivePipeline:
             if self.alert_cooldown_ms:
                 # durable clock commits only after the sink write above
                 self._commit_alert_cooldown()
+            # one agg job yields BOTH the per-rule emission watermark
+            # and the fired count (a separate fired.count() was one
+            # more 32-task job per batch for a number this agg already
+            # passes over)
             wm_rows = (
                 evals.groupBy("query_id")
-                .agg(F.max(F.unix_millis("window_end")).alias("max_end"))
+                .agg(
+                    F.max(F.unix_millis("window_end")).alias("max_end"),
+                    F.sum(F.col("fired").cast("long")).alias("n_fired"),
+                )
                 .collect()
             )
             spawning_ids = [
@@ -865,7 +881,9 @@ class ActivePipeline:
                 if spawning_ids
                 else []
             )
-            self.metrics["alerts_fired"] += fired.count()
+            self.metrics["alerts_fired"] += sum(
+                int(r.n_fired or 0) for r in wm_rows
+            )
         finally:
             evals.unpersist()
         for r in wm_rows:
@@ -1000,10 +1018,13 @@ class ActivePipeline:
         )
         self._has_buffer = self._buffer_data_exists()
 
+        # the event-time high watermark (_max_event_ts) is advanced by
+        # the CALLER from the Observation the buffer write populates —
+        # a dedicated .agg here cost a second full batch scan per
+        # micro-batch. Retention below only needs the PREVIOUS batch's
+        # watermark anyway (the one-batch-lag contract in the
+        # docstring), so this method reads, never writes, it.
         prev_wm = self._max_event_ts
-        batch_max = batch_df.agg(F.max(F.unix_millis(self.ts_col))).head()[0]
-        if batch_max is not None:
-            self._max_event_ts = max(prev_wm or 0, int(batch_max))
 
         widest = self.registry.widest_window_ms()
         horizon = (

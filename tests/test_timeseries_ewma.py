@@ -177,3 +177,57 @@ def test_string_tie_col_orders_deterministically(spark):
     by_val = {r["value"]: r["ewma"] for r in got}
     assert by_val[0.0] == 0.0  # "a" sorts first: y_0 = x_0
     assert by_val[100.0] == pytest.approx(50.0)
+
+
+def test_carry_across_arrow_batches_bit_exact(spark):
+    """A key spanning consecutive Arrow batches must continue its
+    recurrence exactly (the mapInPandas scan seeds the next batch with
+    the carried accumulator). Forced by shrinking the Arrow batch size
+    below one key's row count."""
+    before = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        rows = [(1, 1000 * i, float((i * 37) % 101), i) for i in range(100)]
+        rows += [(2, 1000 * i, float((i * 17) % 89), i) for i in range(50)]
+        df = spark.createDataFrame(
+            rows, "user_id bigint, ms bigint, value double, event_id bigint"
+        ).select(
+            "user_id", F.timestamp_millis("ms").alias("ts"), "value", "event_id"
+        )
+        got = ewma(df, "user_id", "ts", "value", alpha=0.25, tie_col="event_id")
+        series = {}
+        for r in sorted(got.collect(), key=lambda r: (r["key"], r["seq"])):
+            series.setdefault(r["key"], []).append(r["ewma"])
+        for k, xs in {1: range(100), 2: range(50)}.items():
+            mod = 101 if k == 1 else 89
+            mul = 37 if k == 1 else 17
+            acc = None
+            want = []
+            for i in xs:
+                v = float((i * mul) % mod)
+                acc = v if acc is None else acc * 0.75 + 0.25 * v
+                want.append(acc)
+            assert series[k] == pytest.approx(want, rel=1e-12), k
+        # seq must be globally consecutive per key despite batch splits
+        seqs = sorted(r["seq"] for r in got.collect() if r["key"] == 1)
+        assert seqs == list(range(100))
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", before)
+
+
+def test_null_keys_form_one_group(spark):
+    """NULL keys are ONE group (GROUP BY semantics, matching the SQL
+    twin) — pandas renders them NaN and naive NaN != NaN comparison
+    would split every null row into its own segment."""
+    df = spark.createDataFrame(
+        [(None, 1000, 10.0, 1), (None, 2000, 20.0, 2), (1, 1000, 5.0, 3)],
+        "user_id bigint, ms bigint, value double, event_id bigint",
+    ).select(
+        "user_id", F.timestamp_millis("ms").alias("ts"), "value", "event_id"
+    )
+    got = ewma(df, "user_id", "ts", "value", alpha=0.5, tie_col="event_id")
+    nulls = sorted(
+        (r for r in got.collect() if r["key"] is None), key=lambda r: r["seq"]
+    )
+    assert [r["seq"] for r in nulls] == [0, 1]
+    assert nulls[1]["ewma"] == pytest.approx(15.0)  # 10 then (10+20)/2
