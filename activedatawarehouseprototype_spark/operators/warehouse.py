@@ -656,9 +656,19 @@ def _jmv_last_applied(vt, table_path: str) -> int:
         op = h["op"]
         if op.startswith("jmv-batch:"):
             last = max(last, int(op.split(":", 1)[1]))
-    with open(mp, "w") as f:
-        json.dump({"last_batch_id": last}, f)
+    _atomic_json_write(mp, {"last_batch_id": last})
     return last
+
+
+def _atomic_json_write(path: str, payload: dict) -> None:
+    """tmp + os.replace: a crash mid-write must never leave truncated
+    JSON (which would fail every later json.load until manually
+    removed) — the same pattern as ActivePipeline._persist_watermarks
+    and hll_mv_append's meta."""
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+    os.replace(tmp, path)
 
 
 def _jmv_record_applied(table_path: str, batch_id: int) -> None:
@@ -668,8 +678,7 @@ def _jmv_record_applied(table_path: str, batch_id: int) -> None:
         with open(mp) as f:
             last = json.load(f).get("last_batch_id", -1)
     os.makedirs(os.path.dirname(mp), exist_ok=True)
-    with open(mp, "w") as f:
-        json.dump({"last_batch_id": max(last, batch_id)}, f)
+    _atomic_json_write(mp, {"last_batch_id": max(last, batch_id)})
 
 
 def _jmv_sync_meta(vt, table_path: str) -> None:

@@ -72,16 +72,24 @@ class StaticRuleSource(RuleSource):
 class KafkaRuleSource(RuleSource):
     """Kafka transport (reference parity, ``App.java:34-43``): poll the
     ``rules`` topic with a plain consumer and return the new message
-    values. Requires a broker + the kafka client library, neither of
-    which exists in this environment — the class documents the swap
-    point and fails loudly if constructed here.
+    values.
 
-    In a real deployment::
+    ``poll()`` is written against the kafka-python consumer contract —
+    ``consumer.poll(timeout_ms=0)`` returns ``{TopicPartition:
+    [ConsumerRecord]}`` where each record carries (topic, partition,
+    offset, key, value, headers, ...) and ``value`` is ``bytes`` unless
+    a deserializer was configured. Only ``value`` feeds the registry
+    (the reference's consumer does the same: the rule JSON IS the
+    message body; key/headers are routing metadata). Per-partition
+    offset order is preserved; cross-partition order is undefined, as
+    in Kafka itself.
 
-        from kafka import KafkaConsumer  # or confluent_kafka
-        consumer = KafkaConsumer(topic, bootstrap_servers=servers,
-                                 value_deserializer=bytes.decode)
-        # poll() drains consumer.poll(timeout_ms=0) into a list[str]
+    The consumer is injected via ``consumer_factory`` so the transport
+    contract stays TESTED in this broker-less sandbox (a fake consumer
+    drives ``poll()`` with exact-shaped records —
+    tests/test_rule_source_kafka.py); the default factory builds a real
+    ``kafka.KafkaConsumer`` and fails loudly when the client library is
+    absent, which is this environment's documented state.
 
     (The data-plane events stream would use Spark's native
     ``spark.readStream.format("kafka")`` instead — this seam is only
@@ -91,9 +99,37 @@ class KafkaRuleSource(RuleSource):
 
     topic: str = "rules"
     bootstrap_servers: str = "localhost:9092"
+    consumer_factory: "object | None" = None  # Callable[[], consumer]
+    _consumer: object = field(default=None, repr=False)
 
     def __post_init__(self) -> None:
-        raise NotImplementedError(
-            "no Kafka broker/client in this environment; use "
-            "DirectoryRuleSource (same wire schema, same semantics)"
+        factory = self.consumer_factory or self._default_factory
+        self._consumer = factory()
+
+    def _default_factory(self):
+        try:
+            from kafka import KafkaConsumer  # type: ignore[import-not-found]
+        except ImportError as e:
+            raise NotImplementedError(
+                "no Kafka broker/client in this environment; use "
+                "DirectoryRuleSource (same wire schema, same semantics) "
+                "or inject a consumer_factory"
+            ) from e
+        return KafkaConsumer(
+            self.topic,
+            bootstrap_servers=self.bootstrap_servers,
+            # rule lines are small and idempotent to re-apply (registry
+            # upserts by queryId), so auto-commit's at-least-once is fine
+            enable_auto_commit=True,
         )
+
+    def poll(self) -> list[str]:
+        out: list[str] = []
+        for records in self._consumer.poll(timeout_ms=0).values():
+            for rec in records:
+                v = rec.value
+                if isinstance(v, (bytes, bytearray)):
+                    v = v.decode("utf-8")
+                if v and v.strip():
+                    out.append(v)
+        return out
