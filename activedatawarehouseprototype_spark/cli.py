@@ -434,6 +434,43 @@ def _build_parser() -> argparse.ArgumentParser:
     ppca.add_argument("--out-col", default="pca")
     ppca.add_argument("--whiten", action="store_true")
     ppca.add_argument("--output", required=True)
+
+    pdr = sub.add_parser(
+        "drift",
+        help="PSI/KL distribution drift between two slices of a table",
+    )
+    pdr.add_argument("--input", required=True)
+    pdr.add_argument("--value-col", required=True)
+    pdr.add_argument("--ref-where", required=True,
+                     help="SQL predicate selecting the reference slice")
+    pdr.add_argument("--cur-where", required=True,
+                     help="SQL predicate selecting the current slice")
+    pdr.add_argument("--group-cols", default=None,
+                     help="comma-separated slice columns (optional)")
+    pdr.add_argument("--bins", type=int, default=10)
+    pdr.add_argument("--output", required=True)
+
+    ptr = sub.add_parser(
+        "triangles",
+        help="per-node triangle counts of an undirected edge table",
+    )
+    ptr.add_argument("--edges", required=True)
+    ptr.add_argument("--src-col", default="src")
+    ptr.add_argument("--dst-col", default="dst")
+    ptr.add_argument("--output", required=True)
+
+    ptm = sub.add_parser(
+        "temperature-mix",
+        help="re-balance sources with n^tau temperature sampling",
+    )
+    ptm.add_argument("--input", required=True)
+    ptm.add_argument("--source-col", required=True)
+    ptm.add_argument("--key-cols", required=True,
+                     help="comma-separated identity columns for the hash coin")
+    ptm.add_argument("--tau", type=float, default=0.7)
+    ptm.add_argument("--target-rows", type=int, default=None)
+    ptm.add_argument("--salt", default="tm1")
+    ptm.add_argument("--output", required=True)
     return p
 
 
@@ -947,6 +984,57 @@ def main(argv: list[str] | None = None) -> int:
             group_cols=args.group_cols.split(","),
             key_cols=args.key_cols.split(","),
             max_per_group=args.max_per_group,
+            salt=args.salt,
+        )
+        out.write.mode("overwrite").parquet(args.output)
+        print(f"{out.count()} rows kept -> {args.output}", file=sys.stderr)
+        return 0
+
+    if args.cmd == "drift":
+        from pyspark.sql import functions as F
+
+        from activedatawarehouseprototype_spark.catalog import load_parquet
+        from activedatawarehouseprototype_spark.operators.drift import (
+            psi_kl_drift,
+        )
+
+        out = psi_kl_drift(
+            load_parquet(spark, args.input),
+            F.expr(args.ref_where),
+            F.expr(args.cur_where),
+            args.value_col,
+            args.group_cols.split(",") if args.group_cols else None,
+            bins=args.bins,
+        )
+        out.write.mode("overwrite").parquet(args.output)
+        print(f"{out.count()} drift rows -> {args.output}", file=sys.stderr)
+        return 0
+
+    if args.cmd == "triangles":
+        from activedatawarehouseprototype_spark.catalog import load_parquet
+        from activedatawarehouseprototype_spark.operators.graph import (
+            triangle_counts,
+        )
+
+        out = triangle_counts(
+            load_parquet(spark, args.edges), src=args.src_col, dst=args.dst_col
+        )
+        out.write.mode("overwrite").parquet(args.output)
+        print(f"{out.count()} node counts -> {args.output}", file=sys.stderr)
+        return 0
+
+    if args.cmd == "temperature-mix":
+        from activedatawarehouseprototype_spark.catalog import load_parquet
+        from activedatawarehouseprototype_spark.operators.sampling import (
+            temperature_mix_sample,
+        )
+
+        out = temperature_mix_sample(
+            load_parquet(spark, args.input),
+            args.source_col,
+            args.key_cols.split(","),
+            tau=args.tau,
+            target_rows=args.target_rows,
             salt=args.salt,
         )
         out.write.mode("overwrite").parquet(args.output)

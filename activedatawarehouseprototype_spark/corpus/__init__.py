@@ -115,20 +115,22 @@ _DRIVER_ROTATION = [
     #     from rows-only (`no_oracle`) to oracle-backed via exact-twin
     #     columns + in-bound booleans — re-checked to convert the one
     #     non-hash row into a hash-match;
-    #   * 35 of the 44 r4-era entries (family-diverse pick). The 9
-    #     deferred to round 8 — scalar_date_fns, scalar_math_fns,
-    #     scalar_conditional_fns, join_left_order_counts,
-    #     join_semi_customers_with_open_orders,
-    #     setop_union_intersect_except, cube_orders_status_priority,
-    #     distinct_suppliers_per_flag, window_order_price_delta — are
-    #     pure-relational entries whose operator families keep an
-    #     in-window representative this round (scalar_string_fns was
-    #     r6-green; join_revenue_by_nation / join_anti /
-    #     grouping_sets / window families are in-window below), and
-    #     whose code hasn't changed since they last hash-matched.
-    #     Round-8 editor: front-load those 9 FIRST.
+    #   * 4 operators NEW in round 7 (drift, triangles, temperature
+    #     mix, HLL set algebra) — debut rows;
+    #   * 31 of the 44 r4-era entries (family-diverse pick). The 13
+    #     deferred to round 8 (enumerated in test_registry_order's
+    #     _DEFERRED_TO_R8) are entries whose operator families keep an
+    #     in-window representative this round and whose code hasn't
+    #     changed since they last hash-matched. Round-8 editor:
+    #     front-load those 13 FIRST, then the oldest r5 entries.
+    #     NOTE the arithmetic: at 156 registry entries and a fixed
+    #     50-slot window, the tightest achievable evidence age is
+    #     ceil(156/50) = 4 windows ≈ 3 rounds — the old "nothing staler
+    #     than 2 rounds" invariant is no longer satisfiable; the
+    #     invariant from round 7 on is "nothing staler than 3 rounds,
+    #     oldest first, debuts always in-window".
     # With the 3-entry stable core this fills the 50-slot window
-    # exactly: 11 + 1 + 35 + 3 = 50.
+    # exactly: 11 + 1 + 4 + 31 + 3 = 50.
     #
     # -- new in round 7 (registrations of round-6 operators) --------------
     "bm25_topk_docs",
@@ -144,7 +146,12 @@ _DRIVER_ROTATION = [
     "hll_mv_daily_distinct",
     # -- oracle upgrade re-check ------------------------------------------
     "sketch_approx_distinct_and_quantiles",
-    # -- the 35 oldest (r4) entries ----------------------------------------
+    # -- NEW in round 7 -----------------------------------------------------
+    "drift_psi_event_values",
+    "graph_triangle_counts",
+    "temperature_mix_by_lang",
+    "hll_set_algebra_event_types",
+    # -- the 31 oldest (r4) entries ----------------------------------------
     "chunk_documents_tokens",
     "decontaminate_ngram_overlap",
     "dedup_fingerprint",
@@ -155,18 +162,14 @@ _DRIVER_ROTATION = [
     "dirty_date_filter",
     "emb_blocked_cosine_hist",
     "emb_near_dup_pairs",
-    "emb_quantized_int8_stats",
     "filter_between_in_dates",
-    "funnel_view_click_purchase",
     "fuzzy_part_name_pairs",
-    "geo_cell_geometry",
     "geo_path_cells",
     "join_anti_customers_without_orders",
     "join_revenue_by_nation",
     "lm_unigram_doc_scores",
     "mv_incremental_merge_algebra",
     "pack_sequences_stats",
-    "pii_redaction_scrub",
     "quality_percentile_gate",
     "rule_same_ts_dedup_quirk",
     "rule_union_alerts",

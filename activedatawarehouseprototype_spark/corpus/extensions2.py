@@ -543,3 +543,281 @@ def hll_mv_daily_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         return res.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(path.rsplit("/", 1)[0], ignore_errors=True)
+
+
+# =========================================================================
+# Round-7 NEW operator tier: drift detection, triangle counting,
+# temperature mixing, HLL set algebra.
+# =========================================================================
+
+
+# --- PSI/KL distribution drift (operators/drift.py): even/odd epoch-ms
+# split of events as reference/current, per event_type — the
+# data-quality gate shape ("did this batch's value distribution move
+# vs the reference period"). Laplace smoothing and fixed
+# reference-side bins are part of the metric contract, mirrored in SQL.
+
+
+@register(
+    "drift_psi_event_values",
+    oracle="""
+WITH src AS (
+  SELECT event_type,
+         CASE WHEN epoch_ms(ts) % 2 = 0 THEN 'r' ELSE 'c' END AS side,
+         CAST(value AS DOUBLE) AS v
+  FROM events
+  WHERE value IS NOT NULL AND ts IS NOT NULL
+),
+geo AS (
+  SELECT event_type, MIN(v) AS lo, MAX(v) AS hi
+  FROM src WHERE side = 'r' GROUP BY event_type
+),
+binned AS (
+  SELECT s.event_type, s.side,
+         CAST(LEAST(GREATEST(
+           CASE WHEN g.hi > g.lo
+                THEN FLOOR((s.v - g.lo) / ((g.hi - g.lo) / 10.0))
+                ELSE 0 END, 0), 9) AS INT) AS bin
+  FROM src s JOIN geo g USING (event_type)
+),
+per_bin AS (
+  SELECT event_type, bin,
+         SUM(CASE WHEN side = 'r' THEN 1 ELSE 0 END) AS nr,
+         SUM(CASE WHEN side = 'c' THEN 1 ELSE 0 END) AS nc
+  FROM binned GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type, SUM(nr) AS tr, SUM(nc) AS tc
+  FROM per_bin GROUP BY 1
+)
+SELECT p.event_type,
+       CAST(t.tr AS BIGINT) AS n_ref,
+       CAST(t.tc AS BIGINT) AS n_cur,
+       ROUND(SUM((nc / t.tc + 1e-6 - (nr / t.tr + 1e-6))
+                 * LN((nc / t.tc + 1e-6) / (nr / t.tr + 1e-6))), 6) AS psi,
+       ROUND(SUM((nc / t.tc + 1e-6)
+                 * LN((nc / t.tc + 1e-6) / (nr / t.tr + 1e-6))), 6) AS kl
+FROM per_bin p JOIN tot t USING (event_type)
+WHERE t.tr > 0 AND t.tc > 0
+GROUP BY 1, 2, 3
+""",
+)
+def drift_psi_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from activedatawarehouseprototype_spark.operators.drift import psi_kl_drift
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    side = F.unix_millis("ts") % 2
+    return psi_kl_drift(
+        ev, side == 0, side == 1, "value", ["event_type"], bins=10
+    )
+
+
+# --- Triangle counts of the nation trade graph (operators/graph.py,
+# degree-ordered node-iterator — orientation caps wedge blow-up at
+# hub nodes; the oracle is the direct 3-way edge self-join, feasible
+# on the 25-node nation graph and deliberately not how the operator
+# computes it).
+
+
+@register(
+    "graph_triangle_counts",
+    oracle="""
+WITH raw AS (
+  SELECT c.c_nationkey AS a, s.s_nationkey AS b
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  WHERE c.c_nationkey <> s.s_nationkey
+),
+e AS (
+  SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v FROM raw
+),
+tri AS (
+  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.v
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+per_node AS (
+  SELECT node, COUNT(*) AS t FROM (
+    SELECT x AS node FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri
+  ) GROUP BY node
+)
+SELECT CAST(n.node AS BIGINT) AS node,
+       CAST(COALESCE(p.t, 0) AS BIGINT) AS triangles
+FROM nodes n LEFT JOIN per_node p USING (node)
+""",
+)
+def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from activedatawarehouseprototype_spark.operators.graph import triangle_counts
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    raw = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .join(s, s.s_suppkey == l.l_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+    )
+    return triangle_counts(raw)
+
+
+# --- Temperature-based source mixing (operators/sampling.py): tau=0.5
+# so the source weight is sqrt(n) — IEEE-correctly-rounded in BOTH
+# engines, keeping the per-source rate bit-identical; the md5 coin is
+# the module's standard engine-portable draw.
+
+
+@register(
+    "temperature_mix_by_lang",
+    oracle="""
+WITH counts AS (
+  SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n
+  FROM documents GROUP BY lang
+),
+z AS (SELECT SUM(SQRT(n)) AS z, SUM(n) AS total FROM counts),
+rates AS (
+  SELECT lang, LEAST(1.0, z.total * (SQRT(n) / z.z) / n) AS r
+  FROM counts, z
+),
+f AS (
+  SELECT d.lang, d.doc_id, d.n_chars,
+         CAST(concat('0x',
+              substr(md5('tm1:' || CAST(doc_id AS VARCHAR)), 1, 8))
+           AS BIGINT) / 4294967296.0 AS frac
+  FROM documents d
+)
+SELECT f.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM f JOIN rates USING (lang)
+WHERE f.frac < rates.r
+GROUP BY 1
+""",
+)
+def temperature_mix_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from activedatawarehouseprototype_spark.operators.sampling import (
+        temperature_mix_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        temperature_mix_sample(docs, "lang", ["doc_id"], tau=0.5)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+# --- HLL set algebra (operators/sketch_mv.py): distinct union /
+# intersection of click vs purchase users from the sketch MV, with the
+# exact recomputes as the hash-checked twin and the estimate bounds as
+# oracle-pinned booleans (|intersection err| <= 5% of the exact UNION —
+# the honest inclusion-exclusion contract).
+
+
+@register(
+    "hll_set_algebra_event_types",
+    oracle="""
+WITH c AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE event_type = 'click' AND user_id IS NOT NULL AND ts IS NOT NULL
+),
+p AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE event_type = 'purchase' AND user_id IS NOT NULL AND ts IS NOT NULL
+),
+u AS (SELECT user_id FROM c UNION SELECT user_id FROM p)
+SELECT CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS exact_clicks,
+       CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS exact_purchases,
+       CAST((SELECT COUNT(*) FROM u) AS BIGINT) AS exact_union,
+       CAST((SELECT COUNT(*) FROM c) + (SELECT COUNT(*) FROM p)
+            - (SELECT COUNT(*) FROM u) AS BIGINT) AS exact_intersection,
+       TRUE AS a_ok, TRUE AS b_ok, TRUE AS union_ok, TRUE AS inter_ok
+""",
+)
+def hll_set_algebra_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from activedatawarehouseprototype_spark.operators.sketch_mv import (
+        hll_mv_build,
+        hll_mv_set_estimates,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="adw-hllset-") + "/mv"
+    try:
+        hll_mv_build(ev, path, "user_id", bucket_ms=DAY, group_cols=("event_type",))
+        est = hll_mv_set_estimates(spark, path, "event_type", "click", "purchase")
+        base = ev.filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        c = base.filter(F.col("event_type") == "click").select("user_id").distinct()
+        p = base.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+        exact = (
+            c.select(F.lit(1).alias("_j"), F.col("user_id"))
+            .groupBy("_j")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("exact_clicks"))
+            .join(
+                p.agg(F.count(F.lit(1)).cast("bigint").alias("exact_purchases"))
+                .withColumn("_j", F.lit(1)),
+                "_j",
+            )
+            .join(
+                c.unionByName(p)
+                .distinct()
+                .agg(F.count(F.lit(1)).cast("bigint").alias("exact_union"))
+                .withColumn("_j", F.lit(1)),
+                "_j",
+            )
+        )
+        res = (
+            est.withColumn("_j", F.lit(1))
+            .join(exact, "_j")
+            .select(
+                "exact_clicks",
+                "exact_purchases",
+                "exact_union",
+                (
+                    F.col("exact_clicks") + F.col("exact_purchases")
+                    - F.col("exact_union")
+                ).cast("bigint").alias("exact_intersection"),
+                (
+                    F.abs(F.col("est_a") - F.col("exact_clicks"))
+                    <= F.col("exact_clicks") * 0.05
+                ).alias("a_ok"),
+                (
+                    F.abs(F.col("est_b") - F.col("exact_purchases"))
+                    <= F.col("exact_purchases") * 0.05
+                ).alias("b_ok"),
+                (
+                    F.abs(F.col("est_union") - F.col("exact_union"))
+                    <= F.col("exact_union") * 0.05
+                ).alias("union_ok"),
+                (
+                    F.abs(
+                        F.col("est_intersection")
+                        - (
+                            F.col("exact_clicks") + F.col("exact_purchases")
+                            - F.col("exact_union")
+                        )
+                    )
+                    <= F.col("exact_union") * 0.05
+                ).alias("inter_ok"),
+            )
+        )
+        return res.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path.rsplit("/", 1)[0], ignore_errors=True)

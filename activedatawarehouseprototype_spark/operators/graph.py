@@ -105,3 +105,87 @@ def pagerank(
     if round_to is not None:
         ranks = ranks.select("node", F.round("rank", round_to).alias("rank"))
     return ranks
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts of the UNDIRECTED simple graph behind
+    ``edges`` (direction and duplicate edges are collapsed; self-loops
+    dropped). Output: (node, triangles BIGINT), one row per node that
+    touches at least one edge — isolated-in-triangles nodes report 0.
+
+    Algorithm: the degree-ordered node-iterator (public, Schank &
+    Wagner 2005 "forward" variant; the same orientation trick GraphX /
+    Giraph-style systems use). Every undirected edge is oriented from
+    its lower-rank endpoint to its higher-rank endpoint, where rank =
+    (degree, node) — a total order. A triangle {a,b,c} then contains
+    exactly ONE wedge a→b, a→c with both edges leaving the lowest-rank
+    vertex, so joining oriented edges on their source enumerates every
+    wedge once and a semi-join against the oriented edge set confirms
+    closure without double counting.
+
+    Why this survives scale/skew: in the naive wedge join, a hub with
+    degree d contributes d² wedges; orientation caps every vertex's
+    out-degree at O(sqrt(|E|)) (a classic arboricity bound), so the
+    wedge table is O(|E|^1.5) worst-case and in practice near-linear —
+    the skew of a celebrity node moves from d² to (its rank-forward
+    degree)². All three joins shuffle on node / edge keys only."""
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+        )
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("n")).unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # orient u->v by rank (degree, node id): lower rank first
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    ranked = e.join(du, "u").join(dv, "v")
+    fwd = ranked.select(
+        F.when(
+            (F.col("du") < F.col("dv"))
+            | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+            F.struct(F.col("u").alias("s"), F.col("v").alias("t")),
+        )
+        .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("t")))
+        .alias("o")
+    ).select("o.s", "o.t").localCheckpoint(eager=False)
+
+    w1 = fwd.select(F.col("s"), F.col("t").alias("x"))
+    w2 = fwd.select(F.col("s"), F.col("t").alias("y"))
+    wedges = w1.join(w2, "s").filter(F.col("x") < F.col("y"))
+    closing = fwd.select(
+        F.least("s", "t").alias("x"), F.greatest("s", "t").alias("y")
+    )
+    tris = wedges.join(closing, ["x", "y"], "left_semi").select(
+        F.col("s").alias("na"), F.col("x").alias("nb"), F.col("y").alias("nc")
+    )
+    per_node = (
+        tris.select(F.col("na").alias("node"))
+        .unionAll(tris.select(F.col("nb").alias("node")))
+        .unionAll(tris.select(F.col("nc").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return (
+        deg.select(F.col("n").alias("node"))
+        .join(per_node, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("triangles"), F.lit(0)).cast("bigint").alias(
+                "triangles"
+            ),
+        )
+    )

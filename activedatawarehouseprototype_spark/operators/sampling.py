@@ -304,3 +304,53 @@ def write_training_shards(
         .mode("overwrite")
         .parquet(path)
     )
+
+
+def temperature_mix_sample(
+    df: DataFrame,
+    source_col: str,
+    key_cols: list[str],
+    tau: float = 0.7,
+    target_rows: int | None = None,
+    salt: str = "tm1",
+) -> DataFrame:
+    """Temperature-based source re-balancing — the multilingual /
+    multi-source mixing rule from the public T5 / mT5 recipes: source
+    i gets sampling weight w_i = n_i^tau / Σ n_j^tau, so tau = 1 keeps
+    natural proportions, tau -> 0 approaches uniform-over-sources, and
+    the usual 0.3-0.7 range up-samples the tail without drowning the
+    head.
+
+    Each source is then thinned with the deterministic md5 hash coin
+    at rate r_i = min(1, target_rows · w_i / n_i) (``target_rows``
+    defaults to the corpus size — pure re-balancing). The coin is a
+    pure function of (salt, key), so the draw is engine-portable
+    (DuckDB oracle recomputes it verbatim) and nests across runs the
+    way every sampler in this module does.
+
+    Scale: one map-side-combined count per source (|sources| skinny
+    rows), rates broadcast back, then a pure per-row filter — the
+    corpus is never shuffled. Rates are computed driver-side from the
+    per-source counts (control-plane, bounded by |sources|)."""
+    if not 0.0 < tau <= 1.0:
+        raise ValueError(f"temperature_mix_sample: tau must be in (0, 1], got {tau}")
+    counts = {
+        r["s"]: r["n"]
+        for r in df.groupBy(F.col(source_col).alias("s"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    if not counts:
+        return df.limit(0)
+    total = sum(counts.values())
+    target = float(target_rows if target_rows is not None else total)
+    z = sum(n**tau for n in counts.values())
+    rates = [
+        (s, min(1.0, target * ((n**tau) / z) / n)) for s, n in counts.items()
+    ]
+    rate = F.lit(None).cast("double")
+    for s, r in rates:
+        rate = F.when(F.col(source_col).eqNullSafe(F.lit(s)), F.lit(r)).otherwise(
+            rate
+        )
+    return df.filter(hash_fraction(key_cols, salt) < rate)

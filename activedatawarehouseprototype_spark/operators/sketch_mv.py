@@ -22,10 +22,12 @@ Union exactness: union(sketch(A), sketch(B)) == sketch(A ∪ B) exactly
 queries answered from per-bucket sketches equal the one-shot sketch of
 the whole range — the merge-algebra test pins estimate equality.
 
-Estimates are approximate (±~1.6%/sqrt(2^lgk)); the accuracy test
-gates them against exact COUNT(DISTINCT). Not SQL-oracle-able (sketch
-binaries are engine-specific) — registry treatment mirrors
-``sketch_approx_distinct_and_quantiles``'s rows-only tier.
+Estimates are approximate (±~1.6% at lgk=12); the accuracy test gates
+them against exact COUNT(DISTINCT), and the corpus entries
+(``hll_mv_daily_distinct``, ``hll_set_algebra_event_types``) are
+oracle-backed via exact-twin columns plus in-bound booleans the DuckDB
+twin pins to TRUE — sketch BINARIES are engine-specific, the exactness
+contract around them is not.
 """
 
 from __future__ import annotations
@@ -182,4 +184,55 @@ def hll_mv_distinct(
             F.lit(0),
         ).cast("bigint").alias("distinct_estimate"),
         F.coalesce(F.sum("n_rows"), F.lit(0)).cast("bigint").alias("n_rows"),
+    )
+
+
+def hll_mv_set_estimates(
+    spark: SparkSession,
+    path: str,
+    group_col: str,
+    a,
+    b,
+    start_ms: int | None = None,
+    end_ms: int | None = None,
+) -> DataFrame:
+    """Distinct-set ALGEBRA from the sketch MV, never rescanning raw
+    events: for two slices ``a`` and ``b`` of ``group_col`` over an
+    optional bucket range, estimate |A|, |B|, |A ∪ B| (register-wise
+    union of the persisted sketches — exact sketch algebra), and
+    |A ∩ B| by inclusion-exclusion (|A| + |B| − |A ∪ B|).
+
+    Output: one row (est_a, est_b, est_union, est_intersection), all
+    BIGINT except the intersection (DOUBLE — inclusion-exclusion can
+    land slightly negative when the true intersection is ~0; clamping
+    would hide that the estimate is an estimate).
+
+    Error contract: union inherits the plain HLL bound
+    (±~1.6% at lgk=12); the intersection's ABSOLUTE error is bounded
+    by the union terms' errors, so it is small relative to |A ∪ B|,
+    NOT relative to |A ∩ B| — a tiny intersection of two huge sets is
+    where inclusion-exclusion is honest but noisy (the corpus entry
+    pins |err| <= 5% of the exact union). Cost: one partition-pruned
+    scan of O(buckets) sketch rows."""
+    mv = spark.read.parquet(path)
+    if start_ms is not None:
+        mv = mv.filter(F.col("bucket") >= int(start_ms))
+    if end_ms is not None:
+        mv = mv.filter(F.col("bucket") < int(end_ms))
+    sel = mv.filter(F.col(group_col).isin([a, b]))
+    est = lambda c: F.hll_sketch_estimate(F.hll_union_agg(c, F.lit(True)))  # noqa: E731
+    row = sel.agg(
+        est(F.when(F.col(group_col) == a, F.col("sketch"))).alias("est_a"),
+        est(F.when(F.col(group_col) == b, F.col("sketch"))).alias("est_b"),
+        est(F.col("sketch")).alias("est_union"),
+    )
+    return row.select(
+        F.coalesce("est_a", F.lit(0)).cast("bigint").alias("est_a"),
+        F.coalesce("est_b", F.lit(0)).cast("bigint").alias("est_b"),
+        F.coalesce("est_union", F.lit(0)).cast("bigint").alias("est_union"),
+        (
+            F.coalesce("est_a", F.lit(0)).cast("double")
+            + F.coalesce("est_b", F.lit(0))
+            - F.coalesce("est_union", F.lit(0))
+        ).alias("est_intersection"),
     )

@@ -74,6 +74,11 @@ HEADLINE = [
     "text_gopher_quality",
     "hll_mv_daily_distinct",
     "ewma_final_by_user",
+    # new in round 7
+    "drift_psi_event_values",
+    "graph_triangle_counts",
+    "temperature_mix_by_lang",
+    "hll_set_algebra_event_types",
 ]
 
 

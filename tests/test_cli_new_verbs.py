@@ -159,3 +159,64 @@ def test_cli_jmv_verify_exit_codes(spark, tmp_path, capsys):
     assert main(["jmv-verify", "--base", base, "--on", "k"]) == 1
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["missing"] == 1 and rep["extra"] == 0
+
+
+def test_cli_drift(spark, tmp_path):
+    out = str(tmp_path / "drift")
+    assert (
+        main(
+            [
+                "drift",
+                "--input", f"{SF}/events.parquet",
+                "--value-col", "value",
+                "--ref-where", "unix_millis(ts) % 2 = 0",
+                "--cur-where", "unix_millis(ts) % 2 = 1",
+                "--group-cols", "event_type",
+                "--output", out,
+            ]
+        )
+        == 0
+    )
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) > 0
+    assert {"psi", "kl", "n_ref", "n_cur"} <= set(rows[0].asDict())
+
+
+def test_cli_triangles(spark, tmp_path):
+    edges = str(tmp_path / "edges")
+    spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], "src bigint, dst bigint"
+    ).write.parquet(edges)
+    out = str(tmp_path / "tri")
+    assert main(["triangles", "--edges", edges, "--output", out]) == 0
+    got = {r["node"]: r["triangles"] for r in spark.read.parquet(out).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 0}
+
+
+def test_cli_temperature_mix(spark, tmp_path):
+    out = str(tmp_path / "mix")
+    assert (
+        main(
+            [
+                "temperature-mix",
+                "--input", f"{SF}/documents.parquet",
+                "--source-col", "lang",
+                "--key-cols", "doc_id",
+                "--tau", "0.5",
+                "--output", out,
+            ]
+        )
+        == 0
+    )
+    from activedatawarehouseprototype_spark.operators.sampling import (
+        temperature_mix_sample,
+    )
+
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    want = {
+        r["doc_id"]
+        for r in temperature_mix_sample(
+            catalog.load(spark, SF, "documents"), "lang", ["doc_id"], tau=0.5
+        ).collect()
+    }
+    assert got == want and len(got) > 0

@@ -44,12 +44,15 @@ def test_stable_core_inside_driver_window():
     assert not missing, f"stable-core canaries outside the driver window: {missing}"
 
 
-# The 9 r4-green entries the round-7 rotation defers to round 8: the
-# 50-slot window holds 11 round-6 debuts + the sketch oracle upgrade +
-# 3 stable core, leaving 35 slots for the 44-entry r4 cohort. These 9
-# are unchanged pure-relational entries whose families keep an
-# in-window representative (rationale in corpus/__init__.py).
-# Round-8 editor: front-load EXACTLY this list first.
+# The 13 r4-green entries the round-7 rotation defers to round 8: the
+# 50-slot window holds 11 round-6 debuts + 4 round-7 debuts + the
+# sketch oracle upgrade + 3 stable core, leaving 31 slots for the
+# 44-entry r4 cohort. These 13 are unchanged entries whose operator
+# families keep an in-window representative (rationale in
+# corpus/__init__.py — which also documents that at 156 entries /
+# 50 slots the tightest achievable evidence age is now ~3 rounds).
+# Round-8 editor: front-load EXACTLY this list first, then the oldest
+# r5 entries.
 _DEFERRED_TO_R8 = {
     "scalar_date_fns",
     "scalar_math_fns",
@@ -60,6 +63,10 @@ _DEFERRED_TO_R8 = {
     "cube_orders_status_priority",
     "distinct_suppliers_per_flag",
     "window_order_price_delta",
+    "funnel_view_click_purchase",
+    "geo_cell_geometry",
+    "emb_quantized_int8_stats",
+    "pii_redaction_scrub",
 }
 
 
@@ -98,7 +105,7 @@ def test_whole_registry_evidence_at_most_two_rounds_old():
     """Union check: every registry entry either sits in this round's
     window (earning an r7 row) or has an r6/r5 driver row — i.e. after
     this round no entry's evidence is more than 2 rounds old — EXCEPT
-    the 9 explicitly-deferred r4 entries (the window cannot hold 11
+    the 13 explicitly-deferred r4 entries (the window cannot hold 15
     debuts + the 44-entry r4 cohort; the deferral is documented and
     round 8 must front-load them)."""
     r6 = _correctness("r06")

@@ -185,3 +185,51 @@ def test_meta_write_is_atomic_no_tmp_left_and_valid_json(spark, tmp_path):
         hll_mv_append(
             spark, path, ev.limit(10), "user_id", bucket_ms=HOUR, batch_id=8
         )
+
+
+def test_set_estimates_match_exact_within_bounds(spark, tmp_path):
+    """Union/intersection estimates from the MV's sketch algebra vs
+    exact recomputes: |err| <= 5% of the respective exact (union bound
+    for the intersection — the inclusion-exclusion contract)."""
+    from activedatawarehouseprototype_spark.operators.sketch_mv import (
+        hll_mv_set_estimates,
+    )
+
+    ev = _events(spark)
+    path = str(tmp_path / "mv")
+    hll_mv_build(ev, path, "user_id", bucket_ms=HOUR, group_cols=("event_type",))
+    got = hll_mv_set_estimates(spark, path, "event_type", "click", "purchase").head()
+
+    clicks = ev.filter("event_type = 'click' and user_id is not null")
+    purch = ev.filter("event_type = 'purchase' and user_id is not null")
+    ex_a = clicks.select("user_id").distinct().count()
+    ex_b = purch.select("user_id").distinct().count()
+    ex_u = clicks.select("user_id").union(purch.select("user_id")).distinct().count()
+    ex_i = ex_a + ex_b - ex_u
+    assert abs(got["est_a"] - ex_a) <= 0.05 * ex_a
+    assert abs(got["est_b"] - ex_b) <= 0.05 * ex_b
+    assert abs(got["est_union"] - ex_u) <= 0.05 * ex_u
+    assert abs(got["est_intersection"] - ex_i) <= 0.05 * ex_u
+    assert ex_i > 0  # non-vacuous: the fixture has cross-type users
+
+
+def test_set_estimates_disjoint_and_identical_slices(spark, tmp_path):
+    """Algebra sanity at the extremes: A vs A has intersection ~ |A|;
+    two disjoint planted slices have intersection ~ 0."""
+    from activedatawarehouseprototype_spark.operators.sketch_mv import (
+        hll_mv_set_estimates,
+    )
+    from pyspark.sql import functions as F
+
+    rows = spark.range(2000).select(
+        F.when(F.col("id") < 1000, "g1").otherwise("g2").alias("g"),
+        F.col("id").alias("user_id"),  # ids 0-999 vs 1000-1999: disjoint
+        F.timestamp_millis(F.lit(0) + F.col("id")).alias("ts"),
+    )
+    path = str(tmp_path / "mv2")
+    hll_mv_build(rows, path, "user_id", bucket_ms=HOUR, group_cols=("g",))
+    d = hll_mv_set_estimates(spark, path, "g", "g1", "g2").head()
+    assert abs(d["est_intersection"]) <= 0.05 * d["est_union"]
+    s = hll_mv_set_estimates(spark, path, "g", "g1", "g1").head()
+    assert s["est_union"] == s["est_a"]  # union with self is a no-op
+    assert s["est_intersection"] == pytest.approx(s["est_a"], rel=1e-9)
