@@ -334,3 +334,48 @@ def test_entropy_scan_prunes_to_id_and_text(spark):
     assert scan_columns(df), "no scans found"
     for cols in scan_columns(df):
         assert cols <= {"doc_id", "text"}, cols
+
+
+def test_drift_scan_prunes_to_value_group_ts(spark):
+    """Drift reads (group, side, value) only — the heavy table's other
+    columns never enter the two scans; the geometry/totals joins are
+    broadcasts (skinny per-group rows), never SMJ."""
+    df = QUERIES["drift_psi_event_values"](spark, SF)
+    assert scan_columns(df), "no scans found"
+    for cols in scan_columns(df):
+        assert cols <= {"event_type", "value", "ts"}, cols
+    assert sort_merge_join_count(df) == 0
+
+
+def test_triangles_no_nested_loop_or_cartesian(spark):
+    """Every triangle-count join is an equi-join on node/edge keys —
+    no BroadcastNestedLoopJoin, no CartesianProduct (the naive
+    all-pairs formulations)."""
+    from activedatawarehouseprototype_spark.plans.explain import (
+        formatted_plan,
+    )
+
+    df = QUERIES["graph_triangle_counts"](spark, SF)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_temperature_mix_is_scan_plus_filter(spark):
+    """After the skinny count agg, the kept-rows side is ONE pruned
+    scan + per-row filter — no join, no shuffle of the corpus."""
+    from activedatawarehouseprototype_spark.catalog import load
+    from activedatawarehouseprototype_spark.operators.sampling import (
+        temperature_mix_sample,
+    )
+
+    from activedatawarehouseprototype_spark.plans.explain import exchange_count
+
+    docs = load(spark, SF, "documents")
+    out = temperature_mix_sample(docs, "lang", ["doc_id"], tau=0.5)
+    assert exchange_count(out) == 0
+    from activedatawarehouseprototype_spark.plans.explain import (
+        formatted_plan,
+    )
+
+    assert "Join" not in formatted_plan(out)
