@@ -301,3 +301,94 @@ def read_with_skipping(
     if not files:
         return spark.createDataFrame([], schema).filter(_filter_expr(predicates))
     return spark.read.schema(schema).parquet(*files).filter(_filter_expr(predicates))
+
+
+def update_skipping_index(spark: SparkSession, path: str) -> dict:
+    """Incremental manifest maintenance: scan ONLY the data files the
+    manifest has never seen (new appends), drop manifest rows whose
+    files are gone (compaction/retention), keep everything else
+    untouched. The full-rebuild path (`build_skipping_index`) rescans
+    the entire table — at 100 TB that is exactly the cost an
+    incremental refresh exists to avoid; this one's scan is
+    O(new data), its bookkeeping O(files).
+
+    Stats columns come from the existing manifest's schema (min_<c>
+    columns) — the update cannot silently change what is indexed.
+    Returns ``{"added": n_new_files, "removed": n_dropped_rows}``.
+    Commit is the same staging + atomic-swap protocol as the build, so
+    a crash leaves either the old or the new manifest, never a mix."""
+    manifest = _load_manifest(spark, path)
+    stats_cols = [c[len("min_"):] for c in manifest.columns if c.startswith("min_")]
+    root_abs = os.path.abspath(path)
+    known = {_rel_file(r["file"], path) for r in manifest.select("file").collect()}
+    on_disk = set(_list_data_files(path))
+    new_rel = sorted(on_disk - known)
+    gone_rel = sorted(known - on_disk)
+
+    keep = manifest
+    if gone_rel:
+        gone_uris = ["file:" + os.path.join(root_abs, f) for f in gone_rel]
+        prefix = root_abs + "/"
+        rel_start = F.locate(prefix, F.col("file")) + F.lit(len(prefix))
+        rel = F.col("file").substr(rel_start, F.lit(1 << 20))
+        keep = manifest.filter(~rel.isin(gone_rel))
+    if not new_rel and not gone_rel:
+        return {"added": 0, "removed": 0}
+
+    parts = [keep]
+    if new_rel:
+        new_abs = [os.path.join(root_abs, f) for f in new_rel]
+        schema = spark.read.parquet(path).schema
+        df = spark.read.schema(schema).parquet(*new_abs).select(*stats_cols)
+        aggs = [F.count(F.lit(1)).alias("rows")]
+        for c in stats_cols:
+            aggs += [
+                F.min(c).alias(f"min_{c}"),
+                F.max(c).alias(f"max_{c}"),
+                (F.count(F.lit(1)) - F.count(c)).alias(f"nulls_{c}"),
+            ]
+        fresh = (
+            df.withColumn("file", F.input_file_name()).groupBy("file").agg(*aggs)
+        )
+        # zero-row new files leave no groupBy entry — synthesize, same
+        # contract as the build (NULL stats = prunable for anything)
+        types = {f.name: f.dataType for f in df.schema.fields}
+        listed = local_rows_df(
+            spark,
+            [("file:" + os.path.join(root_abs, f), f) for f in new_rel],
+            "file string, _rel string",
+        )
+        prefix = root_abs + "/"
+        rel_start = F.locate(prefix, F.col("file")) + F.lit(len(prefix))
+        empty_rows = (
+            listed.join(
+                fresh.select(
+                    F.col("file").substr(rel_start, F.lit(1 << 20)).alias("_rel")
+                ),
+                "_rel",
+                "left_anti",
+            )
+            .select(
+                "file",
+                F.lit(0).cast("long").alias("rows"),
+                *[
+                    col
+                    for c in stats_cols
+                    for col in (
+                        F.lit(None).cast(types[c]).alias(f"min_{c}"),
+                        F.lit(None).cast(types[c]).alias(f"max_{c}"),
+                        F.lit(0).cast("long").alias(f"nulls_{c}"),
+                    )
+                ],
+            )
+        )
+        parts += [fresh.unionByName(empty_rows)]
+
+    from functools import reduce as _reduce
+
+    merged = _reduce(lambda a, b: a.unionByName(b), parts)
+    ip = _index_path(path)
+    staging = ip + ".staging"
+    merged.coalesce(1).write.mode("overwrite").parquet(staging)
+    commit_swap(ip, staging)
+    return {"added": len(new_rel), "removed": len(gone_rel)}

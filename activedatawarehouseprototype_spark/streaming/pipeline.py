@@ -184,6 +184,23 @@ class ActivePipeline:
     anomaly_lookback: int = 7
     anomaly_min_periods: int = 3
     anomaly_threshold: float = 3.0
+    # distribution-drift gate (optional): when drift_value_col +
+    # drift_bins are set, every batch's value histogram (FIXED bin
+    # edges — the incremental reference can't re-bin) is PSI-scored
+    # against the accumulated history of all PRIOR batches, per
+    # drift_group_cols slice. Scores land in ``work_dir/drift/
+    # batch=<id>`` (per-batch overwrite — replay idempotent, same
+    # shape as the anomaly/quarantine writes); history partials in
+    # ``work_dir/drift_history``. Scoring is skipped while the
+    # reference holds < drift_min_ref_rows (no stable baseline yet).
+    # This is the batch-level complement of the row-level quarantine
+    # gate: "the rows are individually fine but the DISTRIBUTION
+    # moved" — read back with ``drift_scores()``.
+    drift_value_col: str | None = None
+    drift_bins: "tuple[float, float, int] | None" = None  # (lo, hi, n_bins)
+    drift_group_cols: "list[str] | None" = None
+    drift_threshold: float = 0.25
+    drift_min_ref_rows: int = 100
     # per-rule emission high-watermark: query_id -> max emitted window_end (ms)
     _emitted_wm: dict[int, int] = dc_field(default_factory=dict)
     _has_buffer: bool = False
@@ -239,6 +256,18 @@ class ActivePipeline:
                 "anomaly detection needs BOTH anomaly_key_cols and "
                 "anomaly_value_col (got only one)"
             )
+        # same fail-at-construction contract for the drift gate
+        if bool(self.drift_value_col) != bool(self.drift_bins):
+            raise ValueError(
+                "drift detection needs BOTH drift_value_col and "
+                "drift_bins=(lo, hi, n_bins) (got only one)"
+            )
+        if self.drift_bins is not None:
+            lo, hi, bins = self.drift_bins
+            if not (hi > lo and int(bins) > 0):
+                raise ValueError(
+                    f"drift_bins needs hi > lo and n_bins > 0, got {self.drift_bins}"
+                )
         if self.work_dir is None:
             self.work_dir = tempfile.mkdtemp(prefix="adw-pipeline-")
         if self.rule_source is None and self.rules_dir:
@@ -464,6 +493,102 @@ class ActivePipeline:
             os.path.join(self.anomalies_path, f"batch={batch_id}")
         )
 
+    @property
+    def drift_history_path(self) -> str:
+        return os.path.join(self.work_dir, "drift_history")
+
+    @property
+    def drift_path(self) -> str:
+        return os.path.join(self.work_dir, "drift")
+
+    def drift_scores(self) -> DataFrame:
+        """Per-batch PSI drift scores (requires ``drift_value_col`` +
+        ``drift_bins``): one row per (group slice, batch) once the
+        reference held enough mass, with ``drifted`` = psi above the
+        threshold. The ``batch`` partition column names the scoring
+        batch."""
+        return self.spark.read.parquet(self.drift_path)
+
+    def _drift_bin(self) -> "F.Column":
+        lo, hi, bins = self.drift_bins
+        width = (float(hi) - float(lo)) / int(bins)
+        raw = F.floor((F.col("_v") - F.lit(float(lo))) / F.lit(width))
+        return F.least(
+            F.greatest(raw, F.lit(0)), F.lit(int(bins) - 1)
+        ).cast("int")
+
+    def _update_drift(self, batch_df: DataFrame, batch_id: int) -> None:
+        """Per-batch distribution-drift stage: the batch's fixed-bin
+        value histogram is written as a history partial (per-batch
+        overwrite — replay idempotent), then PSI-scored against the
+        accumulated histogram of all PRIOR batches (the read excludes
+        this batch's partition, so a replay scores identically).
+        Out-of-range values clamp to the edge bins — out-of-range mass
+        IS drift signal, not an error. Cost: the heavy data is touched
+        by one map-side-combined histogram agg (|groups|·|bins| skinny
+        rows); everything after is arithmetic on those rows."""
+        groups = list(self.drift_group_cols or [])
+        part = (
+            batch_df.select(
+                *groups, F.col(self.drift_value_col).cast("double").alias("_v")
+            )
+            .filter(F.col("_v").isNotNull())
+            .groupBy(*groups, self._drift_bin().alias("bin"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .localCheckpoint()  # one materialization: write + score
+        )
+        part.write.mode("overwrite").parquet(
+            os.path.join(self.drift_history_path, f"batch={batch_id}")
+        )
+        ref = (
+            self.spark.read.parquet(self.drift_history_path)
+            .filter(F.col("batch") != batch_id)
+            .groupBy(*groups, "bin")
+            .agg(F.sum("n").alias("nr"))
+        )
+        joined = part.select(*groups, "bin", F.col("n").alias("nc")).join(
+            ref, [*groups, "bin"], "full_outer"
+        )
+        tot = joined.groupBy(*groups).agg(
+            F.sum(F.coalesce("nr", F.lit(0))).alias("tr"),
+            F.sum(F.coalesce("nc", F.lit(0))).alias("tc"),
+        )
+        jt = (
+            joined.join(F.broadcast(tot), groups)
+            if groups
+            else joined.crossJoin(F.broadcast(tot))
+        )
+        e = F.lit(1e-6)
+        r_p = F.coalesce("nr", F.lit(0)).cast("double") / F.col("tr") + e
+        c_p = F.coalesce("nc", F.lit(0)).cast("double") / F.col("tc") + e
+        scored = (
+            jt.filter(
+                (F.col("tr") >= self.drift_min_ref_rows) & (F.col("tc") > 0)
+            )
+            .groupBy(*groups)
+            .agg(
+                F.max("tr").cast("bigint").alias("n_ref"),
+                F.max("tc").cast("bigint").alias("n_cur"),
+                F.round(F.sum((c_p - r_p) * F.log(c_p / r_p)), 6).alias("psi"),
+            )
+            # a GLOBAL agg (no group cols) over zero surviving rows
+            # still emits one all-NULL row — that's "not scorable yet",
+            # not a score
+            .filter(F.col("n_ref").isNotNull())
+            .select(
+                *groups,
+                "n_ref",
+                "n_cur",
+                "psi",
+                (F.col("psi") > F.lit(float(self.drift_threshold))).alias(
+                    "drifted"
+                ),
+            )
+        )
+        scored.write.mode("overwrite").parquet(
+            os.path.join(self.drift_path, f"batch={batch_id}")
+        )
+
     def summary_percentile(self, key: dict, p: float) -> float:
         """Approximate percentile of ``mv_value_col`` for one MV key
         from the mergeable histogram (requires ``mv_hist_bins``; error
@@ -634,6 +759,11 @@ class ActivePipeline:
         # append + adaptive-baseline scoring of this batch's buckets
         if self.anomaly_key_cols and self.anomaly_value_col:
             self._update_anomalies(batch_df, batch_id)
+
+        # (1b4) distribution-drift gate (optional): batch histogram
+        # PSI-scored against all prior batches' accumulated histogram
+        if self.drift_value_col and self.drift_bins:
+            self._update_drift(batch_df, batch_id)
 
         # (1b) observed batch metrics (ingest count + K3 latency) —
         # df.observe piggybacks the buffer write below, so NO extra

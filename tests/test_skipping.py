@@ -331,3 +331,77 @@ def test_same_basename_in_different_subdirs_not_conflated(spark, tmp_path):
     build_skipping_index(spark, path, ["id"])
     got = read_with_skipping(spark, path, [Pred("id", ">=", 0)])
     assert got.count() == 20  # both copies read, neither flagged stale
+
+
+def test_update_index_scans_only_new_files_and_drops_gone(spark, tmp_path):
+    """Incremental maintenance: new appends indexed without a full
+    rebuild, deleted files' rows dropped, untouched rows preserved
+    byte-identical; the staleness guard passes again afterwards."""
+    import shutil
+
+    from activedatawarehouseprototype_spark.operators.skipping import (
+        update_skipping_index,
+    )
+
+    path = str(tmp_path / "inc")
+    spark.range(0, 50).coalesce(2).write.parquet(path)
+    build_skipping_index(spark, path, ["id"])
+    before = {
+        r["file"]: tuple(r)
+        for r in spark.read.parquet(path + "_skip_index").collect()
+    }
+
+    # append new data: staleness guard must trip, update must fix it
+    spark.range(100, 160).coalesce(1).write.mode("append").parquet(path)
+    with pytest.raises(RuntimeError, match="stale"):
+        read_with_skipping(spark, path, [Pred("id", ">=", 0)])
+    res = update_skipping_index(spark, path)
+    assert res["added"] == 1 and res["removed"] == 0
+    after = {
+        r["file"]: tuple(r)
+        for r in spark.read.parquet(path + "_skip_index").collect()
+    }
+    for f, row in before.items():
+        assert after[f] == row  # untouched rows byte-identical
+    got = read_with_skipping(spark, path, [Pred("id", "between", (40, 120))])
+    assert got.count() == 10 + 21
+
+    # delete one original file (compaction shape): update drops its row
+    victim = [
+        f for f in os.listdir(path) if f.endswith(".parquet")
+    ][0]
+    os.remove(os.path.join(path, victim))
+    res2 = update_skipping_index(spark, path)
+    assert res2["removed"] == 1 and res2["added"] == 0
+    # results reflect the surviving files, no stale error, no ghost file
+    total = read_with_skipping(spark, path, [Pred("id", ">=", 0)]).count()
+    assert total == spark.read.parquet(path).count()
+
+
+def test_update_index_noop_when_unchanged(spark, tmp_path):
+    from activedatawarehouseprototype_spark.operators.skipping import (
+        update_skipping_index,
+    )
+
+    path = str(tmp_path / "noop")
+    spark.range(0, 10).coalesce(1).write.parquet(path)
+    build_skipping_index(spark, path, ["id"])
+    assert update_skipping_index(spark, path) == {"added": 0, "removed": 0}
+
+
+def test_update_index_handles_zero_row_new_file(spark, tmp_path):
+    from activedatawarehouseprototype_spark.operators.skipping import (
+        update_skipping_index,
+    )
+
+    path = str(tmp_path / "z")
+    spark.range(0, 10).coalesce(1).write.parquet(path)
+    build_skipping_index(spark, path, ["id"])
+    spark.range(0, 10).filter("id < 0").coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+    res = update_skipping_index(spark, path)
+    assert res["added"] == 1
+    # zero-row file indexed with NULL stats: pruned for any predicate,
+    # and the staleness guard stays quiet
+    assert read_with_skipping(spark, path, [Pred("id", ">=", 0)]).count() == 10
