@@ -87,6 +87,20 @@ def _build_parser() -> argparse.ArgumentParser:
         "--anomaly-threshold", type=float, default=3.0,
         help="|z| above this emits an anomaly row (default 3.0)",
     )
+    pr.add_argument(
+        "--drift-value", default=None,
+        help="value column for the per-batch distribution-drift gate "
+        "(PSI vs all prior batches; scores at <work-dir>/drift)",
+    )
+    pr.add_argument(
+        "--drift-bins", default=None,
+        help="lo,hi,bins fixed histogram edges for the drift gate "
+        "(required with --drift-value)",
+    )
+    pr.add_argument(
+        "--drift-threshold", type=float, default=0.25,
+        help="PSI above this marks the batch drifted (default 0.25)",
+    )
 
     ps = sub.add_parser("sql", help="print the rule's generated ANSI-SQL twin")
     ps.add_argument("--rule", required=True)
@@ -1171,6 +1185,9 @@ def main(argv: list[str] | None = None) -> int:
             ),
             anomaly_value_col=args.anomaly_value,
             anomaly_threshold=args.anomaly_threshold,
+            drift_value_col=args.drift_value,
+            drift_bins=_parse_mv_hist(args.drift_bins),
+            drift_threshold=args.drift_threshold,
         )
         from activedatawarehouseprototype_spark.catalog import load_parquet
 
