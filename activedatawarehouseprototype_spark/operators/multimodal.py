@@ -386,3 +386,173 @@ def binary_near_dup_pairs(
         tokenized, id_col, "_bytes_text",
         k=k, w=w, threshold=threshold, max_doc_freq=max_doc_freq,
     )
+
+
+# -- audio tier -------------------------------------------------------------
+# FAUD (fake-audio) test codec, the audio sibling of FIMG:
+#   FAUD | sample_rate:u32be | channels:u8 | samples (s16be, interleaved)
+# Samples are signed 16-bit PCM. ``_decode_audio_blob`` is THE swap
+# point for a real decoder (soundfile/librosa: sf.read -> rate,
+# np.ndarray; torchaudio.load likewise); no audio library exists in
+# this container, so tests use the deterministic generator below.
+
+FAUD_MAGIC = b"FAUD"
+
+AUDIO_DECODE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("channels", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_s", DoubleType()),
+        StructField("rms", DoubleType()),
+        StructField("peak", DoubleType()),
+        StructField("zero_cross_rate", DoubleType()),
+        StructField("decode_error", StringType()),
+    ]
+)
+
+
+def make_fake_audio(
+    doc_id: int, n_samples: int, sample_rate: int = 16_000, channels: int = 1
+) -> bytes:
+    """Encode a deterministic FAUD blob: sample (i, c) is a pure
+    function of (doc_id, i, c) — a ramp-modulated square-ish wave so
+    rms/peak/zero-crossings are exactly predictable in tests."""
+    if not (0 < sample_rate < 2**32 and 0 < channels < 256 and n_samples >= 0):
+        raise ValueError("parameters out of FAUD range")
+    header = (
+        FAUD_MAGIC
+        + int(sample_rate).to_bytes(4, "big")
+        + int(channels).to_bytes(1, "big")
+    )
+    out = bytearray(header)
+    for i in range(n_samples):
+        for c in range(channels):
+            v = ((doc_id * 131 + i * 17 + c * 7919) % 20001) - 10000
+            out += int(v).to_bytes(2, "big", signed=True)
+    return bytes(out)
+
+
+def _decode_audio_blob(blob) -> tuple:
+    """(rate, channels, n_samples, duration, rms, peak, zcr, error)
+    for one blob — the real-decoder swap point. Signal stats are
+    computed over the MONO MIX (mean across channels), the common
+    normalization for corpus-level audio QA. Errors are per-row data,
+    never task failures."""
+    import numpy as np
+
+    b = bytes(blob) if blob is not None else b""
+    if len(b) < 9 or b[:4] != FAUD_MAGIC:
+        return None, None, None, None, None, None, None, "not a FAUD blob"
+    rate = int.from_bytes(b[4:8], "big")
+    ch = b[8]
+    body = b[9:]
+    if rate <= 0 or ch <= 0:
+        return None, None, None, None, None, None, None, "bad FAUD header"
+    if len(body) % (2 * ch) != 0:
+        return None, None, None, None, None, None, None, (
+            f"truncated samples: {len(body)} bytes not a multiple of 2*{ch}"
+        )
+    n = len(body) // (2 * ch)
+    if n == 0:
+        return rate, ch, 0, 0.0, None, None, None, None
+    x = np.frombuffer(body, dtype=">i2").astype("float64").reshape(n, ch)
+    mono = x.mean(axis=1) / 32768.0
+    rms = float(np.sqrt(np.mean(mono * mono)))
+    peak = float(np.max(np.abs(mono)))
+    signs = np.signbit(mono)
+    zcr = float(np.count_nonzero(signs[1:] != signs[:-1]) / max(n - 1, 1))
+    return rate, ch, n, n / rate, rms, peak, zcr, None
+
+
+def decode_audio(
+    df: DataFrame, id_col: str = "doc_id", blob_col: str = "content"
+) -> DataFrame:
+    """Decode audio blobs to rate/duration + signal stats (rms, peak,
+    zero-crossing rate — the standard cheap audio-QA gates: silence,
+    clipping, noise). Runs the deterministic FAUD test codec here;
+    swapping in a real decoder changes ONE function
+    (``_decode_audio_blob``)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [_decode_audio_blob(b) for b in pdf[blob_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "sample_rate": pd.array([r[0] for r in rows], dtype="Int64"),
+                    "channels": pd.array([r[1] for r in rows], dtype="Int64"),
+                    "n_samples": pd.array([r[2] for r in rows], dtype="Int64"),
+                    "duration_s": pd.array([r[3] for r in rows], dtype="Float64"),
+                    "rms": pd.array([r[4] for r in rows], dtype="Float64"),
+                    "peak": pd.array([r[5] for r in rows], dtype="Float64"),
+                    "zero_cross_rate": pd.array(
+                        [r[6] for r in rows], dtype="Float64"
+                    ),
+                    "decode_error": pd.Series([r[7] for r in rows], dtype="object"),
+                }
+            )
+
+    return df.mapInPandas(batches, AUDIO_DECODE_SCHEMA)
+
+
+def audio_segments(
+    df: DataFrame,
+    segment_s: float = 1.0,
+    id_col: str = "doc_id",
+    blob_col: str = "content",
+) -> DataFrame:
+    """Fixed-length segmentation: ONE audio blob row -> N FAUD segment
+    rows of ``segment_s`` seconds each (the trailing remainder ships as
+    a shorter final segment) — the audio sibling of ``sample_frames``:
+    training pipelines chunk long recordings before feature
+    extraction, and each segment re-encodes as a standalone decodable
+    blob. Output: (doc_id, segment_idx, start_s, segment BINARY).
+    Undecodable blobs contribute no segments (QA surfaces them via
+    ``decode_audio``)."""
+    if segment_s <= 0:
+        raise ValueError(f"segment_s must be positive, got {segment_s}")
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("segment_idx", LongType()),
+            StructField("start_s", DoubleType()),
+            StructField("segment", BinaryType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, starts, blobs = [], [], [], []
+            for did, blob in zip(pdf[id_col], pdf[blob_col]):
+                b = bytes(blob) if blob is not None else b""
+                if len(b) < 9 or b[:4] != FAUD_MAGIC:
+                    continue
+                rate = int.from_bytes(b[4:8], "big")
+                ch = b[8]
+                if rate <= 0 or ch <= 0:
+                    continue
+                body = b[9:]
+                if len(body) % (2 * ch) != 0:
+                    continue
+                frame_bytes = 2 * ch
+                n = len(body) // frame_bytes
+                per_seg = max(int(segment_s * rate), 1)
+                header = b[:9]
+                for k, s in enumerate(range(0, n, per_seg)):
+                    seg = body[s * frame_bytes : (s + per_seg) * frame_bytes]
+                    ids.append(int(did))
+                    idxs.append(k)
+                    starts.append(s / rate)
+                    blobs.append(header + seg)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "segment_idx": pd.array(idxs, dtype="int64"),
+                    "start_s": pd.array(starts, dtype="float64"),
+                    "segment": pd.Series(blobs, dtype="object"),
+                }
+            )
+
+    return df.mapInPandas(batches, out_schema)
