@@ -348,9 +348,30 @@ def temperature_mix_sample(
     rates = [
         (s, min(1.0, target * ((n**tau) / z) / n)) for s, n in counts.items()
     ]
-    rate = F.lit(None).cast("double")
-    for s, r in rates:
-        rate = F.when(F.col(source_col).eqNullSafe(F.lit(s)), F.lit(r)).otherwise(
-            rate
-        )
-    return df.filter(hash_fraction(key_cols, salt) < rate)
+    if len(rates) <= 64:
+        # few sources: a literal CASE chain keeps the plan join-free
+        rate = F.lit(None).cast("double")
+        for s, r in rates:
+            rate = F.when(
+                F.col(source_col).eqNullSafe(F.lit(s)), F.lit(r)
+            ).otherwise(rate)
+        return df.filter(hash_fraction(key_cols, salt) < rate)
+    # many sources: a thousands-deep WHEN chain bloats every batch's
+    # plan — broadcast-join the skinny rate table instead (still no
+    # shuffle of the corpus)
+    from activedatawarehouseprototype_spark.session import local_rows_df
+
+    src_type = df.schema[source_col].dataType.simpleString()
+    rate_df = local_rows_df(
+        df.sparkSession,
+        [(s, float(r)) for s, r in rates],
+        f"_src {src_type}, _rate double",
+    )
+    joined = df.join(
+        F.broadcast(rate_df),
+        F.col(source_col).eqNullSafe(F.col("_src")),
+        "left",
+    )
+    return joined.filter(hash_fraction(key_cols, salt) < F.col("_rate")).drop(
+        "_src", "_rate"
+    )

@@ -327,11 +327,26 @@ def update_skipping_index(spark: SparkSession, path: str) -> dict:
 
     keep = manifest
     if gone_rel:
-        gone_uris = ["file:" + os.path.join(root_abs, f) for f in gone_rel]
         prefix = root_abs + "/"
         rel_start = F.locate(prefix, F.col("file")) + F.lit(len(prefix))
         rel = F.col("file").substr(rel_start, F.lit(1 << 20))
-        keep = manifest.filter(~rel.isin(gone_rel))
+        if len(gone_rel) <= 64:
+            keep = manifest.filter(~rel.isin(gone_rel))
+        else:
+            # a compactor can delete thousands of files; an IN-list
+            # that size bloats the plan — anti-join a broadcast list
+            gone_df = local_rows_df(
+                spark, [(g,) for g in gone_rel], "_gone string"
+            )
+            keep = (
+                manifest.withColumn("_rel", rel)
+                .join(
+                    F.broadcast(gone_df),
+                    F.col("_rel") == F.col("_gone"),
+                    "left_anti",
+                )
+                .drop("_rel")
+            )
     if not new_rel and not gone_rel:
         return {"added": 0, "removed": 0}
 

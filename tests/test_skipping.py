@@ -405,3 +405,24 @@ def test_update_index_handles_zero_row_new_file(spark, tmp_path):
     # zero-row file indexed with NULL stats: pruned for any predicate,
     # and the staleness guard stays quiet
     assert read_with_skipping(spark, path, [Pred("id", ">=", 0)]).count() == 10
+
+
+def test_update_index_many_deleted_files_antijoin_path(spark, tmp_path):
+    """>64 deleted files switches the manifest cleanup to the
+    broadcast anti-join (an IN-list that size bloats the plan);
+    results identical to the literal path."""
+    from activedatawarehouseprototype_spark.operators.skipping import (
+        update_skipping_index,
+    )
+
+    path = str(tmp_path / "many")
+    spark.range(0, 700).repartition(70).write.parquet(path)
+    build_skipping_index(spark, path, ["id"])
+    files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(files) >= 66
+    for f in files[:66]:
+        os.remove(os.path.join(path, f))
+    res = update_skipping_index(spark, path)
+    assert res["removed"] == 66 and res["added"] == 0
+    total = read_with_skipping(spark, path, [Pred("id", ">=", 0)]).count()
+    assert total == spark.read.parquet(path).count()

@@ -126,3 +126,35 @@ def test_fixture_matches_duckdb_oracle(spark):
     want = duckdb.sql(ORACLE_SQL.format(sf=SF)).fetchall()
     assert len(got) == len(want) > 0
     assert [tuple(r) for r in got] == want
+
+
+def test_many_sources_broadcast_path_equals_when_chain(spark):
+    """>64 sources switches to the broadcast rate join; the selection
+    must be IDENTICAL to the few-sources CASE-chain path (same coin,
+    same rates)."""
+    rows = []
+    i = 0
+    for s in range(80):
+        for _ in range(5 + s):
+            rows.append((f"s{s}", i))
+            i += 1
+    df = spark.createDataFrame(rows, "src string, id bigint")
+    many = {
+        r["id"] for r in temperature_mix_sample(df, "src", ["id"], tau=0.5).collect()
+    }
+    # recompute by hand with the same formula and the same md5 coin
+    import hashlib
+
+    from collections import Counter
+
+    counts = Counter(s for s, _ in rows)
+    total = sum(counts.values())
+    z = sum(n**0.5 for n in counts.values())
+    rates = {s: min(1.0, total * ((n**0.5) / z) / n) for s, n in counts.items()}
+
+    def frac(key):
+        h = hashlib.md5(f"tm1:{key}".encode()).hexdigest()[:8]
+        return int(h, 16) / 2**32
+
+    want = {i for s, i in rows if frac(i) < rates[s]}
+    assert many == want and len(want) > 0
