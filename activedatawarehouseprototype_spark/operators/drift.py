@@ -53,7 +53,11 @@ def psi_kl_drift(
     either side empty has no defined proportions — absent, not NaN).
     ``psi``/``kl`` are ROUNDed (order-dependent sums over doubles —
     registry float discipline). NULL values are excluded (they have no
-    bin; track NULL-rate drift separately with a constraint).
+    bin; track NULL-rate drift separately with a constraint). NULL
+    GROUP values are excluded too: the geometry/per-bin joins are
+    null-strict on the group key, exactly like the SQL twin's USING
+    join — pre-coalesce a sentinel if a null slice must be scored
+    (pinned by test).
 
     Bin edges come from the REFERENCE slice's global [min, max] per
     group; current-side values outside that range clamp into the edge

@@ -134,9 +134,10 @@ def triangle_counts(
     the skew of a celebrity node moves from d² to (its rank-forward
     degree)². All three joins shuffle on node / edge keys only."""
     e = (
-        edges.select(
-            F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
-        )
+        # native node type — a long cast would silently NULL (and so
+        # DROP) string/uuid node ids; least/greatest and the rank
+        # comparison below work on any orderable type
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
         .filter(F.col("a") != F.col("b"))
         .select(

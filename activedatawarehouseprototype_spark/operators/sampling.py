@@ -361,17 +361,24 @@ def temperature_mix_sample(
     # shuffle of the corpus)
     from activedatawarehouseprototype_spark.session import local_rows_df
 
+    # derive names the input provably doesn't have (a user column
+    # literally named _src/_rate must survive)
+    src_c, rate_c = "_src", "_rate"
+    while src_c in df.columns:
+        src_c += "_"
+    while rate_c in df.columns:
+        rate_c += "_"
     src_type = df.schema[source_col].dataType.simpleString()
     rate_df = local_rows_df(
         df.sparkSession,
         [(s, float(r)) for s, r in rates],
-        f"_src {src_type}, _rate double",
+        f"`{src_c}` {src_type}, `{rate_c}` double",
     )
     joined = df.join(
         F.broadcast(rate_df),
-        F.col(source_col).eqNullSafe(F.col("_src")),
+        F.col(source_col).eqNullSafe(F.col(src_c)),
         "left",
     )
-    return joined.filter(hash_fraction(key_cols, salt) < F.col("_rate")).drop(
-        "_src", "_rate"
+    return joined.filter(hash_fraction(key_cols, salt) < F.col(rate_c)).drop(
+        src_c, rate_c
     )

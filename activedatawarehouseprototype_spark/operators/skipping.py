@@ -300,7 +300,17 @@ def read_with_skipping(
     schema = spark.read.parquet(path).schema
     if not files:
         return spark.createDataFrame([], schema).filter(_filter_expr(predicates))
-    return spark.read.schema(schema).parquet(*files).filter(_filter_expr(predicates))
+    # basePath: partition columns live in the DIRECTORY names, not the
+    # file footers — a bare-file read with an explicit schema would
+    # return NULL for them (silently emptying any partition-column
+    # predicate). basePath + schema keeps both the stable column set
+    # and the path-derived partition values.
+    return (
+        spark.read.option("basePath", os.path.abspath(path))
+        .schema(schema)
+        .parquet(*files)
+        .filter(_filter_expr(predicates))
+    )
 
 
 def update_skipping_index(spark: SparkSession, path: str) -> dict:
@@ -353,8 +363,17 @@ def update_skipping_index(spark: SparkSession, path: str) -> dict:
     parts = [keep]
     if new_rel:
         new_abs = [os.path.join(root_abs, f) for f in new_rel]
-        schema = spark.read.parquet(path).schema
-        df = spark.read.schema(schema).parquet(*new_abs).select(*stats_cols)
+        # basePath, NOT an explicit schema: in a partitioned layout the
+        # partition columns live in directory names, not file footers —
+        # an explicit-schema read of the bare files would yield NULL
+        # for them, and a stats column that IS a partition column would
+        # then get NULL min/max, i.e. "prunable for anything": silently
+        # WRONG pruning. basePath re-derives them from the paths.
+        df = (
+            spark.read.option("basePath", root_abs)
+            .parquet(*new_abs)
+            .select(*stats_cols)
+        )
         aggs = [F.count(F.lit(1)).alias("rows")]
         for c in stats_cols:
             aggs += [

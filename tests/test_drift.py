@@ -178,3 +178,15 @@ def test_fixture_matches_duckdb_oracle(spark):
         assert (g["event_type"], g["n_ref"], g["n_cur"]) == w[:3]
         assert g["psi"] == pytest.approx(w[3], abs=2e-6)
         assert g["kl"] == pytest.approx(w[4], abs=2e-6)
+
+
+def test_null_group_values_are_excluded_like_the_sql_twin(spark):
+    """NULL group values have no slice (the joins are null-strict,
+    matching the oracle's USING join) — pinned so it's a contract,
+    not an accident. Coalesce a sentinel upstream to score them."""
+    rows = [("r", None, 1.0)] * 60 + [("c", None, 9.0)] * 60
+    rows += [("r", "g", 1.0)] * 60 + [("c", "g", 1.0)] * 60
+    out = psi_kl_drift(
+        _df(spark, rows), F.col("side") == "r", F.col("side") == "c", "v", ["grp"]
+    )
+    assert [r["grp"] for r in out.collect()] == ["g"]

@@ -426,3 +426,29 @@ def test_update_index_many_deleted_files_antijoin_path(spark, tmp_path):
     assert res["removed"] == 66 and res["added"] == 0
     total = read_with_skipping(spark, path, [Pred("id", ">=", 0)]).count()
     assert total == spark.read.parquet(path).count()
+
+
+def test_update_index_partitioned_layout_partition_column_stats(spark, tmp_path):
+    """Appending to a PARTITIONED table where a stats column IS the
+    partition column: the update must re-derive partition values from
+    the paths (basePath), not read NULL stats that would make the new
+    files wrongly prunable — wrong pruning loses rows."""
+    from activedatawarehouseprototype_spark.operators.skipping import (
+        update_skipping_index,
+    )
+
+    path = str(tmp_path / "part")
+    spark.range(0, 40).selectExpr("id", "id % 2 AS part").write.partitionBy(
+        "part"
+    ).parquet(path)
+    build_skipping_index(spark, path, ["part", "id"])
+    spark.range(100, 120).selectExpr("id", "CAST(2 AS bigint) AS part").write.mode(
+        "append"
+    ).partitionBy("part").parquet(path)
+    res = update_skipping_index(spark, path)
+    assert res["added"] >= 1
+    got = read_with_skipping(spark, path, [Pred("part", "=", 2)])
+    assert got.count() == 20  # the new partition's rows must survive pruning
+    manifest = spark.read.parquet(path + "_skip_index")
+    new_rows = manifest.filter(F.col("file").contains("part=2")).collect()
+    assert new_rows and all(r["min_part"] == 2 for r in new_rows)

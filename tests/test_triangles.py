@@ -141,3 +141,12 @@ def test_fixture_trade_graph_matches_duckdb_oracle(spark):
     assert len(got) == len(want) > 0
     assert got == want
     assert sum(t for _, t in got) > 0  # the trade graph is dense: non-vacuous
+
+
+def test_string_node_ids_survive(spark):
+    """Node ids keep their native type — a long cast would NULL (and
+    silently drop) string ids."""
+    pairs = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")]
+    df = spark.createDataFrame(pairs, "src string, dst string")
+    got = {r["node"]: r["triangles"] for r in triangle_counts(df).collect()}
+    assert got == {"a": 1, "b": 1, "c": 1, "d": 0}
