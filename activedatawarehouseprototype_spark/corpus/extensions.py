@@ -1606,8 +1606,7 @@ SELECT CAST(user_id AS BIGINT) AS user_id,
        CAST(SUM(n) AS BIGINT) AS n,
        ROUND(SUM(total), 2) AS total,
        MIN(mn) AS mn,
-       MAX(mx) AS mx,
-       ROUND(SUM(total) / SUM(n), 4) AS avg_value
+       MAX(mx) AS mx
 FROM partials
 GROUP BY user_id
 """,
@@ -1631,10 +1630,14 @@ def mv_incremental_merge_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         partials.groupBy("user_id")
         .agg(
             F.sum("n").cast("bigint").alias("n"),
+            # total at the data's own decimal precision; NO rounded
+            # avg column — a quotient of 2-decimal values can sit
+            # exactly on a round-4 half-boundary where the engines'
+            # rounding modes disagree (sf0.1 stress-mirror finding,
+            # round 7); total and n carry the same information exactly
             F.round(F.sum("total"), 2).alias("total"),
             F.min("mn").alias("mn"),
             F.max("mx").alias("mx"),
-            F.round(F.sum("total") / F.sum("n"), 4).alias("avg_value"),
         )
         .select(
             F.col("user_id").cast("bigint").alias("user_id"),
@@ -1642,7 +1645,6 @@ def mv_incremental_merge_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total",
             "mn",
             "mx",
-            "avg_value",
         )
     )
 

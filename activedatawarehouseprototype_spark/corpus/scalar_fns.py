@@ -219,7 +219,7 @@ WITH pts AS (
 )
 SELECT CAST(FLOOR((41.0 - lat) / 0.00125) * {_CELLS_PER_ROW}
             + FLOOR((lon - (-74.05)) / 0.0014) AS BIGINT) AS cell,
-       ROUND(AVG(value), 4) AS avg_value,
+       ROUND(SUM(value), 2) AS sum_value,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM pts
 WHERE lon >= -74.05 AND lon <= -73.70 AND lat >= 40.50 AND lat <= 41.00
@@ -235,7 +235,13 @@ def geo_grid_cell_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boxed.groupBy(
         geo.grid_cell(F.col("lon"), F.col("lat")).alias("cell")
     ).agg(
-        F.round(F.avg("value"), 4).alias("avg_value"),
+        # SUM at the data's own decimal precision (2), never a rounded
+        # AVG: a quotient of 2-decimal values can sit EXACTLY on a
+        # round-4 boundary (e.g. k*0.01/16 = 26.63125), where Spark's
+        # decimal HALF_UP and DuckDB's binary rounding disagree — found
+        # by the sf0.1 stress mirror in round 7. round(sum, 2) is
+        # parity-safe: k*0.01 is never an odd multiple of 0.005.
+        F.round(F.sum("value"), 2).alias("sum_value"),
         F.count(F.lit(1)).alias("n"),
     )
 
