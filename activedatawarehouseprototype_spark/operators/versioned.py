@@ -23,6 +23,13 @@ scale discipline Delta gets from its log:
   data files) and schema evolution stay readable.
 - **vacuum** deletes dirs unreferenced by the retained versions —
   storage is bounded by live history, as with Delta's VACUUM.
+- **SINGLE WRITER.** Commits assume one writer at a time (the
+  warehouse-MV/pipeline usage — foreachBatch is serial): the
+  orphan-cleanup retry in ``commit`` treats an existing un-logged
+  commit dir as a dead crash leftover, which is only sound when no
+  CONCURRENT writer can be mid-write in it. Delta resolves this with
+  optimistic concurrency + conflict re-check; multi-writer
+  deployments need that (or a lock) on top of this log.
 
 Layout:
   {path}/_log/{version:08d}.json   one entry per commit (see _entry)

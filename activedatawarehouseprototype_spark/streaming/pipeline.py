@@ -517,16 +517,37 @@ class ActivePipeline:
             F.greatest(raw, F.lit(0)), F.lit(int(bins) - 1)
         ).cast("int")
 
+    DRIFT_COMPACT_EVERY = 64
+
     def _update_drift(self, batch_df: DataFrame, batch_id: int) -> None:
         """Per-batch distribution-drift stage: the batch's fixed-bin
         value histogram is written as a history partial (per-batch
         overwrite — replay idempotent), then PSI-scored against the
         accumulated histogram of all PRIOR batches (the read excludes
-        this batch's partition, so a replay scores identically).
+        this batch's partition, so a replay scores identically —
+        under foreachBatch's actual replay model, which re-delivers
+        the LATEST batch: epochs are sequential, an older batch never
+        replays after newer ones have run).
         Out-of-range values clamp to the edge bins — out-of-range mass
         IS drift signal, not an error. Cost: the heavy data is touched
         by one map-side-combined histogram agg (|groups|·|bins| skinny
-        rows); everything after is arithmetic on those rows."""
+        rows); everything after is arithmetic on those rows.
+
+        History partials would otherwise accumulate one directory per
+        batch FOREVER (rows are skinny but directory listings are
+        O(#batches) — the cost that matters at 10^5 micro-batches), so
+        every DRIFT_COMPACT_EVERY batches the prior-batch partials fold
+        into a single reserved ``batch=-1`` base partition via the
+        crash-safe staging swap. Replay stays exact: the base never
+        contains the compacting batch itself, and the scoring read's
+        ``batch != id`` exclusion is unaffected by folding strictly
+        older partials together."""
+        from activedatawarehouseprototype_spark.operators.warehouse import (
+            commit_swap,
+            recover_swap,
+        )
+
+        recover_swap(self.drift_history_path)
         groups = list(self.drift_group_cols or [])
         part = (
             batch_df.select(
@@ -588,6 +609,26 @@ class ActivePipeline:
         scored.write.mode("overwrite").parquet(
             os.path.join(self.drift_path, f"batch={batch_id}")
         )
+
+        if batch_id > 0 and batch_id % self.DRIFT_COMPACT_EVERY == 0:
+            # fold everything EXCEPT this batch into the batch=-1 base
+            # (this batch's partial must stay separate so its replay
+            # exclusion keeps working); staging + atomic swap so a
+            # crash leaves either layout, never a mix
+            base = (
+                self.spark.read.parquet(self.drift_history_path)
+                .filter(F.col("batch") != batch_id)
+                .groupBy(*groups, "bin")
+                .agg(F.sum("n").alias("n"))
+            )
+            staging = self.drift_history_path + ".staging"
+            base.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(staging, "batch=-1")
+            )
+            part.write.mode("overwrite").parquet(
+                os.path.join(staging, f"batch={batch_id}")
+            )
+            commit_swap(self.drift_history_path, staging)
 
     def summary_percentile(self, key: dict, p: float) -> float:
         """Approximate percentile of ``mv_value_col`` for one MV key

@@ -111,3 +111,36 @@ def test_half_specified_config_raises(spark, tmp_path):
             drift_value_col="speed",
             drift_bins=(10.0, 10.0, 5),
         )
+
+
+def test_history_compaction_preserves_scores_and_replay(spark, tmp_path):
+    """Every DRIFT_COMPACT_EVERY batches the prior partials fold into
+    the batch=-1 base: scoring is unchanged, directory count stays
+    bounded, and replaying the compacting batch still scores
+    identically."""
+    import os
+
+    pipe = _pipe(spark, tmp_path)
+    pipe.DRIFT_COMPACT_EVERY = 2  # instance override: compact at batch 2
+    ref = [v % 100 for v in range(100)]
+    pipe.process_batch(_batch(spark, ref), 0)
+    pipe.process_batch(_batch(spark, ref), 1)
+    pipe.process_batch(_batch(spark, ref), 2)  # compacts 0+1 into base
+    dirs = sorted(
+        d for d in os.listdir(pipe.drift_history_path) if d.startswith("batch=")
+    )
+    assert dirs == ["batch=-1", "batch=2"]
+    s2 = pipe.drift_scores().filter("batch = 2").collect()
+    assert len(s2) == 1 and s2[0]["n_ref"] == 200  # batches 0+1
+
+    # foreachBatch's at-least-once model re-delivers the LATEST batch
+    # (epochs are sequential) — replaying the compacting batch before
+    # any newer batch must score identically
+    pipe.process_batch(_batch(spark, ref), 2)
+    again = pipe.drift_scores().filter("batch = 2").collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in s2]
+
+    # post-compaction batch scores against base + uncompacted partials
+    pipe.process_batch(_batch(spark, [50.0] * 100), 3)
+    s3 = pipe.drift_scores().filter("batch = 3").collect()[0]
+    assert s3["n_ref"] == 300 and s3["drifted"]
