@@ -431,17 +431,29 @@ class ActivePipeline:
         the ``batch`` partition column."""
         return self.spark.read.parquet(self.anomalies_path)
 
+    ANOMALY_COMPACT_EVERY = 64
+
     def _update_anomalies(self, batch_df: DataFrame, batch_id: int) -> None:
         """Per-batch adaptive anomaly stage. History partials live in
         per-batch OVERWRITE dirs (replay idempotent, same shape as the
         buffer/quarantine writes); scoring aggregates the full history
         per (key, bucket) — buckets split across batches score against
         their updated total — and keeps only this batch's touched
-        buckets with |z| above the threshold."""
+        buckets with |z| above the threshold. Like the drift gate's
+        history, partials fold into a reserved ``batch=-1`` base every
+        ANOMALY_COMPACT_EVERY batches (crash-safe staging swap;
+        strictly-older batches only, so the latest-batch replay stays
+        an idempotent overwrite) — directory count stays bounded over
+        the stream's life."""
         from activedatawarehouseprototype_spark.operators.timeseries import (
             rolling_zscore,
         )
+        from activedatawarehouseprototype_spark.operators.warehouse import (
+            commit_swap,
+            recover_swap,
+        )
 
+        recover_swap(self.anomaly_history_path)
         keys = self.anomaly_key_cols
         bms = self.anomaly_bucket_ms
         bucket = (
@@ -492,6 +504,22 @@ class ActivePipeline:
         flagged.write.mode("overwrite").parquet(
             os.path.join(self.anomalies_path, f"batch={batch_id}")
         )
+
+        if batch_id > 0 and batch_id % self.ANOMALY_COMPACT_EVERY == 0:
+            base = (
+                self.spark.read.parquet(self.anomaly_history_path)
+                .filter(F.col("batch") != batch_id)
+                .groupBy(*keys, "bucket_ms")
+                .agg(F.sum("x").alias("x"))
+            )
+            staging = self.anomaly_history_path + ".staging"
+            base.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(staging, "batch=-1")
+            )
+            part.write.mode("overwrite").parquet(
+                os.path.join(staging, f"batch={batch_id}")
+            )
+            commit_swap(self.anomaly_history_path, staging)
 
     @property
     def drift_history_path(self) -> str:

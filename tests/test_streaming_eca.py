@@ -2516,3 +2516,64 @@ def test_pipeline_all_features_soak_with_restart(spark, tmp_path):
     assert fired >= 21
     assert all(1 <= v <= 2 for v in per_key.values())
     assert sum(per_key.values()) < fired  # suppression really happened
+
+
+def test_anomaly_history_compaction_bounded_and_equivalent(spark, tmp_path):
+    """ANOMALY_COMPACT_EVERY folds strictly-older history partials into
+    the batch=-1 base: directory count stays bounded, scoring totals
+    unchanged, latest-batch replay still an idempotent overwrite."""
+    import os as _os2
+
+    reg = RuleRegistry()
+    pipe = ActivePipeline(
+        spark=spark,
+        registry=reg,
+        work_dir=str(tmp_path / "wk"),
+        anomaly_key_cols=["carId"],
+        anomaly_value_col="speed",
+        anomaly_bucket_ms=3_600_000,
+        anomaly_lookback=3,
+        anomaly_min_periods=2,
+        anomaly_threshold=3.0,
+    )
+    pipe.ANOMALY_COMPACT_EVERY = 2
+    HOUR = 3600
+    # slightly varying totals: a zero-variance baseline z-scores NULL
+    # by design, which would make the spike assertion vacuous
+    speeds = [49.0, 50.0, 51.0]
+    for b in range(3):  # batch 2 compacts 0+1 into the base
+        pipe.process_batch(
+            car_df(spark, [(1, b * HOUR, speeds[b]), (1, b * HOUR + 1, speeds[b])]),
+            b,
+        )
+    dirs = sorted(
+        d
+        for d in _os2.listdir(pipe.anomaly_history_path)
+        if d.startswith("batch=")
+    )
+    assert dirs == ["batch=-1", "batch=2"]
+    # totals preserved: 3 hourly buckets (98/100/102) for car 1
+    hist = (
+        spark.read.parquet(pipe.anomaly_history_path)
+        .groupBy("carId", "bucket_ms")
+        .sum("x")
+        .collect()
+    )
+    assert sorted(r["sum(x)"] for r in hist) == [98.0, 100.0, 102.0]
+    # replay of the compacting batch: overwrite, not double-count
+    pipe.process_batch(
+        car_df(spark, [(1, 2 * HOUR, 51.0), (1, 2 * HOUR + 1, 51.0)]), 2
+    )
+    hist2 = (
+        spark.read.parquet(pipe.anomaly_history_path)
+        .groupBy("carId", "bucket_ms")
+        .sum("x")
+        .collect()
+    )
+    assert sorted(r["sum(x)"] for r in hist2) == [98.0, 100.0, 102.0]
+    # a spike after compaction still flags against the folded baseline
+    pipe.process_batch(
+        car_df(spark, [(1, 3 * HOUR + i, 200.0) for i in range(10)]), 3
+    )
+    anoms = pipe.anomalies().collect()
+    assert any(r["carId"] == 1 and r["zscore"] > 3 for r in anoms)
