@@ -488,22 +488,22 @@ def _build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def _parse_mv_hist(spec: str | None):
+def _parse_mv_hist(spec: str | None, flag: str = "--mv-hist"):
     """lo,hi,bins — validated HERE so a malformed value fails at the
     command line, not as an unpacking error deep inside the first
-    micro-batch."""
+    micro-batch. ``flag`` names the offending option in the error."""
     if not spec:
         return None
     parts = spec.split(",")
     if len(parts) != 3:
         raise SystemExit(
-            f"--mv-hist expects exactly lo,hi,bins — got {spec!r}"
+            f"{flag} expects exactly lo,hi,bins — got {spec!r}"
         )
     try:
         return (float(parts[0]), float(parts[1]), int(parts[2]))
     except ValueError:
         raise SystemExit(
-            f"--mv-hist expects lo,hi numeric and bins integer — got {spec!r}"
+            f"{flag} expects lo,hi numeric and bins integer — got {spec!r}"
         ) from None
 
 
@@ -1186,7 +1186,7 @@ def main(argv: list[str] | None = None) -> int:
             anomaly_value_col=args.anomaly_value,
             anomaly_threshold=args.anomaly_threshold,
             drift_value_col=args.drift_value,
-            drift_bins=_parse_mv_hist(args.drift_bins),
+            drift_bins=_parse_mv_hist(args.drift_bins, flag="--drift-bins"),
             drift_threshold=args.drift_threshold,
         )
         from activedatawarehouseprototype_spark.catalog import load_parquet

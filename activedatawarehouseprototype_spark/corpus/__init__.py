@@ -192,7 +192,7 @@ _STABLE_CORE = [
     # full-corpus pytest mirror). Every non-core slot this round goes
     # to a round-6 debut, the sketch oracle upgrade, or an r4 refresh
     # (see the _DRIVER_ROTATION header for the exact composition and
-    # the 9 entries deferred to round 8).
+    # the 13 entries deferred to round 8).
     "rule_tumbling_avg",
     "tpch_q5_local_supplier_volume",
     "topk_customers_by_spend",

@@ -105,15 +105,14 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ewma_final_by_user",
     oracle="""
-WITH ordered AS (
-  SELECT user_id, value
+WITH folded AS (
+  -- ORDER BY inside the aggregate: the only list() ordering DuckDB
+  -- guarantees (CTE ordering may not survive parallel aggregation)
+  SELECT user_id,
+         list(value ORDER BY epoch_ms(ts), event_id) AS xs
   FROM events
   WHERE value IS NOT NULL AND ts IS NOT NULL
-  ORDER BY user_id, epoch_ms(ts), event_id
-),
-folded AS (
-  SELECT user_id, list(value) AS xs
-  FROM ordered GROUP BY user_id
+  GROUP BY user_id
 )
 SELECT CAST(user_id AS BIGINT) AS user_id,
        CAST(len(xs) AS BIGINT) AS n_obs,

@@ -57,6 +57,7 @@ from __future__ import annotations
 
 import os
 from dataclasses import dataclass
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -111,13 +112,53 @@ def _list_data_files(path: str) -> list[str]:
 
 def _rel_file(uri: str, root: str) -> str:
     """Map an ``input_file_name()`` URI (``file:/abs`` or
-    ``file:///abs``) to a path relative to the table root."""
+    ``file:///abs``) to a path relative to the table root.
+
+    ``input_file_name()`` URIs are URL-encoded (Hadoop Path percent-
+    encodes spaces/%/non-ASCII), so decode scheme-carrying values;
+    raw paths (synthesized zero-row manifest entries carry no scheme)
+    pass through untouched so a literal ``%`` in a filename survives.
+    ``urllib.unquote`` leaves ``+`` alone, matching Hadoop, which never
+    encodes space as ``+``."""
     p = uri
     if p.startswith("file:"):
         p = p[len("file:"):]
         while p.startswith("//"):
             p = p[1:]
+        p = unquote(p)
     return os.path.relpath(p, os.path.abspath(root))
+
+
+def _raw_path(uri: str) -> str:
+    """Decode a manifest ``file`` value to a raw filesystem path.
+    ``spark.read.parquet`` treats percent-escapes in an input string as
+    literal characters, so encoded ``input_file_name()`` URIs must be
+    decoded before being handed back to a reader; raw (scheme-less)
+    synthesized values pass through."""
+    p = uri
+    if p.startswith("file:"):
+        p = p[len("file:"):]
+        while p.startswith("//"):
+            p = p[1:]
+        p = unquote(p)
+    return p
+
+
+def _rel_col(root_abs: str) -> F.Column:
+    """Column twin of :func:`_rel_file`: path of the ``file`` column
+    relative to ``root_abs``. Decodes URL-encoded ``input_file_name()``
+    URIs first — ``F.url_decode`` reads a literal ``+`` as a space
+    (form-encoding rules; Hadoop leaves ``+`` literal), so protect it
+    as ``%2B`` before decoding. Scheme-less values (synthesized
+    manifest rows) are already raw paths and skip the decode."""
+    raw = F.col("file")
+    decoded = F.when(
+        raw.startswith("file:"),
+        F.url_decode(F.regexp_replace(raw, r"\+", "%2B")),
+    ).otherwise(raw)
+    prefix = root_abs + "/"
+    start = F.locate(prefix, decoded) + F.lit(len(prefix))
+    return decoded.substr(start, F.lit(1 << 20))
 
 
 def build_skipping_index(
@@ -157,21 +198,19 @@ def build_skipping_index(
     listing = _list_data_files(path)
     types = {f.name: f.dataType for f in df.schema.fields}
     root_abs = os.path.abspath(path)
+    # synthesized rows carry RAW paths (no scheme, no URL-encoding) —
+    # _rel_file/_rel_col treat scheme-less values as already decoded
     files_df = local_rows_df(
         spark,
-        [("file:" + os.path.join(root_abs, f), f) for f in listing],
+        [(os.path.join(root_abs, f), f) for f in listing],
         "file string, _rel string",
     )
     # join on the path RELATIVE to the table root (suffix after the
     # first occurrence of "<root>/"), not the basename — nested layouts
     # can repeat basenames across subdirectories
-    prefix = root_abs + "/"
-    rel_start = F.locate(prefix, F.col("file")) + F.lit(len(prefix))
     empty_rows = (
         files_df.join(
-            manifest.select(
-                F.col("file").substr(rel_start, F.lit(1 << 20)).alias("_rel")
-            ),
+            manifest.select(_rel_col(root_abs).alias("_rel")),
             "_rel",
             "left_anti",
         )
@@ -273,7 +312,10 @@ def prune_files(
         if f"min_{p.col}" not in manifest.columns:
             continue
         cond = cond & _survives(p)
-    return [r["file"] for r in manifest.filter(cond).select("file").collect()]
+    return [
+        _raw_path(r["file"])
+        for r in manifest.filter(cond).select("file").collect()
+    ]
 
 
 def read_with_skipping(
@@ -337,9 +379,7 @@ def update_skipping_index(spark: SparkSession, path: str) -> dict:
 
     keep = manifest
     if gone_rel:
-        prefix = root_abs + "/"
-        rel_start = F.locate(prefix, F.col("file")) + F.lit(len(prefix))
-        rel = F.col("file").substr(rel_start, F.lit(1 << 20))
+        rel = _rel_col(root_abs)
         if len(gone_rel) <= 64:
             keep = manifest.filter(~rel.isin(gone_rel))
         else:
@@ -389,16 +429,12 @@ def update_skipping_index(spark: SparkSession, path: str) -> dict:
         types = {f.name: f.dataType for f in df.schema.fields}
         listed = local_rows_df(
             spark,
-            [("file:" + os.path.join(root_abs, f), f) for f in new_rel],
+            [(os.path.join(root_abs, f), f) for f in new_rel],
             "file string, _rel string",
         )
-        prefix = root_abs + "/"
-        rel_start = F.locate(prefix, F.col("file")) + F.lit(len(prefix))
         empty_rows = (
             listed.join(
-                fresh.select(
-                    F.col("file").substr(rel_start, F.lit(1 << 20)).alias("_rel")
-                ),
+                fresh.select(_rel_col(root_abs).alias("_rel")),
                 "_rel",
                 "left_anti",
             )

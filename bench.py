@@ -425,22 +425,51 @@ def main() -> None:
     ingest_dps = max(ingest_docs_per_sec(spark) for _ in range(2))
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_corpus_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "calibration_probe_seconds": round(probe, 3),
-                "streaming_events_per_sec": round(eps),
-                "streaming_50rule_events_per_sec": round(eps50),
-                "streaming_w1_events_per_sec": round(eps_w1),
-                "ingest_docs_per_sec": round(ingest_dps),
-            }
+    payload = {
+        "metric": "headline_corpus_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "calibration_probe_seconds": round(probe, 3),
+        "streaming_events_per_sec": round(eps),
+        "streaming_50rule_events_per_sec": round(eps50),
+        "streaming_w1_events_per_sec": round(eps_w1),
+        "ingest_docs_per_sec": round(ingest_dps),
+    }
+    # The driver keeps only the LAST ~2000 bytes of output and parses
+    # the JSON line out of that tail — round 7's line outgrew the
+    # buffer (57 per-query keys) and the round's bench parse came back
+    # null. Full detail always goes to stderr; the stdout line keeps
+    # the slowest queries (the diagnostic ones) and accounts for the
+    # rest explicitly (count + summed seconds), so nothing is silently
+    # dropped and the headline total stays exact.
+    print(json.dumps(payload), file=sys.stderr)
+    budget = 1600
+    line = json.dumps(payload, separators=(",", ":"))
+    if len(line) > budget:
+        by_cost = sorted(timings, key=timings.get, reverse=True)
+        shown: dict[str, float] = {}
+        for name in by_cost:
+            trial = dict(shown, **{name: timings[name]})
+            trial_payload = dict(
+                payload,
+                queries=trial,
+                queries_omitted=len(timings) - len(trial),
+                omitted_queries_total=round(
+                    total - sum(trial.values()), 3
+                ),
+            )
+            if len(json.dumps(trial_payload, separators=(",", ":"))) > budget:
+                break
+            shown = trial
+        payload["queries"] = shown
+        payload["queries_omitted"] = len(timings) - len(shown)
+        payload["omitted_queries_total"] = round(
+            total - sum(shown.values()), 3
         )
-    )
+        line = json.dumps(payload, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":
