@@ -71,3 +71,80 @@ def approx_heavy_hitters(
     return merged.orderBy(
         F.col("approx_count").desc(), F.col("item").asc()
     ).limit(top)
+
+
+# --- Count-Min Sketch ------------------------------------------------------
+#
+# The complement of Misra-Gries above: MG under-estimates and keeps k
+# counters; CMS OVER-estimates (never under) and supports point queries
+# for ANY key after the fact, plus lossless merging of independently
+# built sketches (cell-wise sum) — the property that matters for
+# incremental/streaming maintenance at scale: each micro-batch or
+# partition builds its own depth x width counter grid, and grids add.
+#
+# Build is pure DataFrame algebra — no UDF: every row explodes into
+# `depth` (row, col) cells via seeded xxhash64, and ONE partial-agg
+# shuffle of at most depth*width cells sums them. Estimate(key) =
+# min over rows of cell[r][h_r(key)], the classic CMS point query:
+# est >= true always; est <= true + eps*N with prob 1-delta for
+# width = ceil(e/eps), depth = ceil(ln 1/delta).
+
+
+def cms_build(
+    df: DataFrame, col: str, width: int = 2048, depth: int = 5,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Count-Min sketch of ``col`` as a cell table ``(r, c, cnt)``
+    (zero cells absent). Mergeable: union two sketch tables and
+    groupBy(r, c).sum(cnt). NULL keys are excluded (they match no
+    point query)."""
+    w = F.col(weight_col) if weight_col else F.lit(1).cast("long")
+    cells = df.filter(F.col(col).isNotNull()).select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(r).alias("r"),
+                    F.pmod(F.xxhash64(F.col(col), F.lit(r)), F.lit(width)).alias("c"),
+                )
+                for r in range(depth)
+            ])
+        ).alias("cell"),
+        w.alias("w"),
+    )
+    return (
+        cells.select("cell.r", "cell.c", "w")
+        .groupBy("r", "c")
+        .agg(F.sum("w").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame, keys: DataFrame, key_col: str,
+    width: int = 2048, depth: int = 5,
+) -> DataFrame:
+    """Point-query every row of ``keys``: adds an ``est`` column =
+    min over sketch rows of the key's cell. The sketch side is tiny
+    (<= depth*width cells) and broadcasts; absent cells count 0.
+
+    width/depth MUST match the build call — they define the hash
+    layout. est is a deterministic function of (data, width, depth)."""
+    probes = keys.select(
+        "*",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(r).alias("r"),
+                    F.pmod(
+                        F.xxhash64(F.col(key_col), F.lit(r)), F.lit(width)
+                    ).alias("c"),
+                )
+                for r in range(depth)
+            ])
+        ).alias("probe"),
+    )
+    joined = probes.join(
+        F.broadcast(sketch),
+        (F.col("probe.r") == sketch["r"]) & (F.col("probe.c") == sketch["c"]),
+        "left",
+    ).select(*keys.columns, F.coalesce(sketch["cnt"], F.lit(0)).alias("cell_cnt"))
+    return joined.groupBy(*keys.columns).agg(F.min("cell_cnt").alias("est"))

@@ -250,6 +250,89 @@ def compact(spark: SparkSession, path: str, target_files: int = 1) -> None:
     _atomic_swap(spark, df.repartition(target_files), path)
 
 
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 << 20,
+    min_small_files: int = 2,
+) -> dict:
+    """Selective compaction: rewrite ONLY the files below
+    ``target_bytes``, hard-linking the properly-sized ones into the new
+    snapshot untouched. ``compact()`` above rewrites the whole table —
+    at 100 TB that is a full-table IO bill to fix a tail of streaming
+    micro-batch leftovers; this is the Delta OPTIMIZE / Iceberg
+    rewrite_data_files shape: cost proportional to the SMALL-file
+    bytes, not the table.
+
+    Scope: flat (non-partitioned) directories — a partitioned layout
+    raises loudly (per-partition compaction composes from this by
+    calling it per leaf directory). Zero-row files are absorbed.
+    Output file count = ceil(small_bytes / target_bytes); sizes are
+    balanced by row count via repartition, so they track bytes only as
+    far as rows are uniform — the standard OPTIMIZE approximation.
+
+    Commit is the staging + atomic-rename swap shared with every
+    writer in this module: a crash leaves the old or the new snapshot,
+    never a mix. A ``<path>_skip_index`` manifest, if present, is
+    STALE after a successful compaction (files added and removed) —
+    run ``update_skipping_index`` after; its staleness check fails
+    CLOSED (read raises, never returns partial data).
+
+    Returns ``{"compacted", "untouched", "output_files"}``.
+    """
+    recover_swap(path)
+    names = sorted(os.listdir(path))
+    subdirs = [
+        n
+        for n in names
+        if os.path.isdir(os.path.join(path, n)) and not n.startswith(("_", "."))
+    ]
+    if subdirs:
+        raise ValueError(
+            f"compact_small_files: {path} has a partitioned/nested layout "
+            f"(e.g. {subdirs[:3]}); compact each leaf directory instead"
+        )
+    data = [
+        (n, os.path.getsize(os.path.join(path, n)))
+        for n in names
+        if n.endswith(".parquet") and not n.startswith(("_", "."))
+    ]
+    small = [n for n, sz in data if sz < target_bytes]
+    big = [n for n, sz in data if sz >= target_bytes]
+    if len(small) < min_small_files:
+        return {"compacted": 0, "untouched": len(data), "output_files": 0}
+    small_bytes = sum(sz for n, sz in data if sz < target_bytes)
+    n_out = max(1, -(-small_bytes // target_bytes))
+    staging = path + ".staging"
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+    (
+        spark.read.parquet(*[os.path.join(path, n) for n in small])
+        .repartition(n_out)
+        .write.mode("overwrite")
+        .parquet(staging)
+    )
+    written = {
+        n for n in os.listdir(staging) if n.endswith(".parquet")
+    }
+    for n in big:
+        dst = os.path.join(staging, n)
+        if n in written:  # fresh-UUID part names make this ~impossible
+            raise RuntimeError(
+                f"compact_small_files: staging name collision on {n}"
+            )
+        try:
+            os.link(os.path.join(path, n), dst)
+        except OSError:
+            shutil.copy2(os.path.join(path, n), dst)
+    commit_swap(path, staging)
+    return {
+        "compacted": len(small),
+        "untouched": len(big),
+        "output_files": len(written),
+    }
+
+
 def salted_agg(
     df: DataFrame,
     group_cols: list[str],

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from activedatawarehouseprototype_spark.catalog import load
@@ -1077,3 +1078,98 @@ def test_jmv_verify_clean_corrupted_and_sampled(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         jmv_verify(spark, base, ["k"], sample_fraction=0.0)
+
+
+def test_compact_small_files_preserves_rows_and_reduces_files(spark, tmp_path):
+    from activedatawarehouseprototype_spark.operators.warehouse import (
+        compact_small_files,
+    )
+
+    path = str(tmp_path / "tiny")
+    spark.range(0, 10_000).selectExpr("id", "id * 3 AS v").repartition(
+        40
+    ).write.parquet(path)
+    before = spark.read.parquet(path)
+    before_rows = before.count()
+    before_sum = before.selectExpr("sum(v) AS s").collect()[0]["s"]
+    n_before = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert n_before >= 40
+    res = compact_small_files(spark, path, target_bytes=64 << 20)
+    n_after = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    after = spark.read.parquet(path)
+    assert after.count() == before_rows
+    assert after.selectExpr("sum(v) AS s").collect()[0]["s"] == before_sum
+    assert n_after < n_before and n_after == res["output_files"]
+    assert res["compacted"] == n_before and res["untouched"] == 0
+
+
+def test_compact_small_files_leaves_big_files_alone(spark, tmp_path):
+    """Files already >= target_bytes must be HARD-LINKED, not
+    rewritten — same inode, zero IO."""
+    from activedatawarehouseprototype_spark.operators.warehouse import (
+        compact_small_files,
+    )
+
+    path = str(tmp_path / "mixed")
+    spark.range(0, 200_000).selectExpr(
+        "id", "repeat(CAST(id AS STRING), 8) AS pad"
+    ).coalesce(1).write.parquet(path)
+    big = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(big) == 1
+    big_inode = os.stat(os.path.join(path, big[0])).st_ino
+    big_size = os.path.getsize(os.path.join(path, big[0]))
+    spark.range(0, 100).selectExpr(
+        "id + 1000000 AS id", "CAST(id AS STRING) AS pad"
+    ).repartition(6).write.mode("append").parquet(path)
+    res = compact_small_files(
+        spark, path, target_bytes=max(1024, big_size // 2)
+    )
+    assert res["untouched"] == 1 and res["compacted"] == 6
+    assert os.stat(os.path.join(path, big[0])).st_ino == big_inode
+    assert spark.read.parquet(path).count() == 200_100
+
+
+def test_compact_small_files_noop_below_min_and_rejects_partitioned(
+    spark, tmp_path
+):
+    from activedatawarehouseprototype_spark.operators.warehouse import (
+        compact_small_files,
+    )
+
+    path = str(tmp_path / "one")
+    spark.range(0, 10).coalesce(1).write.parquet(path)
+    res = compact_small_files(spark, path, target_bytes=1 << 20)
+    assert res == {"compacted": 0, "untouched": 1, "output_files": 0}
+
+    part = str(tmp_path / "part")
+    spark.range(0, 10).selectExpr("id", "id % 2 AS p").write.partitionBy(
+        "p"
+    ).parquet(part)
+    with pytest.raises(ValueError, match="partitioned"):
+        compact_small_files(spark, part, target_bytes=1 << 20)
+
+
+def test_compact_small_files_then_update_skipping_index(spark, tmp_path):
+    """The documented interplay: compaction staleness fails CLOSED and
+    update_skipping_index repairs the manifest."""
+    from activedatawarehouseprototype_spark.operators.skipping import (
+        Pred,
+        build_skipping_index,
+        read_with_skipping,
+        update_skipping_index,
+    )
+    from activedatawarehouseprototype_spark.operators.warehouse import (
+        compact_small_files,
+    )
+
+    path = str(tmp_path / "skip")
+    spark.range(0, 5_000).selectExpr("id", "id % 7 AS v").repartition(
+        10
+    ).write.parquet(path)
+    build_skipping_index(spark, path, ["id"])
+    compact_small_files(spark, path, target_bytes=64 << 20)
+    with pytest.raises(RuntimeError, match="stale"):
+        read_with_skipping(spark, path, [Pred("id", "<", 100)])
+    update_skipping_index(spark, path)
+    got = read_with_skipping(spark, path, [Pred("id", "<", 100)])
+    assert got.count() == 100
