@@ -44,6 +44,7 @@ from activedatawarehouseprototype_spark.corpus import udfs  # noqa: E402,F401
 from activedatawarehouseprototype_spark.corpus import stats  # noqa: E402,F401
 from activedatawarehouseprototype_spark.corpus import advanced  # noqa: E402,F401
 from activedatawarehouseprototype_spark.corpus import extensions2  # noqa: E402,F401
+from activedatawarehouseprototype_spark.corpus import extensions3  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
@@ -104,85 +105,78 @@ from activedatawarehouseprototype_spark.corpus import extensions2  # noqa: E402,
 # ---------------------------------------------------------------------------
 
 _DRIVER_ROTATION = [
-    # -- round-7 rotation -------------------------------------------------
-    # Evidence-age ledger after round 6: 44 entries last driver-checked
-    # in r4 (the registry's oldest), 47 in r5, 50 in r6. This window:
-    #   * the 11 round-6 operators that debuted with pytest-only
-    #     evidence (window was full) — every one now earns its driver
-    #     row (the debut invariant, one round late by documented
-    #     necessity);
-    #   * sketch_approx_distinct_and_quantiles, upgraded this round
-    #     from rows-only (`no_oracle`) to oracle-backed via exact-twin
-    #     columns + in-bound booleans — re-checked to convert the one
-    #     non-hash row into a hash-match;
-    #   * 4 operators NEW in round 7 (drift, triangles, temperature
-    #     mix, HLL set algebra) — debut rows;
-    #   * 31 of the 44 r4-era entries (family-diverse pick). The 13
-    #     deferred to round 8 (enumerated in test_registry_order's
-    #     _DEFERRED_TO_R8) are entries whose operator families keep an
-    #     in-window representative this round and whose code hasn't
-    #     changed since they last hash-matched. Round-8 editor:
-    #     front-load those 13 FIRST, then the oldest r5 entries.
-    #     NOTE the arithmetic: at 156 registry entries and a fixed
-    #     50-slot window, the tightest achievable evidence age is
-    #     ceil(156/50) = 4 windows ≈ 3 rounds — the old "nothing staler
-    #     than 2 rounds" invariant is no longer satisfiable; the
-    #     invariant from round 7 on is "nothing staler than 3 rounds,
-    #     oldest first, debuts always in-window".
+    # -- round-8 rotation -------------------------------------------------
+    # Evidence-age ledger after round 7: 50 entries fresh in r7, 46 in
+    # r6, 47 in r5, and the 13 documented r4 deferrals (the exact
+    # _DEFERRED_TO_R8 set). This window, oldest first, debuts
+    # in-window (the invariant set in round 7: "nothing staler than
+    # 3 rounds, oldest first, debuts always in-window"):
+    #   * the 13 r4 entries deferred from round 7 — FRONT-LOADED per
+    #     the documented plan (test_registry_order's _DEFERRED_TO_R8);
+    #   * 5 operators NEW in round 8 (SCD2 replay, Bloom-pruned semi
+    #     join, selective compaction, CMS estimates, frequent pairs)
+    #     — debut rows;
+    #   * 29 of the 47 r5-era entries (family-diverse pick: all the
+    #     rule-engine shapes, 6 representative TPC-H shapes, the
+    #     CDC/MV tier, emb/ann, dedup, geo, SQL-dialect, and the
+    #     warehouse/misc tier). The 18 deferred to round 9 are
+    #     enumerated in test_registry_order._DEFERRED_TO_R9 — every
+    #     one keeps an in-window family representative and none
+    #     changed since its r5 hash-match. Round-9 editor: front-load
+    #     those 18 FIRST, then the oldest r6 entries.
     # With the 3-entry stable core this fills the 50-slot window
-    # exactly: 11 + 1 + 4 + 31 + 3 = 50.
+    # exactly: 13 + 5 + 29 + 3 = 50.
     #
-    # -- new in round 7 (registrations of round-6 operators) --------------
-    "bm25_topk_docs",
-    "ewma_final_by_user",
-    "embedding_covariance_entries",
-    "windowed_topk_events",
-    "windowed_distinct_users",
-    "stream_interval_join_clicks",
-    "text_gopher_quality",
-    "skipping_index_pruned_scan",
-    "dedup_ppjoin_jaccard",
-    "sql_recursive_reachability",
-    "hll_mv_daily_distinct",
-    # -- oracle upgrade re-check ------------------------------------------
-    "sketch_approx_distinct_and_quantiles",
-    # -- NEW in round 7 -----------------------------------------------------
-    "drift_psi_event_values",
-    "graph_triangle_counts",
-    "temperature_mix_by_lang",
-    "hll_set_algebra_event_types",
-    # -- the 31 oldest (r4) entries ----------------------------------------
-    "chunk_documents_tokens",
-    "decontaminate_ngram_overlap",
-    "dedup_fingerprint",
-    "dedup_index_incremental",
-    "dedup_ngram_jaccard",
-    "dedup_simhash16",
-    "dedup_winnow_overlap",
-    "dirty_date_filter",
-    "emb_blocked_cosine_hist",
-    "emb_near_dup_pairs",
-    "filter_between_in_dates",
-    "fuzzy_part_name_pairs",
-    "geo_path_cells",
-    "join_anti_customers_without_orders",
-    "join_revenue_by_nation",
-    "lm_unigram_doc_scores",
-    "mv_incremental_merge_algebra",
-    "pack_sequences_stats",
-    "quality_percentile_gate",
-    "rule_same_ts_dedup_quirk",
-    "rule_union_alerts",
-    "sample_split_stats",
-    "semantic_cluster_dedup",
-    "shard_manifest",
-    "sql_subquery_above_avg_orders",
-    "stratified_sample_by_lang",
-    "stringagg_statuses_per_flag",
-    "text_lang_id",
-    "text_stats",
-    "tfidf_top_terms_per_doc",
-    "token_budget_mix_stats",
+    # -- the 13 r4 deferrals (oldest evidence in the registry) -------------
+    "scalar_date_fns",
+    "scalar_math_fns",
+    "scalar_conditional_fns",
+    "join_left_order_counts",
+    "join_semi_customers_with_open_orders",
+    "setop_union_intersect_except",
+    "cube_orders_status_priority",
+    "distinct_suppliers_per_flag",
+    "window_order_price_delta",
+    "funnel_view_click_purchase",
+    "geo_cell_geometry",
+    "emb_quantized_int8_stats",
+    "pii_redaction_scrub",
+    # -- NEW in round 8 -----------------------------------------------------
+    "scd2_customer_priority_history",
+    "bloom_semijoin_hot_customer_orders",
+    "compaction_small_files_rollup",
+    "cms_event_type_counts",
+    "frequent_part_pairs",
+    # -- 29 of the 47 r5-era entries (family-diverse) -----------------------
+    "rule_count_tumbling",
+    "rule_fanout_match_counts",
+    "rule_per_event_avg",
+    "rule_sliding_max",
+    "alert_cooldown_bursts",
+    "session_windows_per_user",
+    "tpch_q1_pricing_summary",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q18_large_volume_customers",
+    "tpch_q21_lone_returner",
+    "cdc_enrich_pipeline_evals",
+    "cdc_merge_changelog_orders",
+    "join_mv_cdc_maintenance_orders",
+    "mv_histogram_merge_algebra",
+    "contrastive_pairs_mining",
+    "ivf_pq_search_topk",
+    "dsir_importance_weights",
+    "dedup_minhash_components",
+    "geo_grid_cell_agg",
+    "sql_correlated_subquery_share",
+    "json_extract_props",
+    "quality_constraints_orders",
+    "resample_ffill_daily_values",
+    "rollup_lineitem_qty",
+    "timetravel_orders_rollup",
+    "join_full_outer_nation_activity",
+    "zorder_key_part_layout",
 ]
 
 
@@ -190,9 +184,9 @@ _STABLE_CORE = [
     # 3-entry regression canary set (trimmed from 6 in round 6; the
     # dropped canaries hold fresh hash-matches and stay in the
     # full-corpus pytest mirror). Every non-core slot this round goes
-    # to a round-6 debut, the sketch oracle upgrade, or an r4 refresh
-    # (see the _DRIVER_ROTATION header for the exact composition and
-    # the 13 entries deferred to round 8).
+    # to an r4 deferral, a round-8 debut, or an r5 refresh (see the
+    # _DRIVER_ROTATION header for the exact composition and the 18
+    # entries deferred to round 9).
     "rule_tumbling_avg",
     "tpch_q5_local_supplier_volume",
     "topk_customers_by_spend",

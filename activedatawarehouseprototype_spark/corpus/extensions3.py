@@ -1,0 +1,298 @@
+"""Corpus registrations new in round 8: SCD Type-2 replay, Bloom-
+pruned semi join, selective small-file compaction, Count-Min sketch
+estimates, and market-basket frequent pairs.
+
+Each entry pairs the real operator (not a reimplementation) with an
+ANSI-SQL twin DuckDB can run on the same parquet. Where an operator's
+output is not SQL-derivable (CMS estimates, file-count effects), the
+entry ships the exact SQL-derivable twin columns plus booleans the
+oracle pins to TRUE — the sketch-entry pattern established in round 7.
+
+Float discipline (registry contract): o_totalprice is 2-decimal
+source data, so ROUND(SUM(o_totalprice), 2) is parity-safe; counts
+are exact longs.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from activedatawarehouseprototype_spark.catalog import load as _load
+from activedatawarehouseprototype_spark.corpus import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return _load(spark, sf_dir, name)
+
+
+# --- SCD Type-2 replay (operators/warehouse.py::scd2_upsert) -------------
+# Orders replayed as a changelog of each customer's order priority,
+# one batch per calendar year (latest row per customer per year is
+# that batch's update). The oracle reconstructs the same history with
+# window functions: versions start where the per-batch value differs
+# from the previous batch's, valid_to is the next version's start.
+
+
+@register(
+    "scd2_customer_priority_history",
+    oracle="""
+WITH latest AS (
+  SELECT o_custkey AS custkey, o_orderpriority AS priority,
+         o_orderdate AS eff, year(o_orderdate) AS b,
+         row_number() OVER (PARTITION BY o_custkey, year(o_orderdate)
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders WHERE o_orderdate IS NOT NULL
+),
+seq AS (SELECT custkey, priority, eff, b FROM latest WHERE rn = 1),
+marked AS (
+  SELECT *, lag(priority) OVER (PARTITION BY custkey ORDER BY b) AS prev
+  FROM seq
+),
+versions AS (
+  SELECT custkey, priority, eff AS valid_from, b
+  FROM marked WHERE prev IS NULL OR prev <> priority
+),
+final AS (
+  SELECT custkey, priority, valid_from,
+         lead(valid_from) OVER (PARTITION BY custkey ORDER BY b) AS valid_to
+  FROM versions
+)
+SELECT CAST(custkey AS BIGINT) AS custkey, priority, valid_from,
+       COALESCE(valid_to, TIMESTAMP '9999-12-31') AS valid_to,
+       (valid_to IS NULL) AS is_current
+FROM final
+""",
+)
+def scd2_customer_priority_history(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from activedatawarehouseprototype_spark.operators.warehouse import (
+        scd2_upsert,
+    )
+
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
+    years = [
+        r["y"]
+        for r in orders.select(F.year("o_orderdate").alias("y"))
+        .distinct()
+        .orderBy("y")
+        .collect()
+    ]
+    target = tempfile.mkdtemp(prefix="adw-scd2-") + "/dim"
+    try:
+        for y in years:
+            batch = orders.filter(F.year("o_orderdate") == y)
+            w = Window.partitionBy("o_custkey").orderBy(
+                F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+            )
+            upd = (
+                batch.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select(
+                    F.col("o_custkey").alias("custkey"),
+                    F.col("o_orderpriority").alias("priority"),
+                    F.col("o_orderdate").alias("eff"),
+                )
+            )
+            scd2_upsert(
+                spark,
+                target,
+                upd,
+                key_cols=["custkey"],
+                tracked_cols=["priority"],
+                effective_ts_col="eff",
+            )
+        # the SCD2 high-date convention keeps the open version's
+        # valid_to comparable across engines (NULL timestamps render
+        # engine-specifically: Spark None vs pandas NaT)
+        out = spark.read.parquet(target).select(
+            F.col("custkey").cast("bigint").alias("custkey"),
+            "priority",
+            "valid_from",
+            F.coalesce(
+                F.col("valid_to"), F.lit("9999-12-31").cast("timestamp")
+            ).alias("valid_to"),
+            "is_current",
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+        return out
+    finally:
+        shutil.rmtree(os.path.dirname(target), ignore_errors=True)
+
+
+# --- Bloom-pruned semi join (operators/bloom_filter.py) ------------------
+# Orders of high-balance customers: the Bloom filter prunes the orders
+# scan map-side; the exact semi join keeps the result bit-identical to
+# the plain semi join the oracle runs.
+
+
+@register(
+    "bloom_semijoin_hot_customer_orders",
+    oracle="""
+SELECT o_orderstatus AS status, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS sum_price
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+GROUP BY 1
+""",
+)
+def bloom_semijoin_hot_customer_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from activedatawarehouseprototype_spark.operators.bloom_filter import (
+        bloom_semi_join,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    hot = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000)
+        .select("c_custkey")
+    )
+    return (
+        bloom_semi_join(orders, hot, "o_custkey", "c_custkey")
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+# --- Selective compaction (operators/warehouse.py::compact_small_files) --
+# Orders scattered into 48 tiny files, compacted; the rollup proves no
+# row was lost or duplicated, and the oracle pins the two invariants
+# the SQL twin cannot observe (file count fell; row count preserved).
+
+
+@register(
+    "compaction_small_files_rollup",
+    oracle="""
+SELECT o_orderpriority AS priority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS sum_price,
+       TRUE AS files_reduced, TRUE AS rows_preserved
+FROM orders
+GROUP BY 1
+""",
+)
+def compaction_small_files_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from activedatawarehouseprototype_spark.operators.warehouse import (
+        compact_small_files,
+    )
+
+    work = tempfile.mkdtemp(prefix="adw-compact-")
+    path = f"{work}/orders"
+    try:
+        orders = _t(spark, sf_dir, "orders")
+        n_rows = orders.count()
+        orders.repartition(48).write.parquet(path)
+        n_before = len(
+            [f for f in os.listdir(path) if f.endswith(".parquet")]
+        )
+        compact_small_files(spark, path, target_bytes=64 << 20)
+        n_after = len(
+            [f for f in os.listdir(path) if f.endswith(".parquet")]
+        )
+        compacted = spark.read.parquet(path)
+        out = compacted.groupBy(
+            F.col("o_orderpriority").alias("priority")
+        ).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        ).select(
+            "*",
+            F.lit(n_after < n_before).alias("files_reduced"),
+            (F.lit(compacted.count() == n_rows)).alias("rows_preserved"),
+        )
+        # materialize before the temp dir vanishes
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+# --- Count-Min sketch estimates (operators/sketches.py) ------------------
+# Exact per-type counts are the SQL twin; the CMS estimate rides along
+# as the deterministic invariant est >= exact (CMS never
+# under-estimates), pinned TRUE by the oracle.
+
+
+@register(
+    "cms_event_type_counts",
+    oracle="""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS exact_cnt,
+       TRUE AS est_ge_exact
+FROM events WHERE event_type IS NOT NULL
+GROUP BY 1
+""",
+)
+def cms_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from activedatawarehouseprototype_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    exact = (
+        events.filter(F.col("event_type").isNotNull())
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_cnt"))
+    )
+    sketch = cms_build(events, "event_type", width=1024, depth=4)
+    est = cms_estimate(
+        sketch, exact.select("event_type"), "event_type", width=1024, depth=4
+    )
+    return exact.join(est, "event_type").select(
+        "event_type",
+        "exact_cnt",
+        (F.col("est") >= F.col("exact_cnt")).alias("est_ge_exact"),
+    )
+
+
+# --- Market-basket frequent pairs (operators/basket.py) ------------------
+# Parts co-occurring in the same order; deterministic top-25 by
+# (support desc, item_a, item_b).
+
+
+@register(
+    "frequent_part_pairs",
+    oracle="""
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+),
+pairs AS (
+  SELECT a.i AS item_a, b.i AS item_b, COUNT(*) AS support
+  FROM items a JOIN items b ON a.b = b.b AND a.i < b.i
+  GROUP BY 1, 2
+)
+SELECT CAST(item_a AS BIGINT) AS item_a, CAST(item_b AS BIGINT) AS item_b,
+       CAST(support AS BIGINT) AS support
+FROM pairs
+QUALIFY row_number() OVER (ORDER BY support DESC, item_a, item_b) <= 25
+""",
+)
+def frequent_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from activedatawarehouseprototype_spark.operators.basket import (
+        frequent_pairs,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        frequent_pairs(li, "l_orderkey", "l_partkey")
+        .orderBy(F.col("support").desc(), "item_a", "item_b")
+        .limit(25)
+        .select(
+            F.col("item_a").cast("bigint").alias("item_a"),
+            F.col("item_b").cast("bigint").alias("item_b"),
+            F.col("support").cast("bigint").alias("support"),
+        )
+    )

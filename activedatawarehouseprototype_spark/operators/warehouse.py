@@ -197,8 +197,18 @@ def scd2_upsert(
     ).filter(F.col("cur._cp").isNotNull()).select(
         *[F.col(f"cur.{c}") for c in cur_cols]
     )
+    # _up must be non-NULL here: for a current row with NO update in
+    # this batch, every ~eqNullSafe(cur.c, NULL-from-absent-upd) is
+    # TRUE, so changed_pred alone would ALSO route it into `closed`
+    # (with a NULL valid_to) while kept_current keeps it open — a
+    # duplicated, self-contradicting version pair. Only rows that
+    # actually matched a differing update close.
     closed = (
-        joined.filter(F.col("cur._cp").isNotNull() & changed_pred)
+        joined.filter(
+            F.col("cur._cp").isNotNull()
+            & F.col("upd._up").isNotNull()
+            & changed_pred
+        )
         .select(
             *[F.col(f"cur.{c}") for c in key_cols + tracked_cols],
             F.col("cur.valid_from"),

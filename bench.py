@@ -79,6 +79,12 @@ HEADLINE = [
     "graph_triangle_counts",
     "temperature_mix_by_lang",
     "hll_set_algebra_event_types",
+    # new in round 8
+    "scd2_customer_priority_history",
+    "bloom_semijoin_hot_customer_orders",
+    "compaction_small_files_rollup",
+    "cms_event_type_counts",
+    "frequent_part_pairs",
 ]
 
 

@@ -90,3 +90,17 @@ def test_property_vs_naive(spark, rows, min_support, cap):
         ).collect()
     )
     assert got == _naive(rows, min_support=min_support, cap=cap)
+
+
+def test_plan_single_item_shuffle_and_pruned_scan(spark):
+    """One shuffle on the basket key before pair expansion (the pair
+    count's shuffle touches only pair rows), and the scan reads only
+    the two needed columns."""
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    fp = frequent_pairs(li, "l_orderkey", "l_partkey")
+    plan = fp._jdf.queryExecution().executedPlan().toString()
+    gen_at = plan.find("Generate explode")
+    assert gen_at >= 0
+    below_expand = plan[gen_at:]
+    assert below_expand.count("Exchange") == 1  # only the basket shuffle
+    assert "ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint>" in plan

@@ -94,3 +94,23 @@ def test_property_semi_join_equals_set_semantics(spark, build_keys, probe_keys):
     )
     want = sorted(k for k in probe_keys if k is not None and k in set(build_keys))
     assert got == want
+
+
+def test_plan_probe_filter_is_map_side(spark):
+    """The Bloom probe must appear as a Filter BELOW the semi join on
+    the big side (map-side, pre-shuffle) — pruning after the join
+    would be dead weight."""
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    hot = (
+        spark.read.parquet(f"{SF}/customer.parquet")
+        .filter(F.col("c_acctbal") > 5000)
+        .select("c_custkey")
+    )
+    out = bloom_semi_join(orders, hot, "o_custkey", "c_custkey")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    join_at = min(
+        i for i in (plan.find("BroadcastHashJoin"), plan.find("SortMergeJoin"))
+        if i >= 0
+    )
+    filt_at = plan.find("element_at")
+    assert filt_at > join_at >= 0  # probe filter is a child of the join

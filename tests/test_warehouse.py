@@ -1173,3 +1173,31 @@ def test_compact_small_files_then_update_skipping_index(spark, tmp_path):
     update_skipping_index(spark, path)
     got = read_with_skipping(spark, path, [Pred("id", "<", 100)])
     assert got.count() == 100
+
+
+def test_scd2_upsert_key_absent_from_batch_stays_open_once(spark, tmp_path):
+    """Regression (round 8): a current version whose key receives NO
+    update in a batch must stay open EXACTLY once. changed_pred
+    evaluated over the absent update's NULLs is TRUE, so without the
+    _up guard the row was both kept open AND 'closed' with a NULL
+    valid_to — a duplicated, self-contradicting version pair."""
+    target = str(tmp_path / "dim")
+    b1 = spark.createDataFrame(
+        [(1, "A", "2020-01-01"), (2, "B", "2020-01-01")],
+        "k int, v string, eff_s string",
+    ).selectExpr("k", "v", "CAST(eff_s AS TIMESTAMP) AS eff")
+    warehouse.scd2_upsert(spark, target, b1, ["k"], ["v"], "eff")
+    # batch 2 updates ONLY key 2; key 1 is absent
+    b2 = spark.createDataFrame(
+        [(2, "C", "2020-02-01")], "k int, v string, eff_s string"
+    ).selectExpr("k", "v", "CAST(eff_s AS TIMESTAMP) AS eff")
+    warehouse.scd2_upsert(spark, target, b2, ["k"], ["v"], "eff")
+    rows = sorted(
+        (r["k"], r["v"], str(r["valid_to"]), r["is_current"])
+        for r in spark.read.parquet(target).collect()
+    )
+    assert rows == [
+        (1, "A", "None", True),
+        (2, "B", "2020-02-01 00:00:00", False),
+        (2, "C", "None", True),
+    ]
