@@ -296,3 +296,114 @@ def frequent_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("support").cast("bigint").alias("support"),
         )
     )
+
+
+# --- CUSUM change points (operators/timeseries.py::cusum) ----------------
+# Values quantized to integer cents on BOTH sides, so every statistic
+# is exact integer arithmetic — no float discipline needed at all.
+# target=2000, slack=500 (cents): d+ = v - 2500, d- = 1500 - v;
+# alarm threshold 10000. The oracle computes the SAME cumsum identity
+# (S = C - min(0, running-min C)), not the textbook fold — identical
+# arithmetic, engine-portable by construction.
+
+
+@register(
+    "cusum_user_value_shifts",
+    oracle="""
+WITH src AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id,
+         CAST(round(value * 100) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+),
+walk AS (
+  SELECT user_id, ts_ms, event_id,
+         SUM(v - 2500) OVER w AS c_pos,
+         SUM(1500 - v) OVER w AS c_neg
+  FROM src
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+               ROWS UNBOUNDED PRECEDING)
+),
+s AS (
+  SELECT user_id,
+         c_pos - LEAST(MIN(c_pos) OVER w2, 0) AS s_pos,
+         c_neg - LEAST(MIN(c_neg) OVER w2, 0) AS s_neg
+  FROM walk
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+                ROWS UNBOUNDED PRECEDING)
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_obs,
+       CAST(MAX(s_pos) AS BIGINT) AS max_s_pos,
+       CAST(MAX(s_neg) AS BIGINT) AS max_s_neg,
+       CAST(COUNT(*) FILTER (WHERE s_pos > 10000) AS BIGINT) AS n_alarms
+FROM s GROUP BY user_id
+""",
+)
+def cusum_user_value_shifts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from activedatawarehouseprototype_spark.operators.timeseries import cusum
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("v"),
+    )
+    walked = cusum(
+        ev, "user_id", "ts", "v", target=2000, slack=500, tie_col="event_id"
+    )
+    return walked.groupBy(F.col("key").alias("user_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        F.max("s_pos").cast("bigint").alias("max_s_pos"),
+        F.max("s_neg").cast("bigint").alias("max_s_neg"),
+        F.sum((F.col("s_pos") > 10000).cast("bigint"))
+        .cast("bigint")
+        .alias("n_alarms"),
+    )
+
+
+# --- Balanced class downsampling (operators/sampling.py) -----------------
+# Documents downsampled to the smallest language's size; the md5 hash
+# order (the registry's engine-portable sampling coin) makes the
+# surviving subset — hence the exact per-class sums — identical in
+# both engines.
+
+
+@register(
+    "balanced_downsample_by_lang",
+    oracle="""
+WITH f AS (
+  SELECT lang, doc_id, n_chars,
+         CAST(concat('0x', substr(md5('b1:' || CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) / 4294967296.0 AS frac
+  FROM documents
+),
+nmin AS (
+  SELECT MIN(cnt) AS n
+  FROM (SELECT COUNT(*) AS cnt FROM documents GROUP BY lang)
+),
+ranked AS (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY frac, doc_id) AS rn
+  FROM f
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+FROM ranked, nmin WHERE rn <= nmin.n
+GROUP BY lang
+""",
+)
+def balanced_downsample_by_lang(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from activedatawarehouseprototype_spark.operators.sampling import (
+        balanced_downsample,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("lang", "doc_id", "n_chars")
+    kept = balanced_downsample(docs, ["lang"], ["doc_id"], salt="b1")
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.min("doc_id").cast("bigint").alias("min_doc_id"),
+    )

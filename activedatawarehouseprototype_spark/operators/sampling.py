@@ -382,3 +382,36 @@ def temperature_mix_sample(
     return joined.filter(hash_fraction(key_cols, salt) < F.col(rate_c)).drop(
         src_c, rate_c
     )
+
+
+def balanced_downsample(
+    df: DataFrame,
+    class_cols: list[str],
+    key_cols: list[str],
+    salt: str = "b1",
+) -> DataFrame:
+    """Downsample every class to the size of the SMALLEST class — the
+    class-balancing primitive for classifier training sets (quality
+    classifiers, lang-id, safety filters all want it). Which rows
+    survive is the deterministic hash order (same md5 coin as every
+    sampler here): a pure function of (salt, key), stable across runs,
+    partitionings, and engines.
+
+    Plan: one skinny count agg to the driver (|classes| rows —
+    control-plane, same discipline as temperature_mix_sample's rate
+    table) to find the min class size, then ONE window shuffle on the
+    class columns with a streaming ROW_NUMBER frame. NULL class labels
+    form their own class, as groupBy treats them.
+    """
+    counts = df.groupBy(*class_cols).count().collect()
+    if not counts:
+        return df
+    n_min = min(r["count"] for r in counts)
+    w = Window.partitionBy(*class_cols).orderBy(
+        hash_fraction(key_cols, salt), *[F.col(c) for c in key_cols]
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_min)
+        .drop("_rn")
+    )

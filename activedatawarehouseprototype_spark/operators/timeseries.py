@@ -258,3 +258,77 @@ def ewma(
             f"key {key_t}, seq bigint, ts_ms bigint, value double, ewma double",
         )
     )
+
+
+def cusum(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    target,
+    slack=0,
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Per-key two-sided CUSUM change-point statistic (Page 1954):
+
+        S+_t = max(0, S+_{t-1} + (x_t - target - slack))
+        S-_t = max(0, S-_{t-1} + (target - slack - x_t))
+
+    — the standard sequential detector for small persistent mean
+    shifts that a per-point z-score misses (complements rolling_zscore
+    for spikes and drift.psi_kl_drift for distribution-level shift).
+
+    Plan shape: the reset recurrence is computed WITHOUT any
+    sequential UDF via the cumsum identity
+
+        S_t = C_t - min(0, min_{j<=t} C_j),   C_t = cumsum(d_t)
+
+    (truncation at zero == subtracting the running minimum of the
+    un-truncated walk) — two running window aggregates over ONE
+    (key)-shuffle, all in whole-stage codegen. Output: one row per
+    non-NULL observation, ``(key, seq, ts_ms, value, s_pos, s_neg)``.
+
+    Numeric contract: the arithmetic is exactly the input's type —
+    feed integer-quantized units (e.g. cents) with integer
+    target/slack and every statistic is EXACT (engine-portable with
+    no float discipline at all); feed doubles and you accept last-ulp
+    summation variation like any running float sum.
+
+    ``tie_col`` breaks same-timestamp ties (pass the event id) —
+    required for a deterministic fold order whenever ts can repeat.
+    NULL values/timestamps are excluded (a NULL observation has no
+    position in the walk).
+    """
+    ms = F.unix_millis(F.col(ts_col))
+    order = [F.col("ts_ms")] + ([F.col("_tie")] if tie_col else [])
+    src = df.select(
+        F.col(key_col).alias("key"),
+        ms.alias("ts_ms"),
+        F.col(value_col).alias("value"),
+        *([F.col(tie_col).alias("_tie")] if tie_col else []),
+    ).filter(F.col("value").isNotNull() & F.col("ts_ms").isNotNull())
+    w = (
+        Window.partitionBy("key")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d_pos = F.col("value") - F.lit(target) - F.lit(slack)
+    d_neg = F.lit(target) - F.lit(slack) - F.col("value")
+    zero = F.lit(0)
+    out = (
+        src.withColumn("_c_pos", F.sum(d_pos).over(w))
+        .withColumn("_c_neg", F.sum(d_neg).over(w))
+        .withColumn("_m_pos", F.min("_c_pos").over(w))
+        .withColumn("_m_neg", F.min("_c_neg").over(w))
+        .select(
+            "key",
+            (F.row_number().over(Window.partitionBy("key").orderBy(*order)) - 1)
+            .cast("bigint")
+            .alias("seq"),
+            "ts_ms",
+            "value",
+            (F.col("_c_pos") - F.least(F.col("_m_pos"), zero)).alias("s_pos"),
+            (F.col("_c_neg") - F.least(F.col("_m_neg"), zero)).alias("s_neg"),
+        )
+    )
+    return out

@@ -85,6 +85,8 @@ HEADLINE = [
     "compaction_small_files_rollup",
     "cms_event_type_counts",
     "frequent_part_pairs",
+    "cusum_user_value_shifts",
+    "balanced_downsample_by_lang",
 ]
 
 
