@@ -407,3 +407,32 @@ def balanced_downsample_by_lang(
         F.sum("n_chars").cast("bigint").alias("sum_chars"),
         F.min("doc_id").cast("bigint").alias("min_doc_id"),
     )
+
+
+# --- Persisted BM25 inverted index (operators/text_index.py) -------------
+# Same output contract as retrieval.bm25_topk (formula, rounding,
+# ranking), so the entry REUSES the bm25_topk_docs oracle text — the
+# two paths can't drift apart. The index build + bucket-pruned search
+# run inside the entry; correctness proves the persisted path returns
+# the exact on-the-fly ranking.
+
+from activedatawarehouseprototype_spark.corpus import ORACLES as _ORACLES
+from activedatawarehouseprototype_spark.corpus.extensions2 import BM25_QUERIES
+
+
+@register("bm25_index_search_topk", oracle=_ORACLES["bm25_topk_docs"])
+def bm25_index_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from activedatawarehouseprototype_spark.operators.text_index import (
+        text_index_build,
+        text_index_search,
+    )
+
+    work = tempfile.mkdtemp(prefix="adw-tix-")
+    path = f"{work}/bm25"
+    try:
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        text_index_build(docs, path, n_buckets=32)
+        out = text_index_search(spark, path, BM25_QUERIES, k=10)
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -87,6 +87,7 @@ HEADLINE = [
     "frequent_part_pairs",
     "cusum_user_value_shifts",
     "balanced_downsample_by_lang",
+    "bm25_index_search_topk",
 ]
 
 

