@@ -485,6 +485,66 @@ def _build_parser() -> argparse.ArgumentParser:
     ptm.add_argument("--target-rows", type=int, default=None)
     ptm.add_argument("--salt", default="tm1")
     ptm.add_argument("--output", required=True)
+
+    pbx = sub.add_parser(
+        "text-index-build", help="build the persisted BM25 inverted index"
+    )
+    pbx.add_argument("--docs", required=True, help="documents parquet")
+    pbx.add_argument("--index", required=True, help="index directory")
+    pbx.add_argument("--n-buckets", type=int, default=64)
+    pbx.add_argument("--id-col", default="doc_id")
+    pbx.add_argument("--text-col", default="text")
+
+    pbq = sub.add_parser(
+        "text-index-search",
+        help="BM25 top-k via the persisted index (bucket-pruned read)",
+    )
+    pbq.add_argument("--index", required=True)
+    pbq.add_argument(
+        "--query", action="append", required=True,
+        help="query string (repeat for a batch; ids are 1-based order)",
+    )
+    pbq.add_argument("--k", type=int, default=10)
+    pbq.add_argument("--output", required=True)
+
+    pcs = sub.add_parser(
+        "cusum", help="per-key CUSUM change-point statistics"
+    )
+    pcs.add_argument("--input", required=True)
+    pcs.add_argument("--key-col", required=True)
+    pcs.add_argument("--ts-col", default="ts")
+    pcs.add_argument("--value-col", required=True)
+    pcs.add_argument("--target", type=float, required=True)
+    pcs.add_argument("--slack", type=float, default=0.0)
+    pcs.add_argument("--tie-col", default=None)
+    pcs.add_argument("--output", required=True)
+
+    pbd = sub.add_parser(
+        "balanced-sample",
+        help="downsample every class to the smallest class's size",
+    )
+    pbd.add_argument("--input", required=True)
+    pbd.add_argument("--class-cols", required=True, help="comma-separated")
+    pbd.add_argument("--key-cols", required=True, help="comma-separated")
+    pbd.add_argument("--salt", default="b1")
+    pbd.add_argument("--output", required=True)
+
+    pfp = sub.add_parser(
+        "frequent-pairs", help="co-occurring item pairs by support"
+    )
+    pfp.add_argument("--input", required=True)
+    pfp.add_argument("--basket-col", required=True)
+    pfp.add_argument("--item-col", required=True)
+    pfp.add_argument("--min-support", type=int, default=1)
+    pfp.add_argument("--max-basket-items", type=int, default=None)
+    pfp.add_argument("--output", required=True)
+
+    pcf = sub.add_parser(
+        "compact-small",
+        help="rewrite only sub-target files; hard-link the rest",
+    )
+    pcf.add_argument("--path", required=True)
+    pcf.add_argument("--target-bytes", type=int, default=128 << 20)
     return p
 
 
@@ -1070,6 +1130,102 @@ def main(argv: list[str] | None = None) -> int:
         )
         out.write.mode("overwrite").parquet(args.output)
         print(f"{out.count()} result rows -> {args.output}", file=sys.stderr)
+        return 0
+
+    if args.cmd == "text-index-build":
+        from activedatawarehouseprototype_spark.catalog import load_parquet
+        from activedatawarehouseprototype_spark.operators.text_index import (
+            text_index_build,
+        )
+
+        text_index_build(
+            load_parquet(spark, args.docs),
+            args.index,
+            n_buckets=args.n_buckets,
+            id_col=args.id_col,
+            text_col=args.text_col,
+        )
+        print(f"index built -> {args.index}", file=sys.stderr)
+        return 0
+
+    if args.cmd == "text-index-search":
+        from activedatawarehouseprototype_spark.operators.text_index import (
+            text_index_search,
+        )
+
+        out = text_index_search(
+            spark,
+            args.index,
+            [(i + 1, q) for i, q in enumerate(args.query)],
+            k=args.k,
+        )
+        out.write.mode("overwrite").parquet(args.output)
+        print(f"{out.count()} result rows -> {args.output}", file=sys.stderr)
+        return 0
+
+    if args.cmd == "cusum":
+        from activedatawarehouseprototype_spark.catalog import load_parquet
+        from activedatawarehouseprototype_spark.operators.timeseries import cusum
+
+        out = cusum(
+            load_parquet(spark, args.input),
+            args.key_col,
+            args.ts_col,
+            args.value_col,
+            target=args.target,
+            slack=args.slack,
+            tie_col=args.tie_col,
+        )
+        out.write.mode("overwrite").parquet(args.output)
+        print(f"{out.count()} walk rows -> {args.output}", file=sys.stderr)
+        return 0
+
+    if args.cmd == "balanced-sample":
+        from activedatawarehouseprototype_spark.catalog import load_parquet
+        from activedatawarehouseprototype_spark.operators.sampling import (
+            balanced_downsample,
+        )
+
+        out = balanced_downsample(
+            load_parquet(spark, args.input),
+            args.class_cols.split(","),
+            args.key_cols.split(","),
+            salt=args.salt,
+        )
+        out.write.mode("overwrite").parquet(args.output)
+        print(f"{out.count()} rows kept -> {args.output}", file=sys.stderr)
+        return 0
+
+    if args.cmd == "frequent-pairs":
+        from activedatawarehouseprototype_spark.catalog import load_parquet
+        from activedatawarehouseprototype_spark.operators.basket import (
+            frequent_pairs,
+        )
+
+        out = frequent_pairs(
+            load_parquet(spark, args.input),
+            args.basket_col,
+            args.item_col,
+            min_support=args.min_support,
+            max_basket_items=args.max_basket_items,
+        )
+        out.write.mode("overwrite").parquet(args.output)
+        print(f"{out.count()} pairs -> {args.output}", file=sys.stderr)
+        return 0
+
+    if args.cmd == "compact-small":
+        from activedatawarehouseprototype_spark.operators.warehouse import (
+            compact_small_files,
+        )
+
+        res = compact_small_files(
+            spark, args.path, target_bytes=args.target_bytes
+        )
+        print(
+            f"compacted {res['compacted']} files into "
+            f"{res['output_files']} ({res['untouched']} untouched)",
+            file=sys.stderr,
+        )
         return 0
 
     if args.cmd == "ewma":

@@ -220,3 +220,99 @@ def test_cli_temperature_mix(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_cli_text_index_build_and_search(spark, tmp_path):
+    idx = str(tmp_path / "tix")
+    out = str(tmp_path / "tix_hits")
+    assert main([
+        "text-index-build",
+        "--docs", f"{SF}/documents.parquet",
+        "--index", idx,
+        "--n-buckets", "8",
+    ]) == 0
+    assert main([
+        "text-index-search",
+        "--index", idx,
+        "--query", "hash join",
+        "--k", "5",
+        "--output", out,
+    ]) == 0
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 5 and all(r["query_id"] == 1 for r in rows)
+    from activedatawarehouseprototype_spark.operators.retrieval import bm25_topk
+
+    want = bm25_topk(
+        spark.read.parquet(f"{SF}/documents.parquet"), [(1, "hash join")], k=5
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, want))
+
+
+def test_cli_cusum(spark, tmp_path):
+    src = str(tmp_path / "ev")
+    out = str(tmp_path / "walk")
+    spark.createDataFrame(
+        [("k", "2024-01-01 00:00:00", 1, 15), ("k", "2024-01-01 00:00:01", 2, 15)],
+        "key string, ts_s string, eid long, v long",
+    ).selectExpr("key", "CAST(ts_s AS TIMESTAMP) AS ts", "eid", "v").write.parquet(src)
+    assert main([
+        "cusum",
+        "--input", src,
+        "--key-col", "key",
+        "--value-col", "v",
+        "--target", "10",
+        "--tie-col", "eid",
+        "--output", out,
+    ]) == 0
+    rows = sorted((r["seq"], r["s_pos"]) for r in spark.read.parquet(out).collect())
+    assert rows == [(0, 5.0), (1, 10.0)]
+
+
+def test_cli_balanced_sample(spark, tmp_path):
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "bal")
+    spark.createDataFrame(
+        [("a", i) for i in range(10)] + [("b", 100 + i) for i in range(3)],
+        "cls string, id long",
+    ).write.parquet(src)
+    assert main([
+        "balanced-sample",
+        "--input", src,
+        "--class-cols", "cls",
+        "--key-cols", "id",
+        "--output", out,
+    ]) == 0
+    from collections import Counter
+
+    counts = Counter(r["cls"] for r in spark.read.parquet(out).collect())
+    assert counts == {"a": 3, "b": 3}
+
+
+def test_cli_frequent_pairs(spark, tmp_path):
+    src = str(tmp_path / "bk")
+    out = str(tmp_path / "pairs")
+    spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "x"), (2, "y"), (2, "z")],
+        "b int, i string",
+    ).write.parquet(src)
+    assert main([
+        "frequent-pairs",
+        "--input", src,
+        "--basket-col", "b",
+        "--item-col", "i",
+        "--min-support", "2",
+        "--output", out,
+    ]) == 0
+    rows = [tuple(r) for r in spark.read.parquet(out).collect()]
+    assert rows == [("x", "y", 2)]
+
+
+def test_cli_compact_small(spark, tmp_path, capsys):
+    path = str(tmp_path / "t")
+    spark.range(0, 1000).repartition(8).write.parquet(path)
+    assert main(["compact-small", "--path", path]) == 0
+    import os as _os
+
+    n = len([f for f in _os.listdir(path) if f.endswith(".parquet")])
+    assert n < 8
+    assert spark.read.parquet(path).count() == 1000
