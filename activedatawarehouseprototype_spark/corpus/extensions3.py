@@ -436,3 +436,59 @@ def bm25_index_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# --- Per-key lag features (operators/timeseries.py::lag_features) --------
+# Everything picked or per-row subtracted — no order-dependent sums,
+# so values ship UNROUNDED (IEEE-bit-exact across engines). Lag NULLs
+# at key starts are COALESCEd to -1 on both sides (values are
+# positive; NULL doubles render engine-specifically).
+
+
+@register(
+    "lag_features_user_values",
+    oracle="""
+WITH src AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, value
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(ts_ms AS BIGINT) AS ts_ms,
+       CAST(event_id AS BIGINT) AS event_id,
+       value,
+       COALESCE(lag(value, 1) OVER w, -1) AS lag_1,
+       COALESCE(lag(value, 2) OVER w, -1) AS lag_2,
+       value - COALESCE(lag(value, 1) OVER w, value) AS delta_1,
+       MIN(value) OVER wt AS rmin_3,
+       MAX(value) OVER wt AS rmax_3
+FROM src
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id),
+       wt AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+""",
+)
+def lag_features_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from activedatawarehouseprototype_spark.operators.timeseries import (
+        lag_features,
+    )
+
+    out = lag_features(
+        _t(spark, sf_dir, "events"),
+        "user_id",
+        "ts",
+        "value",
+        lags=(1, 2),
+        trail=3,
+        tie_col="event_id",
+    )
+    return out.select(
+        F.col("key").cast("bigint").alias("user_id"),
+        F.col("ts_ms").cast("bigint").alias("ts_ms"),
+        F.col("tie").cast("bigint").alias("event_id"),
+        "value",
+        F.coalesce(F.col("lag_1"), F.lit(-1.0)).alias("lag_1"),
+        F.coalesce(F.col("lag_2"), F.lit(-1.0)).alias("lag_2"),
+        "delta_1",
+        "rmin_3",
+        "rmax_3",
+    )

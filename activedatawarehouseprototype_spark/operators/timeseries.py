@@ -332,3 +332,64 @@ def cusum(
         )
     )
     return out
+
+
+def lag_features(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    lags: "tuple[int, ...]" = (1, 2),
+    trail: int = 3,
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Per-key ML feature extraction over an event stream: lagged
+    values, the first difference, and trailing-window min/max — the
+    standard tabular-model prep (one row per observation, ready to
+    join onto a label table).
+
+    Feature set (names fixed so downstream schemas are stable):
+    ``lag_<k>`` for each k in ``lags``; ``delta_1`` = value − previous
+    value (0 for a key's first row — the window_order_price_delta
+    convention: COALESCE, not NULL, keeps the column engine-portable
+    and model-ingestible); ``rmin_<trail>`` / ``rmax_<trail>`` over the
+    trailing ``trail`` rows INCLUDING the current one.
+
+    Everything is picked or per-row subtracted — no order-dependent
+    sums anywhere, so outputs are bit-exact across engines with no
+    rounding discipline. One window shuffle on the key; every frame is
+    ROWS-bounded (streaming evaluation, no buffering beyond ``trail``).
+
+    NULL values/timestamps are excluded up front: a NULL has no
+    position in the lag order, and excluding it here beats poisoning
+    ``delta_1`` of the next row. ``tie_col`` (the event id) makes
+    same-timestamp order deterministic.
+    """
+    if trail < 1:
+        raise ValueError(f"lag_features: trail must be >= 1, got {trail}")
+    if not lags or any(k < 1 for k in lags):
+        raise ValueError(f"lag_features: lags must be positive, got {lags}")
+    ms = F.unix_millis(F.col(ts_col))
+    src = df.select(
+        F.col(key_col).alias("key"),
+        ms.alias("ts_ms"),
+        F.col(value_col).alias("value"),
+        *([F.col(tie_col).alias("tie")] if tie_col else []),
+    ).filter(F.col("value").isNotNull() & F.col("ts_ms").isNotNull())
+    order = [F.col("ts_ms")] + ([F.col("tie")] if tie_col else [])
+    w = Window.partitionBy("key").orderBy(*order)
+    wt = w.rowsBetween(-(trail - 1), 0)
+    feats = [
+        F.lag("value", k).over(w).alias(f"lag_{k}") for k in sorted(lags)
+    ]
+    return src.select(
+        "key",
+        "ts_ms",
+        *(["tie"] if tie_col else []),
+        "value",
+        *feats,
+        (F.col("value") - F.coalesce(F.lag("value", 1).over(w), F.col("value")))
+        .alias("delta_1"),
+        F.min("value").over(wt).alias(f"rmin_{trail}"),
+        F.max("value").over(wt).alias(f"rmax_{trail}"),
+    )

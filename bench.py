@@ -88,6 +88,7 @@ HEADLINE = [
     "cusum_user_value_shifts",
     "balanced_downsample_by_lang",
     "bm25_index_search_topk",
+    "lag_features_user_values",
 ]
 
 
