@@ -102,6 +102,9 @@ def scd2_customer_priority_history(
                     F.col("o_orderdate").alias("eff"),
                 )
             )
+            # validate=False: upd is deduplicated (row_number()=1) and
+            # NULL-ts-filtered by construction two lines up — the
+            # validation job per batch would only re-prove that
             scd2_upsert(
                 spark,
                 target,
@@ -109,6 +112,7 @@ def scd2_customer_priority_history(
                 key_cols=["custkey"],
                 tracked_cols=["priority"],
                 effective_ts_col="eff",
+                validate=False,
             )
         # the SCD2 high-date convention keeps the open version's
         # valid_to comparable across engines (NULL timestamps render

@@ -110,6 +110,7 @@ def scd2_upsert(
     key_cols: list[str],
     tracked_cols: list[str],
     effective_ts_col: str,
+    validate: bool = True,
 ) -> None:
     """Type-2 slowly-changing-dimension MERGE: history is preserved.
 
@@ -140,15 +141,25 @@ def scd2_upsert(
             "tracked columns there is no change to detect; use "
             "merge_upsert for untracked overwrites"
         )
-    dup = (
-        updates.groupBy(*key_cols)
-        .count()
-        .filter(F.col("count") > 1)
-        .limit(1)
-        .collect()
-    )
-    if dup:
-        key_repr = {c: dup[0][c] for c in key_cols}
+    # BOTH input validations in ONE job (a multi-batch replay pays this
+    # per batch — two separate limit(1).collect() scans doubled the
+    # fixed overhead): max per-key multiplicity + NULL-ts count, plus
+    # one offending key for the error message. ``validate=False`` skips
+    # the job entirely for callers whose batches are deduplicated and
+    # NULL-filtered BY CONSTRUCTION (e.g. a row_number()=1 pick just
+    # upstream) — with a violated contract the full-outer join writes
+    # overlapping open versions, so only skip when construction
+    # guarantees it.
+    chk = None if not validate else updates.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col(effective_ts_col).isNull().cast("long")).alias("_nulls"),
+    ).agg(
+        F.max("_n").alias("max_n"),
+        F.sum("_nulls").alias("n_null_ts"),
+        F.max_by(F.struct(*key_cols), F.col("_n")).alias("worst_key"),
+    ).collect()[0]
+    if chk is not None and chk["max_n"] is not None and chk["max_n"] > 1:
+        key_repr = chk["worst_key"].asDict()
         raise ValueError(
             f"scd2_upsert: updates carry more than one row for key "
             f"{key_repr} — one row per key required (deduplicate to the "
@@ -158,7 +169,7 @@ def scd2_upsert(
     # an SCD2 version with no start instant is meaningless, and a NULL
     # valid_from would also break the full-outer presence logic below
     # — reject it loudly rather than silently dropping/duplicating rows
-    if updates.filter(F.col(effective_ts_col).isNull()).limit(1).collect():
+    if chk is not None and chk["n_null_ts"]:
         raise ValueError(
             f"scd2_upsert: NULL {effective_ts_col} in updates — every "
             f"version needs a start instant"
