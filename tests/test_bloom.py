@@ -112,5 +112,5 @@ def test_plan_probe_filter_is_map_side(spark):
         i for i in (plan.find("BroadcastHashJoin"), plan.find("SortMergeJoin"))
         if i >= 0
     )
-    filt_at = plan.find("element_at")
+    filt_at = plan.find("xxhash64")  # the probe's seeded position hashes
     assert filt_at > join_at >= 0  # probe filter is a child of the join
