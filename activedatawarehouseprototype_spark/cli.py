@@ -101,6 +101,24 @@ def _build_parser() -> argparse.ArgumentParser:
         "--drift-threshold", type=float, default=0.25,
         help="PSI above this marks the batch drifted (default 0.25)",
     )
+    pr.add_argument(
+        "--cusum-value", default=None,
+        help="value column for the CUSUM mean-shift gate "
+        "(per-batch mean through the Page recurrence; scores at "
+        "<work-dir>/cusum)",
+    )
+    pr.add_argument(
+        "--cusum-target", type=float, default=None,
+        help="in-control mean (required with --cusum-value)",
+    )
+    pr.add_argument(
+        "--cusum-slack", type=float, default=0.0,
+        help="half-deadband subtracted from each deviation (default 0)",
+    )
+    pr.add_argument(
+        "--cusum-threshold", type=float, default=5.0,
+        help="either CUSUM side above this raises the alarm (default 5)",
+    )
 
     ps = sub.add_parser("sql", help="print the rule's generated ANSI-SQL twin")
     ps.add_argument("--rule", required=True)
@@ -1344,6 +1362,10 @@ def main(argv: list[str] | None = None) -> int:
             drift_value_col=args.drift_value,
             drift_bins=_parse_mv_hist(args.drift_bins, flag="--drift-bins"),
             drift_threshold=args.drift_threshold,
+            cusum_value_col=args.cusum_value,
+            cusum_target=args.cusum_target,
+            cusum_slack=args.cusum_slack,
+            cusum_threshold=args.cusum_threshold,
         )
         from activedatawarehouseprototype_spark.catalog import load_parquet
 

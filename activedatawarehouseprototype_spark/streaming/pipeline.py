@@ -201,6 +201,24 @@ class ActivePipeline:
     drift_group_cols: "list[str] | None" = None
     drift_threshold: float = 0.25
     drift_min_ref_rows: int = 100
+    # CUSUM mean-shift gate (optional): when cusum_value_col +
+    # cusum_target are set, each batch's per-slice MEAN feeds the
+    # two-sided Page recurrence S± = max(0, S± ± (mean - target) -
+    # slack), carried across batches in ``work_dir/cusum_state/
+    # batch=<id>`` snapshots (replay reads the LATEST state with
+    # batch < id, so re-delivering a batch rescores identically).
+    # Alarms when either side exceeds cusum_threshold. This catches
+    # the drift the PSI gate is least sensitive to — a SMALL mean
+    # shift persisting over many batches (PSI needs the histogram to
+    # visibly move; CUSUM integrates the bias). Scores land in
+    # ``work_dir/cusum/batch=<id>`` — read back with
+    # ``cusum_scores()``. State snapshots are scalars per slice;
+    # snapshots older than the previous few batches are janitored.
+    cusum_value_col: str | None = None
+    cusum_target: float | None = None
+    cusum_slack: float = 0.0
+    cusum_threshold: float = 5.0
+    cusum_group_cols: "list[str] | None" = None
     # per-rule emission high-watermark: query_id -> max emitted window_end (ms)
     _emitted_wm: dict[int, int] = dc_field(default_factory=dict)
     _has_buffer: bool = False
@@ -268,6 +286,12 @@ class ActivePipeline:
                 raise ValueError(
                     f"drift_bins needs hi > lo and n_bins > 0, got {self.drift_bins}"
                 )
+        # same fail-at-construction contract for the CUSUM gate
+        if bool(self.cusum_value_col) != (self.cusum_target is not None):
+            raise ValueError(
+                "CUSUM detection needs BOTH cusum_value_col and "
+                "cusum_target (got only one)"
+            )
         if self.work_dir is None:
             self.work_dir = tempfile.mkdtemp(prefix="adw-pipeline-")
         if self.rule_source is None and self.rules_dir:
@@ -529,6 +553,21 @@ class ActivePipeline:
     def drift_path(self) -> str:
         return os.path.join(self.work_dir, "drift")
 
+    @property
+    def cusum_state_path(self) -> str:
+        return os.path.join(self.work_dir, "cusum_state")
+
+    @property
+    def cusum_path(self) -> str:
+        return os.path.join(self.work_dir, "cusum")
+
+    def cusum_scores(self) -> DataFrame:
+        """Per-batch CUSUM statistics (requires ``cusum_value_col`` +
+        ``cusum_target``): one row per (group slice, batch) with the
+        carried s_pos/s_neg and ``alarm`` = either side above the
+        threshold."""
+        return self.spark.read.parquet(self.cusum_path)
+
     def drift_scores(self) -> DataFrame:
         """Per-batch PSI drift scores (requires ``drift_value_col`` +
         ``drift_bins``): one row per (group slice, batch) once the
@@ -546,6 +585,111 @@ class ActivePipeline:
         ).cast("int")
 
     DRIFT_COMPACT_EVERY = 64
+
+    CUSUM_STATE_RETAIN = 8
+
+    def _update_cusum(self, batch_df: DataFrame, batch_id: int) -> None:
+        """Per-batch CUSUM mean-shift stage. The batch touches the
+        heavy data with ONE skinny mean agg per slice; the recurrence
+        update joins that against the latest carried state (batch <
+        id — a replay of batch id re-reads the same prior state and
+        rescores identically under foreachBatch's sequential-epoch
+        replay model). A slice absent from this batch keeps its state
+        unchanged (carried forward), so an intermittent slice's walk
+        is not reset by quiet batches. State snapshots are scalars per
+        slice; snapshots older than CUSUM_STATE_RETAIN batches are
+        janitored after a successful write (only batch-1 is ever read,
+        and an older batch never replays after a newer one ran)."""
+        groups = list(self.cusum_group_cols or [])
+        cur = (
+            batch_df.select(
+                *groups, F.col(self.cusum_value_col).cast("double").alias("_v")
+            )
+            .filter(F.col("_v").isNotNull())
+            .groupBy(*groups)
+            .agg(F.avg("_v").alias("_mean"), F.count(F.lit(1)).alias("_n"))
+        )
+        prior = None
+        if os.path.exists(self.cusum_state_path):
+            hist = self.spark.read.parquet(self.cusum_state_path).filter(
+                F.col("batch") < batch_id
+            )
+            latest = hist.groupBy(*groups).agg(
+                F.max_by(
+                    F.struct("s_pos", "s_neg", "n_batches"), F.col("batch")
+                ).alias("_st")
+            )
+            prior = latest.select(
+                *groups,
+                F.col("_st.s_pos").alias("_p_pos"),
+                F.col("_st.s_neg").alias("_p_neg"),
+                F.col("_st.n_batches").alias("_p_n"),
+            )
+        if prior is not None:
+            joined = cur.join(prior, groups, "full_outer") if groups else (
+                cur.crossJoin(prior)
+            )
+        else:
+            joined = cur.select(
+                "*",
+                F.lit(None).cast("double").alias("_p_pos"),
+                F.lit(None).cast("double").alias("_p_neg"),
+                F.lit(None).cast("long").alias("_p_n"),
+            )
+        zero = F.lit(0.0)
+        p_pos = F.coalesce("_p_pos", zero)
+        p_neg = F.coalesce("_p_neg", zero)
+        tgt = F.lit(float(self.cusum_target))
+        slk = F.lit(float(self.cusum_slack))
+        # a slice with no rows THIS batch carries state forward
+        has_cur = F.col("_mean").isNotNull()
+        s_pos = F.when(
+            has_cur, F.greatest(zero, p_pos + (F.col("_mean") - tgt - slk))
+        ).otherwise(p_pos)
+        s_neg = F.when(
+            has_cur, F.greatest(zero, p_neg + (tgt - slk - F.col("_mean")))
+        ).otherwise(p_neg)
+        state = joined.select(
+            *groups,
+            s_pos.alias("s_pos"),
+            s_neg.alias("s_neg"),
+            (
+                F.coalesce("_p_n", F.lit(0))
+                + has_cur.cast("long")
+            ).alias("n_batches"),
+            F.col("_mean").alias("batch_mean"),
+            F.coalesce("_n", F.lit(0)).alias("batch_rows"),
+        ).localCheckpoint()  # one materialization: state write + score write
+        state.select(*groups, "s_pos", "s_neg", "n_batches").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(self.cusum_state_path, f"batch={batch_id}"))
+        thr = F.lit(float(self.cusum_threshold))
+        state.select(
+            *groups,
+            "batch_mean",
+            "batch_rows",
+            "n_batches",
+            F.round("s_pos", 9).alias("s_pos"),
+            F.round("s_neg", 9).alias("s_neg"),
+            ((F.col("s_pos") > thr) | (F.col("s_neg") > thr)).alias("alarm"),
+        ).write.mode("overwrite").parquet(
+            os.path.join(self.cusum_path, f"batch={batch_id}")
+        )
+        # janitor: drop state snapshots older than the retain horizon
+        horizon = batch_id - self.CUSUM_STATE_RETAIN
+        if horizon > 0 and os.path.exists(self.cusum_state_path):
+            for d in os.listdir(self.cusum_state_path):
+                if d.startswith("batch="):
+                    try:
+                        b = int(d.split("=", 1)[1])
+                    except ValueError:
+                        continue
+                    if b < horizon:
+                        shutil.rmtree(
+                            os.path.join(self.cusum_state_path, d),
+                            ignore_errors=True,
+                        )
+
 
     def _update_drift(self, batch_df: DataFrame, batch_id: int) -> None:
         """Per-batch distribution-drift stage: the batch's fixed-bin
@@ -833,6 +977,11 @@ class ActivePipeline:
         # PSI-scored against all prior batches' accumulated histogram
         if self.drift_value_col and self.drift_bins:
             self._update_drift(batch_df, batch_id)
+
+        # (1b5) CUSUM mean-shift gate (optional): per-slice batch mean
+        # through the carried two-sided Page recurrence
+        if self.cusum_value_col and self.cusum_target is not None:
+            self._update_cusum(batch_df, batch_id)
 
         # (1b) observed batch metrics (ingest count + K3 latency) —
         # df.observe piggybacks the buffer write below, so NO extra
