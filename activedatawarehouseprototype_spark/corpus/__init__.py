@@ -113,21 +113,21 @@ _DRIVER_ROTATION = [
     # 3 rounds, oldest first, debuts always in-window"):
     #   * the 13 r4 entries deferred from round 7 — FRONT-LOADED per
     #     the documented plan (test_registry_order's _DEFERRED_TO_R8);
-    #   * 9 operators NEW in round 8 (SCD2 replay, Bloom-pruned semi
+    #   * 10 operators NEW in round 8 (SCD2 replay, Bloom-pruned semi
     #     join, selective compaction, CMS estimates, frequent pairs,
     #     CUSUM change points, balanced class downsampling, persisted
-    #     BM25 inverted-index search, per-key lag features) — debut
-    #     rows;
-    #   * 25 of the 47 r5-era entries (family-diverse pick: all the
+    #     BM25 inverted-index search, per-key lag features,
+    #     schema-evolution reader) — debut rows;
+    #   * 24 of the 47 r5-era entries (family-diverse pick: all the
     #     rule-engine shapes, 6 representative TPC-H shapes, the
     #     CDC/MV tier, emb/ann, dedup, geo, SQL-dialect, and the
     #     warehouse/misc tier). The 20 deferred to round 9 are
     #     enumerated in test_registry_order._DEFERRED_TO_R9 — every
     #     one keeps an in-window family representative and none
     #     changed since its r5 hash-match. Round-9 editor: front-load
-    #     those 22 FIRST, then the oldest r6 entries.
+    #     those 23 FIRST, then the oldest r6 entries.
     # With the 3-entry stable core this fills the 50-slot window
-    # exactly: 13 + 9 + 25 + 3 = 50.
+    # exactly: 13 + 10 + 24 + 3 = 50.
     #
     # -- the 13 r4 deferrals (oldest evidence in the registry) -------------
     "scalar_date_fns",
@@ -153,6 +153,7 @@ _DRIVER_ROTATION = [
     "balanced_downsample_by_lang",
     "bm25_index_search_topk",
     "lag_features_user_values",
+    "schema_evolution_orders_union",
     # -- 29 of the 47 r5-era entries (family-diverse) -----------------------
     "rule_count_tumbling",
     "rule_fanout_match_counts",
@@ -171,7 +172,6 @@ _DRIVER_ROTATION = [
     "join_mv_cdc_maintenance_orders",
     "mv_histogram_merge_algebra",
     "ivf_pq_search_topk",
-    "dsir_importance_weights",
     "dedup_minhash_components",
     "sql_correlated_subquery_share",
     "quality_constraints_orders",
@@ -187,7 +187,7 @@ _STABLE_CORE = [
     # dropped canaries hold fresh hash-matches and stay in the
     # full-corpus pytest mirror). Every non-core slot this round goes
     # to an r4 deferral, a round-8 debut, or an r5 refresh (see the
-    # _DRIVER_ROTATION header for the exact composition and the 22
+    # _DRIVER_ROTATION header for the exact composition and the 23
     # entries deferred to round 9).
     "rule_tumbling_avg",
     "tpch_q5_local_supplier_volume",

@@ -496,3 +496,62 @@ def lag_features_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rmin_3",
         "rmax_3",
     )
+
+
+# --- Schema-evolution reader (operators/evolution.py) --------------------
+# Orders split into a v1 snapshot (INT orderkey, o_status column name,
+# no priority column) and a v2 snapshot (modern schema); read_evolved
+# unifies them (rename + widening + NULL fill) and the rollup must
+# equal the same rollup on the never-split table. Widening is
+# exercised on the integer KEY (value-preserving); prices stay
+# 2-decimal doubles so ROUND(SUM, 2) keeps the registry float rule.
+
+
+@register(
+    "schema_evolution_orders_union",
+    oracle="""
+SELECT o_orderstatus AS status,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS sum_price,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_orderkey,
+       CAST(COUNT(*) FILTER (WHERE year(o_orderdate) < 1996) AS BIGINT)
+         AS n_no_priority
+FROM orders
+GROUP BY 1
+""",
+)
+def schema_evolution_orders_union(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from activedatawarehouseprototype_spark.operators.evolution import (
+        read_evolved,
+    )
+
+    work = tempfile.mkdtemp(prefix="adw-evolve-")
+    v1, v2 = f"{work}/v1", f"{work}/v2"
+    try:
+        orders = _t(spark, sf_dir, "orders")
+        orders.filter(F.year("o_orderdate") < 1996).select(
+            F.col("o_orderkey").cast("int").alias("o_orderkey"),
+            "o_custkey",
+            F.col("o_orderstatus").alias("o_status"),
+            "o_totalprice",
+            "o_orderdate",
+        ).write.parquet(v1)
+        orders.filter(F.year("o_orderdate") >= 1996).write.parquet(v2)
+        unified = read_evolved(
+            spark, [v1, v2], renames={"o_status": "o_orderstatus"}
+        )
+        out = unified.groupBy(
+            F.col("o_orderstatus").alias("status")
+        ).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.max("o_orderkey").cast("bigint").alias("max_orderkey"),
+            F.sum(F.col("o_orderpriority").isNull().cast("bigint"))
+            .cast("bigint")
+            .alias("n_no_priority"),
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -89,6 +89,7 @@ HEADLINE = [
     "balanced_downsample_by_lang",
     "bm25_index_search_topk",
     "lag_features_user_values",
+    "schema_evolution_orders_union",
 ]
 
 

@@ -5,8 +5,8 @@ The CORRECTNESS driver runs exactly the first 50 entries of
 rotated every never-checked entry through that window; round 6
 front-loaded the then-oldest (r3) evidence; round 7 front-loaded the
 round-6 debuts plus 31 of the 44-entry r4 cohort, deferring 13; round
-8 front-loads exactly those 13, debuts its 9 new operators, and takes
-25 of the 47-entry r5 cohort, deferring 22 to round 9 (at 165 entries
+8 front-loads exactly those 13, debuts its 10 new operators, and takes
+24 of the 47-entry r5 cohort, deferring 23 to round 9 (at 166 entries
 / 50 slots the tightest achievable evidence age is ~3 rounds — the
 invariant is "nothing staler than 3 rounds, oldest first, debuts
 always in-window").  These tests make sure a refactor can't silently
@@ -38,6 +38,7 @@ _NEW_IN_R8 = {
     "balanced_downsample_by_lang",
     "bm25_index_search_topk",
     "lag_features_user_values",
+    "schema_evolution_orders_union",
 }
 
 # The 13 r4-green entries round 7 deferred; round 8 front-loads them.
@@ -57,13 +58,13 @@ _DEFERRED_TO_R8 = {
     "pii_redaction_scrub",
 }
 
-# The 22 r5-green entries the round-8 rotation defers to round 9: the
-# window holds 13 r4 deferrals + 9 round-8 debuts + 3 stable core,
-# leaving 25 slots for the 47-entry r5 cohort. Every deferred entry
+# The 23 r5-green entries the round-8 rotation defers to round 9: the
+# window holds 13 r4 deferrals + 10 round-8 debuts + 3 stable core,
+# leaving 24 slots for the 47-entry r5 cohort. Every deferred entry
 # keeps an in-window family representative (13 TPC-H shapes — q1, q2,
 # q13, q15, q18, q21 stay in; plus one each of dedup / PQ / join-MV /
-# SQL-dialect / embedding / pair-mining / JSON-scalar / rollup / geo whose siblings
-# or family twins stay in) and none changed since its r5 hash-match.
+# SQL-dialect / embedding / pair-mining / LM-scoring / JSON-scalar / rollup / geo
+# whose siblings or family twins stay in) and none changed since its r5 hash-match.
 # Round-9 editor: front-load EXACTLY this list first, then the oldest
 # r6 entries.
 _DEFERRED_TO_R9 = {
@@ -89,6 +90,7 @@ _DEFERRED_TO_R9 = {
     "rollup_lineitem_qty",
     "geo_grid_cell_agg",
     "contrastive_pairs_mining",
+    "dsir_importance_weights",
 }
 
 
@@ -145,8 +147,8 @@ def test_never_driver_checked_entries_all_in_window():
 def test_whole_registry_evidence_at_most_three_rounds_old():
     """Union check: every registry entry either sits in this round's
     window (earning an r8 row) or has an r7/r6 driver row — EXCEPT the
-    22 explicitly-deferred r5 entries (the window cannot hold the 13
-    r4 deferrals + 9 debuts + the 47-entry r5 cohort; the deferral is
+    23 explicitly-deferred r5 entries (the window cannot hold the 13
+    r4 deferrals + 10 debuts + the 47-entry r5 cohort; the deferral is
     documented and round 9 must front-load them)."""
     r7 = _correctness("r07")
     r6 = _correctness("r06")
