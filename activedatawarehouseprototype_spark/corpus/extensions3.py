@@ -15,6 +15,7 @@ are exact longs.
 
 from __future__ import annotations
 
+import atexit
 import os
 import shutil
 import tempfile
@@ -29,6 +30,24 @@ from activedatawarehouseprototype_spark.corpus import register
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return _load(spark, sf_dir, name)
+
+
+# Entries that build an on-disk artifact (SCD2 dim, compacted table,
+# BM25 index, snapshot pair) used to collect() the result so the dir
+# could be rmtree'd in `finally` before the caller consumed the
+# DataFrame — a driver-memory bottleneck for anything unbounded (the
+# SCD2 dim is O(customers x years)). Instead: one session-lifetime
+# scratch root, cleaned at interpreter exit, so every entry can return
+# the LAZY scan and Spark never funnels rows through the driver.
+_SCRATCH_ROOT: str | None = None
+
+
+def _scratch(prefix: str) -> str:
+    global _SCRATCH_ROOT
+    if _SCRATCH_ROOT is None:
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="adw-corpus-scratch-")
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
+    return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT)
 
 
 # --- SCD Type-2 replay (operators/warehouse.py::scd2_upsert) -------------
@@ -64,7 +83,8 @@ final AS (
   FROM versions
 )
 SELECT CAST(custkey AS BIGINT) AS custkey, priority, valid_from,
-       COALESCE(valid_to, TIMESTAMP '9999-12-31') AS valid_to,
+       strftime(COALESCE(valid_to, TIMESTAMP '9999-12-31'), '%Y-%m-%d')
+         AS valid_to,
        (valid_to IS NULL) AS is_current
 FROM final
 """,
@@ -86,50 +106,51 @@ def scd2_customer_priority_history(
         .orderBy("y")
         .collect()
     ]
-    target = tempfile.mkdtemp(prefix="adw-scd2-") + "/dim"
-    try:
-        for y in years:
-            batch = orders.filter(F.year("o_orderdate") == y)
-            w = Window.partitionBy("o_custkey").orderBy(
-                F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    target = _scratch("adw-scd2-") + "/dim"
+    for y in years:
+        batch = orders.filter(F.year("o_orderdate") == y)
+        w = Window.partitionBy("o_custkey").orderBy(
+            F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+        )
+        upd = (
+            batch.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                F.col("o_custkey").alias("custkey"),
+                F.col("o_orderpriority").alias("priority"),
+                F.col("o_orderdate").alias("eff"),
             )
-            upd = (
-                batch.withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") == 1)
-                .select(
-                    F.col("o_custkey").alias("custkey"),
-                    F.col("o_orderpriority").alias("priority"),
-                    F.col("o_orderdate").alias("eff"),
-                )
-            )
-            # validate=False: upd is deduplicated (row_number()=1) and
-            # NULL-ts-filtered by construction two lines up — the
-            # validation job per batch would only re-prove that
-            scd2_upsert(
-                spark,
-                target,
-                upd,
-                key_cols=["custkey"],
-                tracked_cols=["priority"],
-                effective_ts_col="eff",
-                validate=False,
-            )
-        # the SCD2 high-date convention keeps the open version's
-        # valid_to comparable across engines (NULL timestamps render
-        # engine-specifically: Spark None vs pandas NaT)
-        out = spark.read.parquet(target).select(
-            F.col("custkey").cast("bigint").alias("custkey"),
-            "priority",
-            "valid_from",
+        )
+        # validate=False: upd is deduplicated (row_number()=1) and
+        # NULL-ts-filtered by construction two lines up — the
+        # validation job per batch would only re-prove that
+        scd2_upsert(
+            spark,
+            target,
+            upd,
+            key_cols=["custkey"],
+            tracked_cols=["priority"],
+            effective_ts_col="eff",
+            validate=False,
+        )
+    # The SCD2 high-date sentinel keeps the open version's valid_to
+    # comparable across engines (NULL timestamps render
+    # engine-specifically: Spark None vs pandas NaT) — and it is
+    # rendered as a STRING on both sides because 9999-12-31 overflows
+    # ns-resolution pandas (max 2262-04-11) during the driver's
+    # DuckDB-result conversion (the round-8 red row).
+    return spark.read.parquet(target).select(
+        F.col("custkey").cast("bigint").alias("custkey"),
+        "priority",
+        "valid_from",
+        F.date_format(
             F.coalesce(
                 F.col("valid_to"), F.lit("9999-12-31").cast("timestamp")
-            ).alias("valid_to"),
-            "is_current",
-        )
-        out = spark.createDataFrame(out.collect(), out.schema)
-        return out
-    finally:
-        shutil.rmtree(os.path.dirname(target), ignore_errors=True)
+            ),
+            "yyyy-MM-dd",
+        ).alias("valid_to"),
+        "is_current",
+    )
 
 
 # --- Bloom-pruned semi join (operators/bloom_filter.py) ------------------
@@ -194,34 +215,27 @@ def compaction_small_files_rollup(
         compact_small_files,
     )
 
-    work = tempfile.mkdtemp(prefix="adw-compact-")
+    work = _scratch("adw-compact-")
     path = f"{work}/orders"
-    try:
-        orders = _t(spark, sf_dir, "orders")
-        n_rows = orders.count()
-        orders.repartition(48).write.parquet(path)
-        n_before = len(
-            [f for f in os.listdir(path) if f.endswith(".parquet")]
-        )
-        compact_small_files(spark, path, target_bytes=64 << 20)
-        n_after = len(
-            [f for f in os.listdir(path) if f.endswith(".parquet")]
-        )
-        compacted = spark.read.parquet(path)
-        out = compacted.groupBy(
-            F.col("o_orderpriority").alias("priority")
-        ).agg(
+    orders = _t(spark, sf_dir, "orders")
+    n_rows = orders.count()
+    orders.repartition(48).write.parquet(path)
+    n_before = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    compact_small_files(spark, path, target_bytes=64 << 20)
+    n_after = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    compacted = spark.read.parquet(path)
+    return (
+        compacted.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_orders"),
             F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
-        ).select(
+        )
+        .select(
             "*",
             F.lit(n_after < n_before).alias("files_reduced"),
             (F.lit(compacted.count() == n_rows)).alias("rows_preserved"),
         )
-        # materialize before the temp dir vanishes
-        return spark.createDataFrame(out.collect(), out.schema)
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
+    )
 
 
 # --- Count-Min sketch estimates (operators/sketches.py) ------------------
@@ -431,15 +445,11 @@ def bm25_index_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         text_index_search,
     )
 
-    work = tempfile.mkdtemp(prefix="adw-tix-")
+    work = _scratch("adw-tix-")
     path = f"{work}/bm25"
-    try:
-        docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-        text_index_build(docs, path, n_buckets=32)
-        out = text_index_search(spark, path, BM25_QUERIES, k=10)
-        return spark.createDataFrame(out.collect(), out.schema)
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    text_index_build(docs, path, n_buckets=32)
+    return text_index_search(spark, path, BM25_QUERIES, k=10)
 
 
 # --- Per-key lag features (operators/timeseries.py::lag_features) --------
@@ -517,6 +527,7 @@ SELECT o_orderstatus AS status,
        CAST(COUNT(*) FILTER (WHERE year(o_orderdate) < 1996) AS BIGINT)
          AS n_no_priority
 FROM orders
+WHERE o_orderdate IS NOT NULL
 GROUP BY 1
 """,
 )
@@ -527,31 +538,30 @@ def schema_evolution_orders_union(
         read_evolved,
     )
 
-    work = tempfile.mkdtemp(prefix="adw-evolve-")
+    work = _scratch("adw-evolve-")
     v1, v2 = f"{work}/v1", f"{work}/v2"
-    try:
-        orders = _t(spark, sf_dir, "orders")
-        orders.filter(F.year("o_orderdate") < 1996).select(
-            F.col("o_orderkey").cast("int").alias("o_orderkey"),
-            "o_custkey",
-            F.col("o_orderstatus").alias("o_status"),
-            "o_totalprice",
-            "o_orderdate",
-        ).write.parquet(v1)
-        orders.filter(F.year("o_orderdate") >= 1996).write.parquet(v2)
-        unified = read_evolved(
-            spark, [v1, v2], renames={"o_status": "o_orderstatus"}
-        )
-        out = unified.groupBy(
-            F.col("o_orderstatus").alias("status")
-        ).agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
-            F.max("o_orderkey").cast("bigint").alias("max_orderkey"),
-            F.sum(F.col("o_orderpriority").isNull().cast("bigint"))
-            .cast("bigint")
-            .alias("n_no_priority"),
-        )
-        return spark.createDataFrame(out.collect(), out.schema)
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
+    # NULL-date rows are excluded on BOTH sides (oracle WHERE above):
+    # the year() split would silently drop them only on the Spark side
+    # if a future fixture grew dirty dates.
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
+    orders.filter(F.year("o_orderdate") < 1996).select(
+        F.col("o_orderkey").cast("int").alias("o_orderkey"),
+        "o_custkey",
+        F.col("o_orderstatus").alias("o_status"),
+        "o_totalprice",
+        "o_orderdate",
+    ).write.parquet(v1)
+    orders.filter(F.year("o_orderdate") >= 1996).write.parquet(v2)
+    unified = read_evolved(
+        spark, [v1, v2], renames={"o_status": "o_orderstatus"}
+    )
+    return unified.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.max("o_orderkey").cast("bigint").alias("max_orderkey"),
+        F.sum(F.col("o_orderpriority").isNull().cast("bigint"))
+        .cast("bigint")
+        .alias("n_no_priority"),
+    )

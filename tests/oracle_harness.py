@@ -54,6 +54,26 @@ def _sorted_rows(rows):
     return sorted(rows, key=lambda r: tuple(k(c) for c in r))
 
 
+# The CORRECTNESS driver converts both results with pandas, and the
+# driver host may run a pandas older than 2.0 whose timestamps are
+# ns-resolution ONLY (valid range 1677-09-21 .. 2262-04-11). A
+# datetime outside that range passes every local mirror (pandas >= 2
+# falls back to datetime64[us]) and then crashes the DRIVER's
+# conversion — the round-8 scd2 red row (SCD2 sentinel 9999-12-31).
+# Guard the whole class here: any temporal cell outside the ns-safe
+# years on EITHER side is a mirror failure; render such sentinels as
+# strings instead (date_format / strftime on both sides).
+_NS_SAFE_MIN_YEAR, _NS_SAFE_MAX_YEAR = 1678, 2261
+
+
+def _ns_unsafe(v) -> bool:
+    import datetime
+
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return not (_NS_SAFE_MIN_YEAR <= v.year <= _NS_SAFE_MAX_YEAR)
+    return False
+
+
 def compare(spark_df, oracle_pdf, float_tol: float = 1e-9) -> list[str]:
     """Return a list of mismatch descriptions (empty = pass)."""
     problems: list[str] = []
@@ -85,6 +105,18 @@ def compare(spark_df, oracle_pdf, float_tol: float = 1e-9) -> list[str]:
         )
         for r in (tuple(t) for t in o_raw)
     ]
+
+    for side, rows in (("spark", s_rows), ("oracle", o_rows)):
+        for r in rows:
+            for c, v in zip(s_cols, r):
+                if _ns_unsafe(v):
+                    problems.append(
+                        f"{side} col {c}: {v!r} outside pandas ns-safe "
+                        f"range {_NS_SAFE_MIN_YEAR}..{_NS_SAFE_MAX_YEAR} "
+                        "(would crash the driver's older pandas; render "
+                        "as a string on both sides)"
+                    )
+                    return problems
 
     if len(s_rows) != len(o_rows):
         problems.append(f"row count: spark={len(s_rows)} oracle={len(o_rows)}")
