@@ -45,6 +45,7 @@ from activedatawarehouseprototype_spark.corpus import stats  # noqa: E402,F401
 from activedatawarehouseprototype_spark.corpus import advanced  # noqa: E402,F401
 from activedatawarehouseprototype_spark.corpus import extensions2  # noqa: E402,F401
 from activedatawarehouseprototype_spark.corpus import extensions3  # noqa: E402,F401
+from activedatawarehouseprototype_spark.corpus import extensions4  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering.

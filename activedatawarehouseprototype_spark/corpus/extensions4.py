@@ -1,0 +1,284 @@
+"""Corpus registrations new in round 9: integer-lattice k-means,
+MAD outlier gates, winsorized sums, and blocked levenshtein matching.
+
+Each entry pairs the real operator with an ANSI-SQL twin DuckDB runs
+on the same parquet. Float discipline (registry contract + round-9
+extension): percentiles are computed over INTEGER-VALUED doubles
+(cents / lattice coords), where the interpolation
+``a + (b - a) * frac`` is the identical IEEE expression on both
+engines — .5 fractions are exact, and non-.5 fractions are
+bit-reproducible because the formula and operand order match
+(probed empirically at all fixture SFs). Sums only ever run over
+lattice values (exact at any summation order); k-means runs entirely
+on a BIGINT lattice (see ``operators/clustering.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from activedatawarehouseprototype_spark.catalog import load as _load
+from activedatawarehouseprototype_spark.corpus import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return _load(spark, sf_dir, name)
+
+
+# --- Integer-lattice Lloyd k-means (operators/clustering.py) -------------
+# The oracle replays the IDENTICAL trajectory in SQL: quantize, k
+# lowest-id seeds, `iters` rounds of exact-BIGINT assign + floor-div
+# update, final assign. (s - ((s % n) + n) % n) // n is floor
+# division written with truncated `%` so both engines agree on
+# negative sums.
+
+
+def _kmeans_oracle(k: int = 4, iters: int = 3, scale: int = 10_000,
+                   dims: int = 64) -> str:
+    sql = [f"""
+WITH pts AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * {scale})
+                                  AS BIGINT)) AS q
+  FROM embeddings
+),
+dims AS (SELECT CAST(range AS INT) + 1 AS i FROM range({dims})),
+cent0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+         q AS cv
+  FROM (SELECT vec_id, q FROM pts ORDER BY vec_id LIMIT {k})
+)"""]
+    for t in range(1, iters + 1):
+        prev = f"cent{t - 1}"
+        sql.append(f""",
+a{t} AS (
+  SELECT p.vec_id, c.cid,
+         SUM((p.q[d.i] - c.cv[d.i]) * (p.q[d.i] - c.cv[d.i])) AS dist
+  FROM pts p CROSS JOIN {prev} c CROSS JOIN dims d
+  GROUP BY 1, 2
+),
+b{t} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist, cid) AS rn
+    FROM a{t}
+  ) WHERE rn = 1
+),
+s{t} AS (
+  SELECT b.cid, d.i, SUM(p.q[d.i]) AS s, COUNT(*) AS n
+  FROM b{t} b JOIN pts p USING (vec_id) CROSS JOIN dims d
+  GROUP BY 1, 2
+),
+cent{t} AS (
+  SELECT c.cid,
+         list(CASE WHEN s.s IS NULL THEN c.cv[d.i]
+                   ELSE (s.s - (((s.s % s.n) + s.n) % s.n)) // s.n
+              END ORDER BY d.i) AS cv
+  FROM {prev} c CROSS JOIN dims d
+  LEFT JOIN s{t} s ON s.cid = c.cid AND s.i = d.i
+  GROUP BY c.cid
+)""")
+    sql.append(f""",
+af AS (
+  SELECT p.vec_id, c.cid,
+         SUM((p.q[d.i] - c.cv[d.i]) * (p.q[d.i] - c.cv[d.i])) AS dist
+  FROM pts p CROSS JOIN cent{iters} c CROSS JOIN dims d
+  GROUP BY 1, 2
+),
+bf AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist, cid) AS rn
+    FROM af
+  ) WHERE rn = 1
+),
+csum AS (
+  SELECT c.cid, SUM(c.cv[d.i]) AS centroid_sum
+  FROM cent{iters} c CROSS JOIN dims d GROUP BY 1
+)
+SELECT CAST(b.cid AS INT) AS cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(MIN(p.vec_id) AS BIGINT) AS min_vec_id,
+       CAST(SUM(p.q[1]) AS BIGINT) AS sum_q0,
+       CAST(MAX(cs.centroid_sum) AS BIGINT) AS centroid_sum
+FROM bf b JOIN pts p USING (vec_id) JOIN csum cs ON cs.cid = b.cid
+GROUP BY b.cid
+""")
+    return "".join(sql)
+
+
+@register("kmeans_lattice_clusters", oracle=_kmeans_oracle())
+def kmeans_lattice_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from activedatawarehouseprototype_spark.operators.clustering import (
+        _quantize,
+        kmeans_lattice,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, cents = kmeans_lattice(
+        emb, k=4, iters=3, id_col="vec_id", vec_col="embedding"
+    )
+    csum_expr = None
+    for cid, cv in cents:
+        branch = F.when(
+            F.col("cluster_id") == cid, F.lit(sum(cv)).cast("bigint")
+        )
+        csum_expr = branch if csum_expr is None else csum_expr.when(
+            F.col("cluster_id") == cid, F.lit(sum(cv)).cast("bigint")
+        )
+    q0 = _quantize(F.col("embedding"), 10_000).getItem(0)
+    return (
+        assigned.select("cluster_id", "vec_id", q0.alias("_q0"))
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            F.min("vec_id").cast("bigint").alias("min_vec_id"),
+            F.sum("_q0").cast("bigint").alias("sum_q0"),
+        )
+        .withColumn("centroid_sum", csum_expr)
+    )
+
+
+# --- MAD outlier gate (operators/robust.py::mad_outlier_stats) -----------
+# events.value is 2-decimal source data; both sides quantize to cents
+# (round-to-nearest of a near-integer product — no half boundary), so
+# the medians interpolate exact halves and every comparison is exact.
+
+
+@register(
+    "mad_outliers_event_values",
+    oracle="""
+WITH src AS (
+  SELECT event_type, CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL
+),
+med AS (
+  SELECT event_type, quantile_cont(v, 0.5) AS med FROM src GROUP BY 1
+),
+dev AS (
+  SELECT s.event_type, s.v, m.med, abs(s.v - m.med) AS ad
+  FROM src s JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, quantile_cont(ad, 0.5) AS mad FROM dev GROUP BY 1
+)
+SELECT d.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MAX(d.med) AS median_value,
+       MAX(m.mad) AS mad_value,
+       CAST(COUNT(*) FILTER (WHERE d.ad > 3.0 * m.mad) AS BIGINT)
+         AS n_outliers
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY 1
+""",
+)
+def mad_outliers_event_values(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from activedatawarehouseprototype_spark.operators.robust import (
+        mad_outlier_stats,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100)
+        .cast("bigint")
+        .cast("double")
+        .alias("value_cents"),
+    )
+    return mad_outlier_stats(ev, ["event_type"], "value_cents", z=3.0)
+
+
+# --- Winsorized sums (operators/robust.py::winsorized_sum) ---------------
+# floor_bounds=True keeps every clipped value integer-valued, so the
+# SUM is summation-order independent and ships unrounded.
+
+
+@register(
+    "winsorized_value_sums",
+    oracle="""
+WITH src AS (
+  SELECT event_type, CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL
+),
+bounds AS (
+  SELECT event_type,
+         CAST(floor(quantile_cont(v, 0.05)) AS DOUBLE) AS lo,
+         CAST(floor(quantile_cont(v, 0.95)) AS DOUBLE) AS hi
+  FROM src GROUP BY 1
+)
+SELECT s.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MAX(b.lo) AS lo_bound,
+       MAX(b.hi) AS hi_bound,
+       SUM(LEAST(GREATEST(s.v, b.lo), b.hi)) AS winsorized_sum,
+       CAST(COUNT(*) FILTER (WHERE s.v < b.lo) AS BIGINT)
+         AS n_clipped_low,
+       CAST(COUNT(*) FILTER (WHERE s.v > b.hi) AS BIGINT)
+         AS n_clipped_high
+FROM src s JOIN bounds b USING (event_type)
+GROUP BY 1
+""",
+)
+def winsorized_value_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from activedatawarehouseprototype_spark.operators.robust import (
+        winsorized_sum,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100)
+        .cast("bigint")
+        .cast("double")
+        .alias("value_cents"),
+    )
+    return winsorized_sum(
+        ev,
+        ["event_type"],
+        "value_cents",
+        lo_p=0.05,
+        hi_p=0.95,
+        floor_bounds=True,
+    )
+
+
+# --- Blocked levenshtein matching (operators/fuzzy.py) -------------------
+# Edit-distance self-match inside p_brand blocks; counts and integer
+# distances are exact on both engines (unit-cost levenshtein).
+
+
+@register(
+    "fuzzy_blocked_part_pairs",
+    oracle="""
+SELECT a.p_brand AS brand,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(MIN(levenshtein(a.p_name, b.p_name)) AS BIGINT) AS min_dist,
+       CAST(SUM(CAST(levenshtein(a.p_name, b.p_name) AS BIGINT)) AS BIGINT)
+         AS sum_dist
+FROM part a
+JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 4
+GROUP BY 1
+""",
+)
+def fuzzy_blocked_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from activedatawarehouseprototype_spark.operators.fuzzy import (
+        fuzzy_join_blocked,
+    )
+
+    pairs = fuzzy_join_blocked(
+        _t(spark, sf_dir, "part"),
+        block_col="p_brand",
+        id_col="p_partkey",
+        text_col="p_name",
+        max_dist=4,
+    )
+    return pairs.groupBy(F.col("p_brand").alias("brand")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.min("dist").cast("bigint").alias("min_dist"),
+        F.sum("dist").cast("bigint").alias("sum_dist"),
+    )

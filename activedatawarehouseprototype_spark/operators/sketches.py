@@ -125,10 +125,13 @@ def cms_estimate(
     """Point-query every row of ``keys``: adds an ``est`` column =
     min over sketch rows of the key's cell. The sketch side is tiny
     (<= depth*width cells) and broadcasts; absent cells count 0.
+    Row multiplicity is preserved — duplicate key rows each get their
+    own output row (a hidden per-row id keys the final regroup).
 
     width/depth MUST match the build call — they define the hash
     layout. est is a deterministic function of (data, width, depth)."""
-    probes = keys.select(
+    keyed = keys.withColumn("_cms_row", F.monotonically_increasing_id())
+    probes = keyed.select(
         "*",
         F.explode(
             F.array(*[
@@ -146,5 +149,13 @@ def cms_estimate(
         F.broadcast(sketch),
         (F.col("probe.r") == sketch["r"]) & (F.col("probe.c") == sketch["c"]),
         "left",
-    ).select(*keys.columns, F.coalesce(sketch["cnt"], F.lit(0)).alias("cell_cnt"))
-    return joined.groupBy(*keys.columns).agg(F.min("cell_cnt").alias("est"))
+    ).select(
+        "_cms_row",
+        *keys.columns,
+        F.coalesce(sketch["cnt"], F.lit(0)).alias("cell_cnt"),
+    )
+    return (
+        joined.groupBy("_cms_row", *keys.columns)
+        .agg(F.min("cell_cnt").alias("est"))
+        .drop("_cms_row")
+    )

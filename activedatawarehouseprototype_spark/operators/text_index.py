@@ -207,6 +207,11 @@ def text_index_search(
     )
     if not qpairs:
         raise ValueError("text_index_search: no non-empty query terms")
+    if meta["n_dl_docs"] == 0:
+        raise ValueError(
+            "text_index_search: index has no tokenized documents "
+            "(every indexed text was NULL/empty) — avgdl is undefined"
+        )
     all_terms = sorted({t for _, t in qpairs})
     buckets = sorted({_bucket_py(t, meta["n_buckets"]) for t in all_terms})
     q_df = spark.createDataFrame(qpairs, "query_id bigint, term string")

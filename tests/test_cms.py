@@ -88,3 +88,17 @@ def test_property_est_ge_exact(spark, rows):
     est = _ests(spark, list(rows), width=64, depth=3)  # narrow: collisions
     for k, c in exact.items():
         assert est[k] >= c
+
+
+def test_estimate_preserves_duplicate_key_rows(spark):
+    """cms_estimate must return one output row PER INPUT ROW of keys —
+    duplicate keys are not collapsed (advice-r8 finding)."""
+    df = spark.createDataFrame([(f"k{i % 3}",) for i in range(30)], "v string")
+    sk = cms_build(df, "v", width=W, depth=D)
+    keys = spark.createDataFrame(
+        [("k0",), ("k0",), ("k1",)], "v string"
+    )
+    out = cms_estimate(sk, keys, "v", width=W, depth=D).collect()
+    assert sorted(r["v"] for r in out) == ["k0", "k0", "k1"]
+    ests = {r["v"]: r["est"] for r in out}
+    assert ests["k0"] >= 10 and ests["k1"] >= 10

@@ -90,3 +90,16 @@ def test_empty_queries_raise(spark, index_path):
         text_index_search(spark, index_path, [])
     with pytest.raises(ValueError):
         text_index_search(spark, index_path, [(1, " ")])
+
+
+def test_all_null_corpus_raises_clear_error(spark, tmp_path):
+    """An index built over docs whose text is all NULL has no tokenized
+    documents — search must fail with a descriptive error, not a bare
+    ZeroDivisionError computing avgdl (advice-r8 finding)."""
+    docs = spark.createDataFrame(
+        [(1, None), (2, None)], "doc_id bigint, text string"
+    )
+    path = str(tmp_path / "nulltix")
+    text_index_build(docs, path, n_buckets=4)
+    with pytest.raises(ValueError, match="no tokenized documents"):
+        text_index_search(spark, path, [(1, "anything")])
