@@ -106,80 +106,87 @@ from activedatawarehouseprototype_spark.corpus import extensions4  # noqa: E402,
 # ---------------------------------------------------------------------------
 
 _DRIVER_ROTATION = [
-    # -- round-8 rotation -------------------------------------------------
-    # Evidence-age ledger after round 7: 50 entries fresh in r7, 46 in
-    # r6, 47 in r5, and the 13 documented r4 deferrals (the exact
-    # _DEFERRED_TO_R8 set). This window, oldest first, debuts
-    # in-window (the invariant set in round 7: "nothing staler than
-    # 3 rounds, oldest first, debuts always in-window"):
-    #   * the 13 r4 entries deferred from round 7 — FRONT-LOADED per
-    #     the documented plan (test_registry_order's _DEFERRED_TO_R8);
-    #   * 10 operators NEW in round 8 (SCD2 replay, Bloom-pruned semi
-    #     join, selective compaction, CMS estimates, frequent pairs,
-    #     CUSUM change points, balanced class downsampling, persisted
-    #     BM25 inverted-index search, per-key lag features,
-    #     schema-evolution reader) — debut rows;
-    #   * 24 of the 47 r5-era entries (family-diverse pick: all the
-    #     rule-engine shapes, 6 representative TPC-H shapes, the
-    #     CDC/MV tier, emb/ann, dedup, geo, SQL-dialect, and the
-    #     warehouse/misc tier). The 20 deferred to round 9 are
-    #     enumerated in test_registry_order._DEFERRED_TO_R9 — every
-    #     one keeps an in-window family representative and none
-    #     changed since its r5 hash-match. Round-9 editor: front-load
-    #     those 23 FIRST, then the oldest r6 entries.
+    # -- round-9 rotation -------------------------------------------------
+    # Evidence-age ledger after round 8: 50 entries fresh in r8 (one
+    # of them — scd2 — RED from a driver-env pandas overflow, fixed
+    # this round), 47 in r7, 46 in r6, and the 23 documented r5
+    # deferrals (test_registry_order._DEFERRED_TO_R9, exactly). This
+    # window, oldest first, debuts in-window (invariant since round
+    # 7: "nothing staler than 3 rounds, oldest first, debuts always
+    # in-window"):
+    #   * the 23 r5 entries deferred from round 8 — FRONT-LOADED per
+    #     the documented plan;
+    #   * scd2_customer_priority_history — its r8 row was red
+    #     (OutOfBoundsDatetime converting the 9999-12-31 sentinel on
+    #     the driver's ns-only pandas, not a wrong answer); the
+    #     sentinel is now string-rendered and the entry re-earns a
+    #     green row;
+    #   * 4 operators NEW in round 9 (integer-lattice k-means, MAD
+    #     outlier gate, winsorized sums, blocked levenshtein
+    #     matching) — debut rows;
+    #   * 19 of the 46 r6-era entries (family-diverse pick: ann
+    #     brute+ivf, exact+minhash dedup, multimodal, graph, 2 TPC-H,
+    #     rule passthrough, ranking/pivot/percentile windows, 2 UDF
+    #     tiers, 2 text ops, as-of, range join, stats). The 27
+    #     deferred to round 10 are enumerated in
+    #     test_registry_order._DEFERRED_TO_R10 — every one keeps an
+    #     in-window family representative and none changed since its
+    #     r6 hash-match. Round-10 editor: front-load those 27 FIRST,
+    #     then the oldest r7 entries.
     # With the 3-entry stable core this fills the 50-slot window
-    # exactly: 13 + 10 + 24 + 3 = 50.
+    # exactly: 23 + 1 + 4 + 19 + 3 = 50.
     #
-    # -- the 13 r4 deferrals (oldest evidence in the registry) -------------
-    "scalar_date_fns",
-    "scalar_math_fns",
-    "scalar_conditional_fns",
-    "join_left_order_counts",
-    "join_semi_customers_with_open_orders",
-    "setop_union_intersect_except",
-    "cube_orders_status_priority",
-    "distinct_suppliers_per_flag",
-    "window_order_price_delta",
-    "funnel_view_click_purchase",
-    "geo_cell_geometry",
-    "emb_quantized_int8_stats",
-    "pii_redaction_scrub",
-    # -- NEW in round 8 -----------------------------------------------------
+    # -- the 23 r5 deferrals (oldest evidence in the registry) -------------
+    "tpch_q4_late_orders",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q12_priority_shipping",
+    "tpch_q14_promo_effect",
+    "tpch_q16_parts_supplier_relationship",
+    "tpch_q17_small_quantity",
+    "tpch_q19_discounted_revenue",
+    "tpch_q20_heavy_gear_suppliers",
+    "tpch_q22_idle_balances",
+    "dedup_repeated_spans",
+    "pq_codes_stats",
+    "join_mv_incremental_orders",
+    "sql_shared_text_rollup",
+    "cross_decontaminate_embeddings",
+    "json_extract_props",
+    "rollup_lineitem_qty",
+    "geo_grid_cell_agg",
+    "contrastive_pairs_mining",
+    "dsir_importance_weights",
+    # -- r8-red re-earn -----------------------------------------------------
     "scd2_customer_priority_history",
-    "bloom_semijoin_hot_customer_orders",
-    "compaction_small_files_rollup",
-    "cms_event_type_counts",
-    "frequent_part_pairs",
-    "cusum_user_value_shifts",
-    "balanced_downsample_by_lang",
-    "bm25_index_search_topk",
-    "lag_features_user_values",
-    "schema_evolution_orders_union",
-    # -- 29 of the 47 r5-era entries (family-diverse) -----------------------
-    "rule_count_tumbling",
-    "rule_fanout_match_counts",
-    "rule_per_event_avg",
-    "rule_sliding_max",
-    "alert_cooldown_bursts",
-    "session_windows_per_user",
-    "tpch_q1_pricing_summary",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q13_customer_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q18_large_volume_customers",
-    "tpch_q21_lone_returner",
-    "cdc_enrich_pipeline_evals",
-    "cdc_merge_changelog_orders",
-    "join_mv_cdc_maintenance_orders",
-    "mv_histogram_merge_algebra",
-    "ivf_pq_search_topk",
-    "dedup_minhash_components",
-    "sql_correlated_subquery_share",
-    "quality_constraints_orders",
-    "resample_ffill_daily_values",
-    "timetravel_orders_rollup",
-    "join_full_outer_nation_activity",
-    "zorder_key_part_layout",
+    # -- NEW in round 9 -----------------------------------------------------
+    "kmeans_lattice_clusters",
+    "mad_outliers_event_values",
+    "winsorized_value_sums",
+    "fuzzy_blocked_part_pairs",
+    # -- 19 of the 46 r6-era entries (family-diverse) -----------------------
+    "ann_topk_cosine",
+    "ann_ivf_topk",
+    "dedup_exact_text",
+    "dedup_minhash_lsh",
+    "multimodal_byte_stats",
+    "graph_pagerank_suppliers",
+    "tpch_q3_shipping_priority",
+    "tpch_q6_revenue_delta",
+    "rule_passthrough",
+    "window_top3_orders_per_customer",
+    "pivot_native_status_by_priority",
+    "percentile_order_prices",
+    "udf_pandas_log_score",
+    "udaf_weighted_avg_price",
+    "text_quality_filter",
+    "text_top_bigrams",
+    "asof_click_latest_purchase",
+    "range_join_price_bands",
+    "stats_price_quantity",
 ]
 
 
@@ -187,9 +194,9 @@ _STABLE_CORE = [
     # 3-entry regression canary set (trimmed from 6 in round 6; the
     # dropped canaries hold fresh hash-matches and stay in the
     # full-corpus pytest mirror). Every non-core slot this round goes
-    # to an r4 deferral, a round-8 debut, or an r5 refresh (see the
-    # _DRIVER_ROTATION header for the exact composition and the 23
-    # entries deferred to round 9).
+    # to an r5 deferral, the scd2 re-earn, a round-9 debut, or an r6
+    # refresh (see the _DRIVER_ROTATION header for the exact
+    # composition and the 27 entries deferred to round 10).
     "rule_tumbling_avg",
     "tpch_q5_local_supplier_volume",
     "topk_customers_by_spend",

@@ -114,3 +114,73 @@ def test_plan_probe_filter_is_map_side(spark):
     )
     filt_at = plan.find("xxhash64")  # the probe's seeded position hashes
     assert filt_at > join_at >= 0  # probe filter is a child of the join
+
+
+def test_xxhash64_long_matches_spark(spark):
+    """The Arrow probe's numpy XXH64 must be bit-identical to Spark's
+    xxhash64(long, seed) — any divergence silently breaks large-m
+    membership."""
+    import numpy as np
+
+    from activedatawarehouseprototype_spark.operators.bloom_filter import (
+        _xxhash64_long,
+    )
+
+    vals = [0, 1, -1, 63, 2**33, -(2**40), 7777777777, -123456789012345]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    for seed in (0, 1, 5, 42):
+        want = [
+            r["h"]
+            for r in df.select(
+                F.xxhash64(F.col("v"), F.lit(seed)).alias("h")
+            ).collect()
+        ]
+        got = (
+            _xxhash64_long(np.array(vals, dtype=np.int64), seed)
+            .view(np.int64)
+            .tolist()
+        )
+        assert got == want, f"seed {seed}"
+
+
+def test_large_m_dispatches_to_arrow_and_agrees(spark):
+    """At m=2^22 (65536 words) the probe must switch to the Arrow
+    path (no megabyte SQL literal in the plan) and return the exact
+    same memberships as the inline rendering."""
+    from activedatawarehouseprototype_spark.operators.bloom_filter import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    keys = spark.range(0, 3000, 3).select(F.col("id").alias("k"))
+    bf = bloom_build(keys, "k", num_bits=1 << 22, k=5)
+    assert len(bf.words) == (1 << 22) // 64
+
+    probe = spark.range(0, 500).select(F.col("id").alias("k"))
+    arrow_col = bloom_might_contain(bf, "k")
+    got = probe.select("k", arrow_col.alias("hit"))
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan or "EvalPython" in plan
+    # raising the inline cap forces the SQL rendering for comparison
+    inline = probe.select(
+        "k",
+        bloom_might_contain(bf, "k", max_inline_words=1 << 20).alias("hit"),
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, inline.collect())
+    )
+    # no false negatives by construction
+    members = {r["k"] for r in got.filter("hit").collect()}
+    assert set(range(0, 500, 3)) <= members
+
+
+def test_large_m_column_arg_raises(spark):
+    from activedatawarehouseprototype_spark.operators.bloom_filter import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    keys = spark.range(10).select(F.col("id").alias("k"))
+    bf = bloom_build(keys, "k", num_bits=1 << 22, k=3)
+    with pytest.raises(ValueError, match="Arrow path"):
+        bloom_might_contain(bf, F.col("k"))

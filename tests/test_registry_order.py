@@ -5,12 +5,15 @@ The CORRECTNESS driver runs exactly the first 50 entries of
 rotated every never-checked entry through that window; round 6
 front-loaded the then-oldest (r3) evidence; round 7 front-loaded the
 round-6 debuts plus 31 of the 44-entry r4 cohort, deferring 13; round
-8 front-loads exactly those 13, debuts its 10 new operators, and takes
-24 of the 47-entry r5 cohort, deferring 23 to round 9 (at 166 entries
-/ 50 slots the tightest achievable evidence age is ~3 rounds — the
-invariant is "nothing staler than 3 rounds, oldest first, debuts
-always in-window").  These tests make sure a refactor can't silently
-undo the rotation or drop a query.
+8 front-loaded those 13, debuted its 10 new operators, and took 24 of
+the 47-entry r5 cohort, deferring 23; round 9 front-loads exactly
+those 23, re-earns the scd2 entry whose r8 row was red from a
+driver-environment pandas overflow (not a wrong answer), debuts its 4
+new operators, and takes 19 of the 46-entry r6 cohort, deferring 27
+to round 10 (at 170 entries / 50 slots the tightest achievable
+evidence age is ~3 rounds — the invariant is "nothing staler than 3
+rounds, oldest first, debuts always in-window").  These tests make
+sure a refactor can't silently undo the rotation or drop a query.
 """
 
 from __future__ import annotations
@@ -28,45 +31,20 @@ from activedatawarehouseprototype_spark.corpus import (
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DRIVER_CAP = 50
 
-_NEW_IN_R8 = {
-    "scd2_customer_priority_history",
-    "bloom_semijoin_hot_customer_orders",
-    "compaction_small_files_rollup",
-    "cms_event_type_counts",
-    "frequent_part_pairs",
-    "cusum_user_value_shifts",
-    "balanced_downsample_by_lang",
-    "bm25_index_search_topk",
-    "lag_features_user_values",
-    "schema_evolution_orders_union",
+_NEW_IN_R9 = {
+    "kmeans_lattice_clusters",
+    "mad_outliers_event_values",
+    "winsorized_value_sums",
+    "fuzzy_blocked_part_pairs",
 }
 
-# The 13 r4-green entries round 7 deferred; round 8 front-loads them.
-_DEFERRED_TO_R8 = {
-    "scalar_date_fns",
-    "scalar_math_fns",
-    "scalar_conditional_fns",
-    "join_left_order_counts",
-    "join_semi_customers_with_open_orders",
-    "setop_union_intersect_except",
-    "cube_orders_status_priority",
-    "distinct_suppliers_per_flag",
-    "window_order_price_delta",
-    "funnel_view_click_purchase",
-    "geo_cell_geometry",
-    "emb_quantized_int8_stats",
-    "pii_redaction_scrub",
-}
+# scd2's r8 driver row exists but is RED: the driver's ns-only pandas
+# overflowed converting the TIMESTAMP 9999-12-31 sentinel (both sides
+# now string-render it). It re-enters the window to earn a green row.
+_R8_RED_REEARN = {"scd2_customer_priority_history"}
 
-# The 23 r5-green entries the round-8 rotation defers to round 9: the
-# window holds 13 r4 deferrals + 10 round-8 debuts + 3 stable core,
-# leaving 24 slots for the 47-entry r5 cohort. Every deferred entry
-# keeps an in-window family representative (13 TPC-H shapes — q1, q2,
-# q13, q15, q18, q21 stay in; plus one each of dedup / PQ / join-MV /
-# SQL-dialect / embedding / pair-mining / LM-scoring / JSON-scalar / rollup / geo
-# whose siblings or family twins stay in) and none changed since its r5 hash-match.
-# Round-9 editor: front-load EXACTLY this list first, then the oldest
-# r6 entries.
+# The 23 r5-green entries the round-8 rotation deferred; round 9
+# front-loads them (their r5 evidence is the oldest in the registry).
 _DEFERRED_TO_R9 = {
     "tpch_q4_late_orders",
     "tpch_q7_volume_shipping",
@@ -93,6 +71,45 @@ _DEFERRED_TO_R9 = {
     "dsir_importance_weights",
 }
 
+# The 27 r6-green entries the round-9 rotation defers to round 10: the
+# window holds 23 r5 deferrals + 1 scd2 re-earn + 4 round-9 debuts +
+# 3 stable core, leaving 19 slots for the 46-entry r6 cohort. Every
+# deferred entry keeps an in-window family representative (ann batch/
+# LSH variants — brute + IVF stay in; pivot/string-scalar/UDF-sql/
+# UDTF/window-running/grouping-sets — a sibling of each family stays
+# in; sampling / text / funnel / stats twins likewise) and none
+# changed since its r6 hash-match. Round-10 editor: front-load EXACTLY
+# this list first, then the oldest r7 entries.
+_DEFERRED_TO_R10 = {
+    "ann_ivf_batch_topk",
+    "ann_lsh_batch_multiprobe_topk",
+    "ann_lsh_bucket_topk",
+    "array_embedding_stats",
+    "bool_aggs_per_segment",
+    "entropy_quality_scores",
+    "funnel_match_recognize_strict",
+    "grouping_sets_orders",
+    "histogram_event_values",
+    "hourly_activity_profile",
+    "interval_overlap_sessions",
+    "ntile_equidepth_histogram",
+    "null_semantics_aggs",
+    "pivot_status_by_priority",
+    "regexp_part_type_tokens",
+    "reservoir_sample_fixed_k",
+    "retention_cohorts_monthly",
+    "rolling_zscore_anomalies",
+    "scalar_string_fns",
+    "skew_salted_join_topk",
+    "snapshot_diff_documents",
+    "source_quota_cap_stats",
+    "text_repetition",
+    "udf_sql_registered_brand_code",
+    "udtf_token_explode",
+    "weighted_sample_by_quality",
+    "window_running_order_totals",
+}
+
 
 def _correctness(round_tag: str) -> set[str]:
     with open(os.path.join(_REPO, f"CORRECTNESS_{round_tag}.json")) as f:
@@ -111,33 +128,40 @@ def test_stable_core_inside_driver_window():
     assert not missing, f"stable-core canaries outside the driver window: {missing}"
 
 
-def test_r7_deferral_promise_kept():
-    """Round 7 promised the 13 deferred r4 entries would be FRONT-LOADED
-    in round 8 — they must all sit inside this round's window."""
+def test_r8_deferral_promise_kept():
+    """Round 8 promised the 23 deferred r5 entries would be FRONT-LOADED
+    in round 9 — they must all sit inside this round's window, and
+    FIRST (before any other rotated entry), since their evidence is
+    the oldest in the registry."""
     first = set(list(QUERIES)[:DRIVER_CAP])
-    missing = [n for n in _DEFERRED_TO_R8 if n not in first]
-    assert not missing, f"r7-deferred entries not front-loaded: {missing}"
+    missing = [n for n in _DEFERRED_TO_R9 if n not in first]
+    assert not missing, f"r8-deferred entries not front-loaded: {missing}"
+    assert set(_DRIVER_ROTATION[: len(_DEFERRED_TO_R9)]) == _DEFERRED_TO_R9
 
 
-def test_rotation_targets_were_stale_after_r7():
-    """The round-8 rotation should only name queries that did NOT get a
-    round-7 driver row: the r4 deferrals, entries new this round (no
-    row anywhere by construction), or r5-era refreshes."""
-    r7 = _correctness("r07")
-    overlap = [n for n in _DRIVER_ROTATION if n in r7]
-    assert not overlap, f"already driver-checked in r7: {overlap}"
+def test_rotation_targets_were_stale_after_r8():
+    """The round-9 rotation should only name queries that did NOT get a
+    GREEN round-8 driver row: the r5 deferrals, entries new this round
+    (no row anywhere by construction), r6-era refreshes — plus the one
+    scd2 re-earn whose r8 row exists but is red (driver-env crash)."""
+    r8 = _correctness("r08")
+    overlap = [n for n in _DRIVER_ROTATION if n in r8]
+    assert set(overlap) == _R8_RED_REEARN, (
+        f"already driver-checked (green) in r8: "
+        f"{sorted(set(overlap) - _R8_RED_REEARN)}"
+    )
 
 
 def test_never_driver_checked_entries_all_in_window():
-    """Every entry that has NEVER had a driver row across r1-r7 (the
-    round-8 debuts) must sit inside this round's window — nothing
+    """Every entry that has NEVER had a driver row across r1-r8 (the
+    round-9 debuts) must sit inside this round's window — nothing
     ships without a driver row in its debut window."""
     checked = set()
-    for r in ("r01", "r02", "r03", "r04", "r05", "r06", "r07"):
+    for r in ("r01", "r02", "r03", "r04", "r05", "r06", "r07", "r08"):
         checked |= _correctness(r)
     first = set(list(QUERIES)[:DRIVER_CAP])
     never = [n for n in QUERIES if n not in checked]
-    assert set(never) == _NEW_IN_R8  # the debuts, exactly
+    assert set(never) == _NEW_IN_R9  # the debuts, exactly
     outside = [n for n in never if n not in first]
     assert not outside, (
         f"never-driver-checked entries left outside the window: {outside}"
@@ -146,22 +170,36 @@ def test_never_driver_checked_entries_all_in_window():
 
 def test_whole_registry_evidence_at_most_three_rounds_old():
     """Union check: every registry entry either sits in this round's
-    window (earning an r8 row) or has an r7/r6 driver row — EXCEPT the
-    23 explicitly-deferred r5 entries (the window cannot hold the 13
-    r4 deferrals + 10 debuts + the 47-entry r5 cohort; the deferral is
-    documented and round 9 must front-load them)."""
+    window (earning an r9 row) or has an r8/r7 driver row — EXCEPT the
+    27 explicitly-deferred r6 entries (the window cannot hold the 23
+    r5 deferrals + the scd2 re-earn + 4 debuts + the 46-entry r6
+    cohort; the deferral is documented and round 10 must front-load
+    them)."""
+    r8 = _correctness("r08")
     r7 = _correctness("r07")
-    r6 = _correctness("r06")
     first = set(list(QUERIES)[:DRIVER_CAP])
-    stale = [n for n in QUERIES if n not in r7 and n not in r6 and n not in first]
-    unexplained = [n for n in stale if n not in _DEFERRED_TO_R9]
+    stale = [n for n in QUERIES if n not in r8 and n not in r7 and n not in first]
+    unexplained = [n for n in stale if n not in _DEFERRED_TO_R10]
     assert not unexplained, (
-        "entries with r5-or-older driver evidence left outside the "
-        f"window and not in the documented r9 deferral: {unexplained}"
+        "entries with r6-or-older driver evidence left outside the "
+        f"window and not in the documented r10 deferral: {unexplained}"
     )
     # the deferral list must not silently grow entries it doesn't
     # need: everything in it is genuinely outside the window
-    assert set(stale) == _DEFERRED_TO_R9 - first
+    assert set(stale) == _DEFERRED_TO_R10 - first
+
+
+def test_window_composition_exact():
+    """The 50-slot window is exactly the documented composition:
+    23 r5 deferrals + 1 scd2 re-earn + 4 debuts + 19 r6 refreshes +
+    3 stable core."""
+    first = set(list(QUERIES)[:DRIVER_CAP])
+    r6 = _correctness("r06")
+    r6_refresh = first & r6 - _DEFERRED_TO_R9 - set(_STABLE_CORE) - _R8_RED_REEARN
+    assert first == (
+        _DEFERRED_TO_R9 | _R8_RED_REEARN | _NEW_IN_R9 | r6_refresh | set(_STABLE_CORE)
+    )
+    assert len(r6_refresh) == 19
 
 
 def test_no_duplicates_and_oracles_subset():
