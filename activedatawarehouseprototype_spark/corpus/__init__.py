@@ -121,20 +121,22 @@ _DRIVER_ROTATION = [
     #     the driver's ns-only pandas, not a wrong answer); the
     #     sentinel is now string-rendered and the entry re-earns a
     #     green row;
-    #   * 4 operators NEW in round 9 (integer-lattice k-means, MAD
+    #   * 6 operators NEW in round 9 (integer-lattice k-means, MAD
     #     outlier gate, winsorized sums, blocked levenshtein
-    #     matching) — debut rows;
-    #   * 19 of the 46 r6-era entries (family-diverse pick: ann
+    #     matching, grouped closed-form OLS trend, PMI
+    #     collocations) — debut rows;
+    #   * 17 of the 46 r6-era entries (family-diverse pick: ann
     #     brute+ivf, exact+minhash dedup, multimodal, graph, 2 TPC-H,
-    #     rule passthrough, ranking/pivot/percentile windows, 2 UDF
-    #     tiers, 2 text ops, as-of, range join, stats). The 27
-    #     deferred to round 10 are enumerated in
-    #     test_registry_order._DEFERRED_TO_R10 — every one keeps an
-    #     in-window family representative and none changed since its
-    #     r6 hash-match. Round-10 editor: front-load those 27 FIRST,
-    #     then the oldest r7 entries.
+    #     rule passthrough, ranking/pivot windows, 2 UDF tiers,
+    #     2 text ops, as-of, range join). The 29 deferred to round 10
+    #     are enumerated in test_registry_order._DEFERRED_TO_R10 —
+    #     every one keeps an in-window family representative (the
+    #     percentile/stats pair's rep is the robust tier, which runs
+    #     exact percentiles over the same events columns) and none
+    #     changed since its r6 hash-match. Round-10 editor: front-load
+    #     those 29 FIRST, then the oldest r7 entries.
     # With the 3-entry stable core this fills the 50-slot window
-    # exactly: 23 + 1 + 4 + 19 + 3 = 50.
+    # exactly: 23 + 1 + 6 + 17 + 3 = 50.
     #
     # -- the 23 r5 deferrals (oldest evidence in the registry) -------------
     "tpch_q4_late_orders",
@@ -167,7 +169,9 @@ _DRIVER_ROTATION = [
     "mad_outliers_event_values",
     "winsorized_value_sums",
     "fuzzy_blocked_part_pairs",
-    # -- 19 of the 46 r6-era entries (family-diverse) -----------------------
+    "ols_trend_user_values",
+    "pmi_collocations_top20",
+    # -- 17 of the 46 r6-era entries (family-diverse) -----------------------
     "ann_topk_cosine",
     "ann_ivf_topk",
     "dedup_exact_text",
@@ -179,14 +183,12 @@ _DRIVER_ROTATION = [
     "rule_passthrough",
     "window_top3_orders_per_customer",
     "pivot_native_status_by_priority",
-    "percentile_order_prices",
     "udf_pandas_log_score",
     "udaf_weighted_avg_price",
     "text_quality_filter",
     "text_top_bigrams",
     "asof_click_latest_purchase",
     "range_join_price_bands",
-    "stats_price_quantity",
 ]
 
 

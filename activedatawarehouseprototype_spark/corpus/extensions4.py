@@ -282,3 +282,106 @@ def fuzzy_blocked_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("dist").cast("bigint").alias("min_dist"),
         F.sum("dist").cast("bigint").alias("sum_dist"),
     )
+
+
+# --- Grouped closed-form OLS trend (operators/regression.py) -------------
+# Per-user trend of event values over epoch-days. Only the EXACT
+# integer components ship (n and the five sums, slope numerator /
+# denominator): the float slope is a quotient, and rounded quotients
+# are never parity-safe — a consumer derives it from the exact pair.
+
+
+@register(
+    "ols_trend_user_values",
+    oracle="""
+WITH src AS (
+  SELECT user_id,
+         epoch_ms(ts) // 86400000 AS xd,
+         CAST(round(value * 100) AS BIGINT) AS y
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+reb AS (
+  SELECT user_id, xd - MIN(xd) OVER (PARTITION BY user_id) AS x, y
+  FROM src
+),
+agg AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM reb GROUP BY 1
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, n, sx, sy, sxy, sxx,
+       CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+       CAST(n * sxx - sx * sx AS BIGINT) AS slope_den
+FROM agg
+""",
+)
+def ols_trend_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from activedatawarehouseprototype_spark.operators.regression import (
+        grouped_ols,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    ).select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.expr("unix_millis(ts) div 86400000").alias("xd"),
+        F.round(F.col("value") * 100).cast("bigint").alias("y"),
+    )
+    out = grouped_ols(ev, ["user_id"], "xd", "y", rebase_x=True)
+    return out.select(
+        "user_id", "n", "sx", "sy", "sxy", "sxx", "slope_num", "slope_den"
+    )
+
+
+# --- PMI collocations (operators/text.py::pmi_collocations) --------------
+# Counts exact; the PMI argument is one fixed-association expression
+# of exactly-representable integers-in-double on both engines; ln
+# rounded at 6 (transcendental, registry convention). The top-20
+# cutoff orders by the ROUNDED pmi with (w1, w2) tie-breaks so the
+# boundary is deterministic.
+
+
+@register(
+    "pmi_collocations_top20",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+uni AS (SELECT unnest(t) AS w FROM toks),
+uc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY 1),
+nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM uni),
+grams AS (
+  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS g
+  FROM toks WHERE len(t) >= 2
+),
+pc AS (
+  SELECT g.w1 AS w1, g.w2 AS w2, CAST(COUNT(*) AS BIGINT) AS c_xy
+  FROM grams GROUP BY 1, 2
+),
+npair AS (SELECT CAST(SUM(c_xy) AS BIGINT) AS n FROM pc)
+SELECT p.w1, p.w2, p.c_xy,
+       ROUND(LN((CAST(p.c_xy AS DOUBLE) * nt.n * nt.n) /
+                (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE) * npair.n)),
+             6) AS pmi
+FROM pc p
+JOIN uc u1 ON u1.w = p.w1
+JOIN uc u2 ON u2.w = p.w2
+CROSS JOIN nt CROSS JOIN npair
+WHERE p.c_xy >= 5
+ORDER BY pmi DESC, w1, w2
+LIMIT 20
+""",
+)
+def pmi_collocations_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from activedatawarehouseprototype_spark.operators.text import (
+        pmi_collocations,
+    )
+
+    return pmi_collocations(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", min_count=5, k=20
+    )

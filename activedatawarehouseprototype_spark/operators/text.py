@@ -571,3 +571,65 @@ def gopher_quality_flags(
         first_fail.alias("first_fail"),
         first_fail.isNull().alias("keep"),
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_count: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Top-``k`` adjacent-word collocations by pointwise mutual
+    information: PMI(x, y) = ln(P(x,y) / (P(x) P(y))) with pair
+    probabilities over adjacent-bigram occurrences and word
+    probabilities over all tokens. The standard collocation extractor
+    for training-corpus analysis (multiword expressions, boilerplate
+    phrases); ``min_count`` drops the rare-pair noise PMI is known to
+    amplify.
+
+    Shape at scale: bigram pairs via the posexplode + lead form
+    (``bigram_pairs``), ONE groupBy each for pair and unigram counts,
+    then an equi-join of pair counts to the two unigram counts —
+    Catalyst/AQE picks broadcast when the vocabulary fits (it almost
+    always does: vocab grows ~log corpus). The only collects are the
+    two 1-row totals (control plane).
+
+    Float discipline: counts are exact; the PMI argument is one
+    fixed-association product/quotient of exactly-representable
+    integers-in-double, so both engines feed ln the identical double;
+    ln is rounded at 6 (transcendental — never a terminating decimal,
+    registry convention)."""
+    pairs = bigram_pairs(df, id_col, text_col)
+    pc = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_xy")
+    )
+    uni = df.select(
+        F.explode(tokens(F.col(text_col))).alias("w")
+    ).groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    n_tok = uni.agg(F.sum("c")).collect()[0][0]  # 1 row (control plane)
+    n_pair = pc.agg(F.sum("c_xy")).collect()[0][0]  # 1 row
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_x"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_y"))
+    arg = (
+        F.col("c_xy").cast("double")
+        * F.lit(float(n_tok))
+        * F.lit(float(n_tok))
+    ) / (
+        F.col("c_x").cast("double")
+        * F.col("c_y").cast("double")
+        * F.lit(float(n_pair))
+    )
+    return (
+        pc.filter(F.col("c_xy") >= min_count)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            F.round(F.log(arg), 6).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(k)
+    )

@@ -110,6 +110,8 @@ HEADLINE = [
     "mad_outliers_event_values",
     "winsorized_value_sums",
     "fuzzy_blocked_part_pairs",
+    "ols_trend_user_values",
+    "pmi_collocations_top20",
 ]
 
 # FIXED cross-round subset — never edit (see module docstring). One
