@@ -563,6 +563,68 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     pcf.add_argument("--path", required=True)
     pcf.add_argument("--target-bytes", type=int, default=128 << 20)
+
+    pkm = sub.add_parser(
+        "kmeans",
+        help="bit-reproducible integer-lattice k-means assignments",
+    )
+    pkm.add_argument("--input", required=True)
+    pkm.add_argument("--id-col", default="vec_id")
+    pkm.add_argument("--vec-col", default="embedding")
+    pkm.add_argument("--k", type=int, default=16)
+    pkm.add_argument("--iters", type=int, default=4)
+    pkm.add_argument("--scale", type=int, default=10_000)
+    pkm.add_argument("--output", required=True)
+
+    pfm = sub.add_parser(
+        "fuzzy-match",
+        help="levenshtein pairs inside a block key (+ optional keeper dedup)",
+    )
+    pfm.add_argument("--input", required=True)
+    pfm.add_argument("--block-col", required=True)
+    pfm.add_argument("--id-col", required=True)
+    pfm.add_argument("--text-col", required=True)
+    pfm.add_argument("--max-dist", type=int, default=4)
+    pfm.add_argument("--max-block-rows", type=int, default=None)
+    pfm.add_argument(
+        "--keep-survivors",
+        action="store_true",
+        help="write the deduped rows (lowest id per match group) "
+        "instead of the pair list",
+    )
+    pfm.add_argument("--output", required=True)
+
+    pmo = sub.add_parser(
+        "outliers",
+        help="per-group median/MAD robust outlier stats",
+    )
+    pmo.add_argument("--input", required=True)
+    pmo.add_argument("--group-cols", required=True, help="comma-separated")
+    pmo.add_argument("--value-col", required=True)
+    pmo.add_argument("--z", type=float, default=3.0)
+    pmo.add_argument("--output", required=True)
+
+    pot = sub.add_parser(
+        "ols-trend",
+        help="per-group closed-form OLS trend (exact sum components)",
+    )
+    pot.add_argument("--input", required=True)
+    pot.add_argument("--group-cols", required=True, help="comma-separated")
+    pot.add_argument("--x-col", required=True)
+    pot.add_argument("--y-col", required=True)
+    pot.add_argument("--no-rebase-x", action="store_true")
+    pot.add_argument("--output", required=True)
+
+    pcl = sub.add_parser(
+        "collocations",
+        help="top-k adjacent-word collocations by PMI",
+    )
+    pcl.add_argument("--input", required=True)
+    pcl.add_argument("--id-col", default="doc_id")
+    pcl.add_argument("--text-col", default="text")
+    pcl.add_argument("--min-count", type=int, default=5)
+    pcl.add_argument("--k", type=int, default=20)
+    pcl.add_argument("--output", required=True)
     return p
 
 
@@ -1244,6 +1306,109 @@ def main(argv: list[str] | None = None) -> int:
             f"{res['output_files']} ({res['untouched']} untouched)",
             file=sys.stderr,
         )
+        return 0
+
+    if args.cmd == "kmeans":
+        from activedatawarehouseprototype_spark.catalog import load_parquet
+        from activedatawarehouseprototype_spark.operators.clustering import (
+            kmeans_lattice,
+        )
+
+        assigned, cents = kmeans_lattice(
+            load_parquet(spark, args.input),
+            k=args.k,
+            iters=args.iters,
+            id_col=args.id_col,
+            vec_col=args.vec_col,
+            scale=args.scale,
+        )
+        assigned.write.mode("overwrite").parquet(args.output)
+        sizes = {
+            r["cluster_id"]: r["n"]
+            for r in assigned.groupBy("cluster_id").count()
+            .withColumnRenamed("count", "n").collect()
+        }
+        print(
+            f"{args.k} clusters, sizes "
+            f"{[sizes.get(cid, 0) for cid, _ in cents]} -> {args.output}",
+            file=sys.stderr,
+        )
+        return 0
+
+    if args.cmd == "fuzzy-match":
+        from activedatawarehouseprototype_spark.catalog import load_parquet
+        from activedatawarehouseprototype_spark.operators.fuzzy import (
+            fuzzy_dedup_keeper,
+            fuzzy_join_blocked,
+        )
+
+        df = load_parquet(spark, args.input)
+        pairs = fuzzy_join_blocked(
+            df,
+            block_col=args.block_col,
+            id_col=args.id_col,
+            text_col=args.text_col,
+            max_dist=args.max_dist,
+            max_block_rows=args.max_block_rows,
+        )
+        out = (
+            fuzzy_dedup_keeper(pairs, df, args.id_col)
+            if args.keep_survivors
+            else pairs
+        )
+        out.write.mode("overwrite").parquet(args.output)
+        what = "survivors" if args.keep_survivors else "pairs"
+        print(f"{out.count()} {what} -> {args.output}", file=sys.stderr)
+        return 0
+
+    if args.cmd == "outliers":
+        from activedatawarehouseprototype_spark.catalog import load_parquet
+        from activedatawarehouseprototype_spark.operators.robust import (
+            mad_outlier_stats,
+        )
+
+        out = mad_outlier_stats(
+            load_parquet(spark, args.input),
+            args.group_cols.split(","),
+            args.value_col,
+            z=args.z,
+        )
+        out.write.mode("overwrite").parquet(args.output)
+        print(f"{out.count()} groups -> {args.output}", file=sys.stderr)
+        return 0
+
+    if args.cmd == "ols-trend":
+        from activedatawarehouseprototype_spark.catalog import load_parquet
+        from activedatawarehouseprototype_spark.operators.regression import (
+            grouped_ols,
+        )
+
+        out = grouped_ols(
+            load_parquet(spark, args.input),
+            args.group_cols.split(","),
+            args.x_col,
+            args.y_col,
+            rebase_x=not args.no_rebase_x,
+        )
+        out.write.mode("overwrite").parquet(args.output)
+        print(f"{out.count()} groups -> {args.output}", file=sys.stderr)
+        return 0
+
+    if args.cmd == "collocations":
+        from activedatawarehouseprototype_spark.catalog import load_parquet
+        from activedatawarehouseprototype_spark.operators.text import (
+            pmi_collocations,
+        )
+
+        out = pmi_collocations(
+            load_parquet(spark, args.input),
+            args.id_col,
+            args.text_col,
+            min_count=args.min_count,
+            k=args.k,
+        )
+        out.write.mode("overwrite").parquet(args.output)
+        print(f"{out.count()} collocations -> {args.output}", file=sys.stderr)
         return 0
 
     if args.cmd == "ewma":

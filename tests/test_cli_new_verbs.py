@@ -316,3 +316,138 @@ def test_cli_compact_small(spark, tmp_path, capsys):
     n = len([f for f in _os.listdir(path) if f.endswith(".parquet")])
     assert n < 8
     assert spark.read.parquet(path).count() == 1000
+
+
+# --- round-9 verbs --------------------------------------------------------
+
+
+def test_cli_kmeans(spark, tmp_path):
+    out = str(tmp_path / "km")
+    assert (
+        main(
+            [
+                "kmeans",
+                "--input", f"{SF}/embeddings.parquet",
+                "--k", "4",
+                "--iters", "2",
+                "--output", out,
+            ]
+        )
+        == 0
+    )
+    rows = spark.read.parquet(out)
+    assert rows.filter(F.col("cluster_id").isNull()).count() == 0
+    from activedatawarehouseprototype_spark.operators.clustering import (
+        kmeans_lattice,
+    )
+
+    want, _ = kmeans_lattice(
+        catalog.load(spark, SF, "embeddings"), k=4, iters=2
+    )
+    got = {(r["vec_id"], r["cluster_id"]) for r in rows.collect()}
+    assert got == {
+        (r["vec_id"], r["cluster_id"]) for r in want.collect()
+    }
+
+
+def test_cli_fuzzy_match_pairs_and_survivors(spark, tmp_path):
+    pairs_out = str(tmp_path / "pairs")
+    assert (
+        main(
+            [
+                "fuzzy-match",
+                "--input", f"{SF}/part.parquet",
+                "--block-col", "p_brand",
+                "--id-col", "p_partkey",
+                "--text-col", "p_name",
+                "--max-dist", "3",
+                "--output", pairs_out,
+            ]
+        )
+        == 0
+    )
+    pairs = spark.read.parquet(pairs_out)
+    assert pairs.filter("dist > 3").count() == 0
+
+    surv_out = str(tmp_path / "surv")
+    assert (
+        main(
+            [
+                "fuzzy-match",
+                "--input", f"{SF}/part.parquet",
+                "--block-col", "p_brand",
+                "--id-col", "p_partkey",
+                "--text-col", "p_name",
+                "--max-dist", "3",
+                "--keep-survivors",
+                "--output", surv_out,
+            ]
+        )
+        == 0
+    )
+    surv = spark.read.parquet(surv_out)
+    dropped = {r["b_p_partkey"] for r in pairs.collect()}
+    kept = {r["p_partkey"] for r in surv.collect()}
+    assert kept.isdisjoint(dropped)
+    total = catalog.load(spark, SF, "part").count()
+    assert len(kept) == total - len(dropped)
+
+
+def test_cli_outliers_and_ols_trend(spark, tmp_path):
+    out1 = str(tmp_path / "mad")
+    assert (
+        main(
+            [
+                "outliers",
+                "--input", f"{SF}/events.parquet",
+                "--group-cols", "event_type",
+                "--value-col", "value",
+                "--output", out1,
+            ]
+        )
+        == 0
+    )
+    mad = spark.read.parquet(out1)
+    assert {c for c in mad.columns} >= {
+        "event_type", "n", "median_value", "mad_value", "n_outliers"
+    }
+    assert mad.count() > 0
+
+    out2 = str(tmp_path / "ols")
+    assert (
+        main(
+            [
+                "ols-trend",
+                "--input", f"{SF}/events.parquet",
+                "--group-cols", "user_id",
+                "--x-col", "user_id",
+                "--y-col", "user_id",
+                "--output", out2,
+            ]
+        )
+        == 0
+    )
+    ols = spark.read.parquet(out2)
+    # x rebased within each single-valued group -> zero variance,
+    # NULL slope, exact components present
+    assert ols.filter("slope_den != 0").count() == 0
+    assert ols.count() > 0
+
+
+def test_cli_collocations(spark, tmp_path):
+    out = str(tmp_path / "pmi")
+    assert (
+        main(
+            [
+                "collocations",
+                "--input", f"{SF}/documents.parquet",
+                "--min-count", "2",
+                "--k", "10",
+                "--output", out,
+            ]
+        )
+        == 0
+    )
+    rows = spark.read.parquet(out)
+    assert rows.count() <= 10
+    assert rows.filter("c_xy < 2").count() == 0
