@@ -62,3 +62,21 @@ def test_dedup_keeper_keeps_lowest_id(spark):
     pairs = fuzzy_join_blocked(df, "blk", "rid", "txt", max_dist=2)
     kept = fuzzy_dedup_keeper(pairs, df, "rid")
     assert sorted(r["rid"] for r in kept.collect()) == [1, 9]
+
+
+def test_strategies_agree_and_bad_strategy_raises(spark):
+    import pytest
+
+    rows = [("a", i, t) for i, t in enumerate(
+        ["kitten", "sitten", "mitten", "zebra", "zebrb"])]
+    rows += [("b", 10, "kitten"), ("b", 11, "bitten")]
+    df = _df(spark, rows)
+    co = fuzzy_join_blocked(df, "blk", "rid", "txt", max_dist=2)
+    bc = fuzzy_join_blocked(
+        df, "blk", "rid", "txt", max_dist=2, strategy="broadcast"
+    )
+    assert sorted(map(tuple, co.collect())) == sorted(
+        map(tuple, bc.collect())
+    )
+    with pytest.raises(ValueError, match="strategy"):
+        fuzzy_join_blocked(df, "blk", "rid", "txt", strategy="nope")
