@@ -615,6 +615,22 @@ def _build_parser() -> argparse.ArgumentParser:
     pot.add_argument("--no-rebase-x", action="store_true")
     pot.add_argument("--output", required=True)
 
+    ppk = sub.add_parser(
+        "purge",
+        help="targeted key deletion: rewrite only files holding the keys",
+    )
+    ppk.add_argument("--path", required=True)
+    ppk.add_argument("--key-col", required=True)
+    ppk.add_argument(
+        "--keys", required=True,
+        help="comma-separated key values (typed as the column: "
+        "integers parse as int, the rest stay strings)",
+    )
+    ppk.add_argument(
+        "--refresh-index", action="store_true",
+        help="run update_skipping_index after the purge",
+    )
+
     pcl = sub.add_parser(
         "collocations",
         help="top-k adjacent-word collocations by PMI",
@@ -1392,6 +1408,37 @@ def main(argv: list[str] | None = None) -> int:
         )
         out.write.mode("overwrite").parquet(args.output)
         print(f"{out.count()} groups -> {args.output}", file=sys.stderr)
+        return 0
+
+    if args.cmd == "purge":
+        from activedatawarehouseprototype_spark.operators.warehouse import (
+            purge_keys,
+        )
+
+        def _typed(v: str):
+            try:
+                return int(v)
+            except ValueError:
+                return v
+
+        keys = [_typed(v) for v in args.keys.split(",") if v != ""]
+        res = purge_keys(spark, args.path, args.key_col, keys)
+        if args.refresh_index:
+            import os as _os
+
+            from activedatawarehouseprototype_spark.operators.skipping import (
+                _index_path,
+                update_skipping_index,
+            )
+
+            if _os.path.exists(_index_path(args.path)):
+                update_skipping_index(spark, args.path)
+        print(
+            f"deleted {res['deleted']} rows "
+            f"({res['rewritten_files']} files rewritten, "
+            f"{res['linked_files']} linked)",
+            file=sys.stderr,
+        )
         return 0
 
     if args.cmd == "collocations":

@@ -1108,3 +1108,139 @@ def jmv_verify(
     }
     out["consistent"] = out["missing"] == 0 and out["extra"] == 0
     return out
+
+
+def purge_keys(
+    spark: SparkSession,
+    path: str,
+    key_col: str,
+    keys: "list | tuple",
+) -> dict:
+    """Targeted deletion (the GDPR right-to-be-forgotten shape):
+    remove every row whose ``key_col`` is in ``keys``, rewriting ONLY
+    the files that can contain those keys and hard-linking every
+    other file into the new snapshot untouched.
+
+    ``delete_where`` above rewrites the whole table — the correct
+    general tool, but a deletion request for a handful of users
+    should not cost a 100 TB rewrite. This composes two existing
+    pieces instead:
+
+    1. TARGETING. With a ``<path>_skip_index`` manifest present
+       (skipping.py) the touched-file list comes from manifest
+       min/max pruning — zero data IO. The staleness check fails
+       CLOSED like ``read_with_skipping``: unknown on-disk files
+       raise (a missed file here would silently RETAIN rows a
+       deletion promised to remove). Without a manifest, targeting
+       costs one column-pruned scan: ``input_file_name()`` of the
+       matching rows.
+    2. REWRITE. Touched files are re-read (basePath + explicit
+       schema, the partition-column-safe pattern), filtered with SQL
+       NOT-IN semantics (NULL keys are never in ``keys``, so NULL-key
+       rows are RETAINED, matching ``delete_where``'s ANSI contract),
+       and written to staging; untouched files hard-link (same inode,
+       zero bytes moved). Commit is the shared staging + atomic-swap
+       protocol — a crash leaves the old or the new snapshot.
+
+    The manifest, if present, is STALE after a successful purge — run
+    ``update_skipping_index`` (its read-side check fails closed).
+    Flat directories only, like ``compact_small_files`` (per-leaf
+    composition for partitioned layouts). Returns
+    ``{"deleted", "rewritten_files", "linked_files"}``."""
+    from activedatawarehouseprototype_spark.operators import skipping
+
+    if not keys:
+        raise ValueError("purge_keys: empty key list")
+    if any(k is None for k in keys):
+        raise ValueError(
+            "purge_keys: NULL is not a purgeable key (SQL IN never "
+            "matches NULL); filter explicitly if you mean IS NULL"
+        )
+    recover_swap(path)
+    names = sorted(os.listdir(path))
+    subdirs = [
+        n
+        for n in names
+        if os.path.isdir(os.path.join(path, n)) and not n.startswith(("_", "."))
+    ]
+    if subdirs:
+        raise ValueError(
+            f"purge_keys: {path} has a partitioned/nested layout "
+            f"(e.g. {subdirs[:3]}); purge each leaf directory instead"
+        )
+    all_files = sorted(skipping._list_data_files(path))
+    abs_root = os.path.abspath(path)
+
+    if os.path.exists(skipping._index_path(path)):
+        manifest_known = {
+            skipping._rel_file(r["file"], path)
+            for r in skipping._load_manifest(spark, path)
+            .select("file")
+            .collect()
+        }
+        unknown = set(all_files) - manifest_known
+        if unknown:
+            raise RuntimeError(
+                f"purge_keys: skipping index at "
+                f"{skipping._index_path(path)} is stale: {len(unknown)} "
+                f"data file(s) not in the manifest (e.g. "
+                f"{sorted(unknown)[:3]}); rebuild the index — a missed "
+                "file would silently retain rows this purge must remove"
+            )
+        touched_abs = skipping.prune_files(
+            spark, path, [skipping.Pred(key_col, "in", list(keys))]
+        )
+        touched = sorted(
+            os.path.relpath(f, abs_root) for f in touched_abs
+        )
+    else:
+        from urllib.parse import unquote
+
+        hit_files = (
+            spark.read.parquet(path)
+            .filter(F.col(key_col).isin(list(keys)))
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .collect()
+        )  # bounded by |files|, the list the scheduler already holds
+        touched = sorted(
+            os.path.relpath(unquote(r["f"]).removeprefix("file:"), abs_root)
+            for r in hit_files
+        )
+
+    if not touched:
+        return {"deleted": 0, "rewritten_files": 0, "linked_files": len(all_files)}
+
+    schema = spark.read.parquet(path).schema
+    src = (
+        spark.read.option("basePath", abs_root)
+        .schema(schema)
+        .parquet(*[os.path.join(path, f) for f in touched])
+    )
+    keep = src.filter(
+        ~F.coalesce(F.col(key_col).isin(list(keys)), F.lit(False))
+    )
+    deleted = src.count() - keep.count()
+    if not deleted:
+        return {"deleted": 0, "rewritten_files": 0, "linked_files": len(all_files)}
+
+    staging = path + ".staging"
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+    keep.write.mode("overwrite").parquet(staging)
+    written = {n for n in os.listdir(staging) if n.endswith(".parquet")}
+    untouched = [f for f in all_files if f not in set(touched)]
+    for n in untouched:
+        dst = os.path.join(staging, n)
+        if n in written:  # fresh-UUID part names make this ~impossible
+            raise RuntimeError(f"purge_keys: staging name collision on {n}")
+        try:
+            os.link(os.path.join(path, n), dst)
+        except OSError:
+            shutil.copy2(os.path.join(path, n), dst)
+    commit_swap(path, staging)
+    return {
+        "deleted": deleted,
+        "rewritten_files": len(touched),
+        "linked_files": len(untouched),
+    }

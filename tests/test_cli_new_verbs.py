@@ -451,3 +451,22 @@ def test_cli_collocations(spark, tmp_path):
     rows = spark.read.parquet(out)
     assert rows.count() <= 10
     assert rows.filter("c_xy < 2").count() == 0
+
+
+def test_cli_purge(spark, tmp_path):
+    path = str(tmp_path / "purge_t")
+    spark.range(100).selectExpr("id as k", "id % 3 as v").write.parquet(path)
+    assert (
+        main(
+            [
+                "purge",
+                "--path", path,
+                "--key-col", "k",
+                "--keys", "7,8,9",
+            ]
+        )
+        == 0
+    )
+    left = spark.read.parquet(path)
+    assert left.count() == 97
+    assert left.filter("k in (7,8,9)").count() == 0
