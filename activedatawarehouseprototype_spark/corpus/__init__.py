@@ -121,22 +121,23 @@ _DRIVER_ROTATION = [
     #     the driver's ns-only pandas, not a wrong answer); the
     #     sentinel is now string-rendered and the entry re-earns a
     #     green row;
-    #   * 6 operators NEW in round 9 (integer-lattice k-means, MAD
+    #   * 7 operators NEW in round 9 (integer-lattice k-means, MAD
     #     outlier gate, winsorized sums, blocked levenshtein
-    #     matching, grouped closed-form OLS trend, PMI
-    #     collocations) — debut rows;
-    #   * 17 of the 46 r6-era entries (family-diverse pick: ann
-    #     brute+ivf, exact+minhash dedup, multimodal, graph, 2 TPC-H,
+    #     matching, grouped closed-form OLS trend, PMI collocations,
+    #     column profiler) — debut rows;
+    #   * 16 of the 46 r6-era entries (family-diverse pick: ann
+    #     brute+ivf, exact+minhash dedup, multimodal, graph, tpch_q3
+    #     (18 other TPC-H shapes are in-window via the r5 deferrals),
     #     rule passthrough, ranking/pivot windows, 2 UDF tiers,
-    #     2 text ops, as-of, range join). The 29 deferred to round 10
+    #     2 text ops, as-of, range join). The 30 deferred to round 10
     #     are enumerated in test_registry_order._DEFERRED_TO_R10 —
     #     every one keeps an in-window family representative (the
     #     percentile/stats pair's rep is the robust tier, which runs
     #     exact percentiles over the same events columns) and none
     #     changed since its r6 hash-match. Round-10 editor: front-load
-    #     those 29 FIRST, then the oldest r7 entries.
+    #     those 30 FIRST, then the oldest r7 entries.
     # With the 3-entry stable core this fills the 50-slot window
-    # exactly: 23 + 1 + 6 + 17 + 3 = 50.
+    # exactly: 23 + 1 + 7 + 16 + 3 = 50.
     #
     # -- the 23 r5 deferrals (oldest evidence in the registry) -------------
     "tpch_q4_late_orders",
@@ -171,7 +172,8 @@ _DRIVER_ROTATION = [
     "fuzzy_blocked_part_pairs",
     "ols_trend_user_values",
     "pmi_collocations_top20",
-    # -- 17 of the 46 r6-era entries (family-diverse) -----------------------
+    "profile_orders_columns",
+    # -- 16 of the 46 r6-era entries (family-diverse) -----------------------
     "ann_topk_cosine",
     "ann_ivf_topk",
     "dedup_exact_text",
@@ -179,7 +181,6 @@ _DRIVER_ROTATION = [
     "multimodal_byte_stats",
     "graph_pagerank_suppliers",
     "tpch_q3_shipping_priority",
-    "tpch_q6_revenue_delta",
     "rule_passthrough",
     "window_top3_orders_per_customer",
     "pivot_native_status_by_priority",

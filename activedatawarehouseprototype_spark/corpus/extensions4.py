@@ -385,3 +385,48 @@ def pmi_collocations_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pmi_collocations(
         _t(spark, sf_dir, "documents"), "doc_id", "text", min_count=5, k=20
     )
+
+
+# --- Column profiler (operators/profile.py) ------------------------------
+# Exact per-column stats over columns whose string rendering is
+# cross-engine exact (strings, integers) — the float discipline's
+# string corollary; doubles would render engine-specifically.
+
+
+@register(
+    "profile_orders_columns",
+    oracle="""
+SELECT 'o_orderstatus' AS col,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_distinct,
+       CAST(MIN(o_orderstatus) AS VARCHAR) AS min_str,
+       CAST(MAX(o_orderstatus) AS VARCHAR) AS max_str
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+       CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+       CAST(MIN(o_orderpriority) AS VARCHAR),
+       CAST(MAX(o_orderpriority) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_custkey',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT),
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+       CAST(MIN(o_custkey) AS VARCHAR),
+       CAST(MAX(o_custkey) AS VARCHAR)
+FROM orders
+""",
+)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from activedatawarehouseprototype_spark.operators.profile import (
+        profile_table,
+    )
+
+    return profile_table(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderstatus", "o_orderpriority", "o_custkey"],
+    )

@@ -1,0 +1,174 @@
+"""Distributed BPE (byte-pair-encoding) merge training and encoding.
+
+The tokenizer-training step of an LLM data pipeline, expressed as
+DataFrame algebra (the Sennrich/GPT-2 formulation: greedily merge the
+most frequent adjacent symbol pair, k times):
+
+- The corpus collapses ONCE to a (word, count) table — one shuffle,
+  after which all work is vocabulary-sized, not corpus-sized (the
+  property that makes BPE trainable on 100 TB: a trillion tokens is
+  still only millions of distinct words).
+- Each merge round counts adjacent symbol pairs weighted by word
+  count (posexplode + groupBy-sum, map-side combined; the shuffle is
+  bounded by distinct PAIRS, not words) and takes the global argmax
+  with a deterministic tie-break (count desc, then lexicographic
+  pair) — ONE 1-row collect per round, the same control-plane shape
+  as k-means' centroid fetch.
+- Applying a merge rewrites each word's symbol array MAP-SIDE with a
+  left-to-right non-overlapping fold (``F.aggregate`` — whole-stage
+  codegen, no UDF). The word table is localCheckpointed each round so
+  k rounds cost k bounded jobs, not one k-deep expression tree.
+
+Determinism: counts are exact longs and the tie-break is total, so
+the merge list is a pure function of the corpus — any engine (or the
+pure-Python reference in tests/test_bpe.py) replays it exactly.
+Tokenization is the registry's single-space convention; symbols are
+characters (no end-of-word marker — document-boundary fidelity is not
+the point of the operator, merge algebra is).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _merge_pair(sym: Column, a: str, b: str) -> Column:
+    """Left-to-right non-overlapping replacement of adjacent (a, b)
+    with a+b inside a symbol array, as one codegen fold.
+
+    Accumulator: (out array, pending symbol). Each step either
+    completes a merge (pending==a and s==b), flushes pending, or
+    holds s as the new pending; the final pending flushes at the end.
+    Matches the classic BPE scan: a merged symbol never re-merges
+    within the same round."""
+    la, lb, lab = F.lit(a), F.lit(b), F.lit(a + b)
+    zero = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit(None).cast("string").alias("pend"),
+    )
+    step = lambda acc, s: F.when(  # noqa: E731
+        acc["pend"].isNull(),
+        F.struct(acc["out"].alias("out"), s.alias("pend")),
+    ).otherwise(
+        F.when(
+            (acc["pend"] == la) & (s == lb),
+            F.struct(
+                F.concat(acc["out"], F.array(lab)).alias("out"),
+                F.lit(None).cast("string").alias("pend"),
+            ),
+        ).otherwise(
+            F.struct(
+                F.concat(acc["out"], F.array(acc["pend"])).alias("out"),
+                s.alias("pend"),
+            )
+        )
+    )
+    fin = lambda acc: F.when(  # noqa: E731
+        acc["pend"].isNull(), acc["out"]
+    ).otherwise(F.concat(acc["out"], F.array(acc["pend"])))
+    return F.aggregate(sym, zero, step, fin)
+
+
+def _word_table(df: DataFrame, text_col: str) -> DataFrame:
+    return (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .select(
+            F.split(F.col("w"), "").alias("sym"),
+            F.col("cnt"),
+        )
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str,
+    num_merges: int = 50,
+    min_pair_count: int = 2,
+) -> list[tuple[str, str]]:
+    """Learn up to ``num_merges`` BPE merges from the corpus; stops
+    early when no pair reaches ``min_pair_count``. Returns the merge
+    list in application order."""
+    if num_merges < 0 or min_pair_count < 1:
+        raise ValueError("bpe_train: num_merges >= 0, min_pair_count >= 1")
+    words = _word_table(df, text_col).localCheckpoint(eager=True)
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pairs = (
+            words.select(
+                F.posexplode(F.slice("sym", 1, F.size("sym") - 1)).alias(
+                    "i", "a"
+                ),
+                F.col("sym"),
+                F.col("cnt"),
+            )
+            .select(
+                F.col("a"),
+                F.element_at("sym", F.col("i") + 2).alias("b"),
+                F.col("cnt"),
+            )
+            .groupBy("a", "b")
+            .agg(F.sum("cnt").alias("n"))
+        )
+        best = (
+            pairs.orderBy(F.col("n").desc(), F.col("a"), F.col("b"))
+            .limit(1)
+            .collect()  # 1 row per round (control plane)
+        )
+        if not best or best[0]["n"] < min_pair_count:
+            break
+        a, b = best[0]["a"], best[0]["b"]
+        merges.append((a, b))
+        words = words.select(
+            _merge_pair(F.col("sym"), a, b).alias("sym"), "cnt"
+        ).localCheckpoint(eager=True)  # truncate the k-deep lineage
+    return merges
+
+
+def bpe_encode(
+    df: DataFrame, id_col: str, text_col: str, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """Apply a trained merge list: returns (id_col, tokens
+    array<string>, n_tokens) with tokens in document order.
+
+    The k merge folds run over the DISTINCT-WORD vocabulary, not the
+    corpus — a word that appears a million times encodes once (the
+    same corpus→vocab collapse the trainer rides; measured 22 s → 3 s
+    on the sf0.1 documents at k=10). Occurrences then equi-join the
+    encoded vocab (AQE broadcasts it while it fits — vocabulary grows
+    ~log corpus) and reassemble per document via a position-sorted
+    flatten."""
+    word = F.explode(F.split(F.col(text_col), " "))
+    vocab = (
+        df.select(word.alias("_w")).filter(F.col("_w") != "").distinct()
+    )
+    sym = F.split(F.col("_w"), "")
+    for a, b in merges:
+        sym = _merge_pair(sym, a, b)
+    vocab = vocab.select("_w", sym.alias("_toks"))
+    base = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("_pos", "_w"),
+    ).filter(F.col("_w") != "")
+    return (
+        base.join(vocab, "_w")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("_pos", "_toks"))
+                    ),
+                    lambda s: s["_toks"],
+                )
+            ).alias("tokens")
+        )
+        .select(
+            id_col,
+            "tokens",
+            F.size("tokens").cast("bigint").alias("n_tokens"),
+        )
+    )

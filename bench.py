@@ -112,6 +112,7 @@ HEADLINE = [
     "fuzzy_blocked_part_pairs",
     "ols_trend_user_values",
     "pmi_collocations_top20",
+    "profile_orders_columns",
 ]
 
 # FIXED cross-round subset — never edit (see module docstring). One
