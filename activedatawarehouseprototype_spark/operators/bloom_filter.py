@@ -149,9 +149,13 @@ def _xxhash64_long(vals, seed: int):
     h = h ^ k1
     h = rotl(h, 27) * P1 + P4
     h = fmix(h)
-    # hashInt(seed, h): the 4-byte tail path, seeded per element
+    # hashInt(seed, h): the 4-byte tail path, seeded per element.
+    # The seed term is a constant — multiply in Python ints and mask
+    # (numpy scalar uint64 multiply wraps correctly but warns).
     h = h + P5 + np.uint64(4)
-    h ^= np.uint64(seed & 0xFFFFFFFF) * P1
+    h ^= np.uint64(
+        ((seed & 0xFFFFFFFF) * 0x9E3779B185EBCA87) & 0xFFFFFFFFFFFFFFFF
+    )
     h = rotl(h, 23) * P2 + P3
     return fmix(h)
 
