@@ -121,23 +121,23 @@ _DRIVER_ROTATION = [
     #     the driver's ns-only pandas, not a wrong answer); the
     #     sentinel is now string-rendered and the entry re-earns a
     #     green row;
-    #   * 7 operators NEW in round 9 (integer-lattice k-means, MAD
+    #   * 8 operators NEW in round 9 (integer-lattice k-means, MAD
     #     outlier gate, winsorized sums, blocked levenshtein
     #     matching, grouped closed-form OLS trend, PMI collocations,
-    #     column profiler) — debut rows;
-    #   * 16 of the 46 r6-era entries (family-diverse pick: ann
+    #     column profiler, BPE token bounds) — debut rows;
+    #   * 15 of the 46 r6-era entries (family-diverse pick: ann
     #     brute+ivf, exact+minhash dedup, multimodal, graph, tpch_q3
     #     (18 other TPC-H shapes are in-window via the r5 deferrals),
     #     rule passthrough, ranking/pivot windows, 2 UDF tiers,
-    #     2 text ops, as-of, range join). The 30 deferred to round 10
+    #     text quality, as-of, range join). The 31 deferred to round 10
     #     are enumerated in test_registry_order._DEFERRED_TO_R10 —
     #     every one keeps an in-window family representative (the
     #     percentile/stats pair's rep is the robust tier, which runs
     #     exact percentiles over the same events columns) and none
     #     changed since its r6 hash-match. Round-10 editor: front-load
-    #     those 30 FIRST, then the oldest r7 entries.
+    #     those 31 FIRST, then the oldest r7 entries.
     # With the 3-entry stable core this fills the 50-slot window
-    # exactly: 23 + 1 + 7 + 16 + 3 = 50.
+    # exactly: 23 + 1 + 8 + 15 + 3 = 50.
     #
     # -- the 23 r5 deferrals (oldest evidence in the registry) -------------
     "tpch_q4_late_orders",
@@ -173,7 +173,8 @@ _DRIVER_ROTATION = [
     "ols_trend_user_values",
     "pmi_collocations_top20",
     "profile_orders_columns",
-    # -- 16 of the 46 r6-era entries (family-diverse) -----------------------
+    "bpe_token_bounds",
+    # -- 15 of the 46 r6-era entries (family-diverse) -----------------------
     "ann_topk_cosine",
     "ann_ivf_topk",
     "dedup_exact_text",
@@ -187,7 +188,6 @@ _DRIVER_ROTATION = [
     "udf_pandas_log_score",
     "udaf_weighted_avg_price",
     "text_quality_filter",
-    "text_top_bigrams",
     "asof_click_latest_purchase",
     "range_join_price_bands",
 ]

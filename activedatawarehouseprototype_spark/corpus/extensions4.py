@@ -430,3 +430,57 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "orders"),
         ["o_orderstatus", "o_orderpriority", "o_custkey"],
     )
+
+
+# --- Distributed BPE (operators/bpe.py) ----------------------------------
+# The merge TRAJECTORY is exact-deterministic but not reasonably
+# SQL-expressible (k sequential global argmaxes); the entry follows
+# the sketch-entry pattern: exact SQL-twin columns (per-doc word and
+# non-space char counts) plus invariant booleans the oracle pins TRUE
+# (every word is >= 1 token; merges only ever shrink a word's token
+# count, so words <= tokens <= chars). Exact merge/encode equality vs
+# a pure-Python reference is pinned in tests/test_bpe.py.
+
+
+@register(
+    "bpe_token_bounds",
+    oracle="""
+WITH w AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), x -> x <> ''))
+           AS n_words,
+         length(replace(text, ' ', '')) AS n_chars
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       TRUE AS tokens_within_bounds
+FROM w WHERE n_words > 0
+""",
+)
+def bpe_token_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from activedatawarehouseprototype_spark.operators.bpe import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = bpe_train(docs, "text", num_merges=8, min_pair_count=2)
+    enc = bpe_encode(docs, "doc_id", "text", merges)
+    base = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(F.split("text", " "), lambda x: x != "")
+        ).alias("n_words"),
+        F.length(F.translate(F.col("text"), " ", "")).alias("n_chars"),
+    ).filter(F.col("n_words") > 0)
+    return base.join(enc, "doc_id").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        (
+            (F.col("n_tokens") >= F.col("n_words"))
+            & (F.col("n_tokens") <= F.col("n_chars"))
+        ).alias("tokens_within_bounds"),
+    )
