@@ -20,6 +20,9 @@ from pyspark.sql import functions as F
 
 from activedatawarehouseprototype_spark.catalog import load as _load
 from activedatawarehouseprototype_spark.corpus import register
+from activedatawarehouseprototype_spark.corpus.extensions3 import (
+    _scratch as _scratch_ext4,
+)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -483,4 +486,50 @@ def bpe_token_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_tokens") >= F.col("n_words"))
             & (F.col("n_tokens") <= F.col("n_chars"))
         ).alias("tokens_within_bounds"),
+    )
+
+
+# --- Targeted key deletion (operators/warehouse.py::purge_keys) ----------
+# Orders written range-clustered on custkey, skipping-indexed, then
+# four customers purged; the rollup must equal SQL NOT IN (with ANSI
+# NULL retention) and the file-level targeting invariant (most files
+# hard-linked, not rewritten) rides along as a pinned boolean.
+
+
+@register(
+    "purge_keys_orders_rollup",
+    oracle="""
+SELECT o_orderstatus AS status,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS sum_price,
+       TRUE AS most_files_linked
+FROM orders
+WHERE o_custkey NOT IN (7, 13, 21, 42) OR o_custkey IS NULL
+GROUP BY 1
+""",
+)
+def purge_keys_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from activedatawarehouseprototype_spark.operators.skipping import (
+        build_skipping_index,
+    )
+    from activedatawarehouseprototype_spark.operators.warehouse import (
+        purge_keys,
+    )
+
+    work = _scratch_ext4("adw-purge-")
+    path = f"{work}/orders"
+    (
+        _t(spark, sf_dir, "orders")
+        .repartitionByRange(8, "o_custkey")
+        .write.parquet(path)
+    )
+    build_skipping_index(spark, path, ["o_custkey"])
+    res = purge_keys(spark, path, "o_custkey", [7, 13, 21, 42])
+    after = spark.read.parquet(path)
+    return after.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.lit(
+            res["linked_files"] > res["rewritten_files"]
+        ).alias("most_files_linked"),
     )
