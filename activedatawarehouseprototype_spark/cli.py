@@ -186,6 +186,11 @@ def _build_parser() -> argparse.ArgumentParser:
         "--seed-only", action="store_true",
         help="deterministic lowest-id seed centroids (skip k-means)",
     )
+    pib.add_argument(
+        "--lattice", action="store_true",
+        help="train with the bit-reproducible integer-lattice k-means "
+        "(clustering.kmeans_lattice) instead of the float trainer",
+    )
 
     pis = sub.add_parser(
         "index-search",
@@ -826,6 +831,24 @@ def main(argv: list[str] | None = None) -> int:
         from activedatawarehouseprototype_spark.operators import similarity
 
         vecs = load_parquet(spark, args.input)
+        trained = None
+        if args.lattice:
+            if args.seed_only:
+                raise SystemExit("--lattice and --seed-only are exclusive")
+            from activedatawarehouseprototype_spark.operators.clustering import (
+                kmeans_lattice,
+            )
+
+            _, lat = kmeans_lattice(
+                vecs,
+                k=args.k,
+                iters=args.iters,
+                id_col=args.id_col,
+                vec_col=args.vec_col,
+            )
+            trained = [
+                (cid, [c / 10_000 for c in cv]) for cid, cv in lat
+            ]
         cents = similarity.ivf_index_build(
             vecs,
             args.index,
@@ -834,6 +857,7 @@ def main(argv: list[str] | None = None) -> int:
             id_col=args.id_col,
             vec_col=args.vec_col,
             use_kmeans=not args.seed_only,
+            centroids=trained,
         )
         print(f"{len(cents)} cells -> {args.index}", file=sys.stderr)
         return 0

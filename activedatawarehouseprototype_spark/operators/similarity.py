@@ -579,10 +579,17 @@ def ivf_index_build(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     use_kmeans: bool = True,
+    centroids: "list[tuple[int, list[float]]] | None" = None,
 ) -> list[tuple[int, list[float]]]:
     """Build a PERSISTED IVF-flat ANN index: train centroids, assign
     every vector to its cell, and write the corpus partitioned by
     ``cell=`` (one directory per cell) plus a k-row centroids table.
+
+    ``centroids`` overrides training entirely — the trained-centroid
+    seam at the index level (e.g. de-quantized
+    ``clustering.kmeans_lattice`` output for a bit-reproducible
+    layout, or centroids reused from a sibling index so two corpora
+    share cell geometry).
 
     This is the storage-layout half of the IVF trade: at query time
     the probed cells become parquet PARTITION FILTERS, so a search
@@ -593,11 +600,16 @@ def ivf_index_build(
 
     Returns the trained centroids (same shape as
     ``ivf_kmeans_centroids``)."""
-    cents = (
-        ivf_kmeans_centroids(df, k, iters, id_col=id_col, vec_col=vec_col)
-        if use_kmeans
-        else ivf_seed_centroids(df, k, id_col=id_col, vec_col=vec_col)
-    )
+    if centroids is not None:
+        if len(centroids) != k:
+            raise ValueError(
+                f"ivf_index_build: {len(centroids)} centroids given, k={k}"
+            )
+        cents = centroids
+    elif use_kmeans:
+        cents = ivf_kmeans_centroids(df, k, iters, id_col=id_col, vec_col=vec_col)
+    else:
+        cents = ivf_seed_centroids(df, k, id_col=id_col, vec_col=vec_col)
     assigned = ivf_assign(df, k=k, id_col=id_col, vec_col=vec_col, centroids=cents)
     assigned.select(
         F.col(id_col),

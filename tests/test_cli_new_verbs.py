@@ -470,3 +470,56 @@ def test_cli_purge(spark, tmp_path):
     left = spark.read.parquet(path)
     assert left.count() == 97
     assert left.filter("k in (7,8,9)").count() == 0
+
+
+def test_cli_index_build_lattice_roundtrip(spark, tmp_path):
+    idx = str(tmp_path / "latidx")
+    out = str(tmp_path / "lathits")
+    assert (
+        main(
+            [
+                "index-build",
+                "--input", f"{SF}/embeddings.parquet",
+                "--index", idx,
+                "--k", "4",
+                "--iters", "2",
+                "--lattice",
+            ]
+        )
+        == 0
+    )
+    cents = spark.read.parquet(f"{idx}/centroids")
+    assert cents.count() == 4
+    assert (
+        main(
+            [
+                "index-search",
+                "--index", idx,
+                "--queries", f"{SF}/embeddings.parquet",
+                "--output", out,
+                "--k", "3",
+                "--probes", "2",
+            ]
+        )
+        == 0
+    )
+    hits = spark.read.parquet(out)
+    assert hits.count() > 0
+    # reproducibility: a second lattice build yields identical centroids
+    idx2 = str(tmp_path / "latidx2")
+    assert (
+        main(
+            [
+                "index-build",
+                "--input", f"{SF}/embeddings.parquet",
+                "--index", idx2,
+                "--k", "4",
+                "--iters", "2",
+                "--lattice",
+            ]
+        )
+        == 0
+    )
+    a = sorted(map(tuple, spark.read.parquet(f"{idx}/centroids").collect()))
+    b = sorted(map(tuple, spark.read.parquet(f"{idx2}/centroids").collect()))
+    assert a == b
