@@ -125,13 +125,12 @@ def kmeans_lattice_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned, cents = kmeans_lattice(
         emb, k=4, iters=3, id_col="vec_id", vec_col="embedding"
     )
+    # centroid checksum as a when-chain literal map (k branches)
     csum_expr = None
     for cid, cv in cents:
-        branch = F.when(
-            F.col("cluster_id") == cid, F.lit(sum(cv)).cast("bigint")
-        )
-        csum_expr = branch if csum_expr is None else csum_expr.when(
-            F.col("cluster_id") == cid, F.lit(sum(cv)).cast("bigint")
+        cond, val = F.col("cluster_id") == cid, F.lit(sum(cv)).cast("bigint")
+        csum_expr = (
+            F.when(cond, val) if csum_expr is None else csum_expr.when(cond, val)
         )
     q0 = _quantize(F.col("embedding"), 10_000).getItem(0)
     return (

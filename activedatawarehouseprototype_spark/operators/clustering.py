@@ -91,6 +91,12 @@ def kmeans_lattice(
             .collect()  # bounded: k rows (control plane)
         )
     ]
+    if len(cents) < k:
+        # F.least over a short centroid list would silently train a
+        # smaller k; fewer points than clusters is a caller bug
+        raise ValueError(
+            f"kmeans_lattice: k={k} but only {len(cents)} input vectors"
+        )
     for _ in range(iters):
         sums = (
             df.select(_best_cell(q, cents).alias("_cid"), q.alias("_q"))

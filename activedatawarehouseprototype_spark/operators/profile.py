@@ -31,8 +31,11 @@ from pyspark.sql import functions as F
 def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     """Per-column stats: (col, n, n_null, n_distinct, min_str,
     max_str). ``n`` counts all rows; ``n_distinct`` excludes NULLs
-    (SQL COUNT(DISTINCT) semantics); min/max are NULL-skipping and
-    rendered as strings."""
+    (SQL COUNT(DISTINCT) semantics) and is counted over the STRING
+    rendering (identical to the native count wherever the cast is
+    injective — strings, integers, dates; document any profiled float
+    column accordingly); min/max are NULL-skipping and rendered as
+    strings."""
     cols = list(cols) if cols is not None else list(df.columns)
     missing = [c for c in cols if c not in df.columns]
     if not cols or missing:

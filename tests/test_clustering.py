@@ -80,3 +80,11 @@ def test_centroids_feed_ivf_assign(spark):
     cells = ivf_assign(df, k=4, centroids=dequant)
     assert cells.filter(F.col("cell").isNull()).count() == 0
     assert cells.select("cell").distinct().count() <= 4
+
+
+def test_fewer_points_than_k_raises(spark):
+    df = _df(spark, [[0.1, 0.2], [0.3, 0.4]])
+    import pytest
+
+    with pytest.raises(ValueError, match="only 2 input vectors"):
+        kmeans_lattice(df, k=3, iters=1)
