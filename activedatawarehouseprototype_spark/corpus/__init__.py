@@ -121,24 +121,24 @@ _DRIVER_ROTATION = [
     #     the driver's ns-only pandas, not a wrong answer); the
     #     sentinel is now string-rendered and the entry re-earns a
     #     green row;
-    #   * 9 operators NEW in round 9 (integer-lattice k-means, MAD
+    #   * 10 operators NEW in round 9 (integer-lattice k-means, MAD
     #     outlier gate, winsorized sums, blocked levenshtein
     #     matching, grouped closed-form OLS trend, PMI collocations,
-    #     column profiler, BPE token bounds, targeted key deletion) —
-    #     debut rows;
-    #   * 14 of the 46 r6-era entries (family-diverse pick: ann
+    #     column profiler, BPE token bounds, targeted key deletion,
+    #     quantile-ladder MV) — debut rows;
+    #   * 13 of the 46 r6-era entries (family-diverse pick: ann
     #     brute+ivf, exact+minhash dedup, multimodal, graph, tpch_q3
     #     (18 other TPC-H shapes are in-window via the r5 deferrals),
-    #     rule passthrough, ranking/pivot windows, pandas-UDF tier,
-    #     text quality, as-of, range join). The 32 deferred to round 10
+    #     rule passthrough, ranking window, pandas-UDF tier,
+    #     text quality, as-of, range join). The 33 deferred to round 10
     #     are enumerated in test_registry_order._DEFERRED_TO_R10 —
     #     every one keeps an in-window family representative (the
     #     percentile/stats pair's rep is the robust tier, which runs
     #     exact percentiles over the same events columns) and none
     #     changed since its r6 hash-match. Round-10 editor: front-load
-    #     those 32 FIRST, then the oldest r7 entries.
+    #     those 33 FIRST, then the oldest r7 entries.
     # With the 3-entry stable core this fills the 50-slot window
-    # exactly: 23 + 1 + 9 + 14 + 3 = 50.
+    # exactly: 23 + 1 + 10 + 13 + 3 = 50.
     #
     # -- the 23 r5 deferrals (oldest evidence in the registry) -------------
     "tpch_q4_late_orders",
@@ -176,7 +176,8 @@ _DRIVER_ROTATION = [
     "profile_orders_columns",
     "bpe_token_bounds",
     "purge_keys_orders_rollup",
-    # -- 14 of the 46 r6-era entries (family-diverse) -----------------------
+    "quantile_mv_daily_values",
+    # -- 13 of the 46 r6-era entries (family-diverse) -----------------------
     "ann_topk_cosine",
     "ann_ivf_topk",
     "dedup_exact_text",
@@ -186,7 +187,6 @@ _DRIVER_ROTATION = [
     "tpch_q3_shipping_priority",
     "rule_passthrough",
     "window_top3_orders_per_customer",
-    "pivot_native_status_by_priority",
     "udf_pandas_log_score",
     "text_quality_filter",
     "asof_click_latest_purchase",

@@ -532,3 +532,70 @@ def purge_keys_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             res["linked_files"] > res["rewritten_files"]
         ).alias("most_files_linked"),
     )
+
+
+# --- Quantile-ladder MV (operators/quantile_mv.py) -----------------------
+# The MV's stored ladder values are EXACT percentiles of integer
+# cents, so the oracle checks p25/p50/p75 bit-exactly per bucket
+# (quantile_cont and F.percentile share the a+(b-a)*frac formula over
+# integer-valued doubles). The merged-range median estimate rides
+# along as a pinned deterministic-rank-bound boolean — the sketch
+# entry pattern for the one value SQL cannot recompute.
+
+
+@register(
+    "quantile_mv_daily_values",
+    oracle="""
+WITH src AS (
+  SELECT (epoch_ms(ts) // 86400000) * 86400000 AS bucket,
+         CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE) AS v
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       quantile_cont(v, 0.25) AS p25,
+       quantile_cont(v, 0.5) AS p50,
+       quantile_cont(v, 0.75) AS p75,
+       TRUE AS merged_median_in_bounds
+FROM src GROUP BY 1
+""",
+)
+def quantile_mv_daily_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from activedatawarehouseprototype_spark.operators.quantile_mv import (
+        quantile_mv_build,
+        quantile_mv_query,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "ts",
+        F.round(F.col("value") * 100)
+        .cast("bigint")
+        .cast("double")
+        .alias("cents"),
+    )
+    work = _scratch_ext4("adw-qmv-")
+    path = f"{work}/qmv"
+    quantile_mv_build(
+        ev, path, "cents", bucket_ms=86_400_000, ts_col="ts", bins=32
+    )
+    est = quantile_mv_query(spark, path, 0.5)
+    src = ev.filter(F.col("ts").isNotNull() & F.col("cents").isNotNull())
+    counts = src.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("cents") < est["value"]).cast("bigint")).alias("below"),
+        F.sum((F.col("cents") <= est["value"]).cast("bigint")).alias("at"),
+    ).collect()[0]
+    target = 0.5 * (counts["n"] - 1)
+    bound = est["rank_error_bound"] + 1
+    in_bounds = (
+        counts["below"] - bound <= target <= counts["at"] + bound
+    )
+    mv = spark.read.parquet(path)
+    return mv.select(
+        F.col("bucket").cast("bigint").alias("bucket"),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("ladder").getItem(8).alias("p25"),
+        F.col("ladder").getItem(16).alias("p50"),
+        F.col("ladder").getItem(24).alias("p75"),
+        F.lit(bool(in_bounds)).alias("merged_median_in_bounds"),
+    )

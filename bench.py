@@ -119,6 +119,10 @@ HEADLINE = [
 # representative per family: rules, TPC-H join/agg shapes, top-k,
 # dedup (LSH + components), ANN (IVF + PQ), retrieval, graph, CDC/MV,
 # plus the per-event streaming-twin shape.
+# Reference point (first round with the core, for normalization):
+# round 9 measured bench_core_wall_seconds=19.156 (mean 1.474/query)
+# at calibration_probe_seconds=5.325 — normalize future rounds by the
+# probe ratio before reading a trend.
 BENCH_CORE = [
     "rule_tumbling_avg",
     "rule_per_event_avg",
