@@ -620,6 +620,26 @@ def _build_parser() -> argparse.ArgumentParser:
     pot.add_argument("--no-rebase-x", action="store_true")
     pot.add_argument("--output", required=True)
 
+    pqb = sub.add_parser(
+        "quantile-mv-build",
+        help="per-bucket exact quantile-ladder MV over a value column",
+    )
+    pqb.add_argument("--events", required=True)
+    pqb.add_argument("--mv", required=True)
+    pqb.add_argument("--value-col", required=True)
+    pqb.add_argument("--ts-col", default="ts")
+    pqb.add_argument("--bucket-ms", type=int, default=86_400_000)
+    pqb.add_argument("--bins", type=int, default=64)
+
+    pqq = sub.add_parser(
+        "quantile-mv-query",
+        help="range quantile from the ladder MV (+ deterministic rank bound)",
+    )
+    pqq.add_argument("--mv", required=True)
+    pqq.add_argument("--q", type=float, required=True)
+    pqq.add_argument("--start-ms", type=int, default=None)
+    pqq.add_argument("--end-ms", type=int, default=None)
+
     ppk = sub.add_parser(
         "purge",
         help="targeted key deletion: rewrite only files holding the keys",
@@ -1432,6 +1452,38 @@ def main(argv: list[str] | None = None) -> int:
         )
         out.write.mode("overwrite").parquet(args.output)
         print(f"{out.count()} groups -> {args.output}", file=sys.stderr)
+        return 0
+
+    if args.cmd == "quantile-mv-build":
+        from activedatawarehouseprototype_spark.catalog import load_parquet
+        from activedatawarehouseprototype_spark.operators.quantile_mv import (
+            quantile_mv_build,
+        )
+
+        quantile_mv_build(
+            load_parquet(spark, args.events),
+            args.mv,
+            args.value_col,
+            bucket_ms=args.bucket_ms,
+            ts_col=args.ts_col,
+            bins=args.bins,
+        )
+        n = spark.read.parquet(args.mv).count()
+        print(f"{n} ladder rows -> {args.mv}", file=sys.stderr)
+        return 0
+
+    if args.cmd == "quantile-mv-query":
+        import json as _json
+
+        from activedatawarehouseprototype_spark.operators.quantile_mv import (
+            quantile_mv_query,
+        )
+
+        res = quantile_mv_query(
+            spark, args.mv, args.q,
+            start_ms=args.start_ms, end_ms=args.end_ms,
+        )
+        print(_json.dumps(res))
         return 0
 
     if args.cmd == "purge":

@@ -523,3 +523,31 @@ def test_cli_index_build_lattice_roundtrip(spark, tmp_path):
     a = sorted(map(tuple, spark.read.parquet(f"{idx}/centroids").collect()))
     b = sorted(map(tuple, spark.read.parquet(f"{idx2}/centroids").collect()))
     assert a == b
+
+
+def test_cli_quantile_mv_roundtrip(spark, tmp_path, capsys):
+    mv = str(tmp_path / "qmv")
+    assert (
+        main(
+            [
+                "quantile-mv-build",
+                "--events", f"{SF}/events.parquet",
+                "--mv", mv,
+                "--value-col", "value",
+                "--bins", "32",
+            ]
+        )
+        == 0
+    )
+    assert spark.read.parquet(mv).count() > 0
+    assert (
+        main(["quantile-mv-query", "--mv", mv, "--q", "0.5"]) == 0
+    )
+    out = [
+        line
+        for line in capsys.readouterr().out.splitlines()
+        if line.startswith("{")
+    ][-1]
+    res = json.loads(out)
+    assert res["n"] > 0 and res["value"] is not None
+    assert res["rank_error_bound"] == res["n"] / 32
