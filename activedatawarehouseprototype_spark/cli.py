@@ -119,6 +119,31 @@ def _build_parser() -> argparse.ArgumentParser:
         "--cusum-threshold", type=float, default=5.0,
         help="either CUSUM side above this raises the alarm (default 5)",
     )
+    pr.add_argument(
+        "--mad-value", default=None,
+        help="value column for the MAD outlier-burst gate (per-batch "
+        "fraction of rows beyond z*scale of the robust center; scores "
+        "at <work-dir>/madgate)",
+    )
+    pr.add_argument(
+        "--mad-center", type=float, default=None,
+        help="robust center (training-window median; required with "
+        "--mad-value)",
+    )
+    pr.add_argument(
+        "--mad-scale", type=float, default=None,
+        help="robust scale (training-window MAD; required with "
+        "--mad-value)",
+    )
+    pr.add_argument(
+        "--mad-z", type=float, default=3.0,
+        help="outlier cut in scale units (default 3)",
+    )
+    pr.add_argument(
+        "--mad-max-outlier-frac", type=float, default=0.05,
+        help="batch outlier fraction above this raises the alarm "
+        "(default 0.05)",
+    )
 
     ps = sub.add_parser("sql", help="print the rule's generated ANSI-SQL twin")
     ps.add_argument("--rule", required=True)
@@ -1654,6 +1679,11 @@ def main(argv: list[str] | None = None) -> int:
             cusum_target=args.cusum_target,
             cusum_slack=args.cusum_slack,
             cusum_threshold=args.cusum_threshold,
+            mad_value_col=args.mad_value,
+            mad_center=args.mad_center,
+            mad_scale=args.mad_scale,
+            mad_z=args.mad_z,
+            mad_max_outlier_frac=args.mad_max_outlier_frac,
         )
         from activedatawarehouseprototype_spark.catalog import load_parquet
 

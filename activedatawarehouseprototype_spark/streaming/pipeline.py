@@ -219,6 +219,24 @@ class ActivePipeline:
     cusum_slack: float = 0.0
     cusum_threshold: float = 5.0
     cusum_group_cols: "list[str] | None" = None
+    # MAD outlier-burst gate (optional): when mad_value_col +
+    # mad_center + mad_scale are set, each batch's per-slice OUTLIER
+    # FRACTION — rows with |v - center| > z * scale — is scored and
+    # alarms past mad_max_outlier_frac. The robust third leg of the
+    # gate family: PSI needs the whole histogram to move, CUSUM
+    # integrates a persistent mean bias (and a heavy two-sided tail
+    # can cancel out of the mean entirely); the MAD gate catches the
+    # burst of individually-extreme rows. center/scale come from a
+    # training window (operators/robust.py::mad_outlier_stats is the
+    # offline fitter). Stateless per batch — scores land in
+    # ``work_dir/madgate/batch=<id>`` (per-batch overwrite, replay
+    # idempotent by construction) — read back with ``mad_scores()``.
+    mad_value_col: str | None = None
+    mad_center: float | None = None
+    mad_scale: float | None = None
+    mad_z: float = 3.0
+    mad_max_outlier_frac: float = 0.05
+    mad_group_cols: "list[str] | None" = None
     # per-rule emission high-watermark: query_id -> max emitted window_end (ms)
     _emitted_wm: dict[int, int] = dc_field(default_factory=dict)
     _has_buffer: bool = False
@@ -291,6 +309,22 @@ class ActivePipeline:
             raise ValueError(
                 "CUSUM detection needs BOTH cusum_value_col and "
                 "cusum_target (got only one)"
+            )
+        # ... and for the MAD gate (all three or none; scale > 0
+        # because |v - center| > z*0 would flag every non-center row)
+        mad_parts = (
+            bool(self.mad_value_col),
+            self.mad_center is not None,
+            self.mad_scale is not None,
+        )
+        if any(mad_parts) and not all(mad_parts):
+            raise ValueError(
+                "MAD gate needs ALL of mad_value_col, mad_center and "
+                "mad_scale (got a subset)"
+            )
+        if self.mad_scale is not None and not self.mad_scale > 0:
+            raise ValueError(
+                f"mad_scale must be positive, got {self.mad_scale}"
             )
         if self.work_dir is None:
             self.work_dir = tempfile.mkdtemp(prefix="adw-pipeline-")
@@ -575,6 +609,57 @@ class ActivePipeline:
         threshold. The ``batch`` partition column names the scoring
         batch."""
         return self.spark.read.parquet(self.drift_path)
+
+    @property
+    def mad_path(self) -> str:
+        return os.path.join(self.work_dir, "madgate")
+
+    def mad_scores(self) -> DataFrame:
+        """Per-batch MAD outlier-burst scores (requires the
+        mad_value_col/mad_center/mad_scale trio): one row per (group
+        slice, batch) with the outlier fraction and ``alarm`` =
+        fraction above ``mad_max_outlier_frac``."""
+        return self.spark.read.parquet(self.mad_path)
+
+    def _update_mad(self, batch_df: DataFrame, batch_id: int) -> None:
+        """Per-batch MAD outlier-burst stage: ONE skinny agg per slice
+        counts rows beyond z * scale of the robust center. Stateless —
+        the per-batch overwrite makes replay idempotent without any
+        carried-state protocol."""
+        groups = list(self.mad_group_cols or [])
+        dev = F.abs(
+            F.col(self.mad_value_col).cast("double")
+            - F.lit(float(self.mad_center))
+        )
+        cut = F.lit(float(self.mad_z)) * F.lit(float(self.mad_scale))
+        scored = (
+            batch_df.filter(F.col(self.mad_value_col).isNotNull())
+            .groupBy(*groups)
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("batch_rows"),
+                F.sum((dev > cut).cast("bigint"))
+                .cast("bigint")
+                .alias("n_outliers"),
+            )
+            .select(
+                *groups,
+                "batch_rows",
+                "n_outliers",
+                (F.col("n_outliers") / F.col("batch_rows")).alias(
+                    "outlier_frac"
+                ),
+            )
+            .select(
+                "*",
+                (
+                    F.col("outlier_frac")
+                    > F.lit(float(self.mad_max_outlier_frac))
+                ).alias("alarm"),
+            )
+        )
+        scored.write.mode("overwrite").parquet(
+            os.path.join(self.mad_path, f"batch={batch_id}")
+        )
 
     def _drift_bin(self) -> "F.Column":
         lo, hi, bins = self.drift_bins
@@ -982,6 +1067,11 @@ class ActivePipeline:
         # through the carried two-sided Page recurrence
         if self.cusum_value_col and self.cusum_target is not None:
             self._update_cusum(batch_df, batch_id)
+
+        # (1b6) MAD outlier-burst gate (optional): per-slice fraction
+        # of rows beyond z * scale of the robust center
+        if self.mad_value_col and self.mad_scale is not None:
+            self._update_mad(batch_df, batch_id)
 
         # (1b) observed batch metrics (ingest count + K3 latency) —
         # df.observe piggybacks the buffer write below, so NO extra
