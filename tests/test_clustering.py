@@ -88,3 +88,55 @@ def test_fewer_points_than_k_raises(spark):
 
     with pytest.raises(ValueError, match="only 2 input vectors"):
         kmeans_lattice(df, k=3, iters=1)
+
+
+def _ref_kmeans_lattice(vecs, k, iters, scale=10_000):
+    """Pure-Python replay of the exact integer-lattice trajectory —
+    independent of both Spark and the DuckDB oracle."""
+    import math
+
+    q = [[math.floor(x * scale) for x in v] for v in vecs]
+    cents = [list(q[i]) for i in range(k)]  # ids are 0..n-1 by construction
+
+    def assign(p):
+        best = None
+        for cid, cv in enumerate(cents):
+            d = sum((a - b) * (a - b) for a, b in zip(p, cv))
+            if best is None or (d, cid) < best:
+                best = (d, cid)
+        return best[1]
+
+    for _ in range(iters):
+        sums = {}
+        for p in q:
+            cid = assign(p)
+            s, n = sums.get(cid, ([0] * len(p), 0))
+            sums[cid] = ([a + b for a, b in zip(s, p)], n + 1)
+        new_cents = []
+        for cid, cv in enumerate(cents):
+            if cid in sums:
+                s, n = sums[cid]
+                new_cents.append([si // n for si in s])
+            else:
+                new_cents.append(cv)  # empty cell keeps its centroid
+        cents = new_cents
+    return cents, [assign(p) for p in q]
+
+
+def test_trajectory_matches_pure_python_reference(spark):
+    import random
+
+    rng = random.Random(23)
+    vecs = [[rng.uniform(-0.5, 0.5) for _ in range(6)] for _ in range(80)]
+    # float32 storage quantizes the values BEFORE the operator sees
+    # them — replay the reference on the post-float32 values
+    import struct
+
+    f32 = lambda x: struct.unpack("f", struct.pack("f", x))[0]  # noqa: E731
+    vecs32 = [[f32(x) for x in v] for v in vecs]
+    df = _df(spark, vecs)
+    assigned, cents = kmeans_lattice(df, k=3, iters=3)
+    ref_cents, ref_labels = _ref_kmeans_lattice(vecs32, k=3, iters=3)
+    assert [cv for _, cv in cents] == ref_cents
+    got = {r["vec_id"]: r["cluster_id"] for r in assigned.collect()}
+    assert [got[i] for i in range(len(vecs))] == ref_labels
