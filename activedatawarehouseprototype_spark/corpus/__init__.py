@@ -46,6 +46,7 @@ from activedatawarehouseprototype_spark.corpus import advanced  # noqa: E402,F40
 from activedatawarehouseprototype_spark.corpus import extensions2  # noqa: E402,F401
 from activedatawarehouseprototype_spark.corpus import extensions3  # noqa: E402,F401
 from activedatawarehouseprototype_spark.corpus import extensions4  # noqa: E402,F401
+from activedatawarehouseprototype_spark.corpus import extensions5  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
@@ -121,24 +122,25 @@ _DRIVER_ROTATION = [
     #     the driver's ns-only pandas, not a wrong answer); the
     #     sentinel is now string-rendered and the entry re-earns a
     #     green row;
-    #   * 10 operators NEW in round 9 (integer-lattice k-means, MAD
+    #   * 13 operators NEW in round 9 (integer-lattice k-means, MAD
     #     outlier gate, winsorized sums, blocked levenshtein
     #     matching, grouped closed-form OLS trend, PMI collocations,
     #     column profiler, BPE token bounds, targeted key deletion,
-    #     quantile-ladder MV) — debut rows;
-    #   * 13 of the 46 r6-era entries (family-diverse pick: ann
-    #     brute+ivf, exact+minhash dedup, multimodal, graph, tpch_q3
-    #     (18 other TPC-H shapes are in-window via the r5 deferrals),
-    #     rule passthrough, ranking window, pandas-UDF tier,
-    #     text quality, as-of, range join). The 33 deferred to round 10
-    #     are enumerated in test_registry_order._DEFERRED_TO_R10 —
+    #     quantile-ladder MV, leakage-safe cluster split, event
+    #     transition matrix, A/B proportion z-test) — debut rows;
+    #   * 10 of the 46 r6-era entries (family-diverse pick: ann ivf,
+    #     minhash dedup, multimodal, graph, pandas-UDF tier, as-of,
+    #     range join, exact dedup, ranking window, text quality;
+    #     18 TPC-H shapes are in-window via the r5 deferrals and the
+    #     rule family via the stable core). The 36 deferred to round
+    #     10 are enumerated in test_registry_order._DEFERRED_TO_R10 —
     #     every one keeps an in-window family representative (the
     #     percentile/stats pair's rep is the robust tier, which runs
     #     exact percentiles over the same events columns) and none
     #     changed since its r6 hash-match. Round-10 editor: front-load
-    #     those 33 FIRST, then the oldest r7 entries.
+    #     those 36 FIRST, then the oldest r7 entries.
     # With the 3-entry stable core this fills the 50-slot window
-    # exactly: 23 + 1 + 10 + 13 + 3 = 50.
+    # exactly: 23 + 1 + 13 + 10 + 3 = 50.
     #
     # -- the 23 r5 deferrals (oldest evidence in the registry) -------------
     "tpch_q4_late_orders",
@@ -177,15 +179,15 @@ _DRIVER_ROTATION = [
     "bpe_token_bounds",
     "purge_keys_orders_rollup",
     "quantile_mv_daily_values",
-    # -- 13 of the 46 r6-era entries (family-diverse) -----------------------
-    "ann_topk_cosine",
+    "cluster_safe_split_stats",
+    "event_transition_matrix",
+    "ab_ztest_event_conversion",
+    # -- 10 of the 46 r6-era entries (family-diverse) -----------------------
     "ann_ivf_topk",
     "dedup_exact_text",
     "dedup_minhash_lsh",
     "multimodal_byte_stats",
     "graph_pagerank_suppliers",
-    "tpch_q3_shipping_priority",
-    "rule_passthrough",
     "window_top3_orders_per_customer",
     "udf_pandas_log_score",
     "text_quality_filter",

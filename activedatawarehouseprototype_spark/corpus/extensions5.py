@@ -1,0 +1,267 @@
+"""Corpus registrations new in round 9 (second wave): leakage-safe
+cluster-level splits, the event transition matrix, and the A/B
+two-proportion z-test readout.
+
+Each entry pairs the real operator with an ANSI-SQL twin DuckDB runs
+on the same parquet. Float discipline (registry contract): every
+double here is either ONE exact-integer IEEE division (transition
+probabilities — deterministic, no rounding needed) or the z statistic,
+whose formula is written as the identical IEEE expression tree on both
+sides AND rounded to 6 decimals before hashing/thresholding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from activedatawarehouseprototype_spark.catalog import load as _load
+from activedatawarehouseprototype_spark.corpus import register
+from activedatawarehouseprototype_spark.corpus.extensions import (
+    _GRAMS_CAPPED,
+    _MAX_DOC_FREQ,
+    _NGRAM,
+    _near_corpus,
+)
+from activedatawarehouseprototype_spark.operators import dedup, sampling
+from activedatawarehouseprototype_spark.operators.abtest import (
+    Z_CRIT_95,
+    two_proportion_ztest,
+)
+from activedatawarehouseprototype_spark.operators.timeseries import (
+    transition_counts,
+)
+
+
+# --- Leakage-safe cluster-level split (operators/sampling.py) ------------
+# The split coin is tossed per NEAR-DUP CLUSTER (MinHash/LSH pairs
+# closed transitively), so near-duplicates can never straddle a split
+# boundary. The oracle recomputes the identical LSH pairs, closes them
+# with a recursive CTE (independent of the Spark label propagation),
+# and tosses the identical md5 coin on the cluster id. n_clusters per
+# split + the disjointness of the coin make leakage arithmetically
+# visible: Σ n_clusters across splits == |clusters|.
+
+@register(
+    "cluster_safe_split_stats",
+    oracle=f"""
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || ' zz9' AS text
+  FROM documents WHERE doc_id % 101 = 0
+),
+{_GRAMS_CAPPED},
+mh AS (
+  SELECT doc_id, s.i AS hash_idx,
+         MIN(md5(CAST(s.i AS VARCHAR) || ':' || shingle)) AS minhash
+  FROM grams, UNNEST(generate_series(0, 11)) AS s(i)
+  GROUP BY doc_id, s.i
+),
+bands AS (
+  SELECT doc_id, hash_idx // 4 AS band,
+         md5(string_agg(minhash, ',' ORDER BY minhash)) AS band_sig
+  FROM mh GROUP BY doc_id, band
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+              AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT e.a, r.b FROM edges e JOIN reach r ON e.b = r.a
+),
+comp AS (
+  SELECT a AS doc_id, MIN(b) AS component FROM reach GROUP BY a
+),
+labeled AS (
+  SELECT c.doc_id, length(c.text) AS lc,
+         COALESCE(k.component, c.doc_id) AS cluster
+  FROM corpus c LEFT JOIN comp k USING (doc_id)
+),
+coin AS (
+  SELECT cluster, lc,
+         CAST(concat('0x', substr(md5('s1:' || CAST(cluster AS VARCHAR)), 1, 8))
+              AS BIGINT) / 4294967296.0 AS frac
+  FROM labeled
+)
+SELECT CASE WHEN frac < 0.8 THEN 'train'
+            WHEN frac < 0.9 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT cluster) AS BIGINT) AS n_clusters,
+       CAST(SUM(lc) AS BIGINT) AS total_chars
+FROM coin
+GROUP BY split
+""",
+)
+def cluster_safe_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _near_corpus(spark, sf_dir)
+    pairs = dedup.lsh_candidates(
+        corpus,
+        "doc_id",
+        "text",
+        n=_NGRAM,
+        k=12,
+        bands=3,
+        max_doc_freq=_MAX_DOC_FREQ,
+    )
+    labeled = sampling.cluster_safe_split(corpus, "doc_id", pairs)
+    return labeled.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("cluster").alias("n_clusters"),
+        F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+    )
+
+
+# --- First-order Markov transition matrix (operators/timeseries.py) ------
+# "What do users do AFTER X?" over per-user event sequences ordered by
+# (ts, event_id). p is one exact-integer IEEE division — deterministic
+# on both engines, no rounding discipline needed.
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, ts, event_id, event_type FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL
+),
+steps AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS dst
+  FROM ev
+),
+counts AS (
+  SELECT src, dst, COUNT(*) AS n FROM steps
+  WHERE dst IS NOT NULL GROUP BY src, dst
+)
+SELECT src, dst, CAST(n AS BIGINT) AS n,
+       CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY src) AS DOUBLE)
+         AS p
+FROM counts
+""",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _load(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+    )
+    return transition_counts(ev, "user_id", "ts", "event_type", "event_id")
+
+
+# --- A/B two-proportion z-test readout (operators/abtest.py) -------------
+# Arms are the deterministic md5 coin on user_id (salt 'ab1'): the
+# same engine-portable bucketing every sampler here uses, which is
+# exactly how real experiment systems assign stable arms. Unit =
+# ACTIVE USER-DAY (epoch-day bucket, the tz-free convention the
+# quantile MV uses); one metric per event type: converted = the unit
+# emitted that type that day. Units are user-days, never events (the
+# classic unit-of-analysis error), and arms cut across user-days of
+# the same user identically on both engines. Metrics whose pooled
+# variance is zero (everyone or no one converted) are FILTERED on
+# both sides — "no evidence", not ±inf — which also keeps nullable
+# doubles out of the driver hash. The 5-row metric dimension is
+# broadcast (BroadcastNLJ, bounded by |event types| — plan-audit
+# allowlisted).
+
+@register(
+    "ab_ztest_event_conversion",
+    oracle=f"""
+WITH ev AS (
+  SELECT user_id, epoch_ms(ts) // 86400000 AS day, event_type FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL AND ts IS NOT NULL
+),
+arms AS (
+  SELECT user_id, day,
+         CASE WHEN CAST(concat('0x', substr(md5('ab1:' || CAST(user_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) / 4294967296.0 < 0.5
+              THEN 'A' ELSE 'B' END AS arm
+  FROM (SELECT DISTINCT user_id, day FROM ev)
+),
+types AS (SELECT DISTINCT event_type AS metric FROM ev),
+presence AS (SELECT DISTINCT user_id, day, event_type AS metric FROM ev),
+units AS (
+  SELECT a.user_id, a.day, t.metric, a.arm,
+         CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END AS converted
+  FROM arms a CROSS JOIN types t
+  LEFT JOIN presence p ON p.user_id = a.user_id AND p.day = a.day
+                      AND p.metric = t.metric
+),
+agg AS (
+  SELECT metric,
+         SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS n_a,
+         SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS n_b,
+         SUM(CASE WHEN arm = 'A' THEN converted ELSE 0 END) AS conv_a,
+         SUM(CASE WHEN arm = 'B' THEN converted ELSE 0 END) AS conv_b
+  FROM units GROUP BY metric
+),
+stat AS (
+  SELECT metric, n_a, n_b, conv_a, conv_b,
+         CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS pooled,
+         CASE WHEN n_a > 0 AND n_b > 0 THEN
+           ROUND((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                  - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                 / sqrt((CAST(conv_a + conv_b AS DOUBLE)
+                         / CAST(n_a + n_b AS DOUBLE))
+                        * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
+                                 / CAST(n_a + n_b AS DOUBLE))
+                        * (1.0 / CAST(n_a AS DOUBLE)
+                           + 1.0 / CAST(n_b AS DOUBLE))), 6)
+         END AS z_raw
+  FROM agg
+)
+SELECT metric,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(conv_a AS BIGINT) AS conv_a, CAST(conv_b AS BIGINT) AS conv_b,
+       z_raw AS z,
+       abs(z_raw) > {Z_CRIT_95} AS significant
+FROM stat
+WHERE n_a > 0 AND n_b > 0
+  AND pooled * (1.0 - pooled)
+      * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)) > 0
+""",
+)
+def ab_ztest_event_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        _load(spark, sf_dir, "events")
+        .filter(
+            F.col("user_id").isNotNull()
+            & F.col("event_type").isNotNull()
+            & F.col("ts").isNotNull()
+        )
+        .select(
+            "user_id",
+            F.floor(F.unix_millis(F.col("ts")) / F.lit(86_400_000)).alias(
+                "day"
+            ),
+            "event_type",
+        )
+    )
+    units_base = ev.select("user_id", "day").distinct().withColumn(
+        "arm",
+        F.when(
+            sampling.hash_fraction(["user_id"], "ab1") < 0.5, "A"
+        ).otherwise("B"),
+    )
+    types = ev.select(F.col("event_type").alias("metric")).distinct()
+    presence = ev.select(
+        "user_id", "day", F.col("event_type").alias("metric")
+    ).distinct().withColumn("_hit", F.lit(1))
+    units = (
+        units_base.crossJoin(F.broadcast(types))
+        .join(presence, ["user_id", "day", "metric"], "left")
+        .withColumn("converted", F.coalesce(F.col("_hit"), F.lit(0)))
+    )
+    return two_proportion_ztest(units, ["metric"]).filter(
+        F.col("z").isNotNull()
+    )

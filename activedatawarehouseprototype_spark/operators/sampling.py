@@ -415,3 +415,46 @@ def balanced_downsample(
         .filter(F.col("_rn") <= n_min)
         .drop("_rn")
     )
+
+
+def cluster_safe_split(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    weights: dict[str, float] | None = None,
+    salt: str = "s1",
+) -> DataFrame:
+    """Leakage-safe train/val/test split: the split coin is tossed per
+    NEAR-DUP CLUSTER, not per document, so two near-duplicates can
+    never straddle a split boundary (per-doc splitting leaks — a test
+    document with a train-side near-copy is effectively memorized;
+    see the decontamination operators for the cross-corpus variant of
+    the same failure).
+
+    ``pairs`` is any near-dup candidate-pair frame over ``id_col``
+    values (MinHash/LSH, SimHash, embedding near-dup — the caller
+    picks the notion of "same"). Pairs are closed transitively with
+    :func:`dedup.connected_components`; documents in no pair form
+    singleton clusters keyed by their own id. The split is then
+    :func:`assign_split` on the CLUSTER id — a pure function of
+    (salt, cluster), reproducible in any engine with md5.
+
+    Plan: the component loop runs on the (tiny) pair graph only; the
+    corpus itself sees ONE broadcast-or-shuffle left join to pick up
+    cluster labels plus the per-row split projection — no extra
+    shuffle over the corpus beyond that join. Returns ``df`` plus
+    ``cluster`` (bigint) and ``split`` (string) columns.
+    """
+    from activedatawarehouseprototype_spark.operators.dedup import (
+        connected_components,
+    )
+
+    comps = connected_components(pairs).select(
+        F.col("id").alias(id_col), F.col("comp").alias("_comp")
+    )
+    labeled = df.join(comps, id_col, "left").withColumn(
+        "cluster", F.coalesce(F.col("_comp"), F.col(id_col).cast("bigint"))
+    )
+    return labeled.withColumn(
+        "split", assign_split(["cluster"], weights, salt)
+    ).drop("_comp")

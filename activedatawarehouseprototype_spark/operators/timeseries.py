@@ -393,3 +393,43 @@ def lag_features(
         F.min("value").over(wt).alias(f"rmin_{trail}"),
         F.max("value").over(wt).alias(f"rmax_{trail}"),
     )
+
+
+def transition_counts(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    state_col: str,
+    tie_col: str,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-key event
+    sequences: for every ordered pair of consecutive states within a
+    key, (src, dst, n, p) where p = n / Σn over the same src — the
+    clickstream path-analysis primitive ("what do users do AFTER an
+    error?") and the input to next-event prediction baselines.
+
+    Determinism: sequence order is (ts, tie) — same-timestamp events
+    resolve by the tie column, so both engines walk the identical
+    sequence. p is one exact-integer IEEE division (deterministic,
+    no rounding discipline needed).
+
+    Scale shape: ONE shuffle on key (the lead window), then one
+    aggregate on (src, dst) whose cardinality is |states|² — tiny
+    regardless of corpus size. The final per-src total is a second
+    window over the already-|states|²-sized frame (free).
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tie_col)
+    steps = (
+        df.select(
+            F.col(state_col).alias("src"),
+            F.lead(state_col).over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    per_src = Window.partitionBy("src")
+    return steps.withColumn(
+        "p",
+        F.col("n").cast("double") / F.sum("n").over(per_src).cast("double"),
+    )

@@ -113,6 +113,9 @@ HEADLINE = [
     "ols_trend_user_values",
     "pmi_collocations_top20",
     "profile_orders_columns",
+    "cluster_safe_split_stats",
+    "event_transition_matrix",
+    "ab_ztest_event_conversion",
 ]
 
 # FIXED cross-round subset — never edit (see module docstring). One

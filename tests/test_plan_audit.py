@@ -36,6 +36,9 @@ NLJ_ALLOWED = {
     # scalar-subquery thresholds: 1-row broadcast x the filtered table
     "tpch_q11_important_stock",
     "tpch_q22_idle_balances",
+    # users x the |event types| metric dimension (5 rows, broadcast):
+    # one unit row per (user, metric) for the per-metric z-test
+    "ab_ztest_event_conversion",
 }
 
 # Entries allowed to run row-at-a-time Python (non-Arrow) — ONLY the
