@@ -122,25 +122,26 @@ _DRIVER_ROTATION = [
     #     the driver's ns-only pandas, not a wrong answer); the
     #     sentinel is now string-rendered and the entry re-earns a
     #     green row;
-    #   * 13 operators NEW in round 9 (integer-lattice k-means, MAD
+    #   * 14 operators NEW in round 9 (integer-lattice k-means, MAD
     #     outlier gate, winsorized sums, blocked levenshtein
     #     matching, grouped closed-form OLS trend, PMI collocations,
     #     column profiler, BPE token bounds, targeted key deletion,
     #     quantile-ladder MV, leakage-safe cluster split, event
-    #     transition matrix, A/B proportion z-test) — debut rows;
-    #   * 10 of the 46 r6-era entries (family-diverse pick: ann ivf,
+    #     transition matrix, A/B proportion z-test, hash-trick
+    #     classifier gate) — debut rows;
+    #   * 9 of the 46 r6-era entries (family-diverse pick: ann ivf,
     #     minhash dedup, multimodal, graph, pandas-UDF tier, as-of,
-    #     range join, exact dedup, ranking window, text quality;
-    #     18 TPC-H shapes are in-window via the r5 deferrals and the
-    #     rule family via the stable core). The 36 deferred to round
+    #     range join, ranking window, text quality; 18 TPC-H shapes
+    #     are in-window via the r5 deferrals and the rule family via
+    #     the stable core). The 37 deferred to round
     #     10 are enumerated in test_registry_order._DEFERRED_TO_R10 —
     #     every one keeps an in-window family representative (the
     #     percentile/stats pair's rep is the robust tier, which runs
     #     exact percentiles over the same events columns) and none
     #     changed since its r6 hash-match. Round-10 editor: front-load
-    #     those 36 FIRST, then the oldest r7 entries.
+    #     those 37 FIRST, then the oldest r7 entries.
     # With the 3-entry stable core this fills the 50-slot window
-    # exactly: 23 + 1 + 13 + 10 + 3 = 50.
+    # exactly: 23 + 1 + 14 + 9 + 3 = 50.
     #
     # -- the 23 r5 deferrals (oldest evidence in the registry) -------------
     "tpch_q4_late_orders",
@@ -182,9 +183,9 @@ _DRIVER_ROTATION = [
     "cluster_safe_split_stats",
     "event_transition_matrix",
     "ab_ztest_event_conversion",
-    # -- 10 of the 46 r6-era entries (family-diverse) -----------------------
+    "classifier_gate_stats",
+    # -- 9 of the 46 r6-era entries (family-diverse) ------------------------
     "ann_ivf_topk",
-    "dedup_exact_text",
     "dedup_minhash_lsh",
     "multimodal_byte_stats",
     "graph_pagerank_suppliers",

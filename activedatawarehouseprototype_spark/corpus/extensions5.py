@@ -265,3 +265,58 @@ def ab_ztest_event_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return two_proportion_ztest(units, ["metric"]).filter(
         F.col("z").isNotNull()
     )
+
+
+# --- Hash-trick classifier gate (operators/text.py) -----------------------
+# fastText-style linear inference: grams -> md5 buckets -> shared slot
+# weights (integer milli-units), per-doc exact sum, keep = score >= 0.
+# The oracle re-derives the identical bucket/weight math in SQL over
+# an unnested gram stream — a fully independent path to the same
+# exact integers.
+
+@register(
+    "classifier_gate_stats",
+    oracle="""
+WITH docs AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS ts
+  FROM documents WHERE text IS NOT NULL
+),
+uni AS (SELECT doc_id, unnest(ts) AS g FROM docs),
+bi AS (
+  SELECT doc_id, ts[s.i] || '_' || ts[s.i + 1] AS g
+  FROM docs, UNNEST(generate_series(1, len(ts) - 1)) s(i)
+),
+grams AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+w AS (
+  SELECT doc_id,
+         (CAST(concat('0x', substr(md5('w:' || CAST(
+             CAST(concat('0x', substr(md5('clf1:' || g), 1, 8)) AS BIGINT)
+             % 4096 AS VARCHAR)), 1, 8)) AS BIGINT) % 2001) - 1000 AS wt
+  FROM grams
+),
+scores AS (
+  SELECT doc_id, SUM(wt) AS score_milli, COUNT(*) AS n_grams
+  FROM w GROUP BY doc_id
+)
+SELECT d.lang, s.score_milli >= 0 AS keep,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(s.score_milli) AS BIGINT) AS sum_score_milli,
+       CAST(SUM(s.n_grams) AS BIGINT) AS sum_grams
+FROM docs d JOIN scores s USING (doc_id)
+GROUP BY d.lang, keep
+""",
+)
+def classifier_gate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from activedatawarehouseprototype_spark.operators.text import (
+        hashed_linear_score,
+    )
+
+    d = _load(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    ).select("doc_id", "lang", "text")
+    scored = hashed_linear_score(d)
+    return scored.groupBy("lang", "keep").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("score_milli").cast("bigint").alias("sum_score_milli"),
+        F.sum("n_grams").cast("bigint").alias("sum_grams"),
+    )

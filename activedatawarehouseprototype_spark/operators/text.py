@@ -633,3 +633,91 @@ def pmi_collocations(
         .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(k)
     )
+
+
+def _hashed_gram_weight(g: Column, n_buckets: int, salt: str) -> Column:
+    """Weight (integer milli-units) of one gram under the hashing
+    trick: gram -> bucket via md5(salt:g) mod n_buckets, bucket ->
+    weight via md5('w:'bucket) mapped to [-1000, 1000]. Two grams
+    colliding into a bucket SHARE a weight — the real collision
+    semantics of a hash-trick model, not an approximation of it."""
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{salt}:"), g).cast("binary")), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % n_buckets
+    )
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("w:"), bucket.cast("string")).cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2001
+    ) - 1000
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    salt: str = "clf1",
+    bigrams: bool = True,
+) -> DataFrame:
+    """fastText-style linear classifier INFERENCE under the hashing
+    trick (Joulin et al. 2016, "Bag of Tricks for Efficient Text
+    Classification" — public method): every unigram (and adjacent
+    bigram) hashes into one of ``n_buckets`` weight slots; the
+    document's score is the sum of its grams' slot weights, and
+    ``score_milli >= 0`` is the keep margin. This is the quality /
+    safety / domain classifier gate of a training-data pipeline, run
+    at corpus scale.
+
+    The environment ships no trained model, so slot weights are the
+    deterministic md5-derived table in :func:`_hashed_gram_weight` —
+    the PLUMBING (hash-trick bucketing, shared-slot collision
+    semantics, codegen scoring) is the real thing; a trained model
+    drops in by swapping that one function for a broadcast-array
+    lookup (the same fake-payload convention as the multimodal
+    codecs). Weights stay INTEGER milli-units so per-doc sums are
+    exact at any summation order — cross-engine bit parity with zero
+    float discipline.
+
+    Scale: ZERO shuffle and zero UDF — gram construction
+    (zip_with/slice), bucketing, weights and the per-doc sum
+    (aggregate) are one whole-stage-codegen projection; md5 cost is
+    ~the cost of reading the bytes. Inference over 100 TB is a pure
+    map.
+    """
+    ts = tokens(F.col(text_col))
+    grams = ts
+    if bigrams:
+        bi = F.filter(
+            F.zip_with(
+                ts,
+                F.slice(ts, 2, F.size(ts)),
+                lambda a, b: F.concat(a, F.lit("_"), b),
+            ),
+            lambda x: x.isNotNull(),
+        )
+        grams = F.concat(ts, bi)
+    return df.select(
+        "*",
+        F.size(grams).cast("bigint").alias("n_grams"),
+        F.aggregate(
+            grams,
+            F.lit(0).cast("bigint"),
+            lambda acc, g: acc + _hashed_gram_weight(g, n_buckets, salt),
+        ).alias("score_milli"),
+    ).withColumn("keep", F.col("score_milli") >= 0)

@@ -116,6 +116,7 @@ HEADLINE = [
     "cluster_safe_split_stats",
     "event_transition_matrix",
     "ab_ztest_event_conversion",
+    "classifier_gate_stats",
 ]
 
 # FIXED cross-round subset — never edit (see module docstring). One

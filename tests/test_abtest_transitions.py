@@ -153,3 +153,53 @@ def test_ztest_degenerate_groups_yield_null(spark):
            two_proportion_ztest(spark.createDataFrame(rows), ["g"]).collect()}
     assert out["all1"]["z"] is None and out["all1"]["significant"] is None
     assert out["noB"]["z"] is None and out["noB"]["significant"] is None
+
+
+# --- hashed_linear_score ----------------------------------------------------
+
+
+def _ref_weight(g: str, n_buckets: int = 4096, salt: str = "clf1") -> int:
+    bucket = int(hashlib.md5(f"{salt}:{g}".encode()).hexdigest()[:8], 16) % n_buckets
+    return int(hashlib.md5(f"w:{bucket}".encode()).hexdigest()[:8], 16) % 2001 - 1000
+
+
+def _ref_score(text: str) -> tuple[int, int]:
+    toks = text.split(" ")
+    grams = toks + [f"{a}_{b}" for a, b in zip(toks, toks[1:])]
+    return len(grams), sum(_ref_weight(g) for g in grams)
+
+
+def test_hashed_linear_score_matches_pure_python(spark):
+    from activedatawarehouseprototype_spark.operators.text import (
+        hashed_linear_score,
+    )
+
+    rows = [
+        Row(doc_id=1, text="the quick brown fox"),
+        Row(doc_id=2, text="single"),          # no bigrams
+        Row(doc_id=3, text="a a a"),            # repeated gram -> weight x2
+    ]
+    out = {r["doc_id"]: r for r in
+           hashed_linear_score(spark.createDataFrame(rows)).collect()}
+    for r in rows:
+        n, s = _ref_score(r.text)
+        assert out[r.doc_id]["n_grams"] == n
+        assert out[r.doc_id]["score_milli"] == s
+        assert out[r.doc_id]["keep"] == (s >= 0)
+    # single-token doc: exactly 1 gram (its unigram), no phantom bigram
+    assert out[2]["n_grams"] == 1
+
+
+def test_hashed_linear_score_collision_semantics(spark):
+    """Two DIFFERENT grams in the same bucket share one weight — the
+    hashing-trick contract (n_buckets=1 forces the collision)."""
+    from activedatawarehouseprototype_spark.operators.text import (
+        hashed_linear_score,
+    )
+
+    rows = [Row(doc_id=1, text="alpha"), Row(doc_id=2, text="omega")]
+    out = hashed_linear_score(
+        spark.createDataFrame(rows), n_buckets=1, bigrams=False
+    ).collect()
+    scores = {r["doc_id"]: r["score_milli"] for r in out}
+    assert scores[1] == scores[2]  # same (only) bucket, same weight

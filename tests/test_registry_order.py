@@ -8,9 +8,9 @@ round-6 debuts plus 31 of the 44-entry r4 cohort, deferring 13; round
 8 front-loaded those 13, debuted its 10 new operators, and took 24 of
 the 47-entry r5 cohort, deferring 23; round 9 front-loads exactly
 those 23, re-earns the scd2 entry whose r8 row was red from a
-driver-environment pandas overflow (not a wrong answer), debuts its 13
-new operators, and takes 10 of the 46-entry r6 cohort, deferring 36
-to round 10 (at 179 entries / 50 slots the tightest achievable
+driver-environment pandas overflow (not a wrong answer), debuts its 14
+new operators, and takes 9 of the 46-entry r6 cohort, deferring 37
+to round 10 (at 180 entries / 50 slots the tightest achievable
 evidence age is ~3 rounds — the invariant is "nothing staler than 3
 rounds, oldest first, debuts always in-window").  These tests make
 sure a refactor can't silently undo the rotation or drop a query.
@@ -45,6 +45,7 @@ _NEW_IN_R9 = {
     "cluster_safe_split_stats",
     "event_transition_matrix",
     "ab_ztest_event_conversion",
+    "classifier_gate_stats",
 }
 
 # scd2's r8 driver row exists but is RED: the driver's ns-only pandas
@@ -80,9 +81,9 @@ _DEFERRED_TO_R9 = {
     "dsir_importance_weights",
 }
 
-# The 36 r6-green entries the round-9 rotation defers to round 10: the
-# window holds 23 r5 deferrals + 1 scd2 re-earn + 13 round-9 debuts +
-# 3 stable core, leaving 10 slots for the 46-entry r6 cohort. Every
+# The 37 r6-green entries the round-9 rotation defers to round 10: the
+# window holds 23 r5 deferrals + 1 scd2 re-earn + 14 round-9 debuts +
+# 3 stable core, leaving 9 slots for the 46-entry r6 cohort. Every
 # deferred entry keeps an in-window family representative (ann batch/
 # LSH variants — brute + IVF stay in; pivot/string-scalar/UDF-sql/
 # UDTF/window-running/grouping-sets — a sibling of each family stays
@@ -124,14 +125,17 @@ _DEFERRED_TO_R10 = {
     "udaf_weighted_avg_price",
     "pivot_native_status_by_priority",
     # displaced mid-round-9 to make room for the second-wave debuts
-    # (leakage-safe cluster split, transition matrix, A/B z-test) —
-    # a debut with NO driver row anywhere outranks refreshing a
-    # 3-round-old hash-match; each keeps an in-window family rep
-    # (TPC-H: 19 shapes in-window; rules: the stable core + 5 rule_*
-    # window entries; ANN brute: ann_ivf_topk stays in).
+    # (leakage-safe cluster split, transition matrix, A/B z-test,
+    # hash-trick classifier gate) — a debut with NO driver row
+    # anywhere outranks refreshing a 3-round-old hash-match; each
+    # keeps an in-window family rep (TPC-H: 19 shapes in-window;
+    # rules: the stable core + 5 rule_* window entries; ANN brute:
+    # ann_ivf_topk stays in; exact dedup: dedup_minhash_lsh plus the
+    # cluster-split debut exercise the same dedup machinery).
     "tpch_q3_shipping_priority",
     "rule_passthrough",
     "ann_topk_cosine",
+    "dedup_exact_text",
 }
 
 
@@ -215,7 +219,7 @@ def test_whole_registry_evidence_at_most_three_rounds_old():
 
 def test_window_composition_exact():
     """The 50-slot window is exactly the documented composition:
-    23 r5 deferrals + 1 scd2 re-earn + 13 debuts + 10 r6 refreshes +
+    23 r5 deferrals + 1 scd2 re-earn + 14 debuts + 9 r6 refreshes +
     3 stable core."""
     first = set(list(QUERIES)[:DRIVER_CAP])
     r6 = _correctness("r06")
@@ -223,7 +227,7 @@ def test_window_composition_exact():
     assert first == (
         _DEFERRED_TO_R9 | _R8_RED_REEARN | _NEW_IN_R9 | r6_refresh | set(_STABLE_CORE)
     )
-    assert len(r6_refresh) == 10
+    assert len(r6_refresh) == 9
 
 
 def test_no_duplicates_and_oracles_subset():
