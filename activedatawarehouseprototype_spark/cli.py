@@ -691,6 +691,54 @@ def _build_parser() -> argparse.ArgumentParser:
     pcl.add_argument("--min-count", type=int, default=5)
     pcl.add_argument("--k", type=int, default=20)
     pcl.add_argument("--output", required=True)
+
+    pss = sub.add_parser(
+        "split-safe",
+        help="leakage-safe train/val/test split: coin tossed per "
+        "near-dup cluster (minhash LSH pairs, transitively closed)",
+    )
+    pss.add_argument("--input", required=True)
+    pss.add_argument("--id-col", default="doc_id")
+    pss.add_argument("--text-col", default="text")
+    pss.add_argument("--salt", default="s1")
+    pss.add_argument("--output", required=True)
+
+    ptx = sub.add_parser(
+        "transitions",
+        help="first-order Markov transition matrix over per-key "
+        "event sequences",
+    )
+    ptx.add_argument("--events", required=True)
+    ptx.add_argument("--key-col", default="user_id")
+    ptx.add_argument("--ts-col", default="ts")
+    ptx.add_argument("--state-col", default="event_type")
+    ptx.add_argument("--tie-col", default="event_id")
+    ptx.add_argument("--output", required=True)
+
+    pab = sub.add_parser(
+        "ab-test",
+        help="two-proportion z-test per group over unit rows "
+        "(arm + converted columns)",
+    )
+    pab.add_argument("--units", required=True, help="unit-rows parquet")
+    pab.add_argument("--group-cols", required=True,
+                     help="comma-separated group columns")
+    pab.add_argument("--arm-col", default="arm")
+    pab.add_argument("--converted-col", default="converted")
+    pab.add_argument("--output", required=True)
+
+    pcg = sub.add_parser(
+        "classify",
+        help="hash-trick linear classifier gate (fastText-style "
+        "inference; md5-derived demo weights)",
+    )
+    pcg.add_argument("--input", required=True)
+    pcg.add_argument("--id-col", default="doc_id")
+    pcg.add_argument("--text-col", default="text")
+    pcg.add_argument("--n-buckets", type=int, default=4096)
+    pcg.add_argument("--salt", default="clf1")
+    pcg.add_argument("--no-bigrams", action="store_true")
+    pcg.add_argument("--output", required=True)
     return p
 
 
@@ -1557,6 +1605,71 @@ def main(argv: list[str] | None = None) -> int:
         )
         out.write.mode("overwrite").parquet(args.output)
         print(f"{out.count()} collocations -> {args.output}", file=sys.stderr)
+        return 0
+
+    if args.cmd == "split-safe":
+        from activedatawarehouseprototype_spark.catalog import load_parquet
+        from activedatawarehouseprototype_spark.operators import dedup, sampling
+
+        df = load_parquet(spark, args.input)
+        pairs = dedup.lsh_candidates(df, args.id_col, args.text_col)
+        out = sampling.cluster_safe_split(
+            df, args.id_col, pairs, salt=args.salt
+        )
+        out.write.mode("overwrite").parquet(args.output)
+        print(f"{out.count()} rows (cluster+split) -> {args.output}",
+              file=sys.stderr)
+        return 0
+
+    if args.cmd == "transitions":
+        from activedatawarehouseprototype_spark.catalog import load_parquet
+        from activedatawarehouseprototype_spark.operators.timeseries import (
+            transition_counts,
+        )
+
+        out = transition_counts(
+            load_parquet(spark, args.events),
+            args.key_col,
+            args.ts_col,
+            args.state_col,
+            args.tie_col,
+        )
+        out.write.mode("overwrite").parquet(args.output)
+        print(f"{out.count()} transitions -> {args.output}", file=sys.stderr)
+        return 0
+
+    if args.cmd == "ab-test":
+        from activedatawarehouseprototype_spark.catalog import load_parquet
+        from activedatawarehouseprototype_spark.operators.abtest import (
+            two_proportion_ztest,
+        )
+
+        out = two_proportion_ztest(
+            load_parquet(spark, args.units),
+            args.group_cols.split(","),
+            arm_col=args.arm_col,
+            converted_col=args.converted_col,
+        )
+        out.write.mode("overwrite").parquet(args.output)
+        print(f"{out.count()} groups -> {args.output}", file=sys.stderr)
+        return 0
+
+    if args.cmd == "classify":
+        from activedatawarehouseprototype_spark.catalog import load_parquet
+        from activedatawarehouseprototype_spark.operators.text import (
+            hashed_linear_score,
+        )
+
+        out = hashed_linear_score(
+            load_parquet(spark, args.input),
+            args.id_col,
+            args.text_col,
+            n_buckets=args.n_buckets,
+            salt=args.salt,
+            bigrams=not args.no_bigrams,
+        )
+        out.write.mode("overwrite").parquet(args.output)
+        print(f"{out.count()} scored docs -> {args.output}", file=sys.stderr)
         return 0
 
     if args.cmd == "ewma":

@@ -551,3 +551,106 @@ def test_cli_quantile_mv_roundtrip(spark, tmp_path, capsys):
     res = json.loads(out)
     assert res["n"] > 0 and res["value"] is not None
     assert res["rank_error_bound"] == res["n"] / 32
+
+
+def test_cli_split_safe(spark, tmp_path):
+    out = str(tmp_path / "splits")
+    assert (
+        main(
+            [
+                "split-safe",
+                "--input", f"{SF}/documents.parquet",
+                "--output", out,
+            ]
+        )
+        == 0
+    )
+    rows = spark.read.parquet(out)
+    assert {"cluster", "split"} <= set(rows.columns)
+    # the leakage invariant: one split per cluster
+    multi = (
+        rows.groupBy("cluster")
+        .agg(F.countDistinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )
+    assert multi == 0
+
+
+def test_cli_transitions(spark, tmp_path):
+    out = str(tmp_path / "tm")
+    assert (
+        main(
+            [
+                "transitions",
+                "--events", f"{SF}/events.parquet",
+                "--output", out,
+            ]
+        )
+        == 0
+    )
+    rows = spark.read.parquet(out)
+    from activedatawarehouseprototype_spark.operators.timeseries import (
+        transition_counts,
+    )
+
+    want = {
+        (r["src"], r["dst"], r["n"])
+        for r in transition_counts(
+            catalog.load(spark, SF, "events"),
+            "user_id", "ts", "event_type", "event_id",
+        ).collect()
+    }
+    assert {(r["src"], r["dst"], r["n"]) for r in rows.collect()} == want
+
+
+def test_cli_ab_test(spark, tmp_path):
+    units = str(tmp_path / "units")
+    spark.createDataFrame(
+        [("m", "A", 1)] * 6 + [("m", "A", 0)] * 4
+        + [("m", "B", 1)] * 3 + [("m", "B", 0)] * 7,
+        "g string, arm string, converted int",
+    ).write.parquet(units)
+    out = str(tmp_path / "zt")
+    assert (
+        main(
+            ["ab-test", "--units", units, "--group-cols", "g",
+             "--output", out]
+        )
+        == 0
+    )
+    r = spark.read.parquet(out).collect()[0]
+    assert (r["n_a"], r["n_b"], r["conv_a"], r["conv_b"]) == (10, 10, 6, 3)
+    assert r["z"] is not None
+
+
+def test_cli_classify(spark, tmp_path):
+    out = str(tmp_path / "scored")
+    assert (
+        main(
+            [
+                "classify",
+                "--input", f"{SF}/documents.parquet",
+                "--output", out,
+            ]
+        )
+        == 0
+    )
+    rows = spark.read.parquet(out)
+    from activedatawarehouseprototype_spark.operators.text import (
+        hashed_linear_score,
+    )
+
+    want = {
+        (r["doc_id"], r["score_milli"], r["keep"])
+        for r in hashed_linear_score(
+            catalog.load(spark, SF, "documents").filter(
+                F.col("text").isNotNull()
+            )
+        ).collect()
+    }
+    got = {
+        (r["doc_id"], r["score_milli"], r["keep"])
+        for r in rows.filter(F.col("text").isNotNull()).collect()
+    }
+    assert got == want
