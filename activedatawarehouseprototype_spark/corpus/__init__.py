@@ -143,6 +143,17 @@ _DRIVER_ROTATION = [
     # With the 3-entry stable core this fills the 50-slot window
     # exactly: 23 + 1 + 14 + 9 + 3 = 50.
     #
+    # Rotation arithmetic from round 10 on (be honest about it): at
+    # 180 entries / 50 slots the steady-state refresh period is 3.6
+    # rounds, so "nothing staler than 3 rounds" is no longer exactly
+    # achievable — r10 holds 37 r6 deferrals + 3 core, leaving ~10
+    # slots for debuts + the 47-entry r7 cohort, whose remainder
+    # reaches age 4 in r11. The invariant from r10 becomes "refresh
+    # strictly oldest-first; worst-case age = ceil(N/50) + 1 rounds,
+    # documented per round", with the full-corpus pytest mirror
+    # (tests/test_corpus_oracle.py, every entry, every round) as the
+    # compensating control for anything waiting outside the window.
+    #
     # -- the 23 r5 deferrals (oldest evidence in the registry) -------------
     "tpch_q4_late_orders",
     "tpch_q7_volume_shipping",

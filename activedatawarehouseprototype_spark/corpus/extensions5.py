@@ -1,13 +1,15 @@
 """Corpus registrations new in round 9 (second wave): leakage-safe
-cluster-level splits, the event transition matrix, and the A/B
-two-proportion z-test readout.
+cluster-level splits, the event transition matrix, the A/B
+two-proportion z-test readout, and the hash-trick classifier gate.
 
 Each entry pairs the real operator with an ANSI-SQL twin DuckDB runs
 on the same parquet. Float discipline (registry contract): every
 double here is either ONE exact-integer IEEE division (transition
 probabilities — deterministic, no rounding needed) or the z statistic,
 whose formula is written as the identical IEEE expression tree on both
-sides AND rounded to 6 decimals before hashing/thresholding.
+sides AND rounded to 6 decimals before hashing/thresholding; the
+classifier gate is all-integer (milli-unit weights), zero float
+discipline needed.
 """
 
 from __future__ import annotations

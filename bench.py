@@ -19,6 +19,17 @@ at sf0.1 the executed plan holds 5 BroadcastHashJoins / 0 SMJ / 0 NLJ
 and warm runs take 0.16-0.21 s vs the 1.27 s single cold sample the
 r8 bench recorded; sub-second queries are dominated by first-scan
 codegen+footer costs, which min-of-2 sampling only partly removes.
+
+Measured note (round-9 mid-round bench hygiene): the calibration
+probe swung 4.8 -> 5.6 -> 11.0 s across three same-day runs on this
+multi-tenant box. A mid-round sf0.1 sweep flagged four >1.25x
+normalized "regressions" (join_revenue_by_nation, tpch_q2, tpch_q4,
+ivf_pq_search_topk); re-measured with 3 warm runs each against a
+same-session probe, ALL four are probe-relative FASTER than their r8
+samples (e.g. join_revenue 0.123 vs 0.168 probe-units, ivf_pq 0.452
+vs 0.559) — host noise, not plan changes. Streaming events/s moves
+with the same tide; compare it across rounds only after dividing by
+the probe.
 """
 
 from __future__ import annotations
