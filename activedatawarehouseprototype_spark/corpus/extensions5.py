@@ -322,3 +322,108 @@ def classifier_gate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("score_milli").cast("bigint").alias("sum_score_milli"),
         F.sum("n_grams").cast("bigint").alias("sum_grams"),
     )
+
+
+# --- CUPED variance-reduction components (operators/abtest.py) ------------
+# Pre-period covariate x = events BEFORE the fixture's midpoint day;
+# outcome y = purchases ON/AFTER it; arms = the same md5 user coin as
+# the z-test. Every output is an exact BIGINT (per-arm moment sums +
+# pooled theta numerator/denominator) — the float θ and adjusted
+# means are consumer-side, because a rounded quotient is never
+# parity-safe (grouped-OLS convention). The 1-row midpoint bound and
+# the 1-row pooled totals are broadcast literals (plan-audit
+# allowlisted).
+
+@register(
+    "cuped_arm_components",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, epoch_ms(ts) // 86400000 AS day, event_type FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL AND ts IS NOT NULL
+),
+bounds AS (SELECT (MIN(day) + MAX(day) + 1) // 2 AS mid FROM ev),
+units AS (
+  SELECT u.user_id,
+         CASE WHEN CAST(concat('0x', substr(md5('ab1:' || CAST(u.user_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) / 4294967296.0 < 0.5
+              THEN 'A' ELSE 'B' END AS arm,
+         COALESCE(SUM(CASE WHEN e.day < b.mid THEN 1 ELSE 0 END), 0) AS x_pre,
+         COALESCE(SUM(CASE WHEN e.day >= b.mid
+                            AND e.event_type = 'purchase'
+                           THEN 1 ELSE 0 END), 0) AS y
+  FROM (SELECT DISTINCT user_id FROM ev) u
+  JOIN ev e ON e.user_id = u.user_id
+  CROSS JOIN bounds b
+  GROUP BY u.user_id
+),
+per_arm AS (
+  SELECT arm,
+         COUNT(*) AS n,
+         SUM(x_pre) AS sum_x,
+         SUM(y) AS sum_y,
+         SUM(x_pre * y) AS sum_xy,
+         SUM(x_pre * x_pre) AS sum_xx
+  FROM units GROUP BY arm
+),
+pooled AS (
+  SELECT SUM(n) AS n_, SUM(sum_x) AS sx_, SUM(sum_y) AS sy_,
+         SUM(sum_xy) AS sxy_, SUM(sum_xx) AS sxx_
+  FROM per_arm
+)
+SELECT p.arm,
+       CAST(p.n AS BIGINT) AS n,
+       CAST(p.sum_x AS BIGINT) AS sum_x,
+       CAST(p.sum_y AS BIGINT) AS sum_y,
+       CAST(t.n_ * t.sxy_ - t.sx_ * t.sy_ AS BIGINT) AS theta_num,
+       CAST(t.n_ * t.sxx_ - t.sx_ * t.sx_ AS BIGINT) AS theta_den
+FROM per_arm p CROSS JOIN pooled t
+""",
+)
+def cuped_arm_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from activedatawarehouseprototype_spark.operators.abtest import (
+        cuped_components,
+    )
+
+    ev = (
+        _load(spark, sf_dir, "events")
+        .filter(
+            F.col("user_id").isNotNull()
+            & F.col("event_type").isNotNull()
+            & F.col("ts").isNotNull()
+        )
+        .select(
+            "user_id",
+            F.floor(F.unix_millis(F.col("ts")) / F.lit(86_400_000)).alias(
+                "day"
+            ),
+            "event_type",
+        )
+    )
+    bounds = ev.agg(
+        F.floor((F.min("day") + F.max("day") + 1) / 2)
+        .cast("bigint")
+        .alias("mid")
+    )
+    units = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("day") < F.col("mid"), 1).otherwise(0)).alias(
+                "x_pre"
+            ),
+            F.sum(
+                F.when(
+                    (F.col("day") >= F.col("mid"))
+                    & (F.col("event_type") == "purchase"),
+                    1,
+                ).otherwise(0)
+            ).alias("y"),
+        )
+        .withColumn(
+            "arm",
+            F.when(
+                sampling.hash_fraction(["user_id"], "ab1") < 0.5, "A"
+            ).otherwise("B"),
+        )
+    )
+    return cuped_components(units)

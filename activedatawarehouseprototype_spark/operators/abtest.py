@@ -77,3 +77,63 @@ def two_proportion_ztest(
         .otherwise(F.lit(None).cast("boolean"))
         .alias("significant"),
     )
+
+
+def cuped_components(
+    units: DataFrame,
+    arm_col: str = "arm",
+    x_col: str = "x_pre",
+    y_col: str = "y",
+) -> DataFrame:
+    """CUPED variance reduction for experiment readouts (Deng et al.
+    2013, "Improving the Sensitivity of Online Controlled Experiments
+    by Utilizing Pre-Experiment Data" — public method): the adjusted
+    metric y' = y − θ(x − x̄) with θ = cov(x, y)/var(x) estimated on
+    the POOLED population removes the pre-period component of the
+    variance, shrinking confidence intervals without biasing the
+    lift (x is pre-assignment, so E[x|arm] is equal across arms).
+
+    Cross-engine discipline (the grouped-OLS convention,
+    ``regression.py``): with integer-valued x and y every moment sum
+    is an exact BIGINT, and θ's numerator/denominator
+
+        theta_num = n·Σxy − Σx·Σy        theta_den = n·Σx² − (Σx)²
+
+    are exact integers too — so the operator ships EXACT per-arm sums
+    (n, Σx, Σy) alongside the pooled theta_num/theta_den, and leaves
+    the float division θ and the adjusted means to the consumer
+    (a rounded quotient is never parity-safe; the exact components
+    always are). One row per arm; theta_* repeated on each row.
+
+    Scale: one partial-aggregated shuffle down to |arms| rows plus a
+    2-row cross-arm total — the readout over any corpus is a handful
+    of counters. Keep x, y in integer units (counts, cents).
+    """
+    x = F.col(x_col).cast("bigint")
+    y = F.col(y_col).cast("bigint")
+    per_arm = units.groupBy(arm_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sum_x"),
+        F.sum(y).alias("sum_y"),
+        F.sum(x * y).alias("sum_xy"),
+        F.sum(x * x).alias("sum_xx"),
+    )
+    pooled = per_arm.agg(
+        F.sum("n").alias("n_"),
+        F.sum("sum_x").alias("sx_"),
+        F.sum("sum_y").alias("sy_"),
+        F.sum("sum_xy").alias("sxy_"),
+        F.sum("sum_xx").alias("sxx_"),
+    )
+    return per_arm.crossJoin(F.broadcast(pooled)).select(
+        arm_col,
+        "n",
+        "sum_x",
+        "sum_y",
+        (F.col("n_") * F.col("sxy_") - F.col("sx_") * F.col("sy_"))
+        .cast("bigint")
+        .alias("theta_num"),
+        (F.col("n_") * F.col("sxx_") - F.col("sx_") * F.col("sx_"))
+        .cast("bigint")
+        .alias("theta_den"),
+    )

@@ -128,6 +128,7 @@ HEADLINE = [
     "event_transition_matrix",
     "ab_ztest_event_conversion",
     "classifier_gate_stats",
+    "cuped_arm_components",
 ]
 
 # FIXED cross-round subset — never edit (see module docstring). One

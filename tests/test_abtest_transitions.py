@@ -203,3 +203,43 @@ def test_hashed_linear_score_collision_semantics(spark):
     ).collect()
     scores = {r["doc_id"]: r["score_milli"] for r in out}
     assert scores[1] == scores[2]  # same (only) bucket, same weight
+
+
+# --- cuped_components -------------------------------------------------------
+
+
+def test_cuped_components_matches_pure_python(spark):
+    from activedatawarehouseprototype_spark.operators.abtest import (
+        cuped_components,
+    )
+
+    data = [
+        ("A", 3, 1), ("A", 5, 2), ("A", 0, 0), ("A", 7, 3),
+        ("B", 2, 2), ("B", 6, 1), ("B", 4, 4),
+    ]
+    rows = spark.createDataFrame(data, "arm string, x_pre int, y int")
+    out = {r["arm"]: r for r in cuped_components(rows).collect()}
+
+    xs = [x for _, x, _ in data]
+    ys = [y for _, _, y in data]
+    n = len(data)
+    theta_num = n * sum(x * y for x, y in zip(xs, ys)) - sum(xs) * sum(ys)
+    theta_den = n * sum(x * x for x in xs) - sum(xs) ** 2
+    for arm in ("A", "B"):
+        sub = [(x, y) for a, x, y in data if a == arm]
+        assert out[arm]["n"] == len(sub)
+        assert out[arm]["sum_x"] == sum(x for x, _ in sub)
+        assert out[arm]["sum_y"] == sum(y for _, y in sub)
+        # pooled theta components repeated on every arm row
+        assert out[arm]["theta_num"] == theta_num
+        assert out[arm]["theta_den"] == theta_den
+    # sanity: consumer-side theta reproduces cov/var (floats allowed here)
+    import statistics
+
+    theta = theta_num / theta_den
+    cov = sum(
+        (x - statistics.mean(xs)) * (y - statistics.mean(ys))
+        for x, y in zip(xs, ys)
+    )
+    var = sum((x - statistics.mean(xs)) ** 2 for x in xs)
+    assert abs(theta - cov / var) < 1e-12

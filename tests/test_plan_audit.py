@@ -39,6 +39,9 @@ NLJ_ALLOWED = {
     # users x the |event types| metric dimension (5 rows, broadcast):
     # one unit row per (user, metric) for the per-metric z-test
     "ab_ztest_event_conversion",
+    # two 1-row broadcast literals: the midpoint-day bound and the
+    # pooled moment totals (|arms|-row frame x 1-row total)
+    "cuped_arm_components",
 }
 
 # Entries allowed to run row-at-a-time Python (non-Arrow) — ONLY the
