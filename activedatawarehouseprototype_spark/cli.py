@@ -739,6 +739,17 @@ def _build_parser() -> argparse.ArgumentParser:
     pcg.add_argument("--salt", default="clf1")
     pcg.add_argument("--no-bigrams", action="store_true")
     pcg.add_argument("--output", required=True)
+
+    pcu = sub.add_parser(
+        "cuped",
+        help="CUPED components: exact per-arm moment sums + pooled "
+        "theta_num/theta_den over unit rows",
+    )
+    pcu.add_argument("--units", required=True, help="unit-rows parquet")
+    pcu.add_argument("--arm-col", default="arm")
+    pcu.add_argument("--x-col", default="x_pre")
+    pcu.add_argument("--y-col", default="y")
+    pcu.add_argument("--output", required=True)
     return p
 
 
@@ -1670,6 +1681,22 @@ def main(argv: list[str] | None = None) -> int:
         )
         out.write.mode("overwrite").parquet(args.output)
         print(f"{out.count()} scored docs -> {args.output}", file=sys.stderr)
+        return 0
+
+    if args.cmd == "cuped":
+        from activedatawarehouseprototype_spark.catalog import load_parquet
+        from activedatawarehouseprototype_spark.operators.abtest import (
+            cuped_components,
+        )
+
+        out = cuped_components(
+            load_parquet(spark, args.units),
+            arm_col=args.arm_col,
+            x_col=args.x_col,
+            y_col=args.y_col,
+        )
+        out.write.mode("overwrite").parquet(args.output)
+        print(f"{out.count()} arms -> {args.output}", file=sys.stderr)
         return 0
 
     if args.cmd == "ewma":

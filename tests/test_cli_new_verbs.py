@@ -654,3 +654,20 @@ def test_cli_classify(spark, tmp_path):
         for r in rows.filter(F.col("text").isNotNull()).collect()
     }
     assert got == want
+
+
+def test_cli_cuped(spark, tmp_path):
+    units = str(tmp_path / "cu_units")
+    spark.createDataFrame(
+        [("A", 3, 1), ("A", 5, 2), ("B", 2, 2), ("B", 6, 1)],
+        "arm string, x_pre int, y int",
+    ).write.parquet(units)
+    out = str(tmp_path / "cu_out")
+    assert main(["cuped", "--units", units, "--output", out]) == 0
+    rows = {r["arm"]: r for r in spark.read.parquet(out).collect()}
+    assert rows["A"]["n"] == 2 and rows["B"]["n"] == 2
+    # pooled theta components: n*Sxy - Sx*Sy / n*Sxx - Sx^2 over all 4 rows
+    xs, ys = [3, 5, 2, 6], [1, 2, 2, 1]
+    num = 4 * sum(x * y for x, y in zip(xs, ys)) - sum(xs) * sum(ys)
+    den = 4 * sum(x * x for x in xs) - sum(xs) ** 2
+    assert rows["A"]["theta_num"] == num and rows["A"]["theta_den"] == den
