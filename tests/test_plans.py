@@ -379,3 +379,32 @@ def test_temperature_mix_is_scan_plus_filter(spark):
     )
 
     assert "Join" not in formatted_plan(out)
+
+
+def test_classifier_gate_is_shuffle_free_before_the_agg(spark):
+    """hashed_linear_score is a pure map: scoring the corpus must add
+    ZERO exchanges beyond the entry's final (lang, keep) aggregate —
+    the 100 TB claim is 'inference = one read + one write'."""
+    from activedatawarehouseprototype_spark.catalog import load
+    from activedatawarehouseprototype_spark.operators.text import (
+        hashed_linear_score,
+    )
+    from activedatawarehouseprototype_spark.plans.explain import exchange_count
+
+    scored = hashed_linear_score(load(spark, SF, "documents"))
+    assert exchange_count(scored) == 0, "classifier inference shuffles"
+
+
+def test_transition_matrix_single_corpus_shuffle(spark):
+    """transition_counts shuffles the corpus exactly ONCE (the lead
+    window on the key); the per-src probability window runs on the
+    |states|^2 aggregate, whose exchange is matrix-sized, not
+    corpus-sized. Pin: the events scan reads only the four referenced
+    columns."""
+    from activedatawarehouseprototype_spark.corpus import QUERIES as _Q
+
+    df = _Q["event_transition_matrix"](spark, SF)
+    cols = scan_columns(df)
+    assert cols
+    for c in cols:
+        assert c <= {"user_id", "ts", "event_id", "event_type"}, c
