@@ -427,3 +427,76 @@ def cuped_arm_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return cuped_components(units)
+
+
+# --- k-core decomposition (operators/graph.py) -----------------------------
+# Parts that stay in a mutually-reinforced co-purchase web: edges are
+# part pairs co-ordered in >= 2 distinct orders (casual one-off pairs
+# stripped at the edge level), then the 2-core peels vertices that
+# cannot keep two such partners. Peeling is MONOTONE, so the oracle
+# unrolls a fixed 8 rounds (measured fixpoint: 0/3/5 rounds at
+# sf0.001/0.01/0.1) — rounds past the fixpoint are no-ops — while the
+# Spark side runs to the detected fixpoint and RAISES if 8 rounds
+# ever stop sufficing (a silent partial peel would be a wrong
+# answer, and a silent oracle drift would be a wrong gate).
+
+
+def _kcore_oracle(k: int = 2, rounds: int = 8) -> str:
+    # every CTE is MATERIALIZED: each round references the previous
+    # round TWICE (degree + join), so un-materialized CTEs would
+    # re-evaluate the whole chain exponentially (observed as DuckDB
+    # "too many open files" re-scanning lineitem 2^rounds times)
+    sql = ["""
+WITH pp AS MATERIALIZED (
+  SELECT DISTINCT a.l_orderkey, a.l_partkey AS pa, b.l_partkey AS pb
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+pairs AS MATERIALIZED (
+  SELECT pa, pb FROM pp GROUP BY pa, pb HAVING COUNT(*) >= 2
+),
+e0 AS MATERIALIZED (
+  SELECT pa AS a, pb AS b FROM pairs
+  UNION
+  SELECT pb, pa FROM pairs
+)"""]
+    for r in range(1, rounds + 1):
+        prev = f"e{r - 1}"
+        sql.append(f""",
+d{r} AS MATERIALIZED (SELECT a, COUNT(*) AS c FROM {prev} GROUP BY a),
+e{r} AS MATERIALIZED (
+  SELECT e.a, e.b FROM {prev} e
+  JOIN d{r} x ON x.a = e.a AND x.c >= {k}
+  JOIN d{r} y ON y.a = e.b AND y.c >= {k}
+)""")
+    sql.append(f"""
+SELECT CAST(a AS BIGINT) AS node,
+       CAST(COUNT(*) AS BIGINT) AS degree
+FROM e{rounds} GROUP BY a
+""")
+    return "".join(sql)
+
+
+@register("kcore_copurchase_parts", oracle=_kcore_oracle())
+def kcore_copurchase_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from activedatawarehouseprototype_spark.operators.graph import kcore
+
+    li = _load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_orderkey").alias("ok"),
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .distinct()
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+    )
+    return kcore(pairs, k=2, src="pa", dst="pb", max_iter=8)

@@ -190,3 +190,77 @@ def triangle_counts(
             ),
         )
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """k-core decomposition membership (public algorithm — Seidman
+    1983, "Network structure and minimum degree"): the maximal
+    subgraph in which every vertex keeps degree >= k, found by
+    repeatedly PEELING vertices of degree < k until a fixpoint. The
+    warehouse reading: dense co-occurrence communities (parts bought
+    together, entities co-mentioned) that survive after stripping
+    casual one-off links.
+
+    Returns (node, degree) for core members — ``degree`` is the
+    IN-CORE degree, >= k by construction. Self-loops are dropped and
+    the graph is treated as undirected (each edge counted once per
+    endpoint).
+
+    Scale shape (the pagerank/components discipline): each peel round
+    is ONE degree aggregate + two anti-joins, all keyed on the vertex
+    — co-locatable with an edge table bucketed by endpoint; lineage is
+    cut per round (localCheckpoint) so the plan stays constant-size;
+    the only driver traffic is one scalar (the number of vertices
+    peeled) per round. Peeling is monotone, so rounds beyond the
+    fixpoint are no-ops — which is exactly what lets a SQL twin
+    unroll a fixed round count. Raises RuntimeError if ``max_iter``
+    rounds don't reach the fixpoint (a silent partial peel would be a
+    wrong answer).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    a, b = F.col(src).cast("bigint"), F.col(dst).cast("bigint")
+    und = (
+        edges.select(a.alias("a"), b.alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .union(edges.select(b.alias("a"), a.alias("b")))
+        .distinct()
+        .persist()
+    )
+    cur = und
+    converged = False
+    try:
+        for _ in range(max_iter):
+            deg = cur.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+            low = deg.filter(F.col("d") < k).select("a").persist()
+            n_low = low.count()  # control-plane scalar per round
+            if n_low == 0:
+                converged = True
+                low.unpersist()
+                break
+            nxt = (
+                cur.join(low, "a", "left_anti")
+                .join(low.withColumnRenamed("a", "b"), "b", "left_anti")
+                .select("a", "b")
+                .localCheckpoint(eager=True)
+            )
+            low.unpersist()
+            cur = nxt
+        if not converged:
+            raise RuntimeError(
+                f"kcore did not reach the peeling fixpoint in "
+                f"{max_iter} rounds — raise max_iter (and widen the "
+                f"oracle's unroll to match)"
+            )
+        return (
+            cur.groupBy(F.col("a").alias("node"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+        )
+    finally:
+        und.unpersist()

@@ -129,6 +129,7 @@ HEADLINE = [
     "ab_ztest_event_conversion",
     "classifier_gate_stats",
     "cuped_arm_components",
+    "kcore_copurchase_parts",
 ]
 
 # FIXED cross-round subset — never edit (see module docstring). One

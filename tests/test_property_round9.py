@@ -158,3 +158,72 @@ def test_cluster_safe_split_components_property(spark, ps):
     want = {i: min(j for j in range(1, 13) if find(j) == find(i))
             for i in range(1, 13)}
     assert got == want
+
+
+# --- kcore vs naive peeling -------------------------------------------------
+
+
+def _naive_kcore(edges: list[tuple[int, int]], k: int) -> dict[int, int]:
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for v in [v for v, ns in adj.items() if len(ns) < k]:
+            for u in adj.pop(v):
+                adj[u].discard(v)
+            changed = True
+    return {v: len(ns) for v, ns in adj.items() if ns}
+
+
+def test_kcore_hand_graph(spark):
+    from pyspark.sql import Row
+
+    from activedatawarehouseprototype_spark.operators.graph import kcore
+
+    # triangle {1,2,3} + chain 3-4-5 (peels in 2 cascading rounds)
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+    df = spark.createDataFrame([Row(src=a, dst=b) for a, b in edges])
+    got = {r["node"]: r["degree"] for r in kcore(df, k=2).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}  # the triangle, in-core degrees
+
+
+def test_kcore_raises_without_fixpoint(spark):
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from activedatawarehouseprototype_spark.operators.graph import kcore
+
+    # chain 1-2-3-4: k=2 peeling needs 2 rounds; max_iter=1 must raise,
+    # never return the partial peel
+    df = spark.createDataFrame(
+        [Row(src=a, dst=b) for a, b in [(1, 2), (2, 3), (3, 4)]]
+    )
+    with _pytest.raises(RuntimeError, match="fixpoint"):
+        kcore(df, k=2, max_iter=1)
+
+
+@pytest.mark.slow
+@settings(**_SETTINGS)
+@given(
+    es=st.lists(
+        st.tuples(st.integers(1, 10), st.integers(1, 10)), max_size=20
+    ),
+    k=st.integers(1, 3),
+)
+def test_kcore_property(spark, es, k):
+    from pyspark.sql import Row
+
+    from activedatawarehouseprototype_spark.operators.graph import kcore
+
+    es = [(a, b) for a, b in es if a != b]
+    if es:
+        df = spark.createDataFrame([Row(src=a, dst=b) for a, b in es])
+    else:
+        df = spark.createDataFrame([], "src long, dst long")
+    got = {r["node"]: r["degree"] for r in kcore(df, k=k).collect()}
+    assert got == _naive_kcore(es, k)
