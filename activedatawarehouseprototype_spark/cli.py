@@ -750,6 +750,17 @@ def _build_parser() -> argparse.ArgumentParser:
     pcu.add_argument("--x-col", default="x_pre")
     pcu.add_argument("--y-col", default="y")
     pcu.add_argument("--output", required=True)
+
+    pkc = sub.add_parser(
+        "kcore",
+        help="k-core membership (node, in-core degree) of an edge table",
+    )
+    pkc.add_argument("--edges", required=True, help="edge parquet")
+    pkc.add_argument("--k", type=int, required=True)
+    pkc.add_argument("--src-col", default="src")
+    pkc.add_argument("--dst-col", default="dst")
+    pkc.add_argument("--max-iter", type=int, default=20)
+    pkc.add_argument("--output", required=True)
     return p
 
 
@@ -1697,6 +1708,21 @@ def main(argv: list[str] | None = None) -> int:
         )
         out.write.mode("overwrite").parquet(args.output)
         print(f"{out.count()} arms -> {args.output}", file=sys.stderr)
+        return 0
+
+    if args.cmd == "kcore":
+        from activedatawarehouseprototype_spark.catalog import load_parquet
+        from activedatawarehouseprototype_spark.operators.graph import kcore
+
+        out = kcore(
+            load_parquet(spark, args.edges),
+            k=args.k,
+            src=args.src_col,
+            dst=args.dst_col,
+            max_iter=args.max_iter,
+        )
+        out.write.mode("overwrite").parquet(args.output)
+        print(f"{out.count()} core nodes -> {args.output}", file=sys.stderr)
         return 0
 
     if args.cmd == "ewma":

@@ -3,7 +3,9 @@
 Complements ``dedup.connected_components`` (min-label propagation with
 pointer doubling) with PageRank — the canonical "importance over a
 relationship graph" primitive a warehouse uses for entity ranking
-(suppliers by trade flow, documents by citation, hosts by links).
+(suppliers by trade flow, documents by citation, hosts by links) —
+plus triangle counting and k-core peeling (density/community
+structure over the same edge tables).
 
 Reference parity: the reference engine (a rule-streaming prototype,
 see SURVEY §0) has no graph tier at all — this is a scale-path

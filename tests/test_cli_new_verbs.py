@@ -671,3 +671,14 @@ def test_cli_cuped(spark, tmp_path):
     num = 4 * sum(x * y for x, y in zip(xs, ys)) - sum(xs) * sum(ys)
     den = 4 * sum(x * x for x in xs) - sum(xs) ** 2
     assert rows["A"]["theta_num"] == num and rows["A"]["theta_den"] == den
+
+
+def test_cli_kcore(spark, tmp_path):
+    edges = str(tmp_path / "kc_edges")
+    spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "src long, dst long"
+    ).write.parquet(edges)
+    out = str(tmp_path / "kc_out")
+    assert main(["kcore", "--edges", edges, "--k", "2", "--output", out]) == 0
+    got = {r["node"]: r["degree"] for r in spark.read.parquet(out).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
