@@ -479,24 +479,19 @@ FROM e{rounds} GROUP BY a
 
 @register("kcore_copurchase_parts", oracle=_kcore_oracle())
 def kcore_copurchase_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from activedatawarehouseprototype_spark.operators.basket import (
+        frequent_pairs,
+    )
     from activedatawarehouseprototype_spark.operators.graph import kcore
 
     li = _load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_orderkey").alias("ok"),
-            F.col("a.l_partkey").alias("pa"),
-            F.col("b.l_partkey").alias("pb"),
-        )
-        .distinct()
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= 2)
+    # pair generation via the basket operator's map-side C(B,2)
+    # expansion (ONE collect_set shuffle of lineitem), not a lineitem
+    # self-join (which shuffles the fact table twice and explodes
+    # before deduplicating) — identical pair table, one corpus
+    # shuffle fewer; entry wall time is dominated by the peel loop's
+    # per-round barriers, which are graph-sized, not corpus-sized
+    pairs = frequent_pairs(
+        li, "l_orderkey", "l_partkey", min_support=2
     )
-    return kcore(pairs, k=2, src="pa", dst="pb", max_iter=8)
+    return kcore(pairs, k=2, src="item_a", dst="item_b", max_iter=8)

@@ -235,7 +235,18 @@ def kcore(
         .distinct()
         .persist()
     )
-    cur = und
+    # Size the loop's parallelism to the GRAPH, not the session (the
+    # connected_components discipline): a thresholded co-occurrence
+    # graph is typically tiny next to the corpus, and paying
+    # session-wide task scheduling for an aggregate + two anti-joins
+    # + a checkpoint per peel round dominates wall time on small
+    # graphs. One edge-count job up front (the frame is persisted and
+    # every round reuses it); a billion-edge graph still gets full
+    # parallelism.
+    n_edges = und.count()
+    sc = edges.sparkSession.sparkContext
+    n_parts = max(1, min(sc.defaultParallelism, n_edges // 200_000 + 1))
+    cur = und.repartition(n_parts, "a")
     converged = False
     try:
         for _ in range(max_iter):
