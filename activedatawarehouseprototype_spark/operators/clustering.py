@@ -97,36 +97,46 @@ def kmeans_lattice(
         raise ValueError(
             f"kmeans_lattice: k={k} but only {len(cents)} input vectors"
         )
-    for _ in range(iters):
-        sums = (
-            df.select(_best_cell(q, cents).alias("_cid"), q.alias("_q"))
-            .select("_cid", F.posexplode("_q").alias("_pos", "_x"))
-            .groupBy("_cid", "_pos")
-            .agg(
-                F.sum("_x").alias("_s"),
-                F.count(F.lit(1)).alias("_n"),
+    # Quantize ONCE into a skinny persisted projection: without this,
+    # every Lloyd iteration re-scans the source (parquet + transform)
+    # — iters redundant passes over the corpus at 100 TB. The cached
+    # frame is one array column; spill-safe default storage level.
+    qdf = df.select(q.alias("_q")).persist()
+    try:
+        for _ in range(iters):
+            sums = (
+                qdf.select(
+                    _best_cell(F.col("_q"), cents).alias("_cid"), "_q"
+                )
+                .select("_cid", F.posexplode("_q").alias("_pos", "_x"))
+                .groupBy("_cid", "_pos")
+                .agg(
+                    F.sum("_x").alias("_s"),
+                    F.count(F.lit(1)).alias("_n"),
+                )
+                .collect()  # bounded: k * d cells (control plane)
             )
-            .collect()  # bounded: k * d cells (control plane)
-        )
-        by_cid: dict[int, dict[int, tuple[int, int]]] = {}
-        for r in sums:
-            by_cid.setdefault(int(r["_cid"]), {})[int(r["_pos"])] = (
-                int(r["_s"]),
-                int(r["_n"]),
-            )
-        cents = [
-            (
-                cid,
-                [
-                    # Python // is floor division — exactly the
-                    # (s - ((s % n) + n) % n) / n the SQL twin runs
-                    by_cid[cid][p][0] // by_cid[cid][p][1]
-                    if cid in by_cid
-                    else cv[p]
-                    for p in range(len(cv))
-                ],
-            )
-            for cid, cv in cents
-        ]
+            by_cid: dict[int, dict[int, tuple[int, int]]] = {}
+            for r in sums:
+                by_cid.setdefault(int(r["_cid"]), {})[int(r["_pos"])] = (
+                    int(r["_s"]),
+                    int(r["_n"]),
+                )
+            cents = [
+                (
+                    cid,
+                    [
+                        # Python // is floor division — exactly the
+                        # (s - ((s % n) + n) % n) / n the SQL twin runs
+                        by_cid[cid][p][0] // by_cid[cid][p][1]
+                        if cid in by_cid
+                        else cv[p]
+                        for p in range(len(cv))
+                    ],
+                )
+                for cid, cv in cents
+            ]
+    finally:
+        qdf.unpersist()
     assigned = df.withColumn("cluster_id", _best_cell(q, cents))
     return assigned, cents
