@@ -1,6 +1,7 @@
 """Corpus registrations new in round 9 (second wave): leakage-safe
 cluster-level splits, the event transition matrix, the A/B
-two-proportion z-test readout, and the hash-trick classifier gate.
+two-proportion z-test readout, the hash-trick classifier gate,
+CUPED variance-reduction components, and k-core decomposition.
 
 Each entry pairs the real operator with an ANSI-SQL twin DuckDB runs
 on the same parquet. Float discipline (registry contract): every
