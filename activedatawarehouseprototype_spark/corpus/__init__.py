@@ -122,34 +122,35 @@ _DRIVER_ROTATION = [
     #     the driver's ns-only pandas, not a wrong answer); the
     #     sentinel is now string-rendered and the entry re-earns a
     #     green row;
-    #   * 16 operators NEW in round 9 (integer-lattice k-means, MAD
+    #   * 17 operators NEW in round 9 (integer-lattice k-means, MAD
     #     outlier gate, winsorized sums, blocked levenshtein
     #     matching, grouped closed-form OLS trend, PMI collocations,
     #     column profiler, BPE token bounds, targeted key deletion,
     #     quantile-ladder MV, leakage-safe cluster split, event
     #     transition matrix, A/B proportion z-test, hash-trick
-    #     classifier gate, CUPED components, k-core peeling) — debut
-    #     rows;
-    #   * 7 of the 46 r6-era entries (family-diverse pick: ann ivf,
-    #     minhash dedup, multimodal, pandas-UDF tier, as-of,
-    #     range join, text quality; 18 TPC-H shapes are in-window via
-    #     the r5 deferrals, the rule family via the stable core, the
-    #     ranking-window family via the in-core top-k canary, and the
-    #     graph family via the k-core debut).
-    #     The 39 deferred to round
+    #     classifier gate, CUPED components, k-core peeling, exact
+    #     audio-pipeline stats) — debut rows;
+    #   * 6 of the 46 r6-era entries (family-diverse pick: ann ivf,
+    #     minhash dedup, pandas-UDF tier, as-of, range join, text
+    #     quality; 18 TPC-H shapes are in-window via the r5
+    #     deferrals, the rule family via the stable core, the
+    #     ranking-window family via the in-core top-k canary, the
+    #     graph family via the k-core debut, and the multimodal
+    #     family via the audio-stats debut).
+    #     The 40 deferred to round
     #     10 are enumerated in test_registry_order._DEFERRED_TO_R10 —
     #     every one keeps an in-window family representative (the
     #     percentile/stats pair's rep is the robust tier, which runs
     #     exact percentiles over the same events columns) and none
     #     changed since its r6 hash-match. Round-10 editor: front-load
-    #     those 39 FIRST, then the oldest r7 entries.
+    #     those 40 FIRST, then the oldest r7 entries.
     # With the 3-entry stable core this fills the 50-slot window
-    # exactly: 23 + 1 + 16 + 7 + 3 = 50.
+    # exactly: 23 + 1 + 17 + 6 + 3 = 50.
     #
     # Rotation arithmetic from round 10 on (be honest about it): at
-    # 182 entries / 50 slots the steady-state refresh period is 3.6
+    # 183 entries / 50 slots the steady-state refresh period is 3.6
     # rounds, so "nothing staler than 3 rounds" is no longer exactly
-    # achievable — r10 holds 39 r6 deferrals + 3 core, leaving ~8
+    # achievable — r10 holds 40 r6 deferrals + 3 core, leaving ~7
     # slots for debuts + the 47-entry r7 cohort, whose remainder
     # reaches age 4 in r11. The invariant from r10 becomes "refresh
     # strictly oldest-first; worst-case age = ceil(N/50) + 1 rounds,
@@ -200,10 +201,10 @@ _DRIVER_ROTATION = [
     "classifier_gate_stats",
     "cuped_arm_components",
     "kcore_copurchase_parts",
-    # -- 7 of the 46 r6-era entries (family-diverse) ------------------------
+    "audio_exact_stats",
+    # -- 6 of the 46 r6-era entries (family-diverse) ------------------------
     "ann_ivf_topk",
     "dedup_minhash_lsh",
-    "multimodal_byte_stats",
     "udf_pandas_log_score",
     "text_quality_filter",
     "asof_click_latest_purchase",

@@ -496,3 +496,56 @@ def kcore_copurchase_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, "l_orderkey", "l_partkey", min_support=2
     )
     return kcore(pairs, k=2, src="item_a", dst="item_b", max_iter=8)
+
+
+# --- Audio pipeline exact stats (operators/multimodal.py) -----------------
+# The whole binary audio path — FAUD ENCODE (mapInPandas synthesizer)
+# -> opaque binary column -> DECODE -> features — checked against
+# pure arithmetic: the fake codec's sample formula is
+# v(i) = ((doc_id*131 + i*17) % 20001) - 10000, so the oracle
+# recomputes peak / zero-crossings / Σv² per document directly from
+# the formula, never touching bytes. Exact BIGINTs only (the
+# parity-grade twin of decode_audio's float rms/zcr — sum_sq is
+# rms²·n·32768² exactly).
+
+@register(
+    "audio_exact_stats",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, 50 + doc_id % 97 AS n
+  FROM documents WHERE doc_id % 7 = 0
+),
+s AS (
+  SELECT d.doc_id, d.n, g.i,
+         (d.doc_id * 131 + g.i * 17) % 20001 - 10000 AS v,
+         CASE WHEN g.i > 0
+              THEN (d.doc_id * 131 + (g.i - 1) * 17) % 20001 - 10000
+         END AS pv
+  FROM d, UNNEST(generate_series(0, d.n - 1)) AS g(i)
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(16000 AS BIGINT) AS sample_rate,
+       CAST(1 AS BIGINT) AS channels,
+       CAST(MAX(n) AS BIGINT) AS n_samples,
+       CAST(MAX(ABS(v)) AS BIGINT) AS peak_i16,
+       CAST(SUM(CASE WHEN i > 0 AND (v < 0) != (pv < 0)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+       CAST(SUM(v * v) AS BIGINT) AS sum_sq
+FROM s GROUP BY doc_id
+""",
+)
+def audio_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from activedatawarehouseprototype_spark.operators.multimodal import (
+        attach_fake_audio,
+        audio_exact_int_stats,
+    )
+
+    docs = (
+        _load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 7 == 0)
+        .select(
+            "doc_id",
+            (F.lit(50) + F.col("doc_id") % 97).alias("n_samples"),
+        )
+    )
+    return audio_exact_int_stats(attach_fake_audio(docs))

@@ -556,3 +556,106 @@ def audio_segments(
             )
 
     return df.mapInPandas(batches, out_schema)
+
+
+AUDIO_INT_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("channels", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("peak_i16", LongType()),
+        StructField("zero_crossings", LongType()),
+        StructField("sum_sq", LongType()),
+    ]
+)
+
+
+def attach_fake_audio(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_samples_col: str = "n_samples",
+    sample_rate: int = 16_000,
+) -> DataFrame:
+    """Synthesize a mono FAUD blob per row (``make_fake_audio`` of the
+    row's id and sample count) via Arrow-batched mapInPandas — the
+    encode half of the audio pipeline, so the corpus entry exercises
+    bytes -> decode -> features end to end rather than starting from
+    pre-decoded rows. Real data swaps this synthesizer for a parquet
+    binary column; everything downstream is unchanged."""
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("content", BinaryType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "content": [
+                        make_fake_audio(
+                            int(d), int(n), sample_rate=sample_rate
+                        )
+                        for d, n in zip(pdf[id_col], pdf[n_samples_col])
+                    ],
+                }
+            )
+
+    return df.select(id_col, n_samples_col).mapInPandas(batches, out_schema)
+
+
+def audio_exact_int_stats(
+    df: DataFrame, id_col: str = "doc_id", blob_col: str = "content"
+) -> DataFrame:
+    """EXACT integer audio features from FAUD blobs — the
+    parity-grade twin of :func:`decode_audio`'s float stats: peak as
+    max |s16| (``peak_i16``), zero crossings as strict sign-bit
+    changes of the mono mix (``v < 0`` flips, matching
+    ``np.signbit(v/32768)`` for mono), and the raw energy ``sum_sq``
+    = Σ v² as a BIGINT (rms² · n · 32768² exactly, no float
+    summation anywhere). Exact integers are what make a cross-engine
+    SQL oracle possible over binary media blobs; the float stats
+    remain the human-facing decode path. Mono blobs only — a
+    multi-channel mean is not integer-exact; callers mix down first.
+    Raises nothing per-row: malformed blobs yield NULL stats columns
+    (decode errors are data, not task failures)."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in (
+                "doc_id", "sample_rate", "channels", "n_samples",
+                "peak_i16", "zero_crossings", "sum_sq",
+            )}
+            for d, blob in zip(pdf[id_col], pdf[blob_col]):
+                out["doc_id"].append(int(d))
+                b = bytes(blob) if blob is not None else b""
+                ok = len(b) >= 9 and b[:4] == FAUD_MAGIC
+                rate = int.from_bytes(b[4:8], "big") if ok else 0
+                ch = b[8] if ok else 0
+                body = b[9:] if ok else b""
+                if (
+                    not ok or rate <= 0 or ch != 1
+                    or len(body) % 2 != 0
+                ):
+                    for k in ("sample_rate", "channels", "n_samples",
+                              "peak_i16", "zero_crossings", "sum_sq"):
+                        out[k].append(None)
+                    continue
+                v = np.frombuffer(body, dtype=">i2").astype("int64")
+                n = len(v)
+                out["sample_rate"].append(rate)
+                out["channels"].append(1)
+                out["n_samples"].append(n)
+                out["peak_i16"].append(int(np.max(np.abs(v))) if n else None)
+                out["zero_crossings"].append(
+                    int(np.count_nonzero((v[1:] < 0) != (v[:-1] < 0)))
+                    if n else None
+                )
+                out["sum_sq"].append(int(np.dot(v, v)) if n else None)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(batches, AUDIO_INT_STATS_SCHEMA)

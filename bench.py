@@ -130,6 +130,7 @@ HEADLINE = [
     "classifier_gate_stats",
     "cuped_arm_components",
     "kcore_copurchase_parts",
+    "audio_exact_stats",
 ]
 
 # FIXED cross-round subset — never edit (see module docstring). One

@@ -87,3 +87,68 @@ def test_segments_skip_undecodable(spark):
     assert {r["doc_id"] for r in segs} == {2}
     with pytest.raises(ValueError):
         audio_segments(df, segment_s=0.0)
+
+
+def test_audio_exact_int_stats_match_formula_and_float_path(spark):
+    """The exact BIGINT stats must equal a pure-Python evaluation of
+    the FAUD sample formula AND tie out against the float decode path
+    (sum_sq == rms^2 * n * 32768^2 within float tolerance)."""
+    import math
+
+    from pyspark.sql import Row
+
+    from activedatawarehouseprototype_spark.operators.multimodal import (
+        attach_fake_audio,
+        audio_exact_int_stats,
+        decode_audio,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=d, n_samples=50 + d % 13) for d in (0, 7, 21, 9001)]
+    )
+    blobs = attach_fake_audio(docs).persist()
+    got = {r["doc_id"]: r for r in audio_exact_int_stats(blobs).collect()}
+    fl = {r["doc_id"]: r for r in decode_audio(blobs).collect()}
+    for d in (0, 7, 21, 9001):
+        n = 50 + d % 13
+        vs = [((d * 131 + i * 17) % 20001) - 10000 for i in range(n)]
+        r = got[d]
+        assert r["n_samples"] == n and r["channels"] == 1
+        assert r["sample_rate"] == 16_000
+        assert r["peak_i16"] == max(abs(v) for v in vs)
+        assert r["zero_crossings"] == sum(
+            1 for a, b in zip(vs, vs[1:]) if (a < 0) != (b < 0)
+        )
+        assert r["sum_sq"] == sum(v * v for v in vs)
+        # tie-out vs the float path on the SAME blobs
+        f = fl[d]
+        assert f["n_samples"] == n
+        assert math.isclose(
+            f["rms"] ** 2 * n * 32768**2, r["sum_sq"], rel_tol=1e-9
+        )
+        assert math.isclose(f["peak"] * 32768, r["peak_i16"], rel_tol=1e-12)
+        assert round(f["zero_cross_rate"] * (n - 1)) == r["zero_crossings"]
+    blobs.unpersist()
+
+
+def test_audio_exact_int_stats_malformed_blobs_yield_nulls(spark):
+    from pyspark.sql import Row
+
+    from activedatawarehouseprototype_spark.operators.multimodal import (
+        audio_exact_int_stats,
+        make_fake_audio,
+    )
+
+    rows = [
+        Row(doc_id=1, content=b"nope"),
+        Row(doc_id=2, content=None),
+        # stereo: exact stats refuse (mean across channels is not
+        # integer-exact) — NULLs, not wrong numbers
+        Row(doc_id=3, content=make_fake_audio(3, 8, channels=2)),
+        Row(doc_id=4, content=make_fake_audio(4, 5)),
+    ]
+    got = {r["doc_id"]: r for r in
+           audio_exact_int_stats(spark.createDataFrame(rows)).collect()}
+    for bad in (1, 2, 3):
+        assert got[bad]["sum_sq"] is None and got[bad]["n_samples"] is None
+    assert got[4]["n_samples"] == 5 and got[4]["sum_sq"] is not None

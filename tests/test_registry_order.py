@@ -8,9 +8,9 @@ round-6 debuts plus 31 of the 44-entry r4 cohort, deferring 13; round
 8 front-loaded those 13, debuted its 10 new operators, and took 24 of
 the 47-entry r5 cohort, deferring 23; round 9 front-loads exactly
 those 23, re-earns the scd2 entry whose r8 row was red from a
-driver-environment pandas overflow (not a wrong answer), debuts its 16
-new operators, and takes 7 of the 46-entry r6 cohort, deferring 39
-to round 10 (at 182 entries / 50 slots the tightest achievable
+driver-environment pandas overflow (not a wrong answer), debuts its 17
+new operators, and takes 6 of the 46-entry r6 cohort, deferring 40
+to round 10 (at 183 entries / 50 slots the tightest achievable
 evidence age is ~3 rounds — the invariant is "nothing staler than 3
 rounds, oldest first, debuts always in-window").  These tests make
 sure a refactor can't silently undo the rotation or drop a query.
@@ -48,6 +48,7 @@ _NEW_IN_R9 = {
     "classifier_gate_stats",
     "cuped_arm_components",
     "kcore_copurchase_parts",
+    "audio_exact_stats",
 }
 
 # scd2's r8 driver row exists but is RED: the driver's ns-only pandas
@@ -83,9 +84,9 @@ _DEFERRED_TO_R9 = {
     "dsir_importance_weights",
 }
 
-# The 39 r6-green entries the round-9 rotation defers to round 10: the
-# window holds 23 r5 deferrals + 1 scd2 re-earn + 16 round-9 debuts +
-# 3 stable core, leaving 7 slots for the 46-entry r6 cohort. Every
+# The 40 r6-green entries the round-9 rotation defers to round 10: the
+# window holds 23 r5 deferrals + 1 scd2 re-earn + 17 round-9 debuts +
+# 3 stable core, leaving 6 slots for the 46-entry r6 cohort. Every
 # deferred entry keeps an in-window family representative (ann batch/
 # LSH variants — brute + IVF stay in; pivot/string-scalar/UDF-sql/
 # UDTF/window-running/grouping-sets — a sibling of each family stays
@@ -140,6 +141,7 @@ _DEFERRED_TO_R10 = {
     "dedup_exact_text",
     "window_top3_orders_per_customer",
     "graph_pagerank_suppliers",
+    "multimodal_byte_stats",
 }
 
 
@@ -223,7 +225,7 @@ def test_whole_registry_evidence_at_most_three_rounds_old():
 
 def test_window_composition_exact():
     """The 50-slot window is exactly the documented composition:
-    23 r5 deferrals + 1 scd2 re-earn + 16 debuts + 7 r6 refreshes +
+    23 r5 deferrals + 1 scd2 re-earn + 17 debuts + 6 r6 refreshes +
     3 stable core."""
     first = set(list(QUERIES)[:DRIVER_CAP])
     r6 = _correctness("r06")
@@ -231,7 +233,7 @@ def test_window_composition_exact():
     assert first == (
         _DEFERRED_TO_R9 | _R8_RED_REEARN | _NEW_IN_R9 | r6_refresh | set(_STABLE_CORE)
     )
-    assert len(r6_refresh) == 7
+    assert len(r6_refresh) == 6
 
 
 def test_no_duplicates_and_oracles_subset():
