@@ -733,7 +733,6 @@ def _build_parser() -> argparse.ArgumentParser:
         "inference; md5-derived demo weights)",
     )
     pcg.add_argument("--input", required=True)
-    pcg.add_argument("--id-col", default="doc_id")
     pcg.add_argument("--text-col", default="text")
     pcg.add_argument("--n-buckets", type=int, default=4096)
     pcg.add_argument("--salt", default="clf1")
@@ -1684,7 +1683,6 @@ def main(argv: list[str] | None = None) -> int:
 
         out = hashed_linear_score(
             load_parquet(spark, args.input),
-            args.id_col,
             args.text_col,
             n_buckets=args.n_buckets,
             salt=args.salt,

@@ -230,8 +230,8 @@ def kcore(
     a, b = F.col(src).cast("bigint"), F.col(dst).cast("bigint")
     und = (
         edges.select(a.alias("a"), b.alias("b"))
-        .filter(F.col("a") != F.col("b"))
         .union(edges.select(b.alias("a"), a.alias("b")))
+        .filter(F.col("a") != F.col("b"))
         .distinct()
         .persist()
     )

@@ -443,7 +443,9 @@ def cluster_safe_split(
     corpus itself sees ONE broadcast-or-shuffle left join to pick up
     cluster labels plus the per-row split projection — no extra
     shuffle over the corpus beyond that join. Returns ``df`` plus
-    ``cluster`` (bigint) and ``split`` (string) columns.
+    ``cluster`` (same type as the id column — a component label
+    or, for singletons, the document's own id) and ``split`` (string)
+    columns.
     """
     from activedatawarehouseprototype_spark.operators.dedup import (
         connected_components,
@@ -453,7 +455,7 @@ def cluster_safe_split(
         F.col("id").alias(id_col), F.col("comp").alias("_comp")
     )
     labeled = df.join(comps, id_col, "left").withColumn(
-        "cluster", F.coalesce(F.col("_comp"), F.col(id_col).cast("bigint"))
+        "cluster", F.coalesce(F.col("_comp"), F.col(id_col))
     )
     return labeled.withColumn(
         "split", assign_split(["cluster"], weights, salt)

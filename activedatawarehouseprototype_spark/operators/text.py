@@ -669,7 +669,6 @@ def _hashed_gram_weight(g: Column, n_buckets: int, salt: str) -> Column:
 
 def hashed_linear_score(
     df: DataFrame,
-    id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = 4096,
     salt: str = "clf1",

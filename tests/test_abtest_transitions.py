@@ -63,6 +63,22 @@ def test_cluster_safe_split_no_leakage_and_singletons(spark):
     assert all(len(s) == 1 for s in splits_per_cluster.values())
 
 
+def test_cluster_safe_split_string_ids(spark):
+    """Round-10 advice regression: non-numeric ids must keep their own
+    id as the singleton cluster (the old bigint cast collapsed every
+    unpaired string id into one NULL cluster sharing one split coin)."""
+    docs = spark.createDataFrame(
+        [Row(doc_id=f"d{i}", text=f"doc {i}") for i in range(1, 7)]
+    )
+    pairs = spark.createDataFrame([Row(id_a="d1", id_b="d2")])
+    out = cluster_safe_split(docs, "doc_id", pairs).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id["d1"]["cluster"] == by_id["d2"]["cluster"] == "d1"
+    singles = {by_id[f"d{i}"]["cluster"] for i in range(3, 7)}
+    assert singles == {f"d{i}" for i in range(3, 7)}  # own id, not NULL
+    assert all(r["cluster"] is not None for r in out)
+
+
 def test_cluster_safe_split_weights_respected(spark):
     docs = spark.createDataFrame(
         [Row(doc_id=i, text="t") for i in range(200)]

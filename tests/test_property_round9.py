@@ -192,6 +192,22 @@ def test_kcore_hand_graph(spark):
     assert got == {1: 2, 2: 2, 3: 2}  # the triangle, in-core degrees
 
 
+def test_kcore_drops_self_loops_both_directions(spark):
+    """Round-10 advice regression: a self-loop (x, x) must not inflate
+    x's degree via the REVERSED union branch. Node 3 has one real
+    neighbor plus a self-loop — it must NOT survive a 2-core."""
+    from pyspark.sql import Row
+
+    from activedatawarehouseprototype_spark.operators.graph import kcore
+
+    edges = [(1, 2), (2, 3), (1, 3), (1, 4), (4, 4)]
+    df = spark.createDataFrame([Row(src=a, dst=b) for a, b in edges])
+    got = {r["node"]: r["degree"] for r in kcore(df, k=2).collect()}
+    # with the bug, 4's self-loop survives the reversed branch, its
+    # degree reads 2, and NOTHING peels: {1,2,3,4} all "survive"
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
 def test_kcore_raises_without_fixpoint(spark):
     import pytest as _pytest
     from pyspark.sql import Row
