@@ -1,0 +1,306 @@
+"""Corpus registrations new in round 10 — the three gap-filling
+debuts from the round-9 brief:
+
+- ``classifier_train_ridge_stats``: distributed classifier TRAINING
+  (exact closed-form ridge, ``operators/regression.py``) to pair with
+  the round-9 inference gate — weights, moment sums and the trained
+  gate's confusion counts, all exact integers (the oracle replays the
+  Cramer solve in HUGEINT).
+- ``exact_substring_spans_hist``: alignment-free cross-document
+  exact-substring spans (the Lee-et-al ExactSubstr shape,
+  ``operators/dedup.py::exact_substring_spans``) — maximal duplicated
+  word spans at ANY offset, histogrammed by span length.
+- ``ivf_rebuild_cell_stats``: drift-triggered IVF index REBUILD
+  (``operators/similarity.py::ivf_index_rebuild``) — append 50% new
+  vectors past the trigger, retrain on de-quantized lattice-k-means
+  centroids, atomically swap, and read back the rebuilt cell layout;
+  the oracle replays the identical lattice training
+  (extensions4._kmeans_centroid_cte) and the identical quantized
+  assignment.
+
+Float discipline: every emitted value in all three entries is an
+exact integer (BIGINT counts/sums, integer-lattice coordinates,
+milli-unit weights) — no rounding anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from activedatawarehouseprototype_spark.catalog import load as _load
+from activedatawarehouseprototype_spark.corpus import register
+from activedatawarehouseprototype_spark.corpus.extensions import _near_corpus
+from activedatawarehouseprototype_spark.corpus.extensions3 import _scratch
+from activedatawarehouseprototype_spark.corpus.extensions4 import (
+    _kmeans_centroid_cte,
+)
+from activedatawarehouseprototype_spark.operators import dedup, similarity
+from activedatawarehouseprototype_spark.operators.clustering import (
+    kmeans_lattice,
+)
+from activedatawarehouseprototype_spark.operators.regression import (
+    ridge_probe_score,
+    ridge_probe_solve,
+    ridge_probe_sums,
+)
+
+
+# --- Exact closed-form ridge training (operators/regression.py) ----------
+# Features: n_chars and the whitespace token count; label: +1 for
+# English, -1 otherwise — the "train a linear is-English probe on
+# cheap features, deploy it as a pure projection" loop. The oracle
+# recomputes the nine moment sums and the full Cramer expansion in
+# HUGEINT; floor division is written with truncated % so both engines
+# agree (det > 0 by positive definiteness, so the divisor is always
+# positive). Confusion counts use the SAME milli-weights on both
+# sides, so every output cell is an exact integer.
+
+_RIDGE_LAM = 1000
+
+@register(
+    "classifier_train_ridge_stats",
+    oracle=f"""
+WITH f AS (
+  SELECT n_chars AS x1,
+         len(string_split(text, ' ')) AS x2,
+         CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y
+  FROM documents
+  WHERE text IS NOT NULL AND lang IS NOT NULL AND n_chars IS NOT NULL
+),
+s AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(x1) AS HUGEINT) AS s1,
+         CAST(SUM(x2) AS HUGEINT) AS s2,
+         CAST(SUM(x1 * x1) AS HUGEINT) AS s11,
+         CAST(SUM(x1 * x2) AS HUGEINT) AS s12,
+         CAST(SUM(x2 * x2) AS HUGEINT) AS s22,
+         CAST(SUM(y) AS HUGEINT) AS sy,
+         CAST(SUM(x1 * y) AS HUGEINT) AS s1y,
+         CAST(SUM(x2 * y) AS HUGEINT) AS s2y
+  FROM f
+),
+a AS (
+  SELECT n + {_RIDGE_LAM} AS a11, s1 AS a12, s2 AS a13,
+         s11 + {_RIDGE_LAM} AS a22, s12 AS a23, s22 + {_RIDGE_LAM} AS a33,
+         sy AS b1, s1y AS b2, s2y AS b3,
+         n, s1, s2, s11, s12, s22, sy, s1y, s2y
+  FROM s
+),
+d AS (
+  SELECT *,
+         a11 * (a22 * a33 - a23 * a23)
+           - a12 * (a12 * a33 - a23 * a13)
+           + a13 * (a12 * a23 - a22 * a13) AS det,
+         b1 * (a22 * a33 - a23 * a23)
+           - a12 * (b2 * a33 - a23 * b3)
+           + a13 * (b2 * a23 - a22 * b3) AS det0,
+         a11 * (b2 * a33 - a23 * b3)
+           - b1 * (a12 * a33 - a23 * a13)
+           + a13 * (a12 * b3 - b2 * a13) AS det1,
+         a11 * (a22 * b3 - b2 * a23)
+           - a12 * (a12 * b3 - b2 * a13)
+           + b1 * (a12 * a23 - a22 * a13) AS det2
+  FROM a
+),
+w AS (
+  SELECT *,
+    (det0 * 1000 - (((det0 * 1000 % det) + det) % det)) // det AS w0,
+    (det1 * 1000 - (((det1 * 1000 % det) + det) % det)) // det AS w1,
+    (det2 * 1000 - (((det2 * 1000 % det) + det) % det)) // det AS w2
+  FROM d
+)
+SELECT CAST(MAX(w.n) AS BIGINT) AS n_rows,
+       CAST(MAX(w.s1) AS BIGINT) AS s1,
+       CAST(MAX(w.s2) AS BIGINT) AS s2,
+       CAST(MAX(w.s11) AS BIGINT) AS s11,
+       CAST(MAX(w.s12) AS BIGINT) AS s12,
+       CAST(MAX(w.s22) AS BIGINT) AS s22,
+       CAST(MAX(w.sy) AS BIGINT) AS sy,
+       CAST(MAX(w.s1y) AS BIGINT) AS s1y,
+       CAST(MAX(w.s2y) AS BIGINT) AS s2y,
+       CAST(MAX(w.w0) AS BIGINT) AS w0_milli,
+       CAST(MAX(w.w1) AS BIGINT) AS w1_milli,
+       CAST(MAX(w.w2) AS BIGINT) AS w2_milli,
+       CAST(SUM(CASE WHEN f.y = 1
+                      AND w.w0 + w.w1 * f.x1 + w.w2 * f.x2 >= 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       CAST(SUM(CASE WHEN f.y = -1
+                      AND w.w0 + w.w1 * f.x1 + w.w2 * f.x2 >= 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       CAST(SUM(CASE WHEN f.y = -1
+                      AND w.w0 + w.w1 * f.x1 + w.w2 * f.x2 < 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+       CAST(SUM(CASE WHEN f.y = 1
+                      AND w.w0 + w.w1 * f.x1 + w.w2 * f.x2 < 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS fn
+FROM f CROSS JOIN w
+""",
+)
+def classifier_train_ridge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = (
+        _load(spark, sf_dir, "documents")
+        .filter(
+            F.col("text").isNotNull()
+            & F.col("lang").isNotNull()
+            & F.col("n_chars").isNotNull()
+        )
+        .select(
+            F.col("n_chars").alias("x1"),
+            F.size(F.split(F.col("text"), " ")).alias("x2"),
+            F.when(F.col("lang") == "en", 1).otherwise(-1).alias("y"),
+        )
+    )
+    # pass 1 (distributed): the nine exact moment sums; ONE row to the
+    # driver, then the exact integer Cramer solve (control plane)
+    sums = ridge_probe_sums(feats, "x1", "x2", "y").head().asDict()
+    w = ridge_probe_solve(sums, lam=_RIDGE_LAM)
+    # pass 2 (distributed): confusion counts of the TRAINED gate
+    score = ridge_probe_score(w, "x1", "x2")
+    pos, neg = F.col("y") == 1, F.col("y") == -1
+    keep, drop = score >= 0, score < 0
+    out = feats.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum((pos & keep).cast("long")).cast("bigint").alias("tp"),
+        F.sum((neg & keep).cast("long")).cast("bigint").alias("fp"),
+        F.sum((neg & drop).cast("long")).cast("bigint").alias("tn"),
+        F.sum((pos & drop).cast("long")).cast("bigint").alias("fn"),
+    )
+    lits = [
+        F.lit(int(sums[c])).cast("bigint").alias(c)
+        for c in ("s1", "s2", "s11", "s12", "s22", "sy", "s1y", "s2y")
+    ] + [
+        F.lit(int(w[i])).cast("bigint").alias(f"w{i}_milli") for i in range(3)
+    ]
+    return out.select("n_rows", *lits, "tp", "fp", "tn", "fn")
+
+
+# --- Alignment-free exact-substring spans (operators/dedup.py) -----------
+# The planted near-corpus copies share their full word prefix with the
+# original, so every copy pair contributes one long maximal span at
+# every offset — precisely what fixed-stride chunking cannot see. The
+# oracle regenerates the stride-1 n-gram table with generate_series +
+# list_slice and merges intervals with the identical one-lag rule.
+
+_SPAN_N = 8
+
+@register(
+    "exact_substring_spans_hist",
+    oracle=f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || ' zz9' AS text
+  FROM documents WHERE doc_id % 101 = 0
+),
+w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws,
+         len(string_split(text, ' ')) AS nw
+  FROM corpus
+),
+g AS (
+  SELECT doc_id, CAST(s.i AS BIGINT) AS pos,
+         array_to_string(list_slice(ws, s.i + 1, s.i + {_SPAN_N}), ' ') AS gram
+  FROM w, UNNEST(generate_series(0, nw - {_SPAN_N})) AS s(i)
+  WHERE nw >= {_SPAN_N}
+),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+hits AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   > {_SPAN_N}
+              THEN 1 ELSE 0 END AS brk
+  FROM hits
+),
+isl2 AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + {_SPAN_N} AS span_end
+  FROM isl2 GROUP BY doc_id, island
+)
+SELECT CAST(span_end - span_start AS BIGINT) AS span_words,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(SUM(span_start) AS BIGINT) AS sum_start
+FROM spans
+GROUP BY span_end - span_start
+""",
+)
+def exact_substring_spans_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spans = dedup.exact_substring_spans(
+        _near_corpus(spark, sf_dir),
+        "doc_id",
+        "text",
+        ngram_words=_SPAN_N,
+        min_count=2,
+    )
+    return spans.groupBy("span_words").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.sum("span_start").cast("bigint").alias("sum_start"),
+    )
+
+
+# --- Drift-triggered IVF rebuild (operators/similarity.py) ---------------
+# Build on two thirds of the vectors (deterministic seed centroids),
+# append the remaining third (50% growth >= the 25% trigger), then
+# rebuild with bit-reproducible retrained centroids: integer-lattice
+# k-means over the FULL corpus, de-quantized (cv / 10000.0 — the same
+# IEEE division on both engines). The oracle replays the identical
+# lattice training via extensions4's shared CTE and the identical
+# floor(dist * 1e12) assignment, then reads the same per-cell layout
+# the rebuilt index must show.
+
+@register(
+    "ivf_rebuild_cell_stats",
+    oracle=_kmeans_centroid_cte(k=8, iters=2) + """,
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+dq AS (
+  SELECT cid, list_transform(cv, x -> CAST(x AS DOUBLE) / 10000.0) AS c
+  FROM cent2
+),
+dists AS (
+  SELECT e.vec_id, d.cid,
+         CAST(FLOOR(list_sum(list_transform(range(1, 65),
+             i -> (e.v[i] - d.c[i]) * (e.v[i] - d.c[i]))) * 1e12)
+              AS BIGINT) AS dist
+  FROM e, dq d
+),
+cells AS (
+  SELECT vec_id, cid AS cell FROM dists
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1
+)
+SELECT CAST(c.cell AS BIGINT) AS cell,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(MIN(p.vec_id) AS BIGINT) AS min_vec_id,
+       CAST(SUM(p.q[1]) AS BIGINT) AS sum_q0
+FROM cells c JOIN pts p USING (vec_id)
+GROUP BY c.cell
+""",
+)
+def ivf_rebuild_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _load(spark, sf_dir, "embeddings")
+    path = _scratch("ivfrebuild") + "/idx"
+    similarity.ivf_index_build(
+        emb.filter(F.col("vec_id") % 3 != 0), path, k=8, use_kmeans=False
+    )
+    similarity.ivf_index_append(
+        spark, path, emb.filter(F.col("vec_id") % 3 == 0)
+    )
+    _, lattice = kmeans_lattice(emb, k=8, iters=2)
+    cents = [(cid, [c / 10000.0 for c in cv]) for cid, cv in lattice]
+    info = similarity.ivf_index_rebuild(spark, path, centroids=cents)
+    assert info["rebuilt"], f"50% growth must trip the 25% trigger: {info}"
+    vecs = spark.read.parquet(f"{path}/vectors")
+    q0 = F.floor(F.col("vec").getItem(0) * F.lit(10_000.0)).cast("long")
+    return vecs.groupBy(F.col("cell").cast("bigint").alias("cell")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.min("vec_id").cast("bigint").alias("min_vec_id"),
+        F.sum(q0).cast("bigint").alias("sum_q0"),
+    )

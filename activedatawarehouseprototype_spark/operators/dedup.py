@@ -34,7 +34,7 @@ surviving (rare, discriminative) shingle sets on BOTH engines.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -941,4 +941,103 @@ def repeated_span_dedup(
                 " ",
             ).alias("clean_text"),
         )
+    )
+
+
+def exact_substring_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram_words: int = 8,
+    min_count: int = 2,
+    hash_grams: bool = False,
+) -> DataFrame:
+    """Alignment-free exact-substring duplicate SPANS — the sorted-
+    ngram realization of Lee et al.'s ExactSubstr (suffix-array
+    substring dedup): find, per document, every maximal word span all
+    of whose length-``ngram_words`` windows occur >= ``min_count``
+    times in the whole corpus (any position, any document, including
+    within-document repeats).
+
+    Where ``repeated_span_dedup`` cuts documents at FIXED stride (a
+    duplicate shifted by one word lands in differently-cut chunks and
+    is missed), this emits an n-gram at EVERY word offset, so a
+    duplicated substring of >= ``ngram_words`` words is found at any
+    alignment — ``ngram_words`` is the detection threshold (Lee et
+    al. use 50 tokens), and overlapping duplicated n-grams merge into
+    maximal spans. Returns one row per maximal span:
+    ``(id, span_start, span_end, span_words)`` — word offsets,
+    0-based, end exclusive; callers cut ``[span_start, span_end)``
+    out of the token stream (or drop docs whose duplicated fraction
+    is too high).
+
+    Scale: the n-gram table is |corpus tokens| skinny rows (the price
+    of alignment-freedom; the suffix array pays the same linear
+    factor) — one partial-agg shuffle on the gram key for occurrence
+    counts, one semi join back, one per-doc window for the interval
+    merge. Never |docs|^2. ``hash_grams=True`` keys the shuffle and
+    join on ``xxhash64(gram)`` (8 bytes vs the gram text) — the
+    100 TB setting; the string-key default is what the DuckDB corpus
+    oracle replays (equivalence pinned in tests, same convention as
+    ``repeated_span_dedup``).
+
+    Reference scope note: the reference engine has no dedup surface;
+    this extends the north-star LLM-pipeline tier (SURVEY.md §7 M5).
+    """
+    if ngram_words < 1:
+        raise ValueError("ngram_words must be >= 1")
+    if min_count < 2:
+        raise ValueError("min_count must be >= 2 (1 would mark everything)")
+    n = int(ngram_words)
+    words = F.split(F.col(text_col), " ")
+    base = df.select(
+        F.col(id_col).alias("sid"),
+        words.alias("_w"),
+        F.size(words).alias("_nw"),
+    )
+    grams = base.filter(F.col("_nw") >= n).select(
+        "sid",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, _nw - {n}), i -> "
+                f"array_join(slice(_w, i + 1, {n}), ' '))"
+            )
+        ).alias("pos", "gram"),
+    )
+    key = F.xxhash64("gram") if hash_grams else F.col("gram")
+    keyed = grams.withColumn("_k", key)
+    dup_keys = (
+        keyed.groupBy("_k")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .filter(F.col("_cnt") >= min_count)
+        .select("_k")
+    )
+    hits = keyed.join(dup_keys, "_k", "left_semi").select("sid", "pos")
+    # interval merge: duplicated n-grams cover [pos, pos + n); with the
+    # hit list sorted per doc a new maximal span starts exactly when
+    # the gap to the previous hit exceeds n (fixed-length intervals
+    # make running-max-end == prev_pos + n, so one lag suffices)
+    w_doc = Window.partitionBy("sid").orderBy("pos")
+    w_run = w_doc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spans = (
+        hits.withColumn(
+            "_brk",
+            F.when(
+                F.lag("pos").over(w_doc).isNull()
+                | (F.col("pos") - F.lag("pos").over(w_doc) > n),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("_island", F.sum("_brk").over(w_run))
+        .groupBy("sid", "_island")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") + n).cast("bigint").alias("span_end"),
+        )
+    )
+    return spans.select(
+        F.col("sid").alias(id_col),
+        "span_start",
+        "span_end",
+        (F.col("span_end") - F.col("span_start")).alias("span_words"),
     )

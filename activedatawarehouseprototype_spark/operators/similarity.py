@@ -622,7 +622,21 @@ def ivf_index_build(
         [(int(sid), [float(x) for x in sv]) for sid, sv in cents],
         "sid bigint, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/centroids")
+    _write_build_meta(spark, index_path)
     return cents
+
+
+def _write_build_meta(spark, index_path: str) -> None:
+    """Persist the row count at (re)build time beside the centroids —
+    the drift denominator ``ivf_index_rebuild`` compares appends
+    against. A parquet count over the just-written vectors is
+    footer-metadata-only (no row reads)."""
+    import json as _json
+    import os as _os
+
+    n = spark.read.parquet(f"{index_path}/vectors").count()
+    with open(_os.path.join(index_path, "_build_meta.json"), "w") as f:
+        _json.dump({"n_rows_at_build": int(n)}, f)
 
 
 def ivf_index_search(
@@ -712,6 +726,109 @@ def ivf_index_append(
         as_double_array(F.col(vec_col)).alias("vec"),
         F.col("cell"),
     ).write.mode("append").partitionBy("cell").parquet(f"{index_path}/vectors")
+
+
+def ivf_index_rebuild(
+    spark,
+    index_path: str,
+    min_appended_fraction: float = 0.25,
+    iters: int = 4,
+    id_col: str = "vec_id",
+    centroids: "list[tuple[int, list[float]]] | None" = None,
+    force: bool = False,
+) -> dict:
+    """Drift-triggered RETRAIN of a persisted IVF index — the path the
+    ``ivf_index_append`` docstring promises: appends assign into cells
+    trained on the ORIGINAL distribution, so once enough new data has
+    landed the cell geometry no longer fits it and probe recall
+    degrades. This closes the loop: measure growth since the last
+    (re)build, and past the threshold retrain centroids on the FULL
+    current corpus, reassign every vector, and atomically swap the
+    layout in.
+
+    Trigger: rows appended since the last build / rows at last build
+    >= ``min_appended_fraction`` (the ``_build_meta.json`` sidecar
+    ``ivf_index_build`` writes). Growth is the cheap, deterministic
+    drift proxy — it needs no query log; pass ``force=True`` when an
+    external recall probe says the geometry is stale sooner.
+
+    Retrain: ``centroids`` overrides training (the same seam as
+    ``ivf_index_build`` — e.g. de-quantized ``kmeans_lattice`` output
+    for a bit-reproducible rebuild, which is what the corpus oracle
+    replays); default is ``ivf_kmeans_centroids`` over the current
+    vectors at the existing k.
+
+    Crash safety: the vectors table swaps via the warehouse protocol
+    (recover_swap/commit_swap) — readers see the old or the new
+    layout, never a partial one; centroids + meta rewrite AFTER the
+    vector commit, so a crash between the two leaves a searchable
+    index (stale centroids describe a superset geometry of committed
+    cells only after rebuild, so the ordering matters: vectors first).
+
+    Returns ``{"rebuilt": bool, "n_rows": int, "n_at_build": int,
+    "k": int}`` — control-plane scalars only; the corpus never
+    reaches the driver. Cost when triggered: one full scan + one
+    shuffle-free reassign projection + one partitioned rewrite —
+    O(index), the honest price of new geometry (compare
+    ``ivf_index_compact``, which keeps geometry and only merges
+    files)."""
+    import json as _json
+    import os as _os
+
+    from activedatawarehouseprototype_spark.operators.warehouse import (
+        commit_swap,
+        recover_swap,
+    )
+
+    vec_path = f"{index_path}/vectors"
+    recover_swap(vec_path)
+    cur = spark.read.parquet(vec_path)
+    n_now = cur.count()
+    meta_path = _os.path.join(index_path, "_build_meta.json")
+    with open(meta_path) as f:
+        n_base = int(_json.load(f)["n_rows_at_build"])
+    if n_base <= 0:
+        raise ValueError(f"corrupt build meta at {meta_path}: {n_base}")
+    grown = (n_now - n_base) / n_base
+    k = spark.read.parquet(f"{index_path}/centroids").count()
+    if not force and grown < min_appended_fraction:
+        return {
+            "rebuilt": False,
+            "n_rows": int(n_now),
+            "n_at_build": n_base,
+            "k": int(k),
+        }
+    if centroids is not None:
+        cents = sorted(
+            ((int(s), [float(x) for x in v]) for s, v in centroids),
+            key=lambda t: t[0],
+        )
+    else:
+        cents = ivf_kmeans_centroids(
+            cur, k=int(k), iters=iters, id_col=id_col, vec_col="vec"
+        )
+    reassigned = ivf_assign(
+        cur.drop("cell"), k=len(cents), id_col=id_col, vec_col="vec",
+        centroids=cents,
+    )
+    staging = vec_path + ".staging"
+    reassigned.select(id_col, "vec", "cell").repartition(
+        max(1, len(cents)), "cell"
+    ).write.mode("overwrite").partitionBy("cell").parquet(staging)
+    commit_swap(vec_path, staging)
+    local_rows_df(
+        spark,
+        [(int(sid), [float(x) for x in sv]) for sid, sv in cents],
+        "sid bigint, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/centroids")
+    with open(meta_path, "w") as f:
+        _json.dump({"n_rows_at_build": int(n_now)}, f)
+    return {
+        "rebuilt": True,
+        "n_rows": int(n_now),
+        "n_at_build": n_base,
+        "k": int(len(cents)),
+    }
 
 
 def cross_near_dup_pairs(

@@ -30,6 +30,34 @@ samples (e.g. join_revenue 0.123 vs 0.168 probe-units, ivf_pq 0.452
 vs 0.559) — host noise, not plan changes. Streaming events/s moves
 with the same tide; compare it across rounds only after dividing by
 the probe.
+
+Measured note (round-10, VERDICT r9 item 2): the five r9 >1.25x
+normalized entries re-measured with the same method (same-session
+probes 5.565/5.863 s, 4 runs each, warm best):
+text_gopher_quality 1.047 s = 0.188 probe-units (r8: 0.816/4.833 =
+0.169 -> 1.11x), frequent_part_pairs 1.813 = 0.324 (r8 0.271, 1.20x),
+compaction_small_files_rollup 2.023 = 0.361 (r8 0.344, 1.05x),
+bloom_semijoin_hot_customer_orders 1.715 = 0.306 warm-isolated but
+1.163 raw inside a full headline run, i.e. at-or-below r8's 0.240
+probe-units in the like-for-like setting (the isolated session pays
+the first lineitem/orders scan the full run amortizes across 60+
+queries), dedup_ppjoin_jaccard 2.571 = 0.459 isolated / 1.776 raw
+in-run (r8 0.300; md5-bound, 3-sample min in the real bench). None
+shows a plan change; the r9 samples were min-of-2/3 on a host whose
+probe ran 6.488 s vs r8's 4.833 (1.34x slower), and today's full-run
+raw numbers are all at-or-below the r8 raws. bloom_filter.py's
+size-gated dispatch verified intact: the corpus entry's filter is
+far below MAX_INLINE_WORDS, so it renders as the one-SQL-string
+codegen predicate, not the Arrow path.
+
+Streaming probe (round-10, VERDICT r9 item 3): the batch probe runs
+~40 min before the streaming section on a full bench, so dividing
+streaming events/s by it conflated two different host moments. The
+JSON now carries ``streaming_probe_seconds`` (min of a probe
+immediately BEFORE and immediately AFTER the streaming section) and
+``streaming_probe_ratio`` (streaming probe / batch probe): normalize
+cross-round streaming deltas by the STREAMING probe, and read the
+ratio as how much the host moved mid-run.
 """
 
 from __future__ import annotations
@@ -131,6 +159,10 @@ HEADLINE = [
     "cuped_arm_components",
     "kcore_copurchase_parts",
     "audio_exact_stats",
+    # new in round 10
+    "classifier_train_ridge_stats",
+    "exact_substring_spans_hist",
+    "ivf_rebuild_cell_stats",
 ]
 
 # FIXED cross-round subset — never edit (see module docstring). One
@@ -495,10 +527,17 @@ def main() -> None:
     # codegen + shuffle-service warmup, which is noise, not engine cost.
     probe = min(calibration_probe_seconds(spark) for _ in range(2))
 
+    # same-moment probes bracket the streaming section (see module
+    # docstring, round-10 note): the streaming numbers normalize by
+    # THIS probe, not the batch one taken ~40 min earlier
+    stream_probe_before = calibration_probe_seconds(spark)
     eps = max(streaming_events_per_sec(spark) for _ in range(2))
     eps50 = max(streaming_50rule_events_per_sec(spark) for _ in range(2))
     eps_w1 = max(streaming_w1_events_per_sec(spark) for _ in range(2))
     ingest_dps = max(ingest_docs_per_sec(spark) for _ in range(2))
+    stream_probe = min(
+        stream_probe_before, calibration_probe_seconds(spark)
+    )
 
     total = round(sum(timings.values()), 3)
     core = [n for n in BENCH_CORE if n in timings]
@@ -515,6 +554,8 @@ def main() -> None:
         "bench_core_mean_seconds": round(core_total / max(len(core), 1), 3),
         "bench_core_n_queries": len(core),
         "calibration_probe_seconds": round(probe, 3),
+        "streaming_probe_seconds": round(stream_probe, 3),
+        "streaming_probe_ratio": round(stream_probe / probe, 3),
         "streaming_events_per_sec": round(eps),
         "streaming_50rule_events_per_sec": round(eps50),
         "streaming_w1_events_per_sec": round(eps_w1),

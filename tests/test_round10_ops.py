@@ -1,0 +1,278 @@
+"""Round-10 operators: exact closed-form ridge training
+(operators/regression.py), alignment-free exact-substring spans
+(operators/dedup.py), and drift-triggered IVF index rebuild
+(operators/similarity.py)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+
+# --- ridge_probe_* ----------------------------------------------------------
+
+
+def test_ridge_probe_solve_matches_numpy():
+    import numpy as np
+
+    from activedatawarehouseprototype_spark.operators.regression import (
+        ridge_probe_solve,
+    )
+
+    rng = [(3, 7, 1), (10, 2, -1), (5, 5, 1), (8, 1, -1), (2, 9, 1)]
+    n = len(rng)
+    s = {
+        "n": n,
+        "s1": sum(x1 for x1, _, _ in rng),
+        "s2": sum(x2 for _, x2, _ in rng),
+        "s11": sum(x1 * x1 for x1, _, _ in rng),
+        "s12": sum(x1 * x2 for x1, x2, _ in rng),
+        "s22": sum(x2 * x2 for _, x2, _ in rng),
+        "sy": sum(y for _, _, y in rng),
+        "s1y": sum(x1 * y for x1, _, y in rng),
+        "s2y": sum(x2 * y for _, x2, y in rng),
+    }
+    lam = 7
+    w = ridge_probe_solve(s, lam=lam)
+    X = np.array([[1, x1, x2] for x1, x2, _ in rng], dtype=float)
+    y = np.array([yy for _, _, yy in rng], dtype=float)
+    ref = np.linalg.solve(X.T @ X + lam * np.eye(3), X.T @ y)
+    for got_milli, want in zip(w, ref):
+        assert abs(got_milli / 1000.0 - want) <= 1e-3  # floor-to-milli
+
+
+def test_ridge_probe_solve_is_exact_floor():
+    """w_milli must be floor(1000 * det_i / det) EXACTLY — including
+    negative weights (Python // floors toward -inf, matching the
+    truncated-% rewrite the SQL oracle runs)."""
+    from fractions import Fraction
+
+    import numpy as np
+
+    from activedatawarehouseprototype_spark.operators.regression import (
+        ridge_probe_solve,
+    )
+
+    s = dict(n=4, s1=-10, s2=30, s11=40, s12=-25, s22=260,
+             sy=-2, s1y=17, s2y=-41)
+    lam = 1
+    w = ridge_probe_solve(s, lam=lam)
+    A = np.array(
+        [
+            [s["n"] + lam, s["s1"], s["s2"]],
+            [s["s1"], s["s11"] + lam, s["s12"]],
+            [s["s2"], s["s12"], s["s22"] + lam],
+        ],
+        dtype=object,
+    )
+    b = [s["sy"], s["s1y"], s["s2y"]]
+
+    def det3(m):
+        return (
+            m[0][0] * (m[1][1] * m[2][2] - m[1][2] * m[2][1])
+            - m[0][1] * (m[1][0] * m[2][2] - m[1][2] * m[2][0])
+            + m[0][2] * (m[1][0] * m[2][1] - m[1][1] * m[2][0])
+        )
+
+    det = det3(A.tolist())
+    for i in range(3):
+        Ai = A.copy().tolist()
+        for r in range(3):
+            Ai[r][i] = b[r]
+        exact = Fraction(1000 * det3(Ai), det)
+        import math
+
+        assert w[i] == math.floor(exact)
+    assert any(x < 0 for x in w)  # the case exercises negative weights
+
+
+def test_ridge_probe_train_and_score(spark):
+    from activedatawarehouseprototype_spark.operators.regression import (
+        ridge_probe_score,
+        ridge_probe_train,
+    )
+
+    # perfectly separable by x1: y = +1 iff x1 >= 6
+    rows = [Row(x1=i, x2=(i * 3) % 5, y=1 if i >= 6 else -1) for i in range(12)]
+    df = spark.createDataFrame(rows)
+    w = ridge_probe_train(df, "x1", "x2", "y", lam=1)
+    scored = df.withColumn("s", ridge_probe_score(w, "x1", "x2")).collect()
+    acc = sum((r["s"] >= 0) == (r["y"] == 1) for r in scored) / len(scored)
+    assert acc >= 0.9  # ridge shrinks, but the separable probe must fit
+    assert ridge_probe_train(df, "x1", "x2", "y", lam=1) == w  # deterministic
+
+
+def test_ridge_probe_train_rejects_empty_and_bad_lam(spark):
+    from activedatawarehouseprototype_spark.operators.regression import (
+        ridge_probe_solve,
+        ridge_probe_train,
+    )
+
+    df = spark.createDataFrame([Row(x1=1, x2=1, y=1)]).filter(F.col("x1") < 0)
+    with pytest.raises(ValueError, match="empty"):
+        ridge_probe_train(df, "x1", "x2", "y")
+    with pytest.raises(ValueError, match="lam"):
+        ridge_probe_solve(dict(n=1, s1=0, s2=0, s11=0, s12=0, s22=0,
+                               sy=0, s1y=0, s2y=0), lam=0)
+
+
+# --- exact_substring_spans ---------------------------------------------------
+
+
+def _spans(spark, docs, n=4, **kw):
+    from activedatawarehouseprototype_spark.operators.dedup import (
+        exact_substring_spans,
+    )
+
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in docs])
+    return {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_words"])
+        for r in exact_substring_spans(
+            df, "doc_id", "text", ngram_words=n, **kw
+        ).collect()
+    }
+
+
+def test_exact_substring_spans_misaligned(spark):
+    """The raison d'etre: a duplicate at DIFFERENT word offsets in two
+    docs — invisible to fixed-stride chunking — is found at both
+    offsets, merged into one maximal span each."""
+    shared = "q w e r t y u i"  # 8 words, detected with n=4
+    docs = [
+        (1, f"a b c {shared} zz"),  # offset 3
+        (2, f"{shared} k l m n o p"),  # offset 0
+    ]
+    got = _spans(spark, docs, n=4)
+    assert got == {(1, 3, 11, 8), (2, 0, 8, 8)}
+
+
+def test_exact_substring_spans_within_doc_repeat(spark):
+    """ExactSubstr semantics: >= min_count TOTAL occurrences, so a
+    span repeated twice INSIDE one document is marked too."""
+    docs = [(1, "x1 x2 x3 x4 mid1 mid2 x1 x2 x3 x4 tail1")]
+    got = _spans(spark, docs, n=4)
+    assert got == {(1, 0, 4, 4), (1, 6, 10, 4)}
+
+
+def test_exact_substring_spans_merges_overlaps(spark):
+    """Two docs sharing a 6-word run with n=4: positions 0,1,2 are all
+    duplicated grams and must merge into ONE span of 6 words."""
+    run = "s1 s2 s3 s4 s5 s6"
+    docs = [(1, f"{run} a b c"), (2, f"p q {run}")]
+    got = _spans(spark, docs, n=4)
+    assert got == {(1, 0, 6, 6), (2, 2, 8, 6)}
+
+
+def test_exact_substring_spans_no_false_positives(spark):
+    docs = [(1, "all words here unique one"), (2, "totally different text два")]
+    assert _spans(spark, docs, n=4) == set()
+
+
+def test_exact_substring_spans_hash_equivalence(spark):
+    """xxhash64-keyed shuffle path must produce the identical spans
+    (same convention as repeated_span_dedup's hash_chunks)."""
+    docs = [
+        (1, "a b c q w e r t y u i zz"),
+        (2, "q w e r t y u i k l m n"),
+        (3, "x1 x2 x3 x4 m x1 x2 x3 x4"),
+    ]
+    assert _spans(spark, docs, n=4) == _spans(spark, docs, n=4, hash_grams=True)
+
+
+def test_exact_substring_spans_validates(spark):
+    from activedatawarehouseprototype_spark.operators.dedup import (
+        exact_substring_spans,
+    )
+
+    df = spark.createDataFrame([Row(doc_id=1, text="a b")])
+    with pytest.raises(ValueError, match="ngram_words"):
+        exact_substring_spans(df, "doc_id", "text", ngram_words=0)
+    with pytest.raises(ValueError, match="min_count"):
+        exact_substring_spans(df, "doc_id", "text", min_count=1)
+
+
+# --- ivf_index_rebuild -------------------------------------------------------
+
+
+def _mk_vecs(spark, ids, dim=8, shift=0.0):
+    rows = [
+        Row(
+            vec_id=i,
+            embedding=[float((i * (d + 3)) % 7) / 7.0 + shift for d in range(dim)],
+        )
+        for i in ids
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_ivf_rebuild_noop_below_threshold(spark, tmp_path):
+    from activedatawarehouseprototype_spark.operators import similarity as S
+
+    idx = str(tmp_path / "idx")
+    S.ivf_index_build(_mk_vecs(spark, range(40)), idx, k=4, use_kmeans=False)
+    # 10% growth < 25% trigger -> no-op
+    S.ivf_index_append(spark, idx, _mk_vecs(spark, range(100, 104)))
+    info = S.ivf_index_rebuild(spark, idx, min_appended_fraction=0.25)
+    assert info == {"rebuilt": False, "n_rows": 44, "n_at_build": 40, "k": 4}
+    # meta untouched: growth keeps accumulating toward the trigger
+    with open(os.path.join(idx, "_build_meta.json")) as f:
+        assert json.load(f)["n_rows_at_build"] == 40
+
+
+def test_ivf_rebuild_matches_fresh_build(spark, tmp_path):
+    """Past the trigger, the rebuilt index must equal a FRESH build of
+    the full corpus with the same centroids — cell for cell, row for
+    row — and the meta/centroids tables must reflect the new state
+    (a second rebuild is a no-op)."""
+    from activedatawarehouseprototype_spark.operators import similarity as S
+
+    all_vecs = _mk_vecs(spark, range(60))
+    base = all_vecs.filter(F.col("vec_id") < 40)
+    extra = all_vecs.filter(F.col("vec_id") >= 40)
+
+    idx = str(tmp_path / "idx")
+    S.ivf_index_build(base, idx, k=4, use_kmeans=False)
+    S.ivf_index_append(spark, idx, extra)
+    cents = S.ivf_kmeans_centroids(all_vecs, k=4, iters=2)
+    info = S.ivf_index_rebuild(spark, idx, centroids=cents)
+    assert info["rebuilt"] and info["n_rows"] == 60 and info["n_at_build"] == 40
+
+    fresh = str(tmp_path / "fresh")
+    S.ivf_index_build(all_vecs, fresh, k=4, centroids=cents)
+    got = {
+        (r["vec_id"], int(r["cell"]))
+        for r in spark.read.parquet(f"{idx}/vectors").collect()
+    }
+    want = {
+        (r["vec_id"], int(r["cell"]))
+        for r in spark.read.parquet(f"{fresh}/vectors").collect()
+    }
+    assert got == want and len(got) == 60
+    # centroids table swapped to the retrained ones
+    stored = {
+        (r["sid"], tuple(r["centroid"]))
+        for r in spark.read.parquet(f"{idx}/centroids").collect()
+    }
+    assert stored == {(s, tuple(v)) for s, v in cents}
+    # meta advanced -> immediate second rebuild is a no-op
+    again = S.ivf_index_rebuild(spark, idx, min_appended_fraction=0.25)
+    assert again["rebuilt"] is False and again["n_at_build"] == 60
+
+
+def test_ivf_rebuild_force_and_search_still_works(spark, tmp_path):
+    from activedatawarehouseprototype_spark.operators import similarity as S
+
+    idx = str(tmp_path / "idx")
+    S.ivf_index_build(_mk_vecs(spark, range(30)), idx, k=3, use_kmeans=False)
+    info = S.ivf_index_rebuild(spark, idx, force=True, iters=1)
+    assert info["rebuilt"] and info["k"] == 3
+    q = _mk_vecs(spark, [5]).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    hits = S.ivf_index_search(spark, idx, q, k=3, probes=2).collect()
+    assert 1 <= len(hits) <= 3
+    assert all(r["qid"] == 5 and r["vec_id"] != 5 for r in hits)
