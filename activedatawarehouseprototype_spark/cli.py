@@ -760,6 +760,53 @@ def _build_parser() -> argparse.ArgumentParser:
     pkc.add_argument("--dst-col", default="dst")
     pkc.add_argument("--max-iter", type=int, default=20)
     pkc.add_argument("--output", required=True)
+
+    ptp = sub.add_parser(
+        "train-probe",
+        help="exact closed-form ridge probe training (2 integer "
+        "features + intercept); writes one row of milli-weights + "
+        "moment sums, optionally the scored input",
+    )
+    ptp.add_argument("--input", required=True)
+    ptp.add_argument("--x1-col", required=True)
+    ptp.add_argument("--x2-col", required=True)
+    ptp.add_argument("--y-col", required=True, help="integer label (e.g. +1/-1)")
+    ptp.add_argument("--lam", type=int, default=1000)
+    ptp.add_argument("--output", required=True)
+    ptp.add_argument(
+        "--scored-output", default=None,
+        help="also write input + score_milli + keep (the deployed gate)",
+    )
+
+    pss = sub.add_parser(
+        "substr-spans",
+        help="alignment-free exact-substring duplicate spans "
+        "(Lee-et-al ExactSubstr shape): maximal word spans whose "
+        "n-grams repeat in the corpus",
+    )
+    pss.add_argument("--input", required=True)
+    pss.add_argument("--id-col", default="doc_id")
+    pss.add_argument("--text-col", default="text")
+    pss.add_argument("--ngram-words", type=int, default=50)
+    pss.add_argument("--min-count", type=int, default=2)
+    pss.add_argument(
+        "--hash-grams", action="store_true",
+        help="shuffle/join on xxhash64(gram) instead of gram text "
+        "(the 100 TB setting)",
+    )
+    pss.add_argument("--output", required=True)
+
+    pir = sub.add_parser(
+        "ivf-rebuild",
+        help="drift-triggered IVF index rebuild: retrain centroids + "
+        "reassign + atomic swap once appends exceed the growth "
+        "threshold (prints the decision as JSON)",
+    )
+    pir.add_argument("--index", required=True, help="ivf_index_build path")
+    pir.add_argument("--min-appended-fraction", type=float, default=0.25)
+    pir.add_argument("--iters", type=int, default=4)
+    pir.add_argument("--id-col", default="vec_id")
+    pir.add_argument("--force", action="store_true")
     return p
 
 
@@ -1721,6 +1768,76 @@ def main(argv: list[str] | None = None) -> int:
         )
         out.write.mode("overwrite").parquet(args.output)
         print(f"{out.count()} core nodes -> {args.output}", file=sys.stderr)
+        return 0
+
+    if args.cmd == "train-probe":
+        from pyspark.sql import functions as F
+
+        from activedatawarehouseprototype_spark.catalog import load_parquet
+        from activedatawarehouseprototype_spark.operators.regression import (
+            ridge_probe_score,
+            ridge_probe_solve,
+            ridge_probe_sums,
+        )
+
+        df = load_parquet(spark, args.input)
+        row = ridge_probe_sums(df, args.x1_col, args.x2_col, args.y_col).head()
+        if row is None or row["n"] == 0:
+            raise SystemExit("train-probe: empty training set")
+        sums = row.asDict()
+        w = ridge_probe_solve(sums, lam=args.lam)
+        out = spark.createDataFrame(
+            [tuple(int(sums[c]) for c in
+                   ("n", "s1", "s2", "s11", "s12", "s22", "sy", "s1y", "s2y"))
+             + tuple(int(x) for x in w)],
+            "n bigint, s1 bigint, s2 bigint, s11 bigint, s12 bigint, "
+            "s22 bigint, sy bigint, s1y bigint, s2y bigint, "
+            "w0_milli bigint, w1_milli bigint, w2_milli bigint",
+        )
+        out.coalesce(1).write.mode("overwrite").parquet(args.output)
+        if args.scored_output:
+            scored = df.withColumn(
+                "score_milli", ridge_probe_score(w, args.x1_col, args.x2_col)
+            ).withColumn("keep", F.col("score_milli") >= 0)
+            scored.write.mode("overwrite").parquet(args.scored_output)
+        print(
+            f"w_milli={list(w)} over n={sums['n']} rows -> {args.output}",
+            file=sys.stderr,
+        )
+        return 0
+
+    if args.cmd == "substr-spans":
+        from activedatawarehouseprototype_spark.catalog import load_parquet
+        from activedatawarehouseprototype_spark.operators.dedup import (
+            exact_substring_spans,
+        )
+
+        out = exact_substring_spans(
+            load_parquet(spark, args.input),
+            args.id_col,
+            args.text_col,
+            ngram_words=args.ngram_words,
+            min_count=args.min_count,
+            hash_grams=args.hash_grams,
+        )
+        out.write.mode("overwrite").parquet(args.output)
+        print(f"{out.count()} duplicate spans -> {args.output}", file=sys.stderr)
+        return 0
+
+    if args.cmd == "ivf-rebuild":
+        from activedatawarehouseprototype_spark.operators.similarity import (
+            ivf_index_rebuild,
+        )
+
+        info = ivf_index_rebuild(
+            spark,
+            args.index,
+            min_appended_fraction=args.min_appended_fraction,
+            iters=args.iters,
+            id_col=args.id_col,
+            force=args.force,
+        )
+        print(json.dumps(info))
         return 0
 
     if args.cmd == "ewma":

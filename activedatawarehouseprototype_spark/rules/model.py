@@ -107,6 +107,17 @@ class Rule:
     last_time: int | None = None  # TTL ms; -1 → never expires
     control_type: ControlType | None = None
     active_id: int | None = None  # parent rule instance that spawned this one
+    # Batch id the rule was SPAWNED in (ECA children only; None for
+    # rules arriving over the wire). "A spawned rule takes effect next
+    # micro-batch" must hold across at-least-once replays: a child
+    # spawned during batch N would otherwise evaluate a REPLAYED batch
+    # N (it exists in the registry by then, unlike on the first run)
+    # and the per-batch idempotent sinks would overwrite batch N's
+    # rows with different ones (caught by the round-10 ECA soak).
+    # Internal extension field — not part of the reference wire schema
+    # (common/KafkaSender.java has no replay concept); serialized only
+    # when set so reference-shaped rules round-trip byte-identical.
+    born_batch_id: int | None = None
 
     # ---- JSON (reference-compatible) ----
 
@@ -135,6 +146,7 @@ class Rule:
                 ControlType(d["controlType"]) if d.get("controlType") else None
             ),
             active_id=d.get("activeId"),
+            born_batch_id=d.get("bornBatchId"),
         )
 
     @classmethod
@@ -165,6 +177,8 @@ class Rule:
             "controlType": self.control_type.value if self.control_type else None,
             "activeId": self.active_id,
         }
+        if self.born_batch_id is not None:
+            d["bornBatchId"] = self.born_batch_id
         return d
 
     def to_json(self) -> str:

@@ -1118,6 +1118,18 @@ class ActivePipeline:
 
         active = self.registry.active()
         self.metrics["active_rules"] = len(active)
+        # replay-idempotence guard: a child spawned during batch N
+        # takes effect at batch N+1 — including when batch N itself is
+        # REDELIVERED (at-least-once foreachBatch). Without this, a
+        # replayed trigger batch is evaluated by children that did not
+        # exist on its first run, and the batch=N idempotent sinks
+        # overwrite the original rows with different ones (round-10
+        # ECA soak finding).
+        active = [
+            r
+            for r in active
+            if r.born_batch_id is None or batch_id > r.born_batch_id
+        ]
         if not active:
             self._watching = {}  # nothing evaluated this batch
             self._persist_watermarks()
@@ -1174,37 +1186,62 @@ class ActivePipeline:
             qid: int(r.window_milliseconds or 0) for qid, r in by_id.items()
         }
 
-        if len(by_id) >= self.grouped_min_rules:
-            evals = evaluate_rules_grouped(
-                buffer,
-                list(by_id.values()),
-                ts_col=self.ts_col,
-                salt_buckets=self.salt_buckets,
-            )
-        else:
-            # small rule set: compiled per-rule plans are the faster
+        # (3b) born-batch scoping (reference parity + replay
+        # idempotence, round-10 ECA soak): a SPAWNED rule aggregates
+        # only events INGESTED after its birth batch — the Flink child
+        # registers via broadcast and its keyed window accumulates from
+        # registration (KafkaSender → DynamicKeyFunction), so it never
+        # sees the trigger event or earlier buffer history; and a
+        # REPLAYED trigger batch must not be evaluated by children that
+        # did not exist on its first run (the batch=N idempotent sinks
+        # would overwrite the original rows with different ones). The
+        # gate is the buffer's _batch partition column (> born — file
+        # pruning, never a row scan of excluded batches); rules sharing
+        # a birth batch evaluate as one cohort, so the common all-wire
+        # case stays the single fanned-out plan.
+        cohorts: dict[int | None, list[Rule]] = {}
+        for rule in by_id.values():
+            cohorts.setdefault(rule.born_batch_id, []).append(rule)
+        parts = []
+        for born in sorted(cohorts, key=lambda b: -1 if b is None else b):
+            cohort = cohorts[born]
+            src = (
+                buffer
+                if born is None
+                else buffer.filter(F.col(self.BATCH_COL) > born)
+            ).drop(self.BATCH_COL)
+            if len(cohort) >= self.grouped_min_rules:
+                parts.append(
+                    evaluate_rules_grouped(
+                        src,
+                        cohort,
+                        ts_col=self.ts_col,
+                        salt_buckets=self.salt_buckets,
+                    )
+                )
+                continue
+            # small cohort: compiled per-rule plans are the faster
             # per-row path; compile failures beyond the schema checks
             # above (e.g. unparseable numeric filter value) quarantine.
-            parts = []
-            for rule in list(by_id.values()):
+            for rule in cohort:
                 try:
-                    parts.append(evaluate_rule(buffer, rule, ts_col=self.ts_col))
+                    parts.append(evaluate_rule(src, rule, ts_col=self.ts_col))
                 except Exception:
                     self.metrics["rule_errors"] = (
                         self.metrics.get("rule_errors", 0) + 1
                     )
                     del by_id[rule.query_id]
                     self._quarantine(rule)
-            if not parts:
-                # same bookkeeping as the other nothing-evaluated exits:
-                # without the persist, a PRUNE batch that ends here loses
-                # its _pruned_to advance on crash and a later wide rule
-                # floors against a stale horizon
-                self._watching = {}
-                self._persist_watermarks()
-                self.metrics["last_batch_seconds"] = time.perf_counter() - t_start
-                return
-            evals = reduce(lambda a, b: a.unionByName(b), parts)
+        if not parts:
+            # same bookkeeping as the other nothing-evaluated exits:
+            # without the persist, a PRUNE batch that ends here loses
+            # its _pruned_to advance on crash and a later wide rule
+            # floors against a stale horizon
+            self._watching = {}
+            self._persist_watermarks()
+            self.metrics["last_batch_seconds"] = time.perf_counter() - t_start
+            return
+        evals = reduce(lambda a, b: a.unionByName(b), parts)
 
         # (4) emission gates:
         # - W2/W3: only windows CLOSED by the event-time high watermark
@@ -1345,6 +1382,7 @@ class ActivePipeline:
                         self.metrics.get("spawns_skipped_null_key", 0) + 1
                     )
                     continue
+                child.born_batch_id = batch_id  # effective from batch_id+1
                 self.registry.apply(child, now)
                 self.metrics["rules_spawned"] += 1
         self.metrics["last_batch_seconds"] = time.perf_counter() - t_start
@@ -1477,8 +1515,11 @@ class ActivePipeline:
             # Empty first micro-batch: nothing was ever written, so the
             # directory has no data files and the read below would fail
             # with 'Unable to infer schema'. The batch-shaped empty
-            # frame IS the buffer.
-            return batch_df.limit(0)
+            # frame IS the buffer (plus the _batch column the real read
+            # carries for born-batch scoping).
+            return batch_df.limit(0).withColumn(
+                self.BATCH_COL, F.lit(batch_id).cast("int")
+            )
 
         # (crash recovery for a mid-compaction swap already ran at the
         # top of this method, before the batch write)
@@ -1523,7 +1564,10 @@ class ActivePipeline:
             # keep the retention predicate on the compacted read so
             # evaluation semantics don't depend on prune timing
             buffer = _retained(self.spark.read.parquet(self.buffer_path))
-        return buffer.drop(self.BUCKET_COL, self.BATCH_COL)
+        # _batch stays: evaluation scopes SPAWNED rules to events
+        # ingested after their birth batch (dropped per-cohort there,
+        # so non-ECA plans are unchanged)
+        return buffer.drop(self.BUCKET_COL)
 
     def _clear_buffer(self) -> None:
         if os.path.exists(self.buffer_path):

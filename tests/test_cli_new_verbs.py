@@ -682,3 +682,97 @@ def test_cli_kcore(spark, tmp_path):
     assert main(["kcore", "--edges", edges, "--k", "2", "--output", out]) == 0
     got = {r["node"]: r["degree"] for r in spark.read.parquet(out).collect()}
     assert got == {1: 2, 2: 2, 3: 2}
+
+
+# --- round-10 verbs: train-probe, substr-spans, ivf-rebuild -----------------
+
+
+def test_cli_train_probe(spark, tmp_path):
+    feats = str(tmp_path / "tp_in")
+    spark.createDataFrame(
+        [(i, (i * 3) % 5, 1 if i >= 6 else -1) for i in range(12)],
+        "x1 long, x2 long, y long",
+    ).write.parquet(feats)
+    out = str(tmp_path / "tp_w")
+    scored = str(tmp_path / "tp_scored")
+    assert (
+        main(
+            [
+                "train-probe",
+                "--input", feats,
+                "--x1-col", "x1",
+                "--x2-col", "x2",
+                "--y-col", "y",
+                "--lam", "1",
+                "--output", out,
+                "--scored-output", scored,
+            ]
+        )
+        == 0
+    )
+    from activedatawarehouseprototype_spark.operators.regression import (
+        ridge_probe_train,
+    )
+
+    w = ridge_probe_train(
+        spark.read.parquet(feats), "x1", "x2", "y", lam=1
+    )
+    row = spark.read.parquet(out).head()
+    assert (row["w0_milli"], row["w1_milli"], row["w2_milli"]) == w
+    assert row["n"] == 12
+    got = spark.read.parquet(scored).collect()
+    assert all(r["keep"] == (r["score_milli"] >= 0) for r in got)
+    acc = sum((r["score_milli"] >= 0) == (r["y"] == 1) for r in got) / 12
+    assert acc >= 0.9
+
+
+def test_cli_substr_spans(spark, tmp_path):
+    docs = str(tmp_path / "ss_in")
+    spark.createDataFrame(
+        [
+            (1, "a b c q w e r t y u i zz"),
+            (2, "q w e r t y u i k l m n"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(docs)
+    out = str(tmp_path / "ss_out")
+    assert (
+        main(
+            [
+                "substr-spans",
+                "--input", docs,
+                "--ngram-words", "4",
+                "--hash-grams",
+                "--output", out,
+            ]
+        )
+        == 0
+    )
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_words"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {(1, 3, 11, 8), (2, 0, 8, 8)}
+
+
+def test_cli_ivf_rebuild(spark, tmp_path, capsys):
+    from activedatawarehouseprototype_spark.operators import similarity as S
+
+    vecs = spark.createDataFrame(
+        [
+            (i, [float((i * (d + 3)) % 7) / 7.0 for d in range(8)])
+            for i in range(40)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    idx = str(tmp_path / "idx")
+    S.ivf_index_build(vecs.filter(F.col("vec_id") < 25), idx, k=3,
+                      use_kmeans=False)
+    S.ivf_index_append(spark, idx, vecs.filter(F.col("vec_id") >= 25))
+    assert main(["ivf-rebuild", "--index", idx, "--iters", "1"]) == 0
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["rebuilt"] is True and info["n_rows"] == 40
+    # meta advanced: an immediate second run reports the no-op
+    assert main(["ivf-rebuild", "--index", idx]) == 0
+    info2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info2 == {"rebuilt": False, "n_rows": 40, "n_at_build": 40, "k": 3}

@@ -2577,3 +2577,159 @@ def test_anomaly_history_compaction_bounded_and_equivalent(spark, tmp_path):
     )
     anoms = pipe.anomalies().collect()
     assert any(r["carId"] == 1 and r["zscore"] > 3 for r in anoms)
+
+
+def test_eca_multigeneration_soak(spark, tmp_path):
+    """Round-10 soak (VERDICT r9 item 7): the FULL feedback cycle at
+    depth — parent → child → grandchild across two trigger keys, a
+    restart + verbatim at-least-once batch REPLAY mid-soak, and a TTL
+    expiry mid-stream — pinned to a golden spawn/alert sequence.
+
+    Timeline (W1 rules; parent AVG>120/10s, child MAX>50/5s,
+    grandchild SUM>0/5s, children keyed $carId):
+      b0: car9 @130  -> P fires(9), spawns C9
+      b1: car9 @60   -> C9 fires, spawns G9;  car7 @140 -> P fires(7),
+                        spawns C7
+      --- restart (reload registry + same work_dir), then REPLAY b1
+          verbatim: no re-emission, no duplicate spawns, ids stable ---
+      --- C9's TTL expires mid-stream (swept before b2 evaluates) ---
+      b2: car9 @60   -> G9 fires; the expired C9 must NOT fire/spawn
+      b3: car7 @60   -> C7 fires, spawns G7
+      b4: car7 @5    -> G7 fires
+    Golden: exactly one alert per (generation x car), six total."""
+    from activedatawarehouseprototype_spark.streaming.registry import _now_ms
+
+    grandchild_t = {
+        "queryId": 3,
+        "queryState": "ACTIVE",
+        "lastTime": 300000,
+        "windowMilliseconds": 5000,
+        "frequencyMilliseconds": 0,
+        "groupingKeyNames": ["$carId"],
+        "windowFilterRules": [],
+        "aggregatorFunctionType": "SUM",
+        "limitOperatorType": ">",
+        "limit": 0,
+        "aggregateFieldName": "speed",
+    }
+    child_t = {
+        "queryId": 2,
+        "queryState": "ACTIVE",
+        "lastTime": 300000,
+        "windowMilliseconds": 5000,
+        "frequencyMilliseconds": 0,
+        "groupingKeyNames": ["$carId"],
+        "windowFilterRules": [],
+        "aggregatorFunctionType": "MAX",
+        "limitOperatorType": ">",
+        "limit": 50,
+        "aggregateFieldName": "speed",
+        "alertRules": [grandchild_t],
+    }
+    parent = {
+        "queryId": 1,
+        "queryState": "ACTIVE",
+        "lastTime": -1,
+        "windowMilliseconds": 10000,
+        "frequencyMilliseconds": 0,
+        "groupingKeyNames": ["carId"],
+        "windowFilterRules": [],
+        "aggregatorFunctionType": "AVG",
+        "limitOperatorType": ">",
+        "limit": 120,
+        "aggregateFieldName": "speed",
+        "alertRules": [child_t],
+    }
+    reg_path = str(tmp_path / "rules.jsonl")
+    wk = str(tmp_path / "wk")
+    reg = RuleRegistry(persist_path=reg_path)
+    reg.apply_json(json.dumps(parent))
+    p1 = ActivePipeline(spark=spark, registry=reg, work_dir=wk)
+
+    def kid_of(registry, parent_id, car):
+        kids = [
+            r
+            for r in registry.active()
+            if r.active_id == parent_id
+            and any(
+                f.field == "carId" and f.value == str(car)
+                for f in r.window_filter_rules
+            )
+        ]
+        assert len(kids) == 1, f"expected one child of {parent_id} for car {car}"
+        return kids[0]
+
+    # b0: parent fires for car 9 -> C9 spawned, carrying G template
+    p1.process_batch(car_df(spark, [(9, 1, 130.0)]), 0)
+    c9 = kid_of(reg, 1, 9)
+    assert c9.alert_rules, "grandchild template must travel with the child"
+
+    # b1: C9 fires -> G9; parent fires for car 7 -> C7
+    b1 = car_df(spark, [(9, 11, 60.0), (7, 11, 140.0)])
+    p1.process_batch(b1, 1)
+    g9 = kid_of(reg, c9.query_id, 9)
+    c7 = kid_of(reg, 1, 7)
+    assert not g9.alert_rules, "generation-3 rule ends the chain"
+    before = {(r.query_id, r.active_id) for r in reg.active()}
+    assert len(before) == 4  # P, C9, G9, C7
+
+    # --- restart mid-soak: reload registry, same work_dir ---
+    reg2 = RuleRegistry.load(reg_path)
+    reg2.persist_path = reg_path
+    p2 = ActivePipeline(spark=spark, registry=reg2, work_dir=wk)
+    assert {(r.query_id, r.active_id) for r in reg2.active()} == before
+
+    # verbatim at-least-once replay of b1: nothing re-emitted, nothing
+    # re-spawned, every id stable
+    n_evals, n_alerts = p2.evaluations().count(), p2.alerts().count()
+    p2.process_batch(b1, 1)
+    assert p2.evaluations().count() == n_evals
+    assert p2.alerts().count() == n_alerts
+    assert {(r.query_id, r.active_id) for r in reg2.active()} == before
+
+    # --- C9's TTL passes mid-stream: swept before b2 evaluates ---
+    reg2.rules[c9.query_id].active_time = _now_ms() - 1
+    p2.process_batch(car_df(spark, [(9, 21, 60.0)]), 2)  # would refire C9
+    assert c9.query_id not in reg2.rules, "expired child must be swept"
+    assert {(r.query_id, r.active_id) for r in reg2.active()} == before - {
+        (c9.query_id, 1)
+    }  # and in particular: no new spawn from the dead child
+
+    # b3: C7 fires -> G7; b4: G7 fires
+    p2.process_batch(car_df(spark, [(7, 31, 60.0)]), 3)
+    g7 = kid_of(reg2, c7.query_id, 7)
+    p2.process_batch(car_df(spark, [(7, 41, 5.0)]), 4)
+
+    # --- golden spawn/alert sequence ---
+    lineage = {
+        1: "P",
+        c9.query_id: "C",
+        c7.query_id: "C",
+        g9.query_id: "G",
+        g7.query_id: "G",
+    }
+    got = sorted(
+        (lineage[r["query_id"]], r["key"]) for r in p2.alerts().collect()
+    )
+    assert got == sorted(
+        [
+            ("P", "{carId=9}"),
+            ("P", "{carId=7}"),
+            ("C", "{carId=9}"),  # exactly once: b2's refire was expired
+            ("C", "{carId=7}"),
+            ("G", "{carId=9}"),
+            ("G", "{carId=7}"),
+        ]
+    )
+
+
+def test_rule_born_batch_id_roundtrip():
+    """bornBatchId (internal replay-idempotence field) survives JSON
+    persistence, and reference-shaped rules (no field) serialize
+    WITHOUT it — byte-compat with the reference wire schema."""
+    plain = Rule.from_json(json.dumps(dict(SPEEDING_RULE, alertRules=[])))
+    assert plain.born_batch_id is None
+    assert "bornBatchId" not in plain.to_json()
+    plain.born_batch_id = 7
+    again = Rule.from_json(plain.to_json())
+    assert again.born_batch_id == 7
