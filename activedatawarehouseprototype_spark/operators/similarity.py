@@ -760,10 +760,13 @@ def ivf_index_rebuild(
 
     Crash safety: the vectors table swaps via the warehouse protocol
     (recover_swap/commit_swap) — readers see the old or the new
-    layout, never a partial one; centroids + meta rewrite AFTER the
-    vector commit, so a crash between the two leaves a searchable
-    index (stale centroids describe a superset geometry of committed
-    cells only after rebuild, so the ordering matters: vectors first).
+    layout, never a partial one. Centroids + meta rewrite AFTER the
+    vector commit; a crash in that window leaves new cells described
+    by the old centroids (searches stay valid parquet reads but probe
+    with stale geometry — degraded recall, never an error), and the
+    un-advanced meta keeps the trigger armed, so simply re-running
+    rebuild retrains and converges — the recovery action IS the
+    operation itself.
 
     Returns ``{"rebuilt": bool, "n_rows": int, "n_at_build": int,
     "k": int}`` — control-plane scalars only; the corpus never

@@ -2733,3 +2733,46 @@ def test_rule_born_batch_id_roundtrip():
     plain.born_batch_id = 7
     again = Rule.from_json(plain.to_json())
     assert again.born_batch_id == 7
+
+
+def test_born_batch_scoping_grouped_path(spark, pipeline):
+    """The born-batch event gate must hold on the GROUPED evaluation
+    path too (>= grouped_min_rules same-born rules evaluate as one
+    fanned-out cohort): ten children born in batch 0 must aggregate
+    ONLY batch-1 events — a 20s window that would otherwise also see
+    the batch-0 event."""
+    reg = pipeline.registry
+    n = 10
+    assert n >= pipeline.grouped_min_rules
+    for i in range(n):
+        r = Rule.from_dict(
+            {
+                "queryId": 100 + i,
+                "queryState": "ACTIVE",
+                "lastTime": -1,
+                "windowMilliseconds": 20000,
+                "frequencyMilliseconds": 0,
+                "groupingKeyNames": ["carId"],
+                "windowFilterRules": [
+                    {"field": "carId", "operator": "=", "value": str(i)}
+                ],
+                "aggregatorFunctionType": "AVG",
+                "limitOperatorType": ">",
+                "limit": 0,
+                "aggregateFieldName": "speed",
+            }
+        )
+        r.born_batch_id = 0
+        reg.apply(r)
+    pipeline.process_batch(
+        car_df(spark, [(i, 1, 100.0) for i in range(n)]), 0
+    )
+    assert pipeline.evaluations().count() == 0  # born gate: skip batch 0
+    pipeline.process_batch(
+        car_df(spark, [(i, 11, 10.0) for i in range(n)]), 1
+    )
+    evals = pipeline.evaluations().collect()
+    assert len(evals) == n
+    # 10.0, not 55.0: the batch-0 event is invisible to born-0 rules
+    assert {r["agg_value"] for r in evals} == {10.0}
+    assert {r["query_id"] for r in evals} == {100 + i for i in range(n)}
