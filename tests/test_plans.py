@@ -408,3 +408,43 @@ def test_transition_matrix_single_corpus_shuffle(spark):
     assert cols
     for c in cols:
         assert c <= {"user_id", "ts", "event_id", "event_type"}, c
+
+
+def test_ridge_probe_plan_shapes(spark):
+    """Training is ONE aggregation (a single shuffle of one partial row
+    per task); scoring with trained weights is a pure projection (zero
+    exchanges added to the scan)."""
+    from activedatawarehouseprototype_spark.catalog import load
+    from activedatawarehouseprototype_spark.operators.regression import (
+        ridge_probe_score,
+        ridge_probe_sums,
+    )
+    from activedatawarehouseprototype_spark.plans.explain import exchange_count
+
+    from pyspark.sql import functions as F
+
+    feats = load(spark, SF, "documents").select(
+        F.col("n_chars").alias("x1"),
+        F.size(F.split(F.col("text"), " ")).alias("x2"),
+        F.when(F.col("lang") == "en", 1).otherwise(-1).alias("y"),
+    )
+    assert exchange_count(ridge_probe_sums(feats, "x1", "x2", "y")) <= 1
+    scored = feats.withColumn("s", ridge_probe_score((1, -2, 3), "x1", "x2"))
+    assert exchange_count(scored) == 0, "probe scoring must stay a pure map"
+
+
+def test_exact_substring_spans_plan_bounded(spark):
+    """Alignment-free span mining must stay linear: the plan holds the
+    gram-count shuffle, the semi join back, and the per-doc window —
+    and NO nested-loop/cartesian product."""
+    from activedatawarehouseprototype_spark.catalog import load
+    from activedatawarehouseprototype_spark.operators.dedup import (
+        exact_substring_spans,
+    )
+
+    df = exact_substring_spans(
+        load(spark, SF, "documents"), "doc_id", "text", ngram_words=8
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
