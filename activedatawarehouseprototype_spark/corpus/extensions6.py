@@ -255,15 +255,20 @@ def exact_substring_spans_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 # IEEE division on both engines). The oracle replays the identical
 # lattice training via extensions4's shared CTE and the identical
 # floor(dist * 1e12) assignment, then reads the same per-cell layout
-# the rebuilt index must show.
+# the rebuilt index must show. k=4 / iters=1 (trimmed from 8/2 after
+# the first sf0.1 bench): the entry's cost is FIXED job barriers —
+# build + append + retrain + swap + readback, ~12 jobs — and the
+# k·d-literal lattice assign dominated at k=8; the rebuild machinery
+# it certifies is identical at any k (larger-k training itself is
+# certified by kmeans_lattice_clusters).
 
 @register(
     "ivf_rebuild_cell_stats",
-    oracle=_kmeans_centroid_cte(k=8, iters=2) + """,
+    oracle=_kmeans_centroid_cte(k=4, iters=1) + """,
 e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 dq AS (
   SELECT cid, list_transform(cv, x -> CAST(x AS DOUBLE) / 10000.0) AS c
-  FROM cent2
+  FROM cent1
 ),
 dists AS (
   SELECT e.vec_id, d.cid,
@@ -288,12 +293,12 @@ def ivf_rebuild_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _load(spark, sf_dir, "embeddings")
     path = _scratch("ivfrebuild") + "/idx"
     similarity.ivf_index_build(
-        emb.filter(F.col("vec_id") % 3 != 0), path, k=8, use_kmeans=False
+        emb.filter(F.col("vec_id") % 3 != 0), path, k=4, use_kmeans=False
     )
     similarity.ivf_index_append(
         spark, path, emb.filter(F.col("vec_id") % 3 == 0)
     )
-    _, lattice = kmeans_lattice(emb, k=8, iters=2)
+    _, lattice = kmeans_lattice(emb, k=4, iters=1)
     cents = [(cid, [c / 10000.0 for c in cv]) for cid, cv in lattice]
     info = similarity.ivf_index_rebuild(spark, path, centroids=cents)
     assert info["rebuilt"], f"50% growth must trip the 25% trigger: {info}"
