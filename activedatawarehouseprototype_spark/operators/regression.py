@@ -128,7 +128,11 @@ def ridge_probe_sums(
 ) -> DataFrame:
     """ONE distributed aggregation: the nine exact BIGINT moment sums
     of (1, x1, x2) against y. Rows with any NULL are excluded (both
-    engines must agree on the training set)."""
+    engines must agree on the training set). Inputs follow the
+    integer-units rule (grouped_ols): non-integer values are TRUNCATED
+    by the long cast — quantize fractional features (milli-units)
+    before training, or the exactness guarantee quietly becomes
+    exactness of the truncated problem."""
     src = df.filter(
         F.col(x1_col).isNotNull()
         & F.col(x2_col).isNotNull()

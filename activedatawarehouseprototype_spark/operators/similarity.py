@@ -787,6 +787,11 @@ def ivf_index_rebuild(
     recover_swap(vec_path)
     cur = spark.read.parquet(vec_path)
     n_now = cur.count()
+    if n_now == 0:
+        # force=True on an empty table would train k-means over zero
+        # vectors and swap in an empty layout — a caller bug, not a
+        # rebuild decision
+        raise ValueError(f"ivf_index_rebuild: empty vectors table at {vec_path}")
     meta_path = _os.path.join(index_path, "_build_meta.json")
     with open(meta_path) as f:
         n_base = int(_json.load(f)["n_rows_at_build"])
