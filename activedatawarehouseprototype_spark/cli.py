@@ -795,6 +795,11 @@ def _build_parser() -> argparse.ArgumentParser:
         "(the 100 TB setting)",
     )
     pss.add_argument("--output", required=True)
+    pss.add_argument(
+        "--cut-output", default=None,
+        help="also write the REWRITTEN corpus (id, n_words, "
+        "words_removed, clean_text) with every duplicated span cut",
+    )
 
     pir = sub.add_parser(
         "ivf-rebuild",
@@ -1809,11 +1814,13 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "substr-spans":
         from activedatawarehouseprototype_spark.catalog import load_parquet
         from activedatawarehouseprototype_spark.operators.dedup import (
+            cut_duplicate_spans,
             exact_substring_spans,
         )
 
+        docs = load_parquet(spark, args.input)
         out = exact_substring_spans(
-            load_parquet(spark, args.input),
+            docs,
             args.id_col,
             args.text_col,
             ngram_words=args.ngram_words,
@@ -1822,6 +1829,17 @@ def main(argv: list[str] | None = None) -> int:
         )
         out.write.mode("overwrite").parquet(args.output)
         print(f"{out.count()} duplicate spans -> {args.output}", file=sys.stderr)
+        if args.cut_output:
+            clean = cut_duplicate_spans(
+                docs,
+                args.id_col,
+                args.text_col,
+                ngram_words=args.ngram_words,
+                min_count=args.min_count,
+                hash_grams=args.hash_grams,
+            )
+            clean.write.mode("overwrite").parquet(args.cut_output)
+            print(f"rewritten corpus -> {args.cut_output}", file=sys.stderr)
         return 0
 
     if args.cmd == "ivf-rebuild":

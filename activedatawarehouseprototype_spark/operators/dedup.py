@@ -1041,3 +1041,78 @@ def exact_substring_spans(
         "span_end",
         (F.col("span_end") - F.col("span_start")).alias("span_words"),
     )
+
+
+def cut_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram_words: int = 8,
+    min_count: int = 2,
+    hash_grams: bool = False,
+) -> DataFrame:
+    """The removal half of ExactSubstr dedup: rewrite each document
+    with every maximal duplicated span (``exact_substring_spans``) cut
+    out of the token stream. Like ``repeated_span_dedup`` — and like
+    Lee et al.'s tooling — the span is removed from EVERY occurrence
+    (training on even one boilerplate copy per cluster is a curation
+    choice callers make upstream by exempting a keeper document).
+
+    Returns one row per input document:
+    ``(id, n_words, words_removed, clean_text)`` — documents with no
+    duplicated span pass through verbatim (words_removed = 0).
+
+    Plan: the span mining is ``exact_substring_spans`` (one gram
+    shuffle + semi join + per-doc window); the cut itself adds ONE
+    aggregation of spans per doc (rows bounded by spans, not words) +
+    one left join back to the corpus + a pure codegen rebuild
+    (transform/exists/filter over the word array — no UDF, no second
+    corpus shuffle). Span count per doc is bounded by |words| /
+    ngram_words, so the collected span array is always smaller than
+    the document itself.
+    """
+    spans = exact_substring_spans(
+        df,
+        id_col,
+        text_col,
+        ngram_words=ngram_words,
+        min_count=min_count,
+        hash_grams=hash_grams,
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    words = F.split(F.col(text_col), " ")
+    # covered(i) = inside any [start, end) span; transform gets the
+    # 0-based element index as its second lambda argument
+    kept = F.filter(
+        F.transform(
+            words,
+            lambda w, i: F.when(
+                F.exists(
+                    F.col("_spans"),
+                    lambda s: (F.lit(i) >= s["span_start"])
+                    & (F.lit(i) < s["span_end"]),
+                ),
+                F.lit(None).cast("string"),
+            ).otherwise(w),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    n_words = F.size(words)
+    return (
+        df.join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            n_words.cast("int").alias("n_words"),
+            F.when(F.col("_spans").isNull(), F.lit(0))
+            .otherwise(n_words - F.size(kept))
+            .cast("int")
+            .alias("words_removed"),
+            F.when(
+                F.col("_spans").isNull(), F.col(text_col)
+            )
+            .otherwise(F.array_join(kept, " "))
+            .alias("clean_text"),
+        )
+    )

@@ -755,6 +755,33 @@ def test_cli_substr_spans(spark, tmp_path):
     assert got == {(1, 3, 11, 8), (2, 0, 8, 8)}
 
 
+def test_cli_substr_spans_cut_output(spark, tmp_path):
+    docs = str(tmp_path / "sc_in")
+    spark.createDataFrame(
+        [
+            (1, "a b c q w e r t y u i zz"),
+            (2, "q w e r t y u i k l m n"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(docs)
+    out, cut = str(tmp_path / "sc_spans"), str(tmp_path / "sc_clean")
+    assert (
+        main(
+            [
+                "substr-spans",
+                "--input", docs,
+                "--ngram-words", "4",
+                "--output", out,
+                "--cut-output", cut,
+            ]
+        )
+        == 0
+    )
+    clean = {r["doc_id"]: r["clean_text"]
+             for r in spark.read.parquet(cut).collect()}
+    assert clean == {1: "a b c zz", 2: "k l m n"}
+
+
 def test_cli_ivf_rebuild(spark, tmp_path, capsys):
     from activedatawarehouseprototype_spark.operators import similarity as S
 

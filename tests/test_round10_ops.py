@@ -276,3 +276,72 @@ def test_ivf_rebuild_force_and_search_still_works(spark, tmp_path):
     hits = S.ivf_index_search(spark, idx, q, k=3, probes=2).collect()
     assert 1 <= len(hits) <= 3
     assert all(r["qid"] == 5 and r["vec_id"] != 5 for r in hits)
+
+
+# --- cut_duplicate_spans -----------------------------------------------------
+
+
+def _cut(spark, docs, n=4, **kw):
+    from activedatawarehouseprototype_spark.operators.dedup import (
+        cut_duplicate_spans,
+    )
+
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in docs])
+    return {
+        r["doc_id"]: r
+        for r in cut_duplicate_spans(
+            df, "doc_id", "text", ngram_words=n, **kw
+        ).collect()
+    }
+
+
+def test_cut_duplicate_spans_removes_every_copy(spark):
+    shared = "q w e r t y u i"
+    docs = [(1, f"a b c {shared} zz"), (2, f"{shared} k l m n o p")]
+    got = _cut(spark, docs, n=4)
+    assert got[1]["clean_text"] == "a b c zz"
+    assert got[2]["clean_text"] == "k l m n o p"
+    assert got[1]["n_words"] == 12 and got[1]["words_removed"] == 8
+    assert got[2]["n_words"] == 14 and got[2]["words_removed"] == 8
+
+
+def test_cut_duplicate_spans_passthrough_and_within_doc(spark):
+    docs = [
+        (1, "x1 x2 x3 x4 mid1 mid2 x1 x2 x3 x4 tail1"),  # self-repeat
+        (2, "all unique words in here"),
+    ]
+    got = _cut(spark, docs, n=4)
+    assert got[1]["clean_text"] == "mid1 mid2 tail1"
+    assert got[1]["words_removed"] == 8
+    # untouched docs pass through VERBATIM (no split/rejoin round-trip)
+    assert got[2]["clean_text"] == "all unique words in here"
+    assert got[2]["words_removed"] == 0
+
+
+def test_cut_duplicate_spans_consistent_with_spans(spark):
+    """clean word count == n_words - sum(span_words) for every doc."""
+    from activedatawarehouseprototype_spark.operators.dedup import (
+        exact_substring_spans,
+    )
+
+    docs = [
+        (1, "a b c q w e r t y u i zz"),
+        (2, "q w e r t y u i k l m n"),
+        (3, "x1 x2 x3 x4 m x1 x2 x3 x4"),
+        (4, "no dups at all over here"),
+    ]
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in docs])
+    removed = {
+        r["doc_id"]: r["removed"]
+        for r in exact_substring_spans(df, "doc_id", "text", ngram_words=4)
+        .groupBy("doc_id")
+        .agg(F.sum("span_words").alias("removed"))
+        .collect()
+    }
+    for did, r in _cut(spark, docs, n=4).items():
+        assert r["words_removed"] == removed.get(did, 0)
+        assert len(r["clean_text"].split(" ")) == (
+            r["n_words"] - r["words_removed"]
+            if r["words_removed"] < r["n_words"]
+            else 1  # fully-cut doc renders as one empty string
+        )
