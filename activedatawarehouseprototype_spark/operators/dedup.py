@@ -979,7 +979,12 @@ def exact_substring_spans(
     join on ``xxhash64(gram)`` (8 bytes vs the gram text) — the
     100 TB setting; the string-key default is what the DuckDB corpus
     oracle replays (equivalence pinned in tests, same convention as
-    ``repeated_span_dedup``).
+    ``repeated_span_dedup``). Hash-key caveat at extreme scale: a
+    64-bit collision marks a unique gram as duplicated (a rare FALSE
+    span — expected collisions ≈ G²/2⁶⁵, a few 10k at a trillion
+    grams), which errs toward over-cutting; that is the accepted
+    direction for dedup (the same trade every 64-bit-fingerprint
+    dedup pipeline makes), and the string-key path is exact.
 
     Reference scope note: the reference engine has no dedup surface;
     this extends the north-star LLM-pipeline tier (SURVEY.md §7 M5).
