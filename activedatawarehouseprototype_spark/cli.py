@@ -812,6 +812,11 @@ def _build_parser() -> argparse.ArgumentParser:
     pir.add_argument("--iters", type=int, default=4)
     pir.add_argument("--id-col", default="vec_id")
     pir.add_argument("--force", action="store_true")
+    pir.add_argument(
+        "--pq", action="store_true",
+        help="the index is a fused ivf_pq_index_build layout: retrain "
+        "cells AND codebooks from the stored raw vectors",
+    )
     return p
 
 
@@ -1845,9 +1850,11 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "ivf-rebuild":
         from activedatawarehouseprototype_spark.operators.similarity import (
             ivf_index_rebuild,
+            ivf_pq_index_rebuild,
         )
 
-        info = ivf_index_rebuild(
+        rebuild = ivf_pq_index_rebuild if args.pq else ivf_index_rebuild
+        info = rebuild(
             spark,
             args.index,
             min_appended_fraction=args.min_appended_fraction,

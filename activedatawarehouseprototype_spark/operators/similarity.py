@@ -1059,6 +1059,7 @@ def ivf_pq_index_build(
             },
             f,
         )
+    _write_build_meta(spark, index_path)
 
 
 def _residual_batch(X, cells, cnorm: dict[int, list[float]]):
@@ -1356,6 +1357,104 @@ def ivf_pq_index_append(
         .partitionBy("cell")
         .parquet(f"{index_path}/vectors")
     )
+
+
+def ivf_pq_index_rebuild(
+    spark,
+    index_path: str,
+    min_appended_fraction: float = 0.25,
+    iters: int = 4,
+    pq_iters: int = 8,
+    pq_sample_n: int = 4096,
+    id_col: str = "vec_id",
+    force: bool = False,
+) -> dict:
+    """Drift-triggered retrain of the FUSED IVF+PQ index — the
+    production-layout twin of ``ivf_index_rebuild``: same growth
+    trigger (``_build_meta.json``), but a triggered rebuild retrains
+    BOTH quantizers from the index's own stored raw vectors (kept for
+    the exact re-rank stage, which is what makes self-rebuild
+    possible): new k-means cells, new normalized-centroid residual
+    basis, new PQ codebooks, and a full re-encode — k / m / ksub are
+    carried over from the existing index.
+
+    Mechanics: the retrain is a full ``ivf_pq_index_build`` into a
+    scratch dir off the stored vectors, then vectors and centroids
+    swap in via the crash-safe protocol and the codebooks JSON +
+    build meta replace atomically (``os.replace``). Crash windows
+    mirror ``ivf_index_rebuild``: after the vector commit, stale
+    sidecars mean degraded-recall ADC shortlists — never an error
+    (the exact re-rank stage keeps returned scores correct) — and the
+    un-advanced meta keeps the trigger armed, so re-running rebuild
+    converges. Cost when triggered is a full rebuild — the honest
+    price of new geometry AND new codebooks; below the trigger it is
+    one footer count.
+
+    Returns the same ``{"rebuilt", "n_rows", "n_at_build", "k"}``
+    control-plane dict."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    from activedatawarehouseprototype_spark.operators.warehouse import (
+        commit_swap,
+        recover_swap,
+    )
+
+    vec_path = f"{index_path}/vectors"
+    recover_swap(vec_path)
+    cur = spark.read.parquet(vec_path)
+    n_now = cur.count()
+    if n_now == 0:
+        raise ValueError(
+            f"ivf_pq_index_rebuild: empty vectors table at {vec_path}"
+        )
+    meta_path = _os.path.join(index_path, "_build_meta.json")
+    with open(meta_path) as f:
+        n_base = int(_json.load(f)["n_rows_at_build"])
+    if n_base <= 0:
+        raise ValueError(f"corrupt build meta at {meta_path}: {n_base}")
+    k = spark.read.parquet(f"{index_path}/centroids").count()
+    if not force and (n_now - n_base) / n_base < min_appended_fraction:
+        return {
+            "rebuilt": False,
+            "n_rows": int(n_now),
+            "n_at_build": n_base,
+            "k": int(k),
+        }
+    with open(_os.path.join(index_path, "_pq_codebooks.json")) as f:
+        pq_meta = _json.load(f)
+    scratch = f"{index_path}/.rebuild"
+    if _os.path.exists(scratch):  # leftover from a crashed rebuild
+        _shutil.rmtree(scratch)
+    ivf_pq_index_build(
+        cur.select(id_col, "vec"),
+        scratch,
+        k=int(k),
+        iters=iters,
+        m=int(pq_meta["m"]),
+        ksub=int(pq_meta["ksub"]),
+        pq_iters=pq_iters,
+        pq_sample_n=pq_sample_n,
+        id_col=id_col,
+        vec_col="vec",
+    )
+    # vectors first (crash-safe swap), then the small sidecars — see
+    # the crash-window note in the docstring
+    commit_swap(vec_path, f"{scratch}/vectors")
+    commit_swap(f"{index_path}/centroids", f"{scratch}/centroids")
+    _os.replace(
+        _os.path.join(scratch, "_pq_codebooks.json"),
+        _os.path.join(index_path, "_pq_codebooks.json"),
+    )
+    _os.replace(_os.path.join(scratch, "_build_meta.json"), meta_path)
+    _shutil.rmtree(scratch, ignore_errors=True)
+    return {
+        "rebuilt": True,
+        "n_rows": int(n_now),
+        "n_at_build": n_base,
+        "k": int(k),
+    }
 
 
 def contrastive_pairs(

@@ -345,3 +345,39 @@ def test_cut_duplicate_spans_consistent_with_spans(spark):
             if r["words_removed"] < r["n_words"]
             else 1  # fully-cut doc renders as one empty string
         )
+
+
+def test_ivf_pq_rebuild_trigger_and_search(spark, tmp_path):
+    """Fused-index rebuild: below threshold is a footer-count no-op;
+    past it both quantizers retrain from the stored raw vectors and
+    the meta advance makes the next rebuild a no-op — with search
+    green before and after, including over the appended rows."""
+    from activedatawarehouseprototype_spark.operators import similarity as S
+
+    idx = str(tmp_path / "pqidx")
+    base = _mk_vecs(spark, range(40))
+    S.ivf_pq_index_build(base, idx, k=4, iters=1, m=4, ksub=4,
+                         pq_sample_n=40)
+    info = S.ivf_pq_index_rebuild(spark, idx)
+    assert info == {"rebuilt": False, "n_rows": 40, "n_at_build": 40, "k": 4}
+
+    S.ivf_pq_index_append(spark, idx, _mk_vecs(spark, range(100, 130)))
+    info = S.ivf_pq_index_rebuild(spark, idx, iters=1, pq_sample_n=70)
+    assert info["rebuilt"] and info["n_rows"] == 70 and info["n_at_build"] == 40
+    again = S.ivf_pq_index_rebuild(spark, idx)
+    assert again == {"rebuilt": False, "n_rows": 70, "n_at_build": 70, "k": 4}
+
+    # vectors survived the double swap: all 70 rows, codes re-encoded
+    rows = spark.read.parquet(f"{idx}/vectors")
+    assert rows.count() == 70
+    assert {"vec_id", "vec", "cell", "codes"} <= set(rows.columns)
+    # search still returns sane neighbors — incl. an APPENDED id whose
+    # exact duplicate (mod-7 construction: 107 == 100 mod 7 pattern of
+    # vec 2... simply assert self-similar structure) exists
+    q = _mk_vecs(spark, [103]).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    hits = S.ivf_pq_search(spark, idx, q, k=3, probes=2).collect()
+    assert 1 <= len(hits) <= 3
+    assert all(r["qid"] == 103 and r["vec_id"] != 103 for r in hits)
+    assert max(r["score"] for r in hits) > 0.99  # mod-7 twins exist
