@@ -732,6 +732,133 @@ def connected_components(
     return labels
 
 
+def connected_components_twostar(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+    on_non_convergence: str = "raise",
+) -> DataFrame:
+    """(id, component) over the undirected candidate-pair graph via
+    the large-star / small-star alternation (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) —
+    component id = smallest member id, same contract as
+    ``connected_components``.
+
+    Why a second algorithm: min-label propagation (even with pointer
+    doubling) keys every per-round join by the CURRENT LABEL, so as
+    components coalesce, all of a giant component's vertices hash to
+    ONE reducer key — at web scale (billions of near-dup docs, one
+    boilerplate mega-component) that final-round key is a straggler no
+    salt fixes, because the skew is in the algorithm, not the data
+    layout. Large-star/small-star instead keys every round by VERTEX
+    (each vertex re-links its own neighbors), so round cost stays
+    proportional to degree distribution, and the edge set provably
+    SHRINKS toward a union of stars in O(log^2 n) alternating rounds
+    (each round strictly reduces the potential; fixed points are
+    exactly unions of min-rooted stars — Kiveris Thm. 1/2). This is
+    the 100 TB-defensible choice for dedup graphs; the label-prop
+    variant stays for small/mid graphs where its per-round constant
+    (2 joins vs 2 joins + 2 distincts) wins.
+
+    Per round, each a distributed job over canonical (big, small)
+    edges:
+      large-star: every vertex u links each strictly-larger neighbor
+        v to m(u) = min(N(u) ∪ {u})  →  edges (v, m(u)), v > u ≥ m;
+      small-star: orienting edges big→small, every vertex u links its
+        smaller neighbors (and itself) to its min neighbor.
+    Both emit canonical pairs by construction (emitted (x, m) always
+    has x > m after self-loop drop), so the fixed-point check is a
+    set compare of two canonical frames: one subtract + two counts.
+    Lineage is cut per round with ``localCheckpoint``.
+    """
+    if on_non_convergence not in ("raise", "warn"):
+        raise ValueError(
+            f"on_non_convergence must be 'raise' or 'warn', got "
+            f"{on_non_convergence!r}"
+        )
+    spark = pairs.sparkSession
+    big = F.greatest(F.col(src), F.col(dst))
+    small = F.least(F.col(src), F.col(dst))
+    edges = (
+        pairs.filter(F.col(src) != F.col(dst))
+        .select(big.alias("a"), small.alias("b"))
+        .distinct()
+        .persist()
+    )
+    # Same graph-sized parallelism as connected_components: the dup
+    # graph is a sliver of the corpus; session-wide task counts for
+    # per-round jobs on a tiny frame are pure scheduling overhead.
+    n_edges = edges.count()
+    n_parts = max(
+        1,
+        min(spark.sparkContext.defaultParallelism, n_edges // 200_000 + 1),
+    )
+    nodes = (
+        pairs.select(F.col(src).alias("id"))
+        .union(pairs.select(F.col(dst).alias("id")))
+        .distinct()
+    ).localCheckpoint()
+    edges_seed = edges
+    edges = edges.repartition(n_parts, "a").localCheckpoint()
+    edges_seed.unpersist()
+    converged = n_edges == 0
+    for _ in range(max_iter if n_edges else 0):
+        # -- large-star: key by EVERY vertex (both orientations) ------
+        nbrs = edges.select(
+            F.col("a").alias("u"), F.col("b").alias("v")
+        ).union(edges.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        mins = (
+            nbrs.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("mv", "u").alias("m"))
+        )
+        after_large = (
+            nbrs.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .filter(F.col("v") != F.col("m"))  # v > u >= m keeps this moot
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .distinct()
+        )
+        # -- small-star: key by the LARGER endpoint only --------------
+        mins2 = after_large.groupBy("a").agg(F.min("b").alias("m"))
+        after_small = (
+            after_large.join(mins2, "a")
+            .select(F.col("b").alias("x"), "m")
+            .union(mins2.select(F.col("a").alias("x"), "m"))
+            .filter(F.col("x") != F.col("m"))
+            .select(F.col("x").alias("a"), F.col("m").alias("b"))
+            .distinct()
+            .repartition(n_parts, "a")
+            .localCheckpoint()
+        )
+        # canonical-set fixed-point check: E' == E iff same size and
+        # E' \ E is empty (one subtract job + the cached counts)
+        n_after = after_small.count()
+        if n_after == n_edges and after_small.subtract(edges).count() == 0:
+            edges = after_small
+            converged = True
+            break
+        edges, n_edges = after_small, n_after
+    if not converged:
+        msg = (
+            f"connected_components_twostar did not converge within "
+            f"{max_iter} alternating rounds — the edge set was still "
+            f"changing; returned components would be over-split."
+        )
+        if on_non_convergence == "raise":
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
+    # fixed point is a union of min-rooted stars: comp(a) = b for every
+    # star edge, roots (and isolated canonical nodes) map to themselves
+    star = edges.groupBy(F.col("a").alias("id")).agg(F.min("b").alias("c"))
+    return nodes.join(star, "id", "left").select(
+        "id", F.coalesce("c", F.col("id")).alias("comp")
+    )
+
+
 def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """16-bit SimHash per document from per-token md5 bits.
 
