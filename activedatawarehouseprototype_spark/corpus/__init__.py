@@ -48,6 +48,7 @@ from activedatawarehouseprototype_spark.corpus import extensions3  # noqa: E402,
 from activedatawarehouseprototype_spark.corpus import extensions4  # noqa: E402,F401
 from activedatawarehouseprototype_spark.corpus import extensions5  # noqa: E402,F401
 from activedatawarehouseprototype_spark.corpus import extensions6  # noqa: E402,F401
+from activedatawarehouseprototype_spark.corpus import extensions7  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
@@ -108,92 +109,93 @@ from activedatawarehouseprototype_spark.corpus import extensions6  # noqa: E402,
 # ---------------------------------------------------------------------------
 
 _DRIVER_ROTATION = [
-    # -- round-10 rotation -------------------------------------------------
-    # Evidence-age ledger after round 9 (judge-recomputed in VERDICT
-    # r9): 50 entries fresh in r9, 46 in r8, 47 in r7, and the 40
-    # documented r6 deferrals (test_registry_order._DEFERRED_TO_R10,
-    # exactly) — the oldest evidence in the registry and this
-    # window's first priority, per the plan both the r9 rotation and
-    # the r9 VERDICT wrote down. Composition (oldest first, debuts
+    # -- round-11 rotation -------------------------------------------------
+    # Evidence-age ledger after round 10 (judge-recomputed in VERDICT
+    # r10: {r10: 50, r9: 47, r8: 46, r7: 43}; zero red rows anywhere).
+    # The 43 r7-green entries round 10 deferred
+    # (test_registry_order._DEFERRED_TO_R11, exactly) hold the oldest
+    # evidence in the registry — age 4 this round — and are
+    # FRONT-LOADED first, per the plan both the r10 rotation and the
+    # r10 VERDICT wrote down. Composition (oldest first, debuts
     # always in-window):
-    #   * the 40 r6 entries deferred to round 10 — FRONT-LOADED;
-    #   * 3 operators NEW in round 10 (exact closed-form ridge
-    #     classifier TRAINING, alignment-free exact-substring spans,
-    #     drift-triggered IVF index rebuild — the three gaps the r9
-    #     brief named; corpus/extensions6.py) — debut rows;
-    #   * 4 of the 47-entry r7 cohort, family-diverse (gopher quality
-    #     gate, ppjoin dedup, recursive-CTE SQL front door, triangle
-    #     counting). The remaining 43 are deferred to round 11
-    #     (test_registry_order._DEFERRED_TO_R11, exactly), where
+    #   * the 43 r7 entries deferred to round
+    #     11 — FRONT-LOADED;
+    #   * 3 operators NEW in round 11 (ExactSubstr duplicate-span CUT
+    #     with md5-checked rebuilt text — the entry the r10 closeout
+    #     promised; large-star/small-star connected components; the
+    #     end-to-end curation-pipeline entry — the three debuts the
+    #     r10 brief queued; corpus/extensions7.py) — debut rows;
+    #   * 1 of the 46-entry r8 cohort (rule_per_event_avg — the W1
+    #     per-event sliding path, family-diverse vs the dedup-heavy
+    #     debuts). The remaining 45 are deferred to round 12
+    #     (test_registry_order._DEFERRED_TO_R12, exactly), where
     #     their evidence reaches age 4 and they front-load; until
     #     then the full-corpus pytest mirror re-checks each of them
     #     every round.
     # With the 3-entry stable core this fills the 50-slot window
-    # exactly: 40 + 3 + 4 + 3 = 50. After this round the ledger
-    # reads {r10: 50, r9: 47, r8: 46, r7: 43} — nothing older than
-    # 3 rounds, and the r11 editor front-loads the 43 first.
+    # exactly: 43 + 3 + 1 + 3 = 50. After this round the ledger
+    # reads {r11: 50, r10: 47, r9: 47, r8: 45} — nothing older than
+    # 3 rounds, and the r12 editor front-loads the 45 first.
     #
     # Rotation arithmetic (documented since r9, now structural): at
-    # 186 entries / 50 slots the steady-state refresh period is 3.7
+    # 189 entries / 50 slots the steady-state refresh period is 3.8
     # rounds; the invariant is "refresh strictly oldest-first;
     # worst-case age = ceil(N/50) + 1 rounds, documented per round".
     # Deferral COUNTS are never free-typed in prose: every "<N>
     # deferred to round <R>" claim in this file is mechanically
     # checked against the test-side lists by
-    # test_registry_order.test_rotation_prose_counts (the round-9
-    # stable-core comment drifted to "27"; third occurrence of that
-    # class, now pinned).
+    # test_registry_order.test_rotation_prose_counts.
     #
-    # -- the 40 r6 deferrals (oldest evidence in the registry) -------------
-    "ann_ivf_batch_topk",
-    "ann_lsh_batch_multiprobe_topk",
-    "ann_lsh_bucket_topk",
-    "array_embedding_stats",
-    "bool_aggs_per_segment",
-    "entropy_quality_scores",
-    "funnel_match_recognize_strict",
-    "grouping_sets_orders",
-    "histogram_event_values",
-    "hourly_activity_profile",
-    "interval_overlap_sessions",
-    "ntile_equidepth_histogram",
-    "null_semantics_aggs",
-    "pivot_status_by_priority",
-    "regexp_part_type_tokens",
-    "reservoir_sample_fixed_k",
-    "retention_cohorts_monthly",
-    "rolling_zscore_anomalies",
-    "scalar_string_fns",
-    "skew_salted_join_topk",
-    "snapshot_diff_documents",
-    "source_quota_cap_stats",
-    "text_repetition",
-    "udf_sql_registered_brand_code",
-    "udtf_token_explode",
-    "weighted_sample_by_quality",
-    "window_running_order_totals",
-    "percentile_order_prices",
-    "stats_price_quantity",
-    "tpch_q6_revenue_delta",
-    "text_top_bigrams",
-    "udaf_weighted_avg_price",
-    "pivot_native_status_by_priority",
-    "tpch_q3_shipping_priority",
-    "rule_passthrough",
-    "ann_topk_cosine",
-    "dedup_exact_text",
-    "window_top3_orders_per_customer",
-    "graph_pagerank_suppliers",
-    "multimodal_byte_stats",
-    # -- NEW in round 10 -----------------------------------------------------
-    "classifier_train_ridge_stats",
-    "exact_substring_spans_hist",
-    "ivf_rebuild_cell_stats",
-    # -- 4 of the 47-entry r7 cohort (family-diverse) ------------------------
-    "text_gopher_quality",
-    "dedup_ppjoin_jaccard",
-    "sql_recursive_reachability",
-    "graph_triangle_counts",
+    # -- the 43 r7 deferrals (oldest evidence in the registry) -------------
+    "bm25_topk_docs",
+    "chunk_documents_tokens",
+    "decontaminate_ngram_overlap",
+    "dedup_fingerprint",
+    "dedup_index_incremental",
+    "dedup_ngram_jaccard",
+    "dedup_simhash16",
+    "dedup_winnow_overlap",
+    "dirty_date_filter",
+    "drift_psi_event_values",
+    "emb_blocked_cosine_hist",
+    "emb_near_dup_pairs",
+    "embedding_covariance_entries",
+    "ewma_final_by_user",
+    "filter_between_in_dates",
+    "fuzzy_part_name_pairs",
+    "geo_path_cells",
+    "hll_mv_daily_distinct",
+    "hll_set_algebra_event_types",
+    "join_anti_customers_without_orders",
+    "join_revenue_by_nation",
+    "lm_unigram_doc_scores",
+    "mv_incremental_merge_algebra",
+    "pack_sequences_stats",
+    "quality_percentile_gate",
+    "rule_same_ts_dedup_quirk",
+    "rule_union_alerts",
+    "sample_split_stats",
+    "semantic_cluster_dedup",
+    "shard_manifest",
+    "sketch_approx_distinct_and_quantiles",
+    "skipping_index_pruned_scan",
+    "sql_subquery_above_avg_orders",
+    "stratified_sample_by_lang",
+    "stream_interval_join_clicks",
+    "stringagg_statuses_per_flag",
+    "temperature_mix_by_lang",
+    "text_lang_id",
+    "text_stats",
+    "tfidf_top_terms_per_doc",
+    "token_budget_mix_stats",
+    "windowed_distinct_users",
+    "windowed_topk_events",
+    # -- NEW in round 11 -----------------------------------------------------
+    "cut_duplicate_spans_stats",
+    "dedup_components_twostar",
+    "corpus_pipeline_e2e_stats",
+    # -- 1 of the 46-entry r8 cohort (family-diverse) ------------------------
+    "rule_per_event_avg",
 ]
 
 

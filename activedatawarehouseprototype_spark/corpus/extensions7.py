@@ -1,0 +1,326 @@
+"""Corpus registrations new in round 11 — the three debuts the
+round-10 brief queued:
+
+- ``cut_duplicate_spans_stats``: the REMOVAL half of ExactSubstr
+  dedup (``operators/dedup.py::cut_duplicate_spans``) — every maximal
+  cross-document duplicated span is cut out of the token stream and
+  the rebuilt document text itself is hash-checked (md5 of the
+  rebuilt string on both engines), closing the r10 gap where the cut
+  path was code+tests only.
+- ``dedup_components_twostar``: large-star/small-star connected
+  components (Kiveris et al., SoCC'14;
+  ``operators/dedup.py::connected_components_twostar``) on the same
+  MinHash/LSH candidate graph as ``dedup_minhash_components`` — the
+  oracle closes the pairs transitively with a recursive CTE, fully
+  independent of BOTH Spark implementations.
+- ``corpus_pipeline_e2e_stats``: one end-to-end training-data
+  curation pipeline — quality gate → exact dedup → MinHash/LSH near
+  dedup (components → min-id keeper) → deterministic split →
+  overlapping chunking — oracle-replayed stage by stage in a single
+  SQL statement. The integration seam a real corpus user runs first;
+  catches cross-operator interface drift the per-operator entries
+  can't.
+
+Float discipline: every emitted value is an exact integer or an md5
+hex string — no floating aggregates anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from activedatawarehouseprototype_spark.corpus import register
+from activedatawarehouseprototype_spark.corpus.extensions import (
+    _CORPUS_NEAR,
+    _GRAMS_CAPPED,
+    _MAX_DOC_FREQ,
+    _NGRAM,
+    _near_corpus,
+)
+from activedatawarehouseprototype_spark.corpus.extensions6 import _SPAN_N
+from activedatawarehouseprototype_spark.operators import dedup, packing, sampling
+
+
+# --- ExactSubstr CUT: rebuild every document with its duplicated
+# spans removed, and hash the rebuilt text itself. Same span mining
+# contract as exact_substring_spans_hist (stride-1 8-gram table,
+# min_count=2, interval merge); the oracle re-mines the spans, then
+# replays the cut relationally (positions NOT covered by any span,
+# re-joined in order). Output is one row per AFFECTED document — a
+# doc with a span always loses >= ngram words, so the words_removed>0
+# filter and "appears in spans" are the same set on both sides. ---
+
+
+@register(
+    "cut_duplicate_spans_stats",
+    oracle=f"""
+WITH corpus AS ({_CORPUS_NEAR}),
+w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws,
+         len(string_split(text, ' ')) AS nw
+  FROM corpus
+),
+g AS (
+  SELECT doc_id, CAST(s.i AS BIGINT) AS pos,
+         array_to_string(list_slice(ws, s.i + 1, s.i + {_SPAN_N}), ' ') AS gram
+  FROM w, UNNEST(generate_series(0, nw - {_SPAN_N})) AS s(i)
+  WHERE nw >= {_SPAN_N}
+),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+hits AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   > {_SPAN_N}
+              THEN 1 ELSE 0 END AS brk
+  FROM hits
+),
+isl2 AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + {_SPAN_N} AS span_end
+  FROM isl2 GROUP BY doc_id, island
+),
+sd AS (SELECT DISTINCT doc_id FROM spans),
+pos AS (
+  SELECT w.doc_id, CAST(s.i AS BIGINT) AS p, ws[s.i + 1] AS word
+  FROM w JOIN sd USING (doc_id), UNNEST(generate_series(0, nw - 1)) AS s(i)
+),
+kept AS (
+  SELECT p.doc_id, p.p, p.word FROM pos p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans s
+    WHERE s.doc_id = p.doc_id
+      AND p.p >= s.span_start AND p.p < s.span_end
+  )
+),
+rebuilt AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(word, ' ' ORDER BY p) AS clean
+  FROM kept GROUP BY doc_id
+)
+SELECT CAST(w.doc_id AS BIGINT) AS doc_id,
+       CAST(w.nw AS BIGINT) AS n_words,
+       CAST(w.nw - COALESCE(r.n_kept, 0) AS BIGINT) AS words_removed,
+       md5(COALESCE(r.clean, '')) AS clean_md5
+FROM w JOIN sd ON w.doc_id = sd.doc_id
+LEFT JOIN rebuilt r ON w.doc_id = r.doc_id
+""",
+)
+def cut_duplicate_spans_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = dedup.cut_duplicate_spans(
+        _near_corpus(spark, sf_dir),
+        "doc_id",
+        "text",
+        ngram_words=_SPAN_N,
+        min_count=2,
+    )
+    return out.filter(F.col("words_removed") > 0).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.col("words_removed").cast("bigint").alias("words_removed"),
+        F.md5(F.col("clean_text").cast("binary")).alias("clean_md5"),
+    )
+
+
+# --- Large-star/small-star components on the LSH candidate graph:
+# identical pipeline and oracle as dedup_minhash_components (the
+# recursive-CTE transitive closure is independent of either Spark
+# algorithm), different distributed algorithm underneath — per-vertex
+# star contraction instead of label-keyed propagation, the variant
+# whose per-round shuffle keys stay balanced when one mega-component
+# dominates a web-scale dedup graph. ---
+
+
+@register(
+    "dedup_components_twostar",
+    oracle=f"""
+WITH RECURSIVE corpus AS ({_CORPUS_NEAR}),
+{_GRAMS_CAPPED},
+mh AS (
+  SELECT doc_id, s.i AS hash_idx,
+         MIN(md5(CAST(s.i AS VARCHAR) || ':' || shingle)) AS minhash
+  FROM grams, UNNEST(generate_series(0, 11)) AS s(i)
+  GROUP BY doc_id, s.i
+),
+bands AS (
+  SELECT doc_id, hash_idx // 4 AS band,
+         md5(string_agg(minhash, ',' ORDER BY minhash)) AS band_sig
+  FROM mh GROUP BY doc_id, band
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+              AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT e.a, r.b FROM edges e JOIN reach r ON e.b = r.a
+)
+SELECT CAST(a AS BIGINT) AS doc_id, CAST(MIN(b) AS BIGINT) AS component
+FROM reach GROUP BY a
+""",
+)
+def dedup_components_twostar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup.lsh_candidates(
+        _near_corpus(spark, sf_dir),
+        "doc_id",
+        "text",
+        n=_NGRAM,
+        k=12,
+        bands=3,
+        max_doc_freq=_MAX_DOC_FREQ,
+    )
+    comps = dedup.connected_components_twostar(pairs)
+    return comps.select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("component")
+    )
+
+
+# --- End-to-end curation pipeline over the near-dup corpus:
+#   1. quality gate  — >= 20 tokens AND <= 450 chars (the
+#      text_quality_filter thresholds);
+#   2. exact dedup   — keeper = MIN(doc_id) per identical text;
+#   3. near dedup    — MinHash/LSH candidates (same parameters as
+#      dedup_minhash_lsh) → connected components → only each
+#      component's min-id keeper survives;
+#   4. split         — deterministic md5('s1:'||doc_id) 80/10/10;
+#   5. chunking      — 32-token windows, 8-token overlap.
+# Final stats per split: docs, chars, chunks, chunk tokens — every
+# stage's output feeds the next, so a contract drift anywhere in the
+# chain flips the hash. ---
+
+
+@register(
+    "corpus_pipeline_e2e_stats",
+    oracle=f"""
+WITH RECURSIVE corpus0 AS ({_CORPUS_NEAR}),
+gated AS (
+  SELECT doc_id, text FROM corpus0
+  WHERE len(string_split(text, ' ')) >= 20 AND length(text) <= 450
+),
+corpus AS (
+  SELECT MIN(doc_id) AS doc_id, text FROM gated GROUP BY text
+),
+{_GRAMS_CAPPED},
+mh AS (
+  SELECT doc_id, s.i AS hash_idx,
+         MIN(md5(CAST(s.i AS VARCHAR) || ':' || shingle)) AS minhash
+  FROM grams, UNNEST(generate_series(0, 11)) AS s(i)
+  GROUP BY doc_id, s.i
+),
+bands AS (
+  SELECT doc_id, hash_idx // 4 AS band,
+         md5(string_agg(minhash, ',' ORDER BY minhash)) AS band_sig
+  FROM mh GROUP BY doc_id, band
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+              AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT e.a, r.b FROM edges e JOIN reach r ON e.b = r.a
+),
+comp AS (SELECT a AS doc_id, MIN(b) AS component FROM reach GROUP BY a),
+kept AS (
+  SELECT c.doc_id, c.text FROM corpus c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM comp WHERE comp.doc_id = c.doc_id
+                         AND comp.doc_id <> comp.component
+  )
+),
+f AS (
+  SELECT doc_id, text, len(string_split(text, ' ')) AS n_tok,
+         CAST(concat('0x', substr(md5('s1:' || CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) / 4294967296.0 AS frac
+  FROM kept
+),
+s AS (
+  SELECT doc_id, text, n_tok,
+         CASE WHEN frac < 0.8 THEN 'train'
+              WHEN frac < 0.9 THEN 'val'
+              ELSE 'test' END AS split
+  FROM f
+),
+ch AS (
+  SELECT doc_id,
+         CASE WHEN n_tok <= 32 THEN 1
+              ELSE (n_tok - 32 + 23) // 24 + 1 END AS nc,
+         n_tok
+  FROM s
+),
+chunks AS (
+  SELECT doc_id, COUNT(*) AS n_chunks,
+         SUM(LEAST(32, n_tok - i * 24)) AS chunk_tokens
+  FROM ch, UNNEST(range(0, nc)) AS u(i)
+  GROUP BY doc_id
+)
+SELECT s.split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(length(s.text)) AS BIGINT) AS total_chars,
+       CAST(SUM(c.n_chunks) AS BIGINT) AS n_chunks,
+       CAST(SUM(c.chunk_tokens) AS BIGINT) AS total_chunk_tokens
+FROM s JOIN chunks c USING (doc_id)
+GROUP BY s.split
+""",
+)
+def corpus_pipeline_e2e_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _near_corpus(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    gated = d.filter((F.size(toks) >= 20) & (F.length("text") <= 450))
+    exact = gated.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    cand = dedup.lsh_candidates(
+        exact,
+        "doc_id",
+        "text",
+        n=_NGRAM,
+        k=12,
+        bands=3,
+        max_doc_freq=_MAX_DOC_FREQ,
+    )
+    dupes = (
+        dedup.connected_components(cand)
+        .filter(F.col("id") != F.col("comp"))
+        .select(F.col("id").alias("doc_id"))
+    )
+    kept = exact.join(dupes, "doc_id", "left_anti")
+    chunks = packing.chunk_documents(
+        kept, "doc_id", "text", chunk_tokens=32, overlap=8
+    )
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_tokens").alias("chunk_tokens"),
+    )
+    return (
+        kept.withColumn("split", sampling.assign_split(["doc_id"]))
+        .join(per_doc, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+            F.sum("n_chunks").cast("bigint").alias("n_chunks"),
+            F.sum("chunk_tokens").cast("bigint").alias("total_chunk_tokens"),
+        )
+    )

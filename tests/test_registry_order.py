@@ -3,19 +3,19 @@
 The CORRECTNESS driver runs exactly the first 50 entries of
 ``__spark_entry__.queries()`` (round-2 judge-verified).  Rounds 3-5
 rotated every never-checked entry through that window; round 6
-front-loaded the then-oldest (r3) evidence; rounds 7-9 each
+front-loaded the then-oldest (r3) evidence; rounds 7-10 each
 front-loaded the previous round's documented deferral, debuted that
 round's new operators in-window, and deferred the overflow with an
-explicit list.  Round 10 front-loads the 40 r6-era deferrals (the
-oldest evidence in the registry), debuts its 3 new operators, and
-takes 4 of the 47-entry r7 cohort, deferring the other 43 to round 11
-(at 186 entries / 50 slots the steady-state refresh period is 3.7
-rounds; the invariant is "refresh strictly oldest-first, debuts always
-in-window, worst-case age = ceil(N/50) + 1 rounds, documented per
-round").  These tests make sure a refactor can't silently undo the
-rotation or drop a query, and — after three rounds of prose counts
-drifting from the real lists — that every count CLAIMED in the
-rotation comments matches the list it describes
+explicit list.  Round 11 front-loads the 43 r7-era deferrals (the
+oldest evidence in the registry, age 4 this round), debuts its 3 new
+operators, and takes 1 of the 46-entry r8 cohort, deferring the other
+45 to round 12 (at 189 entries / 50 slots the steady-state refresh
+period is 3.8 rounds; the invariant is "refresh strictly oldest-first,
+debuts always in-window, worst-case age = ceil(N/50) + 1 rounds,
+documented per round").  These tests make sure a refactor can't
+silently undo the rotation or drop a query, and — after three rounds
+of prose counts drifting from the real lists — that every count
+CLAIMED in the rotation comments matches the list it describes
 (test_rotation_prose_counts).
 """
 
@@ -35,75 +35,22 @@ from activedatawarehouseprototype_spark.corpus import (
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DRIVER_CAP = 50
 
-_NEW_IN_R10 = {
-    "classifier_train_ridge_stats",
-    "exact_substring_spans_hist",
-    "ivf_rebuild_cell_stats",
+_NEW_IN_R11 = {
+    "cut_duplicate_spans_stats",
+    "dedup_components_twostar",
+    "corpus_pipeline_e2e_stats",
 }
 
-# The 4 r7-cohort entries refreshed in the round-10 window
-# (family-diverse: text quality gate, ppjoin dedup, recursive-CTE SQL
-# front door, graph triangle counting).
-_R7_REFRESH = {
-    "text_gopher_quality",
-    "dedup_ppjoin_jaccard",
-    "sql_recursive_reachability",
-    "graph_triangle_counts",
+# The 1 r8-cohort entry refreshed in the round-11 window
+# (family-diverse vs the dedup-heavy debuts: the W1 per-event sliding
+# rule path).
+_R8_REFRESH = {
+    "rule_per_event_avg",
 }
 
-# The 40 r6-green entries the round-9 rotation deferred to round 10 —
-# round 10 front-loads EXACTLY this list (their r6 evidence is the
-# oldest in the registry).
-_DEFERRED_TO_R10 = {
-    "ann_ivf_batch_topk",
-    "ann_lsh_batch_multiprobe_topk",
-    "ann_lsh_bucket_topk",
-    "array_embedding_stats",
-    "bool_aggs_per_segment",
-    "entropy_quality_scores",
-    "funnel_match_recognize_strict",
-    "grouping_sets_orders",
-    "histogram_event_values",
-    "hourly_activity_profile",
-    "interval_overlap_sessions",
-    "ntile_equidepth_histogram",
-    "null_semantics_aggs",
-    "pivot_status_by_priority",
-    "regexp_part_type_tokens",
-    "reservoir_sample_fixed_k",
-    "retention_cohorts_monthly",
-    "rolling_zscore_anomalies",
-    "scalar_string_fns",
-    "skew_salted_join_topk",
-    "snapshot_diff_documents",
-    "source_quota_cap_stats",
-    "text_repetition",
-    "udf_sql_registered_brand_code",
-    "udtf_token_explode",
-    "weighted_sample_by_quality",
-    "window_running_order_totals",
-    "percentile_order_prices",
-    "stats_price_quantity",
-    "tpch_q6_revenue_delta",
-    "text_top_bigrams",
-    "udaf_weighted_avg_price",
-    "pivot_native_status_by_priority",
-    "tpch_q3_shipping_priority",
-    "rule_passthrough",
-    "ann_topk_cosine",
-    "dedup_exact_text",
-    "window_top3_orders_per_customer",
-    "graph_pagerank_suppliers",
-    "multimodal_byte_stats",
-}
-
-# The 43 r7-green entries the round-10 rotation defers to round 11:
-# the window holds the 40 r6 deferrals + 3 debuts + 4 r7 refreshes +
-# 3 stable core, leaving no further slots for the 47-entry r7 cohort.
-# Their evidence reaches age 4 in round 11 — the round-11 editor
-# front-loads EXACTLY this list first. None changed since its r7
-# hash-match, and the full-corpus pytest mirror
-# (tests/test_corpus_oracle.py) re-checks each every round.
+# The 43 r7-green entries the round-10 rotation deferred to round 11 —
+# round 11 front-loads EXACTLY this list (their r7 evidence is the
+# oldest in the registry, reaching age 4 this round).
 _DEFERRED_TO_R11 = {
     "bm25_topk_docs",
     "chunk_documents_tokens",
@@ -150,6 +97,61 @@ _DEFERRED_TO_R11 = {
     "windowed_topk_events",
 }
 
+# The 45 r8-green entries the round-11 rotation defers to round 12:
+# the window holds the 43 r7 deferrals + 3 debuts + 1 r8 refresh +
+# 3 stable core, leaving no further slots for the 46-entry r8 cohort.
+# Their evidence reaches age 4 in round 12 — the round-12 editor
+# front-loads EXACTLY this list first. None changed since its r8
+# hash-match, and the full-corpus pytest mirror
+# (tests/test_corpus_oracle.py) re-checks each every round.
+_DEFERRED_TO_R12 = {
+    "alert_cooldown_bursts",
+    "balanced_downsample_by_lang",
+    "bloom_semijoin_hot_customer_orders",
+    "bm25_index_search_topk",
+    "cdc_enrich_pipeline_evals",
+    "cdc_merge_changelog_orders",
+    "cms_event_type_counts",
+    "compaction_small_files_rollup",
+    "cube_orders_status_priority",
+    "cusum_user_value_shifts",
+    "dedup_minhash_components",
+    "distinct_suppliers_per_flag",
+    "emb_quantized_int8_stats",
+    "frequent_part_pairs",
+    "funnel_view_click_purchase",
+    "geo_cell_geometry",
+    "ivf_pq_search_topk",
+    "join_full_outer_nation_activity",
+    "join_left_order_counts",
+    "join_mv_cdc_maintenance_orders",
+    "join_semi_customers_with_open_orders",
+    "lag_features_user_values",
+    "mv_histogram_merge_algebra",
+    "pii_redaction_scrub",
+    "quality_constraints_orders",
+    "resample_ffill_daily_values",
+    "rule_count_tumbling",
+    "rule_fanout_match_counts",
+    "rule_sliding_max",
+    "scalar_conditional_fns",
+    "scalar_date_fns",
+    "scalar_math_fns",
+    "schema_evolution_orders_union",
+    "session_windows_per_user",
+    "setop_union_intersect_except",
+    "sql_correlated_subquery_share",
+    "timetravel_orders_rollup",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q18_large_volume_customers",
+    "tpch_q1_pricing_summary",
+    "tpch_q21_lone_returner",
+    "tpch_q2_min_cost_supplier",
+    "window_order_price_delta",
+    "zorder_key_part_layout",
+}
+
 
 def _correctness(round_tag: str) -> set[str]:
     with open(os.path.join(_REPO, f"CORRECTNESS_{round_tag}.json")) as f:
@@ -168,36 +170,39 @@ def test_stable_core_inside_driver_window():
     assert not missing, f"stable-core canaries outside the driver window: {missing}"
 
 
-def test_r9_deferral_promise_kept():
-    """Round 9 promised the 40 deferred r6 entries would be
-    FRONT-LOADED in round 10 — they must all sit inside this round's
+def test_r10_deferral_promise_kept():
+    """Round 10 promised the 43 deferred r7 entries would be
+    FRONT-LOADED in round 11 — they must all sit inside this round's
     window, and FIRST (before any other rotated entry), since their
     evidence is the oldest in the registry."""
     first = set(list(QUERIES)[:DRIVER_CAP])
-    missing = [n for n in _DEFERRED_TO_R10 if n not in first]
-    assert not missing, f"r9-deferred entries not front-loaded: {missing}"
-    assert set(_DRIVER_ROTATION[: len(_DEFERRED_TO_R10)]) == _DEFERRED_TO_R10
+    missing = [n for n in _DEFERRED_TO_R11 if n not in first]
+    assert not missing, f"r10-deferred entries not front-loaded: {missing}"
+    assert set(_DRIVER_ROTATION[: len(_DEFERRED_TO_R11)]) == _DEFERRED_TO_R11
 
 
-def test_rotation_targets_were_stale_after_r9():
-    """The round-10 rotation should only name queries that did NOT get
-    a green round-9 driver row: the r6 deferrals, the round-10 debuts
-    (no row anywhere by construction), and r7-era refreshes."""
-    r9 = _correctness("r09")
-    overlap = [n for n in _DRIVER_ROTATION if n in r9]
-    assert not overlap, f"already driver-checked (green) in r9: {sorted(overlap)}"
+def test_rotation_targets_were_stale_after_r10():
+    """The round-11 rotation should only name queries that did NOT get
+    a green round-10 driver row: the r7 deferrals, the round-11 debuts
+    (no row anywhere by construction), and the r8-era refresh."""
+    r10 = _correctness("r10")
+    overlap = [n for n in _DRIVER_ROTATION if n in r10]
+    assert not overlap, f"already driver-checked (green) in r10: {sorted(overlap)}"
 
 
 def test_never_driver_checked_entries_all_in_window():
-    """Every entry that has NEVER had a driver row across r1-r9 (the
-    round-10 debuts) must sit inside this round's window — nothing
+    """Every entry that has NEVER had a driver row across r1-r10 (the
+    round-11 debuts) must sit inside this round's window — nothing
     ships without a driver row in its debut window."""
     checked = set()
-    for r in ("r01", "r02", "r03", "r04", "r05", "r06", "r07", "r08", "r09"):
+    for r in (
+        "r01", "r02", "r03", "r04", "r05",
+        "r06", "r07", "r08", "r09", "r10",
+    ):
         checked |= _correctness(r)
     first = set(list(QUERIES)[:DRIVER_CAP])
     never = [n for n in QUERIES if n not in checked]
-    assert set(never) == _NEW_IN_R10  # the debuts, exactly
+    assert set(never) == _NEW_IN_R11  # the debuts, exactly
     outside = [n for n in never if n not in first]
     assert not outside, (
         f"never-driver-checked entries left outside the window: {outside}"
@@ -206,39 +211,39 @@ def test_never_driver_checked_entries_all_in_window():
 
 def test_whole_registry_evidence_at_most_three_rounds_old():
     """Union check: every registry entry either sits in this round's
-    window (earning an r10 row) or has an r9/r8 driver row — EXCEPT
-    the 43 explicitly-deferred r7 entries (the window cannot hold the
-    40 r6 deferrals + 3 debuts + the 47-entry r7 cohort; the deferral
-    is documented and round 11 must front-load them)."""
+    window (earning an r11 row) or has an r10/r9 driver row — EXCEPT
+    the 45 explicitly-deferred r8 entries (the window cannot hold the
+    43 r7 deferrals + 3 debuts + the 46-entry r8 cohort; the deferral
+    is documented and round 12 must front-load them)."""
+    r10 = _correctness("r10")
     r9 = _correctness("r09")
-    r8 = _correctness("r08")
     first = set(list(QUERIES)[:DRIVER_CAP])
-    stale = [n for n in QUERIES if n not in r9 and n not in r8 and n not in first]
-    unexplained = [n for n in stale if n not in _DEFERRED_TO_R11]
+    stale = [n for n in QUERIES if n not in r10 and n not in r9 and n not in first]
+    unexplained = [n for n in stale if n not in _DEFERRED_TO_R12]
     assert not unexplained, (
-        "entries with r7-or-older driver evidence left outside the "
-        f"window and not in the documented r11 deferral: {unexplained}"
+        "entries with r8-or-older driver evidence left outside the "
+        f"window and not in the documented r12 deferral: {unexplained}"
     )
     # the deferral list must not silently grow entries it doesn't
     # need: everything in it is genuinely outside the window
-    assert set(stale) == _DEFERRED_TO_R11 - first
+    assert set(stale) == _DEFERRED_TO_R12 - first
 
 
 def test_window_composition_exact():
     """The 50-slot window is exactly the documented composition:
-    40 r6 deferrals + 3 debuts + 4 r7 refreshes + 3 stable core."""
+    43 r7 deferrals + 3 debuts + 1 r8 refresh + 3 stable core."""
     first = set(list(QUERIES)[:DRIVER_CAP])
     assert first == (
-        _DEFERRED_TO_R10 | _NEW_IN_R10 | _R7_REFRESH | set(_STABLE_CORE)
+        _DEFERRED_TO_R11 | _NEW_IN_R11 | _R8_REFRESH | set(_STABLE_CORE)
     )
-    assert len(_R7_REFRESH) == 4
-    # the refreshes really are r7-era: green in r7, untouched since
-    r7 = _correctness("r07")
-    r8, r9 = _correctness("r08"), _correctness("r09")
-    assert _R7_REFRESH <= r7 and not (_R7_REFRESH & (r8 | r9))
-    # and the two deferral ledgers partition the r7 cohort exactly
-    assert _DEFERRED_TO_R11 | _R7_REFRESH == (r7 - r8 - r9) - set(_STABLE_CORE)
-    assert not (_DEFERRED_TO_R11 & _R7_REFRESH)
+    assert len(_R8_REFRESH) == 1
+    # the refresh really is r8-era: green in r8, untouched since
+    r8 = _correctness("r08")
+    r9, r10 = _correctness("r09"), _correctness("r10")
+    assert _R8_REFRESH <= r8 and not (_R8_REFRESH & (r9 | r10))
+    # and the two deferral ledgers partition the r8 cohort exactly
+    assert _DEFERRED_TO_R12 | _R8_REFRESH == (r8 - r9 - r10) - set(_STABLE_CORE)
+    assert not (_DEFERRED_TO_R12 & _R8_REFRESH)
 
 
 def test_rotation_prose_counts():
@@ -247,7 +252,12 @@ def test_rotation_prose_counts():
     round <R>" claim in corpus/__init__.py must match the actual
     test-side list for that round. Rotating editors update _KNOWN when
     they add a round; a free-typed count that disagrees fails here."""
-    known = {9: 23, 10: len(_DEFERRED_TO_R10), 11: len(_DEFERRED_TO_R11)}
+    known = {
+        9: 23,
+        10: 40,
+        11: len(_DEFERRED_TO_R11),
+        12: len(_DEFERRED_TO_R12),
+    }
     src_path = os.path.join(
         _REPO, "activedatawarehouseprototype_spark", "corpus", "__init__.py"
     )
