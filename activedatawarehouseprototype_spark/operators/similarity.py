@@ -758,15 +758,23 @@ def ivf_index_rebuild(
     replays); default is ``ivf_kmeans_centroids`` over the current
     vectors at the existing k.
 
-    Crash safety: the vectors table swaps via the warehouse protocol
-    (recover_swap/commit_swap) — readers see the old or the new
-    layout, never a partial one. Centroids + meta rewrite AFTER the
-    vector commit; a crash in that window leaves new cells described
-    by the old centroids (searches stay valid parquet reads but probe
-    with stale geometry — degraded recall, never an error), and the
+    Crash safety: the vectors table AND the centroids table each swap
+    via the warehouse protocol (recover_swap/commit_swap) — readers
+    see the old or the new layout of either, never a partial one, and
+    rebuild entry recovers BOTH paths (round-11 ADVICE: the centroids
+    rewrite used to be a plain delete-then-write overwrite, so a
+    crash mid-job left a missing/partial centroids dir that wedged
+    every subsequent search and rebuild). A crash between the vector
+    commit and the centroid commit leaves new cells described by the
+    old centroids (searches stay valid parquet reads but probe with
+    stale geometry — degraded recall, never an error), and the
     un-advanced meta keeps the trigger armed, so simply re-running
     rebuild retrains and converges — the recovery action IS the
-    operation itself.
+    operation itself. An index predating ``_build_meta.json`` (or one
+    whose sidecar was lost) is treated as freshly built: the meta is
+    backfilled at the CURRENT count (growth measured from now;
+    ``force=True`` rebuilds immediately), rather than failing on a
+    bare FileNotFoundError.
 
     Returns ``{"rebuilt": bool, "n_rows": int, "n_at_build": int,
     "k": int}`` — control-plane scalars only; the corpus never
@@ -784,7 +792,9 @@ def ivf_index_rebuild(
     )
 
     vec_path = f"{index_path}/vectors"
+    cent_path = f"{index_path}/centroids"
     recover_swap(vec_path)
+    recover_swap(cent_path)
     cur = spark.read.parquet(vec_path)
     n_now = cur.count()
     if n_now == 0:
@@ -793,12 +803,21 @@ def ivf_index_rebuild(
         # rebuild decision
         raise ValueError(f"ivf_index_rebuild: empty vectors table at {vec_path}")
     meta_path = _os.path.join(index_path, "_build_meta.json")
-    with open(meta_path) as f:
-        n_base = int(_json.load(f)["n_rows_at_build"])
+    try:
+        with open(meta_path) as f:
+            n_base = int(_json.load(f)["n_rows_at_build"])
+    except FileNotFoundError:
+        # pre-sidecar index (or lost sidecar): backfill at the current
+        # count so the drift denominator is anchored from now on —
+        # growth-triggering resumes on the next append; force=True
+        # still rebuilds this run
+        n_base = int(n_now)
+        with open(meta_path, "w") as f:
+            _json.dump({"n_rows_at_build": n_base}, f)
     if n_base <= 0:
         raise ValueError(f"corrupt build meta at {meta_path}: {n_base}")
     grown = (n_now - n_base) / n_base
-    k = spark.read.parquet(f"{index_path}/centroids").count()
+    k = spark.read.parquet(cent_path).count()
     if not force and grown < min_appended_fraction:
         return {
             "rebuilt": False,
@@ -824,11 +843,13 @@ def ivf_index_rebuild(
         max(1, len(cents)), "cell"
     ).write.mode("overwrite").partitionBy("cell").parquet(staging)
     commit_swap(vec_path, staging)
+    cent_staging = cent_path + ".staging"
     local_rows_df(
         spark,
         [(int(sid), [float(x) for x in sv]) for sid, sv in cents],
         "sid bigint, centroid array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/centroids")
+    ).coalesce(1).write.mode("overwrite").parquet(cent_staging)
+    commit_swap(cent_path, cent_staging)
     with open(meta_path, "w") as f:
         _json.dump({"n_rows_at_build": int(n_now)}, f)
     return {
@@ -1402,7 +1423,14 @@ def ivf_pq_index_rebuild(
     )
 
     vec_path = f"{index_path}/vectors"
+    cent_path = f"{index_path}/centroids"
     recover_swap(vec_path)
+    # the centroids table is commit_swap'd below, so its crash windows
+    # must be recovered here too — a crash between commit_swap's two
+    # renames otherwise leaves centroids missing with an .old sibling
+    # and wedges every search AND this very function's k readback
+    # (round-11 ADVICE)
+    recover_swap(cent_path)
     cur = spark.read.parquet(vec_path)
     n_now = cur.count()
     if n_now == 0:
@@ -1410,11 +1438,18 @@ def ivf_pq_index_rebuild(
             f"ivf_pq_index_rebuild: empty vectors table at {vec_path}"
         )
     meta_path = _os.path.join(index_path, "_build_meta.json")
-    with open(meta_path) as f:
-        n_base = int(_json.load(f)["n_rows_at_build"])
+    try:
+        with open(meta_path) as f:
+            n_base = int(_json.load(f)["n_rows_at_build"])
+    except FileNotFoundError:
+        # pre-sidecar index (or lost sidecar): backfill at the current
+        # count — same recovery as ivf_index_rebuild
+        n_base = int(n_now)
+        with open(meta_path, "w") as f:
+            _json.dump({"n_rows_at_build": n_base}, f)
     if n_base <= 0:
         raise ValueError(f"corrupt build meta at {meta_path}: {n_base}")
-    k = spark.read.parquet(f"{index_path}/centroids").count()
+    k = spark.read.parquet(cent_path).count()
     if not force and (n_now - n_base) / n_base < min_appended_fraction:
         return {
             "rebuilt": False,
@@ -1442,7 +1477,7 @@ def ivf_pq_index_rebuild(
     # vectors first (crash-safe swap), then the small sidecars — see
     # the crash-window note in the docstring
     commit_swap(vec_path, f"{scratch}/vectors")
-    commit_swap(f"{index_path}/centroids", f"{scratch}/centroids")
+    commit_swap(cent_path, f"{scratch}/centroids")
     _os.replace(
         _os.path.join(scratch, "_pq_codebooks.json"),
         _os.path.join(index_path, "_pq_codebooks.json"),

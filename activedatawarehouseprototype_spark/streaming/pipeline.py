@@ -1143,7 +1143,17 @@ class ActivePipeline:
         # naming fields the schema lost quarantine instead of failing
         # the batch (validated driver-side; the grouped plan would
         # silently aggregate nulls otherwise).
-        dtypes = dict(buffer.dtypes)
+        # validate against the schema rules will actually SEE: the
+        # buffer still carries the internal ingest-batch column here
+        # (dropped per-cohort right before evaluation), so a wire rule
+        # naming _batch (or _bucket) must fail validation and be
+        # quarantined now — passing it through would throw inside the
+        # grouped plan and fail the whole micro-batch (round-11 ADVICE)
+        dtypes = {
+            c: t
+            for c, t in buffer.dtypes
+            if c not in (self.BATCH_COL, self.BUCKET_COL)
+        }
         by_id: dict[int, Rule] = {}
         for rule in active:
             try:

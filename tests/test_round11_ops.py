@@ -96,6 +96,105 @@ def test_twostar_empty_and_selfloop_only(spark):
     assert connected_components_twostar(empty).count() == 0
 
 
+# --- IVF rebuild crash-safety (round-11 ADVICE) --------------------------
+
+
+def _mk_vecs(spark, ids, dim=8):
+    from pyspark import Row
+
+    rows = [
+        Row(
+            vec_id=i,
+            embedding=[float((i * (d + 3)) % 7) / 7.0 for d in range(dim)],
+        )
+        for i in ids
+    ]
+    return spark.createDataFrame(rows)
+
+
+def _crash_mid_centroid_swap(idx):
+    """Simulate a crash between commit_swap's two os.replace calls on
+    the centroids table: target gone, .old holds the committed state."""
+    import os
+
+    cent = os.path.join(idx, "centroids")
+    os.replace(cent, cent + ".old")
+    assert not os.path.exists(cent)
+
+
+def test_ivf_rebuild_recovers_centroid_crash_window(spark, tmp_path):
+    """A crash mid-swap on the CENTROIDS table must not wedge the
+    index: re-running rebuild recovers the committed centroids and
+    converges (the docstring's 're-running converges' claim, now true
+    for both tables, not just vectors)."""
+    from activedatawarehouseprototype_spark.operators import similarity as S
+
+    idx = str(tmp_path / "idx")
+    S.ivf_index_build(_mk_vecs(spark, range(40)), idx, k=4, use_kmeans=False)
+    _crash_mid_centroid_swap(idx)
+    info = S.ivf_index_rebuild(spark, idx, force=True, iters=1)
+    assert info["rebuilt"] and info["k"] == 4
+    assert spark.read.parquet(f"{idx}/centroids").count() == 4
+    # and a plain search works again too
+    import pyspark.sql.functions as F
+
+    q = _mk_vecs(spark, [3]).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    assert S.ivf_index_search(spark, idx, q, k=3, probes=2).count() >= 1
+
+
+def test_ivf_pq_rebuild_recovers_centroid_crash_window(spark, tmp_path):
+    from activedatawarehouseprototype_spark.operators import similarity as S
+
+    idx = str(tmp_path / "pqidx")
+    S.ivf_pq_index_build(
+        _mk_vecs(spark, range(40)), idx, k=4, iters=1, m=4, ksub=4,
+        pq_sample_n=40,
+    )
+    _crash_mid_centroid_swap(idx)
+    info = S.ivf_pq_index_rebuild(spark, idx, force=True, iters=1,
+                                  pq_sample_n=40)
+    assert info["rebuilt"] and info["k"] == 4
+    assert spark.read.parquet(f"{idx}/centroids").count() == 4
+
+
+def test_ivf_rebuild_backfills_missing_meta(spark, tmp_path):
+    """An index predating _build_meta.json (or with a lost sidecar)
+    must not die on FileNotFoundError: the meta is backfilled at the
+    current count (treated as freshly built), growth-triggering
+    resumes from there, and force=True still rebuilds."""
+    import json
+    import os
+
+    from activedatawarehouseprototype_spark.operators import similarity as S
+
+    idx = str(tmp_path / "idx")
+    S.ivf_index_build(_mk_vecs(spark, range(40)), idx, k=4, use_kmeans=False)
+    os.remove(os.path.join(idx, "_build_meta.json"))
+    info = S.ivf_index_rebuild(spark, idx)
+    assert info == {"rebuilt": False, "n_rows": 40, "n_at_build": 40, "k": 4}
+    with open(os.path.join(idx, "_build_meta.json")) as f:
+        assert json.load(f)["n_rows_at_build"] == 40
+    # force still rebuilds on a backfilled index
+    assert S.ivf_index_rebuild(spark, idx, force=True, iters=1)["rebuilt"]
+
+
+def test_ivf_pq_rebuild_backfills_missing_meta(spark, tmp_path):
+    import os
+
+    from activedatawarehouseprototype_spark.operators import similarity as S
+
+    idx = str(tmp_path / "pqidx")
+    S.ivf_pq_index_build(
+        _mk_vecs(spark, range(40)), idx, k=4, iters=1, m=4, ksub=4,
+        pq_sample_n=40,
+    )
+    os.remove(os.path.join(idx, "_build_meta.json"))
+    info = S.ivf_pq_index_rebuild(spark, idx)
+    assert info == {"rebuilt": False, "n_rows": 40, "n_at_build": 40, "k": 4}
+
+
 def test_twostar_non_convergence_signal(spark):
     pairs = [(i, i + 1) for i in range(64)]
     df = _mkdf(spark, pairs)

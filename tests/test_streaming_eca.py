@@ -607,6 +607,38 @@ def test_bad_rule_quarantined_not_fatal(spark, pipeline):
     assert pipeline.alerts().filter("query_id = 1").count() > 0
 
 
+def test_rule_naming_internal_batch_column_quarantined(spark, pipeline):
+    """The buffer carries the internal ingest-batch column when rules
+    are validated (it's dropped per-cohort just before evaluation), so
+    a wire rule naming ``_batch`` must FAIL validation and quarantine —
+    not pass validation and then blow up the whole micro-batch inside
+    the grouped plan (round-11 ADVICE regression)."""
+    reg = pipeline.registry
+    reg.apply_json(json.dumps(dict(SPEEDING_RULE, alertRules=[])))
+    reg.apply_json(
+        json.dumps(
+            {
+                "queryId": 67,
+                "queryState": "ACTIVE",
+                "lastTime": -1,
+                "windowMilliseconds": 10000,
+                "frequencyMilliseconds": 0,
+                "groupingKeyNames": ["_batch"],
+                "windowFilterRules": [],
+                "aggregatorFunctionType": "AVG",
+                "limitOperatorType": ">",
+                "limit": 1,
+                "aggregateFieldName": "speed",
+            }
+        )
+    )
+    pipeline.process_batch(car_df(spark, [(9, 1, 130.0)]), 0)
+    assert pipeline.metrics.get("rule_errors") == 1
+    assert pipeline.registry.rules[67].query_state.value == "PAUSE"
+    # the healthy rule evaluated in the same batch — nothing was lost
+    assert pipeline.alerts().filter("query_id = 1").count() > 0
+
+
 def test_pipeline_restart_no_reemission(spark, tmp_path):
     """A restarted pipeline (same work_dir + persisted registry) must
     not re-emit evaluations already delivered before the restart."""
