@@ -190,10 +190,32 @@ class AnnIngest(_MarkerIngest):
     top-k (dropDuplicates on (qid, id)), so results stay correct; run
     ``ivf_index_compact`` on the usual schedule to reclaim the space.
 
+    Drift loop (round-10 VERDICT #6): appends assign into cells
+    trained on the ORIGINAL distribution, so a long-lived ingest
+    degrades probe recall as the stream drifts. ``rebuild`` wires the
+    ``ivf_pq_index_rebuild`` growth trigger into the loop:
+
+    - ``"off"`` (default) — current behavior; run rebuilds on an
+      external schedule.
+    - ``"recommend"`` — after each appended batch, run the cheap
+      trigger check (one parquet FOOTER count + one JSON scalar — no
+      data IO) and surface it: ``metrics["rebuild_recommended"]``
+      counts batches past the threshold; an operator dashboard alarms
+      on it without the stream ever paying a retrain.
+    - ``"auto"`` — past the threshold, retrain+swap in-loop (the
+      crash-safe ``ivf_pq_index_rebuild``). The rebuild runs AFTER
+      the batch's ``_done`` marker: a replay of the batch stays a
+      no-op for the APPEND, and a crash mid-rebuild leaves the meta
+      un-advanced so the next batch's check simply re-fires —
+      re-running converges.
+
     At 100 TB: per-batch cost is O(|batch|) — assignment against k
     broadcast centroids, one Arrow encode pass, partitioned append
     touching only the landing cells. Nothing reads the accumulated
-    index on the write path."""
+    index on the write path; the trigger check reads footers only,
+    and an ``"auto"`` retrain costs one full index rewrite exactly as
+    often as the corpus grows by ``min_appended_fraction``
+    (amortized O(1) rewrites per doubling)."""
 
     def __init__(
         self,
@@ -201,13 +223,45 @@ class AnnIngest(_MarkerIngest):
         index_path: str,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        rebuild: str = "off",
+        min_appended_fraction: float = 0.25,
+        rebuild_opts: dict | None = None,
     ):
+        if rebuild not in ("off", "recommend", "auto"):
+            raise ValueError(
+                f"rebuild must be 'off', 'recommend' or 'auto', got {rebuild!r}"
+            )
         self.spark = spark
         self.index_path = index_path
         self.id_col = id_col
         self.vec_col = vec_col
+        self.rebuild = rebuild
+        self.min_appended_fraction = min_appended_fraction
+        self.rebuild_opts = dict(rebuild_opts or {})
         self._marker_root = index_path
-        self.metrics = {"batches": 0, "appended": 0}
+        self.metrics = {
+            "batches": 0,
+            "appended": 0,
+            "rebuilds": 0,
+            "rebuild_recommended": 0,
+        }
+
+    def _growth_past_threshold(self) -> bool:
+        """The trigger predicate at its cheapest: parquet footer count
+        over the vectors table + one JSON scalar. Missing sidecar
+        (pre-meta index) counts as no growth — the next rebuild call
+        backfills it."""
+        import json as _json
+
+        n_now = self.spark.read.parquet(f"{self.index_path}/vectors").count()
+        try:
+            with open(os.path.join(self.index_path, "_build_meta.json")) as f:
+                n_base = int(_json.load(f)["n_rows_at_build"])
+        except FileNotFoundError:
+            return False
+        if n_base <= 0:
+            return False
+        return (n_now - n_base) / n_base >= self.min_appended_fraction
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         if os.path.exists(self._marker(batch_id)):
@@ -232,3 +286,16 @@ class AnnIngest(_MarkerIngest):
         self.metrics["batches"] += 1
         self.metrics["appended"] += n
         self._mark_done(batch_id)
+        if self.rebuild == "recommend":
+            if self._growth_past_threshold():
+                self.metrics["rebuild_recommended"] += 1
+        elif self.rebuild == "auto":
+            info = similarity.ivf_pq_index_rebuild(
+                self.spark,
+                self.index_path,
+                min_appended_fraction=self.min_appended_fraction,
+                id_col=self.id_col,
+                **self.rebuild_opts,
+            )
+            if info["rebuilt"]:
+                self.metrics["rebuilds"] += 1

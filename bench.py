@@ -560,6 +560,14 @@ def main() -> None:
         "streaming_50rule_events_per_sec": round(eps50),
         "streaming_w1_events_per_sec": round(eps_w1),
         "ingest_docs_per_sec": round(ingest_dps),
+        # probe-normalized twins (round-11, VERDICT r10 item 4): ingest
+        # runs INSIDE the streaming bracket, so its cross-round trend
+        # line is docs per STREAMING-probe-unit, not docs/s;
+        # bench_core's is core wall over the batch probe. Compare THESE
+        # across rounds; the raw seconds/rates above describe only this
+        # host's moment.
+        "ingest_docs_per_probe": round(ingest_dps * stream_probe),
+        "bench_core_probe_units": round(core_total / probe, 3),
     }
     # The driver keeps only the LAST ~2000 bytes of output and parses
     # the JSON line out of that tail — round 7's line outgrew the

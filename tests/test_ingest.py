@@ -252,12 +252,17 @@ def test_ann_ingest_append_replay_and_search(spark, tmp_path):
     b1 = np.vstack([centers[1] + rng.normal(size=(5, DIM))])
     ing.process_batch(vdf(b1, range(100, 105)), 0)
     n_after_b1 = spark.read.parquet(f"{idx}/vectors").count()
-    assert n_after_b1 == 65 and ing.metrics == {"batches": 1, "appended": 5}
+    assert n_after_b1 == 65
+    assert ing.metrics == {
+        "batches": 1, "appended": 5, "rebuilds": 0, "rebuild_recommended": 0,
+    }
 
     # exact replay: marker short-circuits, nothing appended
     ing.process_batch(vdf(b1, range(100, 105)), 0)
     assert spark.read.parquet(f"{idx}/vectors").count() == 65
-    assert ing.metrics == {"batches": 1, "appended": 5}
+    assert ing.metrics == {
+        "batches": 1, "appended": 5, "rebuilds": 0, "rebuild_recommended": 0,
+    }
 
     # appended vectors are searchable
     q = vdf((b1[2] + 0.005 * rng.normal(size=DIM))[None, :], [9000]).select(
@@ -311,3 +316,116 @@ def test_intra_batch_dedup_honors_hot_shingle_cap(spark, tmp_path):
     assert admitted == {1000, 1001}, (
         "boilerplate-only intra-batch collision dropped a distinct doc"
     )
+
+
+def test_ann_ingest_drift_rebuild_soak(spark, tmp_path):
+    """Round-10 VERDICT #6 soak: a drifting ANN ingest with
+    rebuild='auto' must (a) stay a no-op below the growth threshold,
+    (b) fire the retrain EXACTLY once when the threshold is crossed,
+    (c) leave exact replays no-ops afterwards, and (d) measurably
+    IMPROVE probe recall on the post-drift data vs an identical
+    ingest that never rebuilds. 'recommend' mode must surface the
+    same trigger in metrics without paying the retrain."""
+    import json
+
+    import numpy as np
+
+    from activedatawarehouseprototype_spark.operators import similarity
+    from activedatawarehouseprototype_spark.streaming.ingest import AnnIngest
+
+    rng = np.random.default_rng(11)
+    DIM = 16
+    c0 = np.zeros(DIM); c0[0] = 10.0
+    c1 = np.zeros(DIM); c1[1] = 10.0
+    c_drift = (c0 + c1) / 2.0  # ON the old Voronoi boundary: tiny
+    # noise flips which stale cell a drifted vector lands in, so the
+    # drift cluster SPLITS across old cells and probes=1 misses the
+    # half in the other cell (measured 11/9 split, recall 0.6)
+
+    def vdf(mat, ids):
+        return spark.createDataFrame(
+            [(int(i), [float(x) for x in v]) for i, v in zip(ids, mat)],
+            "vec_id bigint, embedding array<double>",
+        )
+
+    # vec 0 = exactly c0, vec 1 = exactly c1: with use_kmeans=False the
+    # seed centroids (lowest-k ids) ARE the true cluster centers, so the
+    # STALE geometry is pinned and the drift-straddle is deterministic
+    base = np.vstack([
+        c0[None, :], c1[None, :],
+        c0 + rng.normal(scale=0.3, size=(19, DIM)),
+        c1 + rng.normal(scale=0.3, size=(19, DIM)),
+    ])
+    small = c0 + rng.normal(scale=0.3, size=(4, DIM))
+    drift = c_drift + rng.normal(scale=0.3, size=(20, DIM))
+    queries = c_drift + rng.normal(scale=0.3, size=(3, DIM))
+
+    def build_and_ingest(name, **ing_kw):
+        idx = str(tmp_path / name)
+        similarity.ivf_pq_index_build(
+            vdf(base, range(40)), idx, k=2, m=4, ksub=8,
+            pq_sample_n=4096, use_kmeans=False,
+        )
+        ing = AnnIngest(spark, idx, **ing_kw)
+        ing.process_batch(vdf(small, range(100, 104)), 0)   # +10% < 25%
+        ing.process_batch(vdf(drift, range(200, 220)), 1)   # +60% >= 25%
+        return idx, ing
+
+    idx_off, ing_off = build_and_ingest("off-idx")
+    idx_auto, ing_auto = build_and_ingest(
+        "auto-idx", rebuild="auto", rebuild_opts={"iters": 4}
+    )
+
+    # (a)+(b): no rebuild after batch 0, exactly one after batch 1
+    assert ing_off.metrics["rebuilds"] == 0
+    assert ing_auto.metrics["rebuilds"] == 1
+    with open(f"{idx_auto}/_build_meta.json") as f:
+        assert json.load(f)["n_rows_at_build"] == 64  # meta advanced
+    with open(f"{idx_off}/_build_meta.json") as f:
+        assert json.load(f)["n_rows_at_build"] == 40  # trigger still armed
+
+    # (c): exact replay of the threshold-crossing batch is a no-op —
+    # no append, no second rebuild
+    ing_auto.process_batch(vdf(drift, range(200, 220)), 1)
+    assert spark.read.parquet(f"{idx_auto}/vectors").count() == 64
+    assert ing_auto.metrics["rebuilds"] == 1
+
+    # (d): probe recall on the drifted queries improves after retrain.
+    # Ground truth = brute-force cosine over everything ingested.
+    allmat = np.vstack([base, small, drift])
+    allids = list(range(40)) + list(range(100, 104)) + list(range(200, 220))
+
+    def true_topk(q, k=5):
+        sims = allmat @ q / (
+            np.linalg.norm(allmat, axis=1) * np.linalg.norm(q)
+        )
+        return {allids[j] for j in np.argsort(-sims)[:k]}
+
+    def recall(idx_path):
+        got_total, want_total = 0, 0
+        for qi, q in enumerate(queries):
+            qdf = vdf(q[None, :], [9000 + qi]).select(
+                F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+            )
+            hits = {
+                r.vec_id
+                for r in similarity.ivf_pq_search(
+                    spark, idx_path, qdf, k=5, probes=1, shortlist=64
+                ).collect()
+            }
+            truth = true_topk(q)
+            got_total += len(hits & truth)
+            want_total += len(truth)
+        return got_total / want_total
+
+    r_off, r_auto = recall(idx_off), recall(idx_auto)
+    assert r_auto > r_off, (r_off, r_auto)
+    assert r_auto >= 0.9, r_auto  # retrained cells cover the drift
+
+    # 'recommend': same trigger surfaced in metrics, no retrain paid
+    ing_rec = AnnIngest(spark, idx_off, rebuild="recommend")
+    ing_rec.process_batch(vdf(c_drift[None, :], [300]), 2)
+    assert ing_rec.metrics["rebuild_recommended"] == 1
+    assert ing_rec.metrics["rebuilds"] == 0
+    with open(f"{idx_off}/_build_meta.json") as f:
+        assert json.load(f)["n_rows_at_build"] == 40  # untouched
