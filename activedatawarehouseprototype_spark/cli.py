@@ -160,6 +160,12 @@ def _build_parser() -> argparse.ArgumentParser:
     pd_.add_argument("--mode", choices=["exact", "minhash"], default="minhash")
     pd_.add_argument("--k", type=int, default=12, help="minhash functions")
     pd_.add_argument("--bands", type=int, default=3)
+    pd_.add_argument(
+        "--cc-algo", choices=["labelprop", "twostar"], default="labelprop",
+        help="connected-components algorithm for minhash mode: min-label "
+        "propagation (default) or large-star/small-star (balanced "
+        "per-round shuffle keys — the web-scale choice)",
+    )
 
     pc = sub.add_parser(
         "decontaminate",
@@ -911,7 +917,12 @@ def main(argv: list[str] | None = None) -> int:
             pairs = dedup.lsh_candidates(
                 docs, args.id_col, args.text_col, k=args.k, bands=args.bands
             )
-            out = dedup.connected_components(pairs).select(
+            cc = (
+                dedup.connected_components_twostar
+                if args.cc_algo == "twostar"
+                else dedup.connected_components
+            )
+            out = cc(pairs).select(
                 F.col("id").alias(args.id_col),
                 F.col("comp").alias("component"),
             )

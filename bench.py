@@ -50,6 +50,36 @@ size-gated dispatch verified intact: the corpus entry's filter is
 far below MAX_INLINE_WORDS, so it renders as the one-SQL-string
 codegen predicate, not the Arrow path.
 
+Measured note (round-11, VERDICT r10 items 3+4): the four r10 >1.35x
+normalized entries (emb_near_dup_pairs 1.67x, dedup_minhash_lsh
+1.47x, dedup_winnow_overlap 1.39x, graph_pagerank_suppliers 1.37x)
+re-measured three ways. (1) git diff r9-end..HEAD over their
+execution paths: BYTE-IDENTICAL (dedup.py gained only new functions;
+the graph.py delta touches kcore, not pagerank) — no plan could have
+changed. (2) Same-method warm re-measure of current code: probes
+6.764/6.869, e.g. emb 0.396 pu — still elevated vs the r9 record
+(0.216). (3) The decisive ABA: r11 code -> r9-end code (worktree) ->
+r11 code, sequentially on a quiet box, 3 warm runs each. Result: r9
+CODE lands BETWEEN the two r11 runs (winnow 0.419 -> r9 0.523 ->
+0.538 pu; pagerank 0.610 -> 0.640 -> 0.689), the within-version swing
+(winnow 2.23 s vs 3.33 s raw, 1.5x) exceeds any between-version
+delta, and the PROBE ITSELF drifted 5.32 -> 6.19 s across the ~15 min
+ABA. Conclusion: these four are md5/CPU-bound queries whose
+sensitivity to co-tenant CPU pressure differs from the scan/join
+probe's, so their probe-units carry ~±35% noise on this box; the r10
+deltas are measurement, not regression. Read them across >=2 rounds
+of agreement before acting.
+
+Same-evidence note on bench_core (r9 25.406 s raw / r10 25.423 s raw
+while the probe moved 6.488 -> 5.419): the fixed 13-query core is
+dominated by per-query fixed costs (job submission, first-scan
+codegen, shuffle setup) that do not scale down with the probe's
+moment, so core/probe INFLATES whenever the probe catches a fast
+window — the same artifact as the four queries above, in aggregate.
+The JSON now carries ``bench_core_probe_units`` so both the raw wall
+(stable: 25.4 both rounds) and the normalized view ship together;
+trend on raw first, probe-units second.
+
 Streaming probe (round-10, VERDICT r9 item 3): the batch probe runs
 ~40 min before the streaming section on a full bench, so dividing
 streaming events/s by it conflated two different host moments. The

@@ -96,6 +96,22 @@ def test_twostar_empty_and_selfloop_only(spark):
     assert connected_components_twostar(empty).count() == 0
 
 
+def test_cli_dedup_cc_algo_twostar_matches_labelprop(spark, tmp_path):
+    """`dedup --cc-algo twostar` writes the same clusters as the
+    default label-propagation path."""
+    from activedatawarehouseprototype_spark.cli import main
+
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    out_lp = str(tmp_path / "lp")
+    out_ts = str(tmp_path / "ts")
+    assert main(["dedup", "--input", docs, "--output", out_lp]) == 0
+    assert main(["dedup", "--input", docs, "--output", out_ts,
+                 "--cc-algo", "twostar"]) == 0
+    lp = {(r.doc_id, r.component) for r in spark.read.parquet(out_lp).collect()}
+    ts = {(r.doc_id, r.component) for r in spark.read.parquet(out_ts).collect()}
+    assert lp == ts and len(lp) > 0
+
+
 # --- IVF rebuild crash-safety (round-11 ADVICE) --------------------------
 
 
