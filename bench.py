@@ -193,6 +193,10 @@ HEADLINE = [
     "classifier_train_ridge_stats",
     "exact_substring_spans_hist",
     "ivf_rebuild_cell_stats",
+    # new in round 11
+    "cut_duplicate_spans_stats",
+    "dedup_components_twostar",
+    "corpus_pipeline_e2e_stats",
 ]
 
 # FIXED cross-round subset — never edit (see module docstring). One
