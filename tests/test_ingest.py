@@ -422,6 +422,21 @@ def test_ann_ingest_drift_rebuild_soak(spark, tmp_path):
     assert r_auto > r_off, (r_off, r_auto)
     assert r_auto >= 0.9, r_auto  # retrained cells cover the drift
 
+    # restart leg: a NEW AnnIngest over the same index (markers and
+    # meta are the durable state). The replayed batch is a no-op; a
+    # genuinely new batch appends WITHOUT re-firing the rebuild (the
+    # advanced meta re-armed the trigger at 64 rows, and +1 row is
+    # far below 25%).
+    ing_auto2 = AnnIngest(spark, idx_auto, rebuild="auto",
+                          rebuild_opts={"iters": 4})
+    ing_auto2.process_batch(vdf(drift, range(200, 220)), 1)  # replay
+    assert spark.read.parquet(f"{idx_auto}/vectors").count() == 64
+    ing_auto2.process_batch(vdf(c_drift[None, :], [400]), 2)  # new
+    assert spark.read.parquet(f"{idx_auto}/vectors").count() == 65
+    assert ing_auto2.metrics["rebuilds"] == 0
+    with open(f"{idx_auto}/_build_meta.json") as f:
+        assert json.load(f)["n_rows_at_build"] == 64  # not re-advanced
+
     # 'recommend': same trigger surfaced in metrics, no retrain paid
     ing_rec = AnnIngest(spark, idx_off, rebuild="recommend")
     ing_rec.process_batch(vdf(c_drift[None, :], [300]), 2)
