@@ -444,3 +444,100 @@ def test_ann_ingest_drift_rebuild_soak(spark, tmp_path):
     assert ing_rec.metrics["rebuilds"] == 0
     with open(f"{idx_off}/_build_meta.json") as f:
         assert json.load(f)["n_rows_at_build"] == 40  # untouched
+
+
+def test_streaming_curation_chain_soak(spark, tmp_path):
+    """Golden-sequence soak of the STREAMING curation seam (the
+    foreachBatch twin of the batch corpus_pipeline_e2e_stats entry):
+    docs flow dedup-at-the-door -> admitted docs are embedded
+    (deterministic fake projection) -> ANN-ingested, across three
+    batches WITH a mid-stream restart of both handlers and a verbatim
+    replay of an already-completed batch. The final admitted store and
+    the final index must equal the golden single-pass result exactly —
+    markers, not luck, are what make the chain idempotent."""
+    import numpy as np
+
+    from activedatawarehouseprototype_spark.operators import (
+        dedup_index as DI,
+        similarity,
+    )
+    from activedatawarehouseprototype_spark.streaming.ingest import (
+        AnnIngest,
+        DedupIngest,
+    )
+
+    def embed(doc_ids):
+        # deterministic fake embedder: doc_id -> 8-dim unit-ish vector
+        return [
+            (i, [float((i * (d + 3)) % 7) / 7.0 + 0.01 for d in range(8)])
+            for i in doc_ids
+        ]
+
+    # seed corpus + indexes
+    seed = _mkdocs(spark, [(i, _sentence(i)) for i in range(10)])
+    didx = str(tmp_path / "didx")
+    store = str(tmp_path / "store")
+    DI.dedup_index_build(seed, didx, n=3, k=12, bands=3)
+    aidx = str(tmp_path / "aidx")
+    similarity.ivf_pq_index_build(
+        spark.createDataFrame(
+            embed(range(10)), "vec_id bigint, embedding array<double>"
+        ),
+        aidx, k=2, m=4, ksub=4, pq_sample_n=16,
+    )
+
+    ding = DedupIngest(spark, didx, store)
+    aing = AnnIngest(spark, aidx)
+
+    batches = [
+        # batch 0: two new docs + a near-dup of seed 4 (dropped at door)
+        [(100, _sentence(50)), (101, _sentence(51)),
+         (102, _sentence(4) + " zz9")],
+        # batch 1: exact copy of an admitted doc (dropped) + one new
+        [(200, _sentence(50)), (201, _sentence(60))],
+        # batch 2 (post-restart): one new doc
+        [(300, _sentence(70))],
+    ]
+
+    def run_chain(ding, aing, bid, rows):
+        ding.process_batch(_mkdocs(spark, rows), bid)
+        admitted_now = {r.doc_id for r in ding.admitted().collect()}
+        # embed exactly the docs admitted in THIS batch (novel ids)
+        new_ids = sorted(
+            i for i in admitted_now if i in {r[0] for r in rows}
+        )
+        aing.process_batch(
+            spark.createDataFrame(
+                embed(new_ids) or [(None, None)],
+                "vec_id bigint, embedding array<double>",
+            ).filter("vec_id IS NOT NULL"),
+            bid,
+        )
+
+    run_chain(ding, aing, 0, batches[0])
+    run_chain(ding, aing, 1, batches[1])
+
+    # ---- restart: fresh handler objects over the same on-disk state
+    ding2 = DedupIngest(spark, didx, store)
+    aing2 = AnnIngest(spark, aidx)
+    # verbatim replay of completed batch 1 through BOTH handlers
+    run_chain(ding2, aing2, 1, batches[1])
+    # then the genuinely new batch 2
+    run_chain(ding2, aing2, 2, batches[2])
+
+    # golden: admitted set is exactly the non-dup novel docs, once each
+    admitted = [r.doc_id for r in ding2.admitted().collect()]
+    assert sorted(admitted) == [100, 101, 201, 300]  # no dup rows
+
+    # the ANN index holds seed + exactly the admitted vectors, once
+    vecs = spark.read.parquet(f"{aidx}/vectors")
+    got_ids = sorted(r.vec_id for r in vecs.select("vec_id").collect())
+    assert got_ids == sorted(list(range(10)) + [100, 101, 201, 300])
+
+    # and every admitted doc is immediately searchable by its own vector
+    q = spark.createDataFrame(
+        [(9000, embed([300])[0][1])], "qid bigint, qvec array<double>"
+    )
+    hits = similarity.ivf_pq_search(spark, aidx, q, k=3, probes=2,
+                                    shortlist=20).collect()
+    assert 300 in {r.vec_id for r in hits}
