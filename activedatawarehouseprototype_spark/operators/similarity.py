@@ -1492,6 +1492,124 @@ def ivf_pq_index_rebuild(
     }
 
 
+def mine_hard_negatives(
+    corpus_df: DataFrame,
+    queries_df: DataFrame,
+    positives_df: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    probes: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+    guard_positive_floor: bool = False,
+    overfetch: int | None = None,
+    centroids: "list[tuple[int, list[float]]] | None" = None,
+) -> DataFrame:
+    """Per-query hard-negative mining for retrieval training data
+    (the DPR/ANCE recipe): for every query, the ``k`` most
+    cosine-similar corpus items that are NOT that query's labeled
+    positives — the informative negatives uniform sampling never
+    finds. Input: the corpus (id, vec), queries (qid, qvec), and the
+    labeled positives as (qid, id) pairs. Output: (qid, vec_id,
+    score, rank) with rank 1..k per query.
+
+    ``guard_positive_floor=True`` additionally drops candidates that
+    score ABOVE the query's weakest labeled positive — the standard
+    false-negative guard: a "negative" the encoder ranks above a
+    known positive is far more likely an unlabeled positive than a
+    useful training signal (Qu et al., RocketQA). Queries with no
+    labeled positive keep all candidates (no floor to apply).
+
+    ``overfetch`` sets the candidate depth fetched per query BEFORE
+    positives/floor drops; default k+P plain, 2k+P with the guard
+    (floor drops come out of the same shortlist). A query can return
+    FEWER than k rows when more than ``overfetch - k`` of its
+    shortlist is dropped — with the guard that many above-floor
+    "negatives" is itself a label-noise signal worth surfacing, not
+    papering over; raise ``overfetch`` to dig deeper.
+
+    Plan shape (one job, no per-query work): candidates come from the
+    batch IVF plan (``ivf_topk_for_queries`` — corpus scanned once,
+    queries join broadcast on cell id) fetched at depth k + P where
+    P = max positives per query (one bounded scalar agg); positives
+    are removed with a broadcast anti-join on (qid, id); the floor
+    guard is one broadcast semi-computation per qid (min positive
+    score); final rank is one per-qid window. Everything downstream
+    of the IVF scan is sized by |queries|·(k+P), never by |corpus|.
+
+    Ids: the underlying batch plan drops candidates whose corpus id
+    EQUALS the query id (the self-match rule every ANN entry here
+    shares) — keep query ids and corpus ids in disjoint ranges, as a
+    retrieval dataset naturally does.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    # P: bounded control-plane scalar (one row) — how deep to overfetch
+    # so that dropping positives still leaves k candidates
+    pmax_row = (
+        positives_df.groupBy(qid_col)
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    pmax = int(pmax_row or 0)
+    if overfetch is None:
+        overfetch = (2 * k if guard_positive_floor else k) + pmax
+    if overfetch < k + pmax:
+        raise ValueError(
+            f"overfetch must be >= k + max-positives-per-query "
+            f"({k} + {pmax}), got {overfetch}"
+        )
+    cand = ivf_topk_for_queries(
+        corpus_df,
+        queries_df,
+        k=overfetch,
+        n_centroids=n_centroids,
+        probes=probes,
+        id_col=id_col,
+        vec_col=vec_col,
+        qid_col=qid_col,
+        qvec_col=qvec_col,
+        centroids=centroids,
+    )
+    pos = positives_df.select(qid_col, id_col).distinct()
+    negs = cand.join(F.broadcast(pos), [qid_col, id_col], "left_anti")
+    if guard_positive_floor:
+        pos_scored = (
+            pos.join(
+                corpus_df.select(
+                    F.col(id_col), as_double_array(F.col(vec_col)).alias("_pv")
+                ),
+                id_col,
+            )
+            .join(
+                queries_df.select(
+                    F.col(qid_col), as_double_array(F.col(qvec_col)).alias("_qv")
+                ),
+                qid_col,
+            )
+            .groupBy(qid_col)
+            .agg(
+                F.min(
+                    F.round(cosine_pairs_score(F.col("_pv"), F.col("_qv")), 6)
+                ).alias("_floor")
+            )
+        )
+        negs = negs.join(F.broadcast(pos_scored), qid_col, "left").filter(
+            F.col("_floor").isNull() | (F.col("score") <= F.col("_floor"))
+        ).drop("_floor")
+    w = Window.partitionBy(qid_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        negs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, id_col, "score", F.col("rank").cast("int"))
+    )
+
+
 def contrastive_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -221,3 +221,117 @@ def test_twostar_non_convergence_signal(spark):
             df, max_iter=1, on_non_convergence="warn"
         )
     assert partial.count() == 65  # partial labels still cover every vertex
+
+
+# --- mine_hard_negatives (retrieval hard-negative mining) ----------------
+
+
+def _hn_fixture(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    corpus = rng.normal(size=(40, 8))
+    queries = rng.normal(size=(5, 8))
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(corpus)],
+        "vec_id bigint, embedding array<double>",
+    )
+    qdf = spark.createDataFrame(
+        [(1000 + i, [float(x) for x in v]) for i, v in enumerate(queries)],
+        "qid bigint, qvec array<double>",
+    )
+    sims = (corpus @ queries.T) / (
+        np.linalg.norm(corpus, axis=1)[:, None]
+        * np.linalg.norm(queries, axis=1)[None, :]
+    )
+    return cdf, qdf, sims
+
+
+def test_mine_hard_negatives_excludes_positives(spark):
+    """Negatives = brute-force cosine order with each query's labeled
+    positives removed (probes=n_centroids makes the IVF plan exact, so
+    the numpy reference is the ground truth)."""
+    import numpy as np
+
+    from activedatawarehouseprototype_spark.operators.similarity import (
+        mine_hard_negatives,
+    )
+
+    cdf, qdf, sims = _hn_fixture(spark)
+    # positives: the TRUE top-1 (and for query 0 the top-2) per query
+    pos_rows = []
+    for qi in range(5):
+        order = list(np.argsort(-sims[:, qi]))
+        pos_rows.append((1000 + qi, int(order[0])))
+        if qi == 0:
+            pos_rows.append((1000 + qi, int(order[1])))
+    pdf = spark.createDataFrame(pos_rows, "qid bigint, vec_id bigint")
+
+    out = mine_hard_negatives(
+        cdf, qdf, pdf, k=4, n_centroids=4, probes=4
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.qid, []).append((r.rank, r.vec_id))
+    pos_by_q = {}
+    for q, v in pos_rows:
+        pos_by_q.setdefault(q, set()).add(v)
+    for qi in range(5):
+        got = [v for _, v in sorted(by_q[1000 + qi])]
+        want = [
+            int(j)
+            for j in np.argsort(-sims[:, qi])
+            if int(j) not in pos_by_q[1000 + qi]
+        ][:4]
+        assert got == want, (qi, got, want)
+        assert not set(got) & pos_by_q[1000 + qi]
+
+
+def test_mine_hard_negatives_positive_floor_guard(spark):
+    """With guard_positive_floor, candidates scoring above the weakest
+    labeled positive are dropped (likely unlabeled positives); a query
+    with no labeled positive keeps its full top-k."""
+    import numpy as np
+
+    from activedatawarehouseprototype_spark.operators.similarity import (
+        mine_hard_negatives,
+    )
+
+    cdf, qdf, sims = _hn_fixture(spark)
+    # label the SECOND-best as the (only) positive for every query:
+    # the true best now scores above the floor and must be dropped
+    pos_rows = [
+        (1000 + qi, int(np.argsort(-sims[:, qi])[1])) for qi in range(4)
+    ]  # query 4 gets NO positive
+    pdf = spark.createDataFrame(pos_rows, "qid bigint, vec_id bigint")
+
+    out = mine_hard_negatives(
+        cdf, qdf, pdf, k=3, n_centroids=4, probes=4,
+        guard_positive_floor=True,
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.qid, []).append((r.rank, r.vec_id, r.score))
+    for qi in range(4):
+        order = list(np.argsort(-sims[:, qi]))
+        got = [v for _, v, _ in sorted(by_q[1000 + qi])]
+        # best (above the floor) AND the positive itself are both gone
+        assert order[0] not in got and order[1] not in got
+        assert got == [int(j) for j in order[2:5]]
+    # the floorless query keeps the plain brute-force top-3
+    order4 = list(np.argsort(-sims[:, 4]))
+    assert [v for _, v, _ in sorted(by_q[1004])] == [int(j) for j in order4[:3]]
+
+
+def test_mine_hard_negatives_validates_k(spark):
+    from activedatawarehouseprototype_spark.operators.similarity import (
+        mine_hard_negatives,
+    )
+
+    cdf, qdf, _ = _hn_fixture(spark)
+    pdf = spark.createDataFrame([], "qid bigint, vec_id bigint")
+    with pytest.raises(ValueError, match="k must be"):
+        mine_hard_negatives(cdf, qdf, pdf, k=0)
+    # empty positives: plain ANN top-k (still ranked, nothing dropped)
+    out = mine_hard_negatives(cdf, qdf, pdf, k=2, n_centroids=4, probes=4)
+    assert out.groupBy("qid").count().filter("count != 2").count() == 0
