@@ -182,6 +182,28 @@ def _build_parser() -> argparse.ArgumentParser:
     pc.add_argument("--max-doc-freq", type=int, default=None,
                     help="drop shingles in more than this many train docs")
 
+    phn = sub.add_parser(
+        "mine-hard-negatives",
+        help="per-query ANN hard negatives minus labeled positives "
+        "(optional positive-floor false-negative guard)",
+    )
+    phn.add_argument("--corpus", required=True,
+                     help="corpus parquet (id + embedding)")
+    phn.add_argument("--queries", required=True,
+                     help="queries parquet (qid + qvec)")
+    phn.add_argument("--positives", required=True,
+                     help="labeled positives parquet (qid + id)")
+    phn.add_argument("--output", required=True)
+    phn.add_argument("--k", type=int, default=5)
+    phn.add_argument("--n-centroids", type=int, default=16)
+    phn.add_argument("--probes", type=int, default=2)
+    phn.add_argument("--id-col", default="vec_id")
+    phn.add_argument("--vec-col", default="embedding")
+    phn.add_argument("--qid-col", default="qid")
+    phn.add_argument("--qvec-col", default="qvec")
+    phn.add_argument("--guard-positive-floor", action="store_true")
+    phn.add_argument("--overfetch", type=int, default=None)
+
     pm = sub.add_parser(
         "sample", help="write deterministic train/val/test split assignments"
     )
@@ -945,6 +967,28 @@ def main(argv: list[str] | None = None) -> int:
         )
         out.write.mode("overwrite").parquet(args.output)
         print(f"{out.count()} contaminated pairs -> {args.output}", file=sys.stderr)
+        return 0
+
+    if args.cmd == "mine-hard-negatives":
+        from activedatawarehouseprototype_spark.catalog import load_parquet
+        from activedatawarehouseprototype_spark.operators import similarity
+
+        out = similarity.mine_hard_negatives(
+            load_parquet(spark, args.corpus),
+            load_parquet(spark, args.queries),
+            load_parquet(spark, args.positives),
+            k=args.k,
+            n_centroids=args.n_centroids,
+            probes=args.probes,
+            id_col=args.id_col,
+            vec_col=args.vec_col,
+            qid_col=args.qid_col,
+            qvec_col=args.qvec_col,
+            guard_positive_floor=args.guard_positive_floor,
+            overfetch=args.overfetch,
+        )
+        out.write.mode("overwrite").parquet(args.output)
+        print(f"{out.count()} negatives -> {args.output}", file=sys.stderr)
         return 0
 
     if args.cmd == "sample":

@@ -335,3 +335,41 @@ def test_mine_hard_negatives_validates_k(spark):
     # empty positives: plain ANN top-k (still ranked, nothing dropped)
     out = mine_hard_negatives(cdf, qdf, pdf, k=2, n_centroids=4, probes=4)
     assert out.groupBy("qid").count().filter("count != 2").count() == 0
+
+
+def test_cli_mine_hard_negatives(spark, tmp_path):
+    """The CLI verb mines negatives from the fixture embeddings against
+    a tiny labeled-positives file and writes ranked parquet."""
+    from pyspark.sql import functions as F
+
+    from activedatawarehouseprototype_spark.cli import main
+
+    emb = "/root/testdata/sf0.001/embeddings.parquet"
+    # queries: 3 corpus vectors re-labeled into a disjoint qid range
+    qdir = str(tmp_path / "queries")
+    spark.read.parquet(emb).filter("vec_id < 3").select(
+        (F.col("vec_id") + 1_000_000).alias("qid"),
+        F.col("embedding").alias("qvec"),
+    ).write.parquet(qdir)
+    # positives: each query's own source vector (a guaranteed top hit)
+    pdir = str(tmp_path / "pos")
+    spark.range(3).select(
+        (F.col("id") + 1_000_000).alias("qid"), F.col("id").alias("vec_id")
+    ).write.parquet(pdir)
+    out = str(tmp_path / "negs")
+    assert main([
+        "mine-hard-negatives", "--corpus", emb, "--queries", qdir,
+        "--positives", pdir, "--output", out, "--k", "4",
+        "--n-centroids", "4", "--probes", "4",
+    ]) == 0
+    negs = spark.read.parquet(out)
+    assert set(negs.columns) == {"qid", "vec_id", "score", "rank"}
+    rows = negs.collect()
+    # every query got k negatives, none of them its labeled positive
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.qid, []).append(r)
+    assert set(per_q) == {1_000_000, 1_000_001, 1_000_002}
+    for qid, rs in per_q.items():
+        assert sorted(r.rank for r in rs) == [1, 2, 3, 4]
+        assert (qid - 1_000_000) not in {r.vec_id for r in rs}
