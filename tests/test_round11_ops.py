@@ -373,3 +373,33 @@ def test_cli_mine_hard_negatives(spark, tmp_path):
     for qid, rs in per_q.items():
         assert sorted(r.rank for r in rs) == [1, 2, 3, 4]
         assert (qid - 1_000_000) not in {r.vec_id for r in rs}
+
+
+def test_twostar_large_random_graph_with_giant_component(spark):
+    """Scale-shape check: a 3k-node graph whose edges concentrate into
+    one giant component (the exact regime where label-prop's
+    label-keyed rounds skew) still converges inside max_iter and
+    matches union-find. Kept at a size that runs in seconds locally —
+    the structural guarantee (per-vertex keys, O(log^2 n) rounds) is
+    what scales, not this fixture."""
+    rng = random.Random(23)
+    n = 3000
+    # giant component: a sparse random graph over [0, 2000) plus a
+    # spanning chain so it's connected; [2000, 3000) stays in small
+    # 10-node rings
+    pairs = [(i, i + 1) for i in range(0, 1999)]
+    pairs += [
+        (rng.randrange(2000), rng.randrange(2000)) for _ in range(1500)
+    ]
+    for base in range(2000, 3000, 10):
+        pairs += [(base + j, base + (j + 1) % 10) for j in range(10)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    got = _run(spark, pairs)
+    assert got == _union_find(pairs)
+    # one giant component rooted at 0 plus 100 ten-node rings
+    comps = {}
+    for node, comp in got:
+        comps.setdefault(comp, 0)
+        comps[comp] += 1
+    assert comps[0] == 2000
+    assert sorted(v for c, v in comps.items() if c != 0) == [10] * 100
