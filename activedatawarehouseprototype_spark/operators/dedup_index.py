@@ -275,7 +275,21 @@ def dedup_index_lookup(
     partition filter derived from the batch's own signatures, so only
     directories the batch can possibly match are listed (the two
     driver round-trips are the 1-row meta read and the ≤n_buckets
-    bucket-id set — control-plane-sized)."""
+    bucket-id set — control-plane-sized).
+
+    Entry recovers the bands swap: a crash inside
+    ``dedup_index_compact``'s rename window otherwise leaves the
+    bands dir missing (``.old`` holds the committed table) and every
+    lookup/append until the next compaction dies on PATH_NOT_FOUND —
+    the same wedge class as the round-11 IVF centroids ADVICE, found
+    here by the compact crash matrix. ``bucket_stats`` already
+    self-recovers its own table; the index is single-writer by
+    contract, so reader-side repair cannot race another writer."""
+    from activedatawarehouseprototype_spark.operators.warehouse import (
+        recover_swap,
+    )
+
+    recover_swap(f"{index_path}/bands")
     m = _read_meta(spark, index_path)
     hot = spark.read.parquet(f"{index_path}/hot_shingles")
     banded_new = _banded_for(
@@ -324,7 +338,17 @@ def dedup_index_append(
     PERSISTED parameters + hot list, appended to the matching
     ``bucket=`` partitions — O(|batch|) regardless of index size, no
     rewrite of existing partitions. The standard flow is
-    lookup → drop matched dups → append survivors."""
+    lookup → drop matched dups → append survivors.
+
+    Entry recovers the bands swap (see ``dedup_index_lookup``) —
+    appending into the missing-table crash window of a died
+    compaction would otherwise write into a fresh ``bands`` dir and
+    orphan the whole pre-crash index in ``.old``."""
+    from activedatawarehouseprototype_spark.operators.warehouse import (
+        recover_swap,
+    )
+
+    recover_swap(f"{index_path}/bands")
     m = _read_meta(spark, index_path)
     hot = spark.read.parquet(f"{index_path}/hot_shingles")
     banded = _banded_for(

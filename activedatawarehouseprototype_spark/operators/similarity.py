@@ -626,17 +626,34 @@ def ivf_index_build(
     return cents
 
 
+def _atomic_json_write(path: str, obj) -> None:
+    """Write a JSON sidecar durably: full content to ``path + ".tmp"``,
+    then one ``os.replace`` — a crash mid-write leaves the OLD sidecar
+    (or none) intact, never a torn file that wedges the next
+    ``json.load``. Every sidecar write in this module goes through
+    here; the rebuild readers additionally tolerate torn files from
+    pre-atomic writers (backfill, same as a lost sidecar)."""
+    import json as _json
+    import os as _os
+
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        _json.dump(obj, f)
+    _os.replace(tmp, path)
+
+
 def _write_build_meta(spark, index_path: str) -> None:
     """Persist the row count at (re)build time beside the centroids —
     the drift denominator ``ivf_index_rebuild`` compares appends
     against. A parquet count over the just-written vectors is
     footer-metadata-only (no row reads)."""
-    import json as _json
     import os as _os
 
     n = spark.read.parquet(f"{index_path}/vectors").count()
-    with open(_os.path.join(index_path, "_build_meta.json"), "w") as f:
-        _json.dump({"n_rows_at_build": int(n)}, f)
+    _atomic_json_write(
+        _os.path.join(index_path, "_build_meta.json"),
+        {"n_rows_at_build": int(n)},
+    )
 
 
 def ivf_index_search(
@@ -806,14 +823,16 @@ def ivf_index_rebuild(
     try:
         with open(meta_path) as f:
             n_base = int(_json.load(f)["n_rows_at_build"])
-    except FileNotFoundError:
-        # pre-sidecar index (or lost sidecar): backfill at the current
-        # count so the drift denominator is anchored from now on —
-        # growth-triggering resumes on the next append; force=True
-        # still rebuilds this run
+    except (FileNotFoundError, ValueError, KeyError):
+        # pre-sidecar index, lost sidecar, or a TORN file from a
+        # pre-atomic writer (JSONDecodeError is a ValueError): backfill
+        # at the current count so the drift denominator is anchored
+        # from now on — growth-triggering resumes on the next append;
+        # force=True still rebuilds this run. A PARSEABLE non-positive
+        # count still raises below: that is corruption with structure,
+        # not a torn write.
         n_base = int(n_now)
-        with open(meta_path, "w") as f:
-            _json.dump({"n_rows_at_build": n_base}, f)
+        _atomic_json_write(meta_path, {"n_rows_at_build": n_base})
     if n_base <= 0:
         raise ValueError(f"corrupt build meta at {meta_path}: {n_base}")
     grown = (n_now - n_base) / n_base
@@ -850,8 +869,7 @@ def ivf_index_rebuild(
         "sid bigint, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(cent_staging)
     commit_swap(cent_path, cent_staging)
-    with open(meta_path, "w") as f:
-        _json.dump({"n_rows_at_build": int(n_now)}, f)
+    _atomic_json_write(meta_path, {"n_rows_at_build": int(n_now)})
     return {
         "rebuilt": True,
         "n_rows": int(n_now),
@@ -1067,19 +1085,18 @@ def ivf_pq_index_build(
         [(int(sid), [float(x) for x in sv]) for sid, sv in cents],
         "sid bigint, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/centroids")
-    with open(_os.path.join(index_path, "_pq_codebooks.json"), "w") as f:
-        _json.dump(
-            {
-                "m": m,
-                "ksub": ksub,
-                "codebooks": codebooks,
-                # normalized centroids persist with the codebooks: the
-                # ADC stage must subtract the SAME values encoding did
-                # (JSON float round-trip is exact for doubles)
-                "cnorm": {str(c): vec for c, vec in sorted(cnorm.items())},
-            },
-            f,
-        )
+    _atomic_json_write(
+        _os.path.join(index_path, "_pq_codebooks.json"),
+        {
+            "m": m,
+            "ksub": ksub,
+            "codebooks": codebooks,
+            # normalized centroids persist with the codebooks: the
+            # ADC stage must subtract the SAME values encoding did
+            # (JSON float round-trip is exact for doubles)
+            "cnorm": {str(c): vec for c, vec in sorted(cnorm.items())},
+        },
+    )
     _write_build_meta(spark, index_path)
 
 
@@ -1441,12 +1458,11 @@ def ivf_pq_index_rebuild(
     try:
         with open(meta_path) as f:
             n_base = int(_json.load(f)["n_rows_at_build"])
-    except FileNotFoundError:
-        # pre-sidecar index (or lost sidecar): backfill at the current
-        # count — same recovery as ivf_index_rebuild
+    except (FileNotFoundError, ValueError, KeyError):
+        # pre-sidecar index, lost sidecar, or a torn file from a
+        # pre-atomic writer — same recovery as ivf_index_rebuild
         n_base = int(n_now)
-        with open(meta_path, "w") as f:
-            _json.dump({"n_rows_at_build": n_base}, f)
+        _atomic_json_write(meta_path, {"n_rows_at_build": n_base})
     if n_base <= 0:
         raise ValueError(f"corrupt build meta at {meta_path}: {n_base}")
     k = spark.read.parquet(cent_path).count()

@@ -333,3 +333,90 @@ def test_bucket_skew_guard_warns_and_compact_splits(spark, tmp_path, corpus_rows
     # stats refreshed from actuals
     st3 = {r.bucket: r.n_rows for r in DI.bucket_stats(spark, idx).collect()}
     assert st3 == st2
+
+
+def test_compact_crash_matrix_every_rename_boundary(spark, tmp_path, corpus_rows):
+    """Exhaustive crash injection over dedup_index_compact's swap
+    protocol (bands commit_swap -> stats commit_swap, 4 rename
+    boundaries): crash before EVERY os.replace call, re-run compact,
+    and assert lookups and bucket stats are indistinguishable from a
+    never-crashed compaction. Compaction preserves the row set, so
+    even the window between the two swaps (new bands committed, old
+    stats) leaves stats CORRECT — the matrix proves that, rather than
+    assuming it. The walk stops when a run completes with no
+    injection left to fire, so swap points added later are covered
+    automatically."""
+    import os
+
+    class _Crash(RuntimeError):
+        pass
+
+    def _inject(mp, crash_at):
+        real = os.replace
+        state = {"calls": 0, "fired": False}
+
+        def patched(src, dst, **kw):
+            if state["calls"] == crash_at:
+                state["fired"] = True
+                raise _Crash(f"injected before os.replace #{crash_at}")
+            state["calls"] += 1
+            return real(src, dst, **kw)
+
+        mp.setattr("os.replace", patched)
+        return state
+
+    batch = _mkdocs(
+        spark,
+        [(3000 + i, _sentence(i * 5) + (" zz9" if i % 3 else ""))
+         for i in range(6)],
+    )
+
+    def build(idx):
+        DI.dedup_index_build(_mkdocs(spark, corpus_rows), idx, n=3, k=12, bands=3)
+        DI.dedup_index_append(
+            spark, idx, _mkdocs(spark, [(2000 + i, _sentence(i * 2)) for i in range(10)])
+        )
+
+    def lookup(idx):
+        return {
+            (r["id_new"], r["id_indexed"])
+            for r in DI.dedup_index_lookup(spark, idx, batch).collect()
+        }
+
+    def stats(idx):
+        return {
+            (r["bucket"], r["n_rows"])
+            for r in DI.bucket_stats(spark, idx).collect()
+        }
+
+    golden_idx = str(tmp_path / "golden")
+    build(golden_idx)
+    DI.dedup_index_compact(spark, golden_idx, max_rows_per_file=40)
+    golden_hits, golden_stats = lookup(golden_idx), stats(golden_idx)
+    assert golden_hits and golden_stats
+
+    crash_at = 0
+    while True:
+        idx = str(tmp_path / f"crash{crash_at}")
+        build(idx)
+        with pytest.MonkeyPatch.context() as mp:
+            state = _inject(mp, crash_at)
+            try:
+                DI.dedup_index_compact(spark, idx, max_rows_per_file=40)
+            except _Crash:
+                pass
+        if not state["fired"]:
+            break
+        # BEFORE recovery, reads must already be safe: bucket_stats
+        # self-recovers its own swap, and the bands table is either the
+        # old or the new layout — lookup hits are identical in both
+        assert lookup(idx) == golden_hits, f"pre-recovery, crash point {crash_at}"
+        # recovery = re-running the compaction
+        DI.dedup_index_compact(spark, idx, max_rows_per_file=40)
+        assert lookup(idx) == golden_hits, f"crash point {crash_at}"
+        assert stats(idx) == golden_stats, f"crash point {crash_at}"
+        for leftover in ("bands.old", "bands.staging",
+                         "bucket_stats.old", "bucket_stats.staging"):
+            assert not os.path.exists(os.path.join(idx, leftover)), leftover
+        crash_at += 1
+    assert crash_at >= 4, f"expected >=4 rename boundaries, saw {crash_at}"

@@ -403,3 +403,235 @@ def test_twostar_large_random_graph_with_giant_component(spark):
         comps[comp] += 1
     assert comps[0] == 2000
     assert sorted(v for c, v in comps.items() if c != 0) == [10] * 100
+
+
+# --- Exhaustive crash-point enumeration over the rebuild swap protocol ---
+#
+# The hand-placed tests above pin the two crash windows the round-11
+# ADVICE named.  This matrix goes further: inject a crash before EVERY
+# ``os.replace`` call a forced rebuild performs (the rename boundaries
+# are the only non-atomic state transitions in the protocol — parquet
+# staging writes are re-staged wholesale on retry), then re-run the
+# rebuild and assert the index converges to a state that is
+# search-indistinguishable from a never-crashed run.  Swap points
+# added later are covered automatically: the matrix walks crash
+# points until a run completes with no injection left to fire.
+#
+# Search comparisons are made geometry-independent on purpose
+# (probes = k probes every cell; PQ shortlist covers the whole
+# corpus, and the exact re-rank stage returns true cosines), so the
+# assertions hold even where a retry retrains k-means over a
+# differently-partitioned vectors table and lands on different cells.
+
+
+class _InjectedCrash(RuntimeError):
+    pass
+
+
+def _inject_replace_crash(mp, crash_at: int) -> dict:
+    """Patch ``os.replace`` to raise before its ``crash_at``-th call.
+    Returns the counter state so the caller can tell whether the
+    injection actually fired (if not, the matrix is exhausted)."""
+    import os as _os
+
+    real = _os.replace
+    state = {"calls": 0, "fired": False}
+
+    def patched(src, dst, **kw):
+        if state["calls"] == crash_at:
+            state["fired"] = True
+            raise _InjectedCrash(
+                f"injected before os.replace #{crash_at}: {src} -> {dst}"
+            )
+        state["calls"] += 1
+        return real(src, dst, **kw)
+
+    mp.setattr("os.replace", patched)
+    return state
+
+
+def _clean_index_dir(idx: str) -> None:
+    import os
+
+    for leftover in (
+        "vectors.old",
+        "vectors.staging",
+        "centroids.old",
+        "centroids.staging",
+        "_build_meta.json.tmp",
+        "_pq_codebooks.json.tmp",
+        ".rebuild",
+    ):
+        assert not os.path.exists(os.path.join(idx, leftover)), leftover
+
+
+def test_ivf_rebuild_crash_matrix(spark, tmp_path, monkeypatch):
+    """Every rename boundary of ivf_index_rebuild, crashed and
+    re-run: vec swap (2 renames), centroid swap (2), meta commit (1)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from activedatawarehouseprototype_spark.operators import similarity as S
+
+    dim = 8
+    new_cents = [
+        (c, [float((c + 1) * (d + 1) % 5) / 5.0 for d in range(dim)])
+        for c in range(4)
+    ]
+
+    def build(idx):
+        S.ivf_index_build(_mk_vecs(spark, range(48)), idx, k=4, use_kmeans=False)
+        S.ivf_index_append(spark, idx, _mk_vecs(spark, range(100, 124)))
+
+    def rebuild(idx):
+        # deterministic retrain geometry: constant across retries
+        return S.ivf_index_rebuild(spark, idx, force=True, centroids=new_cents)
+
+    def search(idx):
+        q = _mk_vecs(spark, [5, 110]).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        )
+        # probes = k probes every cell: exact top-k whatever the cells
+        return {
+            (r.qid, r.vec_id, r.score)
+            for r in S.ivf_index_search(spark, idx, q, k=4, probes=4).collect()
+        }
+
+    golden_idx = str(tmp_path / "golden")
+    build(golden_idx)
+    assert rebuild(golden_idx)["rebuilt"]
+    golden = search(golden_idx)
+    assert len(golden) == 8
+
+    crash_at = 0
+    while True:
+        idx = str(tmp_path / f"crash{crash_at}")
+        build(idx)
+        with monkeypatch.context() as mp:
+            state = _inject_replace_crash(mp, crash_at)
+            try:
+                rebuild(idx)
+            except _InjectedCrash:
+                pass
+        if not state["fired"]:
+            break  # run completed untouched -> every crash point covered
+        # the recovery action IS the operation: re-run and compare
+        info = rebuild(idx)
+        assert info["rebuilt"] and info["k"] == 4
+        assert search(idx) == golden, f"crash point {crash_at}"
+        _clean_index_dir(idx)
+        import json
+
+        with open(os.path.join(idx, "_build_meta.json")) as f:
+            assert json.load(f)["n_rows_at_build"] == 72
+        crash_at += 1
+    assert crash_at >= 5, f"expected >=5 rename boundaries, saw {crash_at}"
+
+
+def test_ivf_pq_rebuild_crash_matrix(spark, tmp_path, monkeypatch):
+    """Same matrix over the fused IVF+PQ rebuild: scratch-build sidecar
+    commits (2), vec swap (2), centroid swap (2), codebooks commit (1),
+    meta commit (1)."""
+    import pyspark.sql.functions as F
+
+    from activedatawarehouseprototype_spark.operators import similarity as S
+
+    def build(idx):
+        S.ivf_pq_index_build(
+            _mk_vecs(spark, range(48)), idx, k=4, iters=1, m=4, ksub=4,
+            pq_sample_n=48,
+        )
+
+    def rebuild(idx):
+        return S.ivf_pq_index_rebuild(
+            spark, idx, force=True, iters=1, pq_iters=2, pq_sample_n=64
+        )
+
+    def search(idx):
+        q = _mk_vecs(spark, [5, 17]).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        )
+        # probes=k + corpus-sized shortlist + exact re-rank: the result
+        # set is independent of which cells a retry's retrain landed on
+        return {
+            (r.qid, r.vec_id, r.score)
+            for r in S.ivf_pq_search(
+                spark, idx, q, k=3, probes=4, shortlist=10_000
+            ).collect()
+        }
+
+    golden_idx = str(tmp_path / "golden")
+    build(golden_idx)
+    assert rebuild(golden_idx)["rebuilt"]
+    golden = search(golden_idx)
+    assert len(golden) == 6
+
+    crash_at = 0
+    while True:
+        idx = str(tmp_path / f"crash{crash_at}")
+        build(idx)
+        with monkeypatch.context() as mp:
+            state = _inject_replace_crash(mp, crash_at)
+            try:
+                rebuild(idx)
+            except _InjectedCrash:
+                pass
+        if not state["fired"]:
+            break
+        info = rebuild(idx)
+        assert info["rebuilt"] and info["k"] == 4
+        assert search(idx) == golden, f"crash point {crash_at}"
+        _clean_index_dir(idx)
+        crash_at += 1
+    assert crash_at >= 6, f"expected >=6 rename boundaries, saw {crash_at}"
+
+
+def test_ivf_rebuild_tolerates_torn_meta(spark, tmp_path):
+    """A TORN _build_meta.json (half-written JSON from a pre-atomic
+    writer, or a truncated copy) is recovered like a lost sidecar:
+    backfill at the current count, never a JSONDecodeError wedge.
+    A PARSEABLE non-positive count still raises — that is structured
+    corruption, not a torn write."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from activedatawarehouseprototype_spark.operators import similarity as S
+
+    idx = str(tmp_path / "idx")
+    S.ivf_index_build(_mk_vecs(spark, range(40)), idx, k=4, use_kmeans=False)
+    meta = os.path.join(idx, "_build_meta.json")
+
+    with open(meta, "w") as f:
+        f.write('{"n_rows_at_b')  # torn mid-write
+    info = S.ivf_index_rebuild(spark, idx)
+    assert info == {"rebuilt": False, "n_rows": 40, "n_at_build": 40, "k": 4}
+    with open(meta) as f:
+        assert json.load(f) == {"n_rows_at_build": 40}
+
+    with open(meta, "w") as f:
+        json.dump({"wrong_key": 1}, f)  # lost the field, valid JSON
+    assert S.ivf_index_rebuild(spark, idx)["n_at_build"] == 40
+
+    with open(meta, "w") as f:
+        json.dump({"n_rows_at_build": 0}, f)  # parseable + impossible
+    with _pytest.raises(ValueError, match="corrupt build meta"):
+        S.ivf_index_rebuild(spark, idx)
+
+
+def test_ivf_pq_rebuild_tolerates_torn_meta(spark, tmp_path):
+    import os
+
+    from activedatawarehouseprototype_spark.operators import similarity as S
+
+    idx = str(tmp_path / "pqidx")
+    S.ivf_pq_index_build(
+        _mk_vecs(spark, range(40)), idx, k=4, iters=1, m=4, ksub=4,
+        pq_sample_n=40,
+    )
+    with open(os.path.join(idx, "_build_meta.json"), "w") as f:
+        f.write("")  # zero-byte file: the classic crash artifact
+    info = S.ivf_pq_index_rebuild(spark, idx)
+    assert info == {"rebuilt": False, "n_rows": 40, "n_at_build": 40, "k": 4}
