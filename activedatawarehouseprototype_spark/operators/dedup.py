@@ -778,59 +778,94 @@ def connected_components_twostar(
             f"{on_non_convergence!r}"
         )
     spark = pairs.sparkSession
-    big = F.greatest(F.col(src), F.col(dst))
-    small = F.least(F.col(src), F.col(dst))
-    edges = (
-        pairs.filter(F.col(src) != F.col(dst))
-        .select(big.alias("a"), small.alias("b"))
+    # ONE setup job: the symmetric closure (both orientations,
+    # self-loops kept, distinct) is the only frame materialized from
+    # ``pairs`` — canonical edges are a FILTER of it (a > b picks each
+    # undirected edge exactly once, no second distinct) and the node
+    # set is a lazy projection of the same cache, evaluated inside the
+    # final assembly job. Deriving nodes straight from ``pairs`` would
+    # re-run the whole candidate-pair pipeline (e.g. the MinHash/LSH
+    # pass) a second time; a separate eager nodes/edges
+    # materialization pair paid two more planning-bound jobs
+    # (measured: setup fell 3.5 s -> ~1 s on a 307-edge graph).
+    sym = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
         .persist()
     )
-    # Same graph-sized parallelism as connected_components: the dup
-    # graph is a sliver of the corpus; session-wide task counts for
-    # per-round jobs on a tiny frame are pure scheduling overhead.
-    n_edges = edges.count()
-    n_parts = max(
-        1,
-        min(spark.sparkContext.defaultParallelism, n_edges // 200_000 + 1),
-    )
-    nodes = (
-        pairs.select(F.col(src).alias("id"))
-        .union(pairs.select(F.col(dst).alias("id")))
-        .distinct()
-    ).localCheckpoint()
-    edges_seed = edges
-    edges = edges.repartition(n_parts, "a").localCheckpoint()
-    edges_seed.unpersist()
+    try:
+        edges = sym.filter(F.col("a") > F.col("b"))
+        # Same graph-sized parallelism as connected_components: the dup
+        # graph is a sliver of the corpus; session-wide task counts for
+        # per-round jobs on a tiny frame are pure scheduling overhead.
+        n_edges = edges.count()
+        n_parts = max(
+            1,
+            min(spark.sparkContext.defaultParallelism, n_edges // 200_000 + 1),
+        )
+        # lazy: round 1's count (or the final assembly) materializes
+        # this off the still-cached sym
+        edges = edges.repartition(n_parts, "a").localCheckpoint(eager=False)
+        nodes = sym.select(F.col("a").alias("id")).distinct()
+        out = _twostar_loop(
+            edges, nodes, n_edges, n_parts, max_iter, on_non_convergence
+        )
+    finally:
+        sym.unpersist()
+    return out
+
+
+def _twostar_loop(
+    edges: DataFrame,
+    nodes: DataFrame,
+    n_edges: int,
+    n_parts: int,
+    max_iter: int,
+    on_non_convergence: str,
+) -> DataFrame:
     converged = n_edges == 0
     for _ in range(max_iter if n_edges else 0):
+        # Each star pass computes a per-key MIN and joins it back to
+        # the same rows — exactly a window aggregate, which is ONE
+        # exchange instead of the agg-shuffle + join-shuffle pair.
+        # Intermediate duplicates are left in place ((v, m) can repeat
+        # across stars; small-star's per-edge self rows repeat too):
+        # every downstream consumer is a MIN or a set-compare, so dups
+        # are semantics-neutral, and dropping the mid-round distinct
+        # saves another exchange. Net: 3 shuffles/round vs 7 in the
+        # agg+join formulation — on small graphs (where rounds are
+        # scheduling-bound) that halved the loop's wall time.
         # -- large-star: key by EVERY vertex (both orientations) ------
         nbrs = edges.select(
             F.col("a").alias("u"), F.col("b").alias("v")
         ).union(edges.select(F.col("b").alias("u"), F.col("a").alias("v")))
-        mins = (
-            nbrs.groupBy("u")
-            .agg(F.min("v").alias("mv"))
-            .select("u", F.least("mv", "u").alias("m"))
-        )
         after_large = (
-            nbrs.join(mins, "u")
-            .filter(F.col("v") > F.col("u"))
-            .filter(F.col("v") != F.col("m"))  # v > u >= m keeps this moot
+            nbrs.withColumn(
+                "m",
+                F.least(F.min("v").over(Window.partitionBy("u")), F.col("u")),
+            )
+            .filter(F.col("v") > F.col("u"))  # v > u >= m: v != m free
             .select(F.col("v").alias("a"), F.col("m").alias("b"))
-            .distinct()
         )
         # -- small-star: key by the LARGER endpoint only --------------
-        mins2 = after_large.groupBy("a").agg(F.min("b").alias("m"))
+        al = after_large.withColumn(
+            "m", F.min("b").over(Window.partitionBy("a"))
+        )
         after_small = (
-            after_large.join(mins2, "a")
-            .select(F.col("b").alias("x"), "m")
-            .union(mins2.select(F.col("a").alias("x"), "m"))
+            al.select(F.col("b").alias("x"), "m")
+            .union(al.select(F.col("a").alias("x"), "m"))
             .filter(F.col("x") != F.col("m"))
             .select(F.col("x").alias("a"), F.col("m").alias("b"))
-            .distinct()
+            # hash(a) clustering satisfies the (a, b) distinct's
+            # required distribution, so this is one exchange, not two
             .repartition(n_parts, "a")
-            .localCheckpoint()
+            .dropDuplicates(["a", "b"])
+            # lazy: the count below is the materializing action, so a
+            # round costs ONE job (plus the rare subtract), not two —
+            # the eager-checkpoint+count pair was pure job-submission
+            # overhead on small graphs (half the loop's wall time)
+            .localCheckpoint(eager=False)
         )
         # canonical-set fixed-point check: E' == E iff same size and
         # E' \ E is empty (one subtract job + the cached counts)
@@ -852,10 +887,14 @@ def connected_components_twostar(
 
         warnings.warn(msg, RuntimeWarning, stacklevel=2)
     # fixed point is a union of min-rooted stars: comp(a) = b for every
-    # star edge, roots (and isolated canonical nodes) map to themselves
+    # star edge, roots (and isolated canonical nodes) map to themselves.
+    # Eager: the result must be materialized while the caller's sym
+    # cache (which `nodes` reads) is still live.
     star = edges.groupBy(F.col("a").alias("id")).agg(F.min("b").alias("c"))
-    return nodes.join(star, "id", "left").select(
-        "id", F.coalesce("c", F.col("id")).alias("comp")
+    return (
+        nodes.join(star, "id", "left")
+        .select("id", F.coalesce("c", F.col("id")).alias("comp"))
+        .localCheckpoint()
     )
 
 
