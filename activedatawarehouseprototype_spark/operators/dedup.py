@@ -709,7 +709,12 @@ def connected_components(
                 "id",
                 new_comp.alias("comp"),
                 F.col("comp").alias("prev"),
-            ).localCheckpoint()
+            ).localCheckpoint(eager=False)
+            # lazy checkpoint: this count is the materializing action,
+            # so an iteration costs ONE job instead of an
+            # eager-checkpoint + count pair (pure job-submission
+            # overhead on small graphs — same finding as the twostar
+            # loop)
             changed = stepped.filter(F.col("comp") != F.col("prev")).count()
             labels = stepped.drop("prev")
             if changed == 0:
