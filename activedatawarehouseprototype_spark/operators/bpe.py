@@ -124,7 +124,9 @@ def bpe_train(
         merges.append((a, b))
         words = words.select(
             _merge_pair(F.col("sym"), a, b).alias("sym"), "cnt"
-        ).localCheckpoint(eager=True)  # truncate the k-deep lineage
+        ).localCheckpoint(eager=False)  # truncated at the next round's
+        # argmax collect — lazy, so a round is ONE job, not an
+        # eager-checkpoint + collect pair
     return merges
 
 

@@ -248,23 +248,33 @@ def kcore(
     n_parts = max(1, min(sc.defaultParallelism, n_edges // 200_000 + 1))
     cur = und.repartition(n_parts, "a")
     converged = False
+    # previous round's low-degree frame: released only AFTER the next
+    # round's count has materialized the lazy checkpoint that reads it
+    pending = None
     try:
         for _ in range(max_iter):
             deg = cur.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
             low = deg.filter(F.col("d") < k).select("a").persist()
-            n_low = low.count()  # control-plane scalar per round
+            # ONE job per round: this count's plan runs low <- deg <-
+            # cur, so it materializes the previous round's lazy
+            # checkpoint AND caches low as a side effect — the
+            # eager-checkpoint + count pair it replaces was two job
+            # submissions for the same work
+            n_low = low.count()
+            if pending is not None:
+                pending.unpersist()
+                pending = None
             if n_low == 0:
                 converged = True
                 low.unpersist()
                 break
-            nxt = (
+            cur = (
                 cur.join(low, "a", "left_anti")
                 .join(low.withColumnRenamed("a", "b"), "b", "left_anti")
                 .select("a", "b")
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
-            low.unpersist()
-            cur = nxt
+            pending = low
         if not converged:
             raise RuntimeError(
                 f"kcore did not reach the peeling fixpoint in "
@@ -277,3 +287,5 @@ def kcore(
         )
     finally:
         und.unpersist()
+        if pending is not None:
+            pending.unpersist()
