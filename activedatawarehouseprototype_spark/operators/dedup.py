@@ -821,6 +821,50 @@ def connected_components_twostar(
     return out
 
 
+def _twostar_round(edges: DataFrame, n_parts: int) -> DataFrame:
+    """ONE large-star + small-star alternation over canonical (big,
+    small) edges — exactly 3 exchanges (plan-pinned by
+    ``test_twostar_round_plan_is_three_exchanges``):
+
+    Each star pass computes a per-key MIN and joins it back to the
+    same rows — exactly a window aggregate, which is ONE exchange
+    instead of the agg-shuffle + join-shuffle pair. Intermediate
+    duplicates are left in place ((v, m) can repeat across stars;
+    small-star's per-edge self rows repeat too): every downstream
+    consumer is a MIN or a set-compare, so dups are semantics-neutral,
+    and dropping the mid-round distinct saves another exchange. The
+    final distinct rides the repartition's hash(a) clustering (a
+    subset of the (a, b) distinct keys), so it adds NO exchange. Net:
+    3 shuffles/round vs 7 in the agg+join formulation — on small
+    graphs (where rounds are scheduling-bound) that halved the loop's
+    wall time."""
+    # -- large-star: key by EVERY vertex (both orientations) ----------
+    nbrs = edges.select(
+        F.col("a").alias("u"), F.col("b").alias("v")
+    ).union(edges.select(F.col("b").alias("u"), F.col("a").alias("v")))
+    after_large = (
+        nbrs.withColumn(
+            "m",
+            F.least(F.min("v").over(Window.partitionBy("u")), F.col("u")),
+        )
+        .filter(F.col("v") > F.col("u"))  # v > u >= m: v != m free
+        .select(F.col("v").alias("a"), F.col("m").alias("b"))
+    )
+    # -- small-star: key by the LARGER endpoint only ------------------
+    al = after_large.withColumn("m", F.min("b").over(Window.partitionBy("a")))
+    # each row re-links BOTH its smaller endpoint and itself to the
+    # min: explode, not a self-union — a union of two projections of
+    # the same unmaterialized frame duplicates the whole window chain
+    # in the plan (the exchange-count test caught exactly that)
+    return (
+        al.select(F.explode(F.array("b", "a")).alias("x"), "m")
+        .filter(F.col("x") != F.col("m"))
+        .select(F.col("x").alias("a"), F.col("m").alias("b"))
+        .repartition(n_parts, "a")
+        .dropDuplicates(["a", "b"])
+    )
+
+
 def _twostar_loop(
     edges: DataFrame,
     nodes: DataFrame,
@@ -831,46 +875,12 @@ def _twostar_loop(
 ) -> DataFrame:
     converged = n_edges == 0
     for _ in range(max_iter if n_edges else 0):
-        # Each star pass computes a per-key MIN and joins it back to
-        # the same rows — exactly a window aggregate, which is ONE
-        # exchange instead of the agg-shuffle + join-shuffle pair.
-        # Intermediate duplicates are left in place ((v, m) can repeat
-        # across stars; small-star's per-edge self rows repeat too):
-        # every downstream consumer is a MIN or a set-compare, so dups
-        # are semantics-neutral, and dropping the mid-round distinct
-        # saves another exchange. Net: 3 shuffles/round vs 7 in the
-        # agg+join formulation — on small graphs (where rounds are
-        # scheduling-bound) that halved the loop's wall time.
-        # -- large-star: key by EVERY vertex (both orientations) ------
-        nbrs = edges.select(
-            F.col("a").alias("u"), F.col("b").alias("v")
-        ).union(edges.select(F.col("b").alias("u"), F.col("a").alias("v")))
-        after_large = (
-            nbrs.withColumn(
-                "m",
-                F.least(F.min("v").over(Window.partitionBy("u")), F.col("u")),
-            )
-            .filter(F.col("v") > F.col("u"))  # v > u >= m: v != m free
-            .select(F.col("v").alias("a"), F.col("m").alias("b"))
-        )
-        # -- small-star: key by the LARGER endpoint only --------------
-        al = after_large.withColumn(
-            "m", F.min("b").over(Window.partitionBy("a"))
-        )
-        after_small = (
-            al.select(F.col("b").alias("x"), "m")
-            .union(al.select(F.col("a").alias("x"), "m"))
-            .filter(F.col("x") != F.col("m"))
-            .select(F.col("x").alias("a"), F.col("m").alias("b"))
-            # hash(a) clustering satisfies the (a, b) distinct's
-            # required distribution, so this is one exchange, not two
-            .repartition(n_parts, "a")
-            .dropDuplicates(["a", "b"])
+        after_small = _twostar_round(edges, n_parts).localCheckpoint(
             # lazy: the count below is the materializing action, so a
             # round costs ONE job (plus the rare subtract), not two —
             # the eager-checkpoint+count pair was pure job-submission
             # overhead on small graphs (half the loop's wall time)
-            .localCheckpoint(eager=False)
+            eager=False
         )
         # canonical-set fixed-point check: E' == E iff same size and
         # E' \ E is empty (one subtract job + the cached counts)

@@ -635,3 +635,27 @@ def test_ivf_pq_rebuild_tolerates_torn_meta(spark, tmp_path):
         f.write("")  # zero-byte file: the classic crash artifact
     info = S.ivf_pq_index_rebuild(spark, idx)
     assert info == {"rebuilt": False, "n_rows": 40, "n_at_build": 40, "k": 4}
+
+
+def test_twostar_round_plan_is_three_exchanges(spark):
+    """Pin the round's physical shape: window-min per star pass (one
+    exchange each, replacing an agg-shuffle + join-shuffle pair) plus
+    the final repartition(a) — whose hash(a) clustering the (a, b)
+    dropDuplicates REUSES, adding no fourth exchange. A regression
+    back to agg+join or a distinct that re-shuffles shows up here as
+    an exchange count, not as a wall-clock mystery three rounds
+    later."""
+    from activedatawarehouseprototype_spark.operators.dedup import (
+        _twostar_round,
+    )
+
+    edges = spark.createDataFrame(
+        [(2, 1), (3, 1), (5, 4)], "a bigint, b bigint"
+    )
+    plan = (
+        _twostar_round(edges, 1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 3, plan
