@@ -729,7 +729,20 @@ def ivf_index_append(
     O(|new batch|) regardless of index size; searches pick the rows up
     immediately (same partition filters). Re-train + rebuild
     (``ivf_index_build``) when drift degrades recall — centroid
-    assignment quality, not storage, is the rebuild trigger."""
+    assignment quality, not storage, is the rebuild trigger.
+
+    Entry recovers both swap paths: appending into a crashed
+    rebuild's rename window (vectors dir missing, ``.old`` holding
+    the committed table) would otherwise CREATE a fresh one-batch
+    vectors dir, and the next recover would delete ``.old`` — silent
+    loss of the whole index (found by the stream-side crash test;
+    same wedge class as the dedup-index bands append)."""
+    from activedatawarehouseprototype_spark.operators.warehouse import (
+        recover_swap,
+    )
+
+    recover_swap(f"{index_path}/vectors")
+    recover_swap(f"{index_path}/centroids")
     cents = [
         (int(r["sid"]), [float(x) for x in r["centroid"]])
         for r in spark.read.parquet(f"{index_path}/centroids").collect()
@@ -1366,10 +1379,21 @@ def ivf_pq_index_append(
     immediately. Same rebuild trigger as ``ivf_index_append``: re-train
     when drift degrades recall, not for storage reasons.
     ``ivf_index_compact`` applies unchanged to this layout (the codes
-    column rides the rewrite)."""
+    column rides the rewrite).
+
+    Entry recovers both swap paths — see ``ivf_index_append``: an
+    append into a crashed rebuild's rename window would otherwise
+    orphan the committed index in ``.old`` and the next recover would
+    delete it."""
     import json as _json
     import os as _os
 
+    from activedatawarehouseprototype_spark.operators.warehouse import (
+        recover_swap,
+    )
+
+    recover_swap(f"{index_path}/vectors")
+    recover_swap(f"{index_path}/centroids")
     with open(_os.path.join(index_path, "_pq_codebooks.json")) as f:
         meta = _json.load(f)
     cents = [

@@ -257,7 +257,10 @@ class AnnIngest(_MarkerIngest):
         try:
             with open(os.path.join(self.index_path, "_build_meta.json")) as f:
                 n_base = int(_json.load(f)["n_rows_at_build"])
-        except FileNotFoundError:
+        except (FileNotFoundError, ValueError, KeyError):
+            # lost OR torn/garbage sidecar (pre-atomic writers could
+            # tear it): treat as no-growth rather than failing the
+            # micro-batch — the next rebuild call backfills the meta
             return False
         if n_base <= 0:
             return False

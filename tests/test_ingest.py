@@ -541,3 +541,128 @@ def test_streaming_curation_chain_soak(spark, tmp_path):
     hits = similarity.ivf_pq_search(spark, aidx, q, k=3, probes=2,
                                     shortlist=20).collect()
     assert 300 in {r.vec_id for r in hits}
+
+
+def test_ann_ingest_crash_mid_auto_rebuild_refires_and_converges(spark, tmp_path):
+    """The drift-loop's crash contract, stream-side: the auto rebuild
+    runs AFTER the batch's _done marker, so a crash anywhere inside
+    the rebuild's rename protocol must (a) leave the replay of that
+    batch a FULL no-op (marker present), (b) keep the growth trigger
+    armed (meta un-advanced), and (c) re-fire the rebuild on the next
+    genuine batch, converging through recover_swap. Injected at three
+    representative rename boundaries: inside the scratch build's
+    sidecar commits, mid vectors-swap, and just before the final meta
+    advance (everything else already committed)."""
+    import json
+    import os
+
+    import numpy as np
+
+    from activedatawarehouseprototype_spark.operators import similarity
+    from activedatawarehouseprototype_spark.streaming.ingest import AnnIngest
+
+    class _Crash(RuntimeError):
+        pass
+
+    rng = np.random.default_rng(23)
+    DIM = 16
+    c0 = np.zeros(DIM); c0[0] = 10.0
+    c1 = np.zeros(DIM); c1[1] = 10.0
+    c_drift = (c0 + c1) / 2.0
+
+    def vdf(mat, ids):
+        return spark.createDataFrame(
+            [(int(i), [float(x) for x in v]) for i, v in zip(ids, mat)],
+            "vec_id bigint, embedding array<double>",
+        )
+
+    base = np.vstack([
+        c0[None, :], c1[None, :],
+        c0 + rng.normal(scale=0.3, size=(19, DIM)),
+        c1 + rng.normal(scale=0.3, size=(19, DIM)),
+    ])
+    small = c0 + rng.normal(scale=0.3, size=(4, DIM))
+    drift = c_drift + rng.normal(scale=0.3, size=(20, DIM))
+
+    for crash_at in (0, 3, 7):
+        idx = str(tmp_path / f"crash{crash_at}")
+        similarity.ivf_pq_index_build(
+            vdf(base, range(40)), idx, k=2, m=4, ksub=8,
+            pq_sample_n=4096, use_kmeans=False,
+        )
+        ing = AnnIngest(spark, idx, rebuild="auto", rebuild_opts={"iters": 2})
+        ing.process_batch(vdf(small, range(100, 104)), 0)  # below threshold
+
+        real = os.replace
+        state = {"calls": 0}
+
+        def patched(src, dst, **kw):
+            if state["calls"] == crash_at:
+                raise _Crash(f"injected before os.replace #{crash_at}")
+            state["calls"] += 1
+            return real(src, dst, **kw)
+
+        import pytest as _pytest
+
+        with _pytest.MonkeyPatch.context() as mp:
+            mp.setattr("os.replace", patched)
+            with _pytest.raises(_Crash):
+                ing.process_batch(vdf(drift, range(200, 220)), 1)  # crosses
+
+        # (a) append IS durable and the marker exists: replay no-ops
+        assert os.path.exists(ing._marker(1))
+        ing2 = AnnIngest(spark, idx, rebuild="auto", rebuild_opts={"iters": 2})
+        ing2.process_batch(vdf(drift, range(200, 220)), 1)
+        assert ing2.metrics["rebuilds"] == 0
+        # (b) the trigger is still armed — meta never advanced past 40
+        with open(os.path.join(idx, "_build_meta.json")) as f:
+            assert json.load(f)["n_rows_at_build"] == 40, crash_at
+        # (c) the next genuine batch re-fires the rebuild and converges
+        ing2.process_batch(vdf(c_drift[None, :], [400]), 2)
+        assert ing2.metrics["rebuilds"] == 1, crash_at
+        assert spark.read.parquet(f"{idx}/vectors").count() == 65
+        assert spark.read.parquet(f"{idx}/centroids").count() == 2
+        with open(os.path.join(idx, "_build_meta.json")) as f:
+            assert json.load(f)["n_rows_at_build"] == 65, crash_at
+        for leftover in ("vectors.old", "vectors.staging",
+                         "centroids.old", "centroids.staging", ".rebuild"):
+            assert not os.path.exists(os.path.join(idx, leftover)), (
+                crash_at, leftover,
+            )
+        # and the recovered index answers searches
+        q = vdf(c_drift[None, :], [9000]).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        )
+        assert similarity.ivf_pq_search(
+            spark, idx, q, k=3, probes=2, shortlist=65
+        ).count() == 3
+
+
+def test_ann_ingest_growth_check_tolerates_torn_meta(spark, tmp_path):
+    """A torn _build_meta.json must not fail the micro-batch in
+    'recommend' mode: the growth check treats it as no-growth and the
+    next rebuild call backfills it."""
+    import numpy as np
+
+    from activedatawarehouseprototype_spark.operators import similarity
+    from activedatawarehouseprototype_spark.streaming.ingest import AnnIngest
+
+    rng = np.random.default_rng(5)
+    mat = rng.normal(size=(30, 8))
+
+    def vdf(m, ids):
+        return spark.createDataFrame(
+            [(int(i), [float(x) for x in v]) for i, v in zip(ids, m)],
+            "vec_id bigint, embedding array<double>",
+        )
+
+    idx = str(tmp_path / "idx")
+    similarity.ivf_pq_index_build(
+        vdf(mat, range(30)), idx, k=2, m=4, ksub=4, pq_sample_n=30
+    )
+    with open(f"{idx}/_build_meta.json", "w") as f:
+        f.write('{"n_rows_at_b')  # torn
+    ing = AnnIngest(spark, idx, rebuild="recommend")
+    ing.process_batch(vdf(rng.normal(size=(25, 8)), range(100, 125)), 0)
+    assert ing.metrics["batches"] == 1
+    assert ing.metrics["rebuild_recommended"] == 0  # torn meta = no growth
