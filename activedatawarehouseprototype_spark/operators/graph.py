@@ -59,25 +59,26 @@ def pagerank(
         F.col(dst).cast("bigint").alias("dst"),
         w.alias("w"),
     )
+    # normalized out-weights once: contribution of edge (u,v) is
+    # rank(u) * w/outw(u)
+    outw = e.groupBy("src").agg(F.sum("w").alias("_ow"))
+    norm = e.join(outw, "src").select(
+        "src", "dst", (F.col("w") / F.col("_ow")).alias("nw")
+    ).localCheckpoint(eager=False)
+    # nodes come from the checkpointed NORM, not from ``edges``: outw
+    # covers every src, so the inner join keeps every edge row and the
+    # endpoint set is unchanged — but deriving it upstream would
+    # evaluate the (often expensive) edge input a second time. The
+    # count below is the ONE materializing job for both frames.
     nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
+        norm.select(F.col("src").alias("node"))
+        .unionByName(norm.select(F.col("dst").alias("node")))
         .distinct()
-        # eager: the count() below materializes it anyway, and every
-        # superstep + the final left join reuse the cached copy
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     n = nodes.count()  # control-plane scalar
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
-    # normalized out-weights once: contribution of edge (u,v) is
-    # rank(u) * w/outw(u)
-    outw = e.groupBy("src").agg(F.sum("w").alias("_ow"))
-    # lazy: materializes with the first superstep's job and is cached
-    # for the rest — no standalone pass just to checkpoint it
-    norm = e.join(outw, "src").select(
-        "src", "dst", (F.col("w") / F.col("_ow")).alias("nw")
-    ).localCheckpoint(eager=False)
 
     base = (1.0 - damping) / n
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
@@ -146,6 +147,13 @@ def triangle_counts(
             F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
         )
         .distinct()
+        # lazy checkpoint: ``e`` feeds the degree table (twice, via
+        # du/dv), the orientation join AND the final node lookup —
+        # without the cut, the fwd localCheckpoint isolates its own
+        # subtree and the final deg join re-evaluates the whole edge
+        # input (e.g. a 4-table fact join) from scratch. One cascading
+        # job still materializes everything.
+        .localCheckpoint(eager=False)
     )
     deg = (
         e.select(F.col("u").alias("n")).unionAll(e.select(F.col("v").alias("n")))
@@ -228,9 +236,19 @@ def kcore(
     if k < 1:
         raise ValueError("k must be >= 1")
     a, b = F.col(src).cast("bigint"), F.col(dst).cast("bigint")
+    # both orientations via ONE explode (not a self-union, which would
+    # evaluate the upstream edge pipeline twice — e.g. the co-purchase
+    # pair expansion feeding kcore_copurchase_parts)
     und = (
-        edges.select(a.alias("a"), b.alias("b"))
-        .union(edges.select(b.alias("a"), a.alias("b")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(a.alias("a"), b.alias("b")),
+                    F.struct(b.alias("a"), a.alias("b")),
+                )
+            ).alias("_e")
+        )
+        .select("_e.a", "_e.b")
         .filter(F.col("a") != F.col("b"))
         .distinct()
         .persist()
