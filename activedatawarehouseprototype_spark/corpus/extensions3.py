@@ -99,28 +99,36 @@ def scd2_customer_priority_history(
     orders = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate").isNotNull()
     )
-    years = [
-        r["y"]
-        for r in orders.select(F.year("o_orderdate").alias("y"))
-        .distinct()
-        .orderBy("y")
-        .collect()
-    ]
+    # ONE pass computes every year's update batch (window keyed on
+    # (custkey, year) — identical per-batch pick as windowing each
+    # year-filtered slice separately) into a lazily-checkpointed
+    # frame; the replay loop below filters the CACHED updates per
+    # batch instead of re-scanning + re-sorting the fact table once
+    # per year (guide §1.2: remove redundant passes — the REPLAY
+    # itself, one MERGE per batch, is the scenario and stays; a
+    # parquet round-trip variant measured SLOWER locally, the cache
+    # avoids its listing/read overhead while keeping the single scan).
     target = _scratch("adw-scd2-") + "/dim"
+    w = Window.partitionBy("o_custkey", "_y").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    upd_all = (
+        orders.withColumn("_y", F.year("o_orderdate"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "_y",
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderdate").alias("eff"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    years = sorted(
+        r["_y"] for r in upd_all.select("_y").distinct().collect()
+    )
     for y in years:
-        batch = orders.filter(F.year("o_orderdate") == y)
-        w = Window.partitionBy("o_custkey").orderBy(
-            F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
-        )
-        upd = (
-            batch.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(
-                F.col("o_custkey").alias("custkey"),
-                F.col("o_orderpriority").alias("priority"),
-                F.col("o_orderdate").alias("eff"),
-            )
-        )
+        upd = upd_all.filter(F.col("_y") == y).drop("_y")
         # validate=False: upd is deduplicated (row_number()=1) and
         # NULL-ts-filtered by construction two lines up — the
         # validation job per batch would only re-prove that
