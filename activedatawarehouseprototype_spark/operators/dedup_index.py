@@ -268,6 +268,8 @@ def dedup_index_lookup(
     batch_df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    meta: dict | None = None,
+    hot: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup matches of a NEW batch against the indexed corpus:
     (id_new, id_indexed) pairs sharing at least one LSH band. The
@@ -290,8 +292,14 @@ def dedup_index_lookup(
     )
 
     recover_swap(f"{index_path}/bands")
-    m = _read_meta(spark, index_path)
-    hot = spark.read.parquet(f"{index_path}/hot_shingles")
+    # ``meta``/``hot`` are injectable so a caller driving several index
+    # calls per micro-batch (DedupIngest: lookup + intra-batch pass +
+    # append) pays the 1-row meta collect and hot-shingles read ONCE
+    # per batch instead of once per call — both are immutable between
+    # rebuilds, and each re-read was a fixed driver round-trip job.
+    m = _read_meta(spark, index_path) if meta is None else meta
+    if hot is None:
+        hot = spark.read.parquet(f"{index_path}/hot_shingles")
     banded_new = _banded_for(
         batch_df, id_col, text_col, m["n"], m["k"], m["bands"], m["n_buckets"], hot
     ).persist()
@@ -333,6 +341,8 @@ def dedup_index_append(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    meta: dict | None = None,
+    hot: DataFrame | None = None,
 ) -> None:
     """Add a batch to the index: signatures computed with the
     PERSISTED parameters + hot list, appended to the matching
@@ -349,8 +359,10 @@ def dedup_index_append(
     )
 
     recover_swap(f"{index_path}/bands")
-    m = _read_meta(spark, index_path)
-    hot = spark.read.parquet(f"{index_path}/hot_shingles")
+    # meta/hot injectable — see dedup_index_lookup
+    m = _read_meta(spark, index_path) if meta is None else meta
+    if hot is None:
+        hot = spark.read.parquet(f"{index_path}/hot_shingles")
     banded = _banded_for(
         df, id_col, text_col, m["n"], m["k"], m["bands"], m["n_buckets"], hot
     ).persist()

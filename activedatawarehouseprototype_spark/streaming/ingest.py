@@ -100,15 +100,27 @@ class DedupIngest(_MarkerIngest):
         if os.path.exists(self._marker(batch_id)):
             return  # exact replay of a completed batch — no-op
         batch_df = batch_df.select(self.id_col, self.text_col)
-        if batch_df.isEmpty():
+        # the batch count doubles as the emptiness check — a separate
+        # isEmpty() was one more job per micro-batch for a number the
+        # metrics block below needed anyway
+        n_total = batch_df.count()
+        if n_total == 0:
             self._mark_done(batch_id)
             return
+        # ONE meta collect + hot-shingles read serves all three index
+        # interactions this batch (lookup, intra-batch signatures,
+        # append) — both are immutable between rebuilds; re-reading
+        # them per call was two extra driver round-trip jobs per batch
+        m = DI._read_meta(self.spark, self.index_path)
+        hot = self.spark.read.parquet(f"{self.index_path}/hot_shingles")
         matches = DI.dedup_index_lookup(
             self.spark,
             self.index_path,
             batch_df,
             id_col=self.id_col,
             text_col=self.text_col,
+            meta=m,
+            hot=hot,
         )
         dup_ids = matches.select(
             F.col("id_new").alias(self.id_col)
@@ -124,8 +136,6 @@ class DedupIngest(_MarkerIngest):
         # dropped at the door — while the same pair arriving in
         # separate batches was (correctly) admitted by the capped
         # lookup. One consistent signature definition for both paths.
-        m = DI._read_meta(self.spark, self.index_path)
-        hot = self.spark.read.parquet(f"{self.index_path}/hot_shingles")
         banded = DI._banded_for(
             survivors, self.id_col, self.text_col,
             m["n"], m["k"], m["bands"], m["n_buckets"], hot,
@@ -142,9 +152,6 @@ class DedupIngest(_MarkerIngest):
             .distinct()
         )
         survivors = survivors.join(intra, self.id_col, "left_anti")
-        # three consumers follow (store write, index append, count):
-        # materialize the anti-join chain once instead of three times
-        survivors = survivors.localCheckpoint()
 
         # per-batch partition dir + overwrite => the store write is
         # idempotent under replay: a crash AFTER this write but before
@@ -152,18 +159,23 @@ class DedupIngest(_MarkerIngest):
         # the same directory instead of appending duplicates (the
         # index append below can duplicate rows on such a replay,
         # which lookup's DISTINCT collapses — the store must not).
-        survivors.write.mode("overwrite").parquet(
-            os.path.join(self.store_path, "docs", f"batch={batch_id}")
-        )
+        # The write IS the single materialization of the anti-join
+        # chain; the index append and the admitted count then read the
+        # committed parquet back (an eager localCheckpoint here was a
+        # second full pass over the chain just to populate the cache).
+        batch_dir = os.path.join(self.store_path, "docs", f"batch={batch_id}")
+        survivors.write.mode("overwrite").parquet(batch_dir)
+        committed = self.spark.read.parquet(batch_dir)
         DI.dedup_index_append(
             self.spark,
             self.index_path,
-            survivors,
+            committed,
             id_col=self.id_col,
             text_col=self.text_col,
+            meta=m,
+            hot=hot,
         )
-        n_total = batch_df.count()
-        n_kept = survivors.count()
+        n_kept = committed.count()
         self.metrics["batches"] += 1
         self.metrics["admitted"] += n_kept
         self.metrics["dropped"] += n_total - n_kept
