@@ -643,20 +643,14 @@ def connected_components(
             f"on_non_convergence must be 'raise' or 'warn', got "
             f"{on_non_convergence!r}"
         )
-    # both orientations via ONE explode, not a self-union: a union of
-    # two projections of the unmaterialized ``pairs`` frame evaluates
-    # the whole upstream candidate-pair pipeline (e.g. the MinHash/LSH
-    # shingle+self-join pass) twice — the explode scans it once
+    # symmetric closure as a self-union: the two branches' expensive
+    # subtree (the candidate-pair pipeline, which ends in an exchange
+    # — LSH distinct) is deduplicated by ReuseExchange, so this is a
+    # single physical evaluation; an explode-of-both-orientations
+    # rewrite was A/B-measured equal-to-slower (round-11 opt notes)
     edges = (
-        pairs.select(
-            F.explode(
-                F.array(
-                    F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
-                    F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
-                )
-            ).alias("_e")
-        )
-        .select("_e.a", "_e.b")
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
         .persist()
     )
@@ -805,15 +799,8 @@ def connected_components_twostar(
     # materialization pair paid two more planning-bound jobs
     # (measured: setup fell 3.5 s -> ~1 s on a 307-edge graph).
     sym = (
-        pairs.select(
-            F.explode(
-                F.array(
-                    F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
-                    F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
-                )
-            ).alias("_e")
-        )
-        .select("_e.a", "_e.b")
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
         .persist()
     )

@@ -236,19 +236,11 @@ def kcore(
     if k < 1:
         raise ValueError("k must be >= 1")
     a, b = F.col(src).cast("bigint"), F.col(dst).cast("bigint")
-    # both orientations via ONE explode (not a self-union, which would
-    # evaluate the upstream edge pipeline twice — e.g. the co-purchase
-    # pair expansion feeding kcore_copurchase_parts)
+    # symmetric closure as a self-union: ReuseExchange deduplicates the
+    # branches' shared upstream exchange (see connected_components)
     und = (
-        edges.select(
-            F.explode(
-                F.array(
-                    F.struct(a.alias("a"), b.alias("b")),
-                    F.struct(b.alias("a"), a.alias("b")),
-                )
-            ).alias("_e")
-        )
-        .select("_e.a", "_e.b")
+        edges.select(a.alias("a"), b.alias("b"))
+        .union(edges.select(b.alias("a"), a.alias("b")))
         .filter(F.col("a") != F.col("b"))
         .distinct()
         .persist()
