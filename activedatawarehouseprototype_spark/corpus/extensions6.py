@@ -292,11 +292,14 @@ GROUP BY c.cell
 def ivf_rebuild_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _load(spark, sf_dir, "embeddings")
     path = _scratch("ivfrebuild") + "/idx"
-    similarity.ivf_index_build(
+    # build returns the k-row centroid list; injecting it into the
+    # append skips the centroids-table collect job (the lifecycle's
+    # meta/codebook reads happen once — round-12 job-count treatment)
+    cents0 = similarity.ivf_index_build(
         emb.filter(F.col("vec_id") % 3 != 0), path, k=4, use_kmeans=False
     )
     similarity.ivf_index_append(
-        spark, path, emb.filter(F.col("vec_id") % 3 == 0)
+        spark, path, emb.filter(F.col("vec_id") % 3 == 0), centroids=cents0
     )
     _, lattice = kmeans_lattice(emb, k=4, iters=1)
     cents = [(cid, [c / 10000.0 for c in cv]) for cid, cv in lattice]

@@ -290,7 +290,13 @@ def corpus_pipeline_e2e_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _near_corpus(spark, sf_dir)
     toks = F.split(F.col("text"), " ")
     gated = d.filter((F.size(toks) >= 20) & (F.length("text") <= 450))
-    exact = gated.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    # each stage's output is the SINGLE materialization feeding the
+    # next (round-12 job-count treatment, same discipline as
+    # DedupIngest): `exact` feeds both the LSH candidate pipeline and
+    # the keeper anti-join — persist it so the components loop's first
+    # edge count fills the cache instead of the anti-join re-running
+    # the gate+groupBy a second time inside the final job.
+    exact = gated.groupBy("text").agg(F.min("doc_id").alias("doc_id")).persist()
     cand = dedup.lsh_candidates(
         exact,
         "doc_id",
@@ -305,7 +311,14 @@ def corpus_pipeline_e2e_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("id") != F.col("comp"))
         .select(F.col("id").alias("doc_id"))
     )
-    kept = exact.join(dupes, "doc_id", "left_anti")
+    # `kept` is consumed TWICE by the final aggregate (the per-doc
+    # chunk stats and the split/chars branch). One eager checkpoint
+    # (a single anti-join job over the cached `exact` + the already-
+    # checkpointed labels) lets the final job read it from executor
+    # cache on both branches — and releases `exact` immediately
+    # instead of leaking a cached frame per bench invocation.
+    kept = exact.join(dupes, "doc_id", "left_anti").localCheckpoint()
+    exact.unpersist()
     chunks = packing.chunk_documents(
         kept, "doc_id", "text", chunk_tokens=32, overlap=8
     )

@@ -485,7 +485,10 @@ def cdc_enrich_pipeline_evals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _events(spark, sf_dir)
     key = F.concat(F.lit("{user_id="), F.col("user_id"), F.lit("}"))
-    users = e.select("user_id").distinct()
+    # ONE distinct-users pass feeds both the dim seed and the CDC
+    # update batch (was: two full event scans + two distinct shuffles;
+    # the seed commit materializes the cache and dim_update reuses it)
+    users = e.select("user_id").distinct().persist()
     dim0 = users.select(
         key.alias("key"),
         F.when(F.col("user_id") % 3 == 0, "gold")
@@ -496,7 +499,25 @@ def cdc_enrich_pipeline_evals(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim_update = users.filter(F.col("user_id") % 2 == 0).select(
         key.alias("key"), F.lit("vip").alias("tier")
     )
-    hour_bucket = F.floor(F.unix_millis("ts") / HOUR_MS) % 3
+
+    # ONE windowed rule evaluation feeds all three slices — the same
+    # one-pass-feeds-all-batches move as the round-11 SCD2 replay
+    # (33ac403). Equivalence: the rule's tumbling window is exactly
+    # HOUR_MS wide, so every event of a (user, window) group shares
+    # floor(ts/HOUR_MS), and filtering the EVALUATED windows by
+    # (window_start_ms / HOUR_MS) % 3 partitions the output rows
+    # exactly as evaluating the per-slice-filtered events did —
+    # same groups, same members, per-group aggregates unchanged.
+    # Lazy checkpoint: batch 0's MV-delta commit is the materializing
+    # action; batches 1 and 2 filter the cached frame instead of
+    # re-scanning events (was: 3 full scan+aggregate passes).
+    evals_all = _project_eval(
+        evaluate_rule(e, RULE_TUMBLING_AVG)
+    ).localCheckpoint(eager=False)
+    # pure integer arithmetic on the epoch-ms window start (an exact
+    # multiple of HOUR_MS): residue s*HOUR_MS <=> floor(ts/HOUR_MS)%3==s
+    def _slice(s: int):
+        return F.col("window_start_ms") % (3 * HOUR_MS) == s * HOUR_MS
 
     work = tempfile.mkdtemp(prefix="adw-cdc-enrich-")
     try:
@@ -504,11 +525,9 @@ def cdc_enrich_pipeline_evals(spark: SparkSession, sf_dir: str) -> DataFrame:
         # seed the dimension, then stream the three evaluation slices
         incremental_join_mv(spark, base, ["key"], right_batch=dim0)
         for s in (0, 1):
-            evals_s = _project_eval(
-                evaluate_rule(e.filter(hour_bucket == s), RULE_TUMBLING_AVG)
-            )
             incremental_join_mv(
-                spark, base, ["key"], left_batch=evals_s, batch_id=s
+                spark, base, ["key"],
+                left_batch=evals_all.filter(_slice(s)), batch_id=s,
             )
         # mid-stream dimension CDC: even users become 'vip' — the MV
         # rows slices 0-1 already wrote retract and reapply
@@ -516,15 +535,14 @@ def cdc_enrich_pipeline_evals(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim0.write.parquet(dim_tbl)
         log = merge_upsert_cdc(spark, dim_tbl, dim_update, ["key"])
         apply_cdc_to_join_mv(spark, base, ["key"], log, ["key"], side="right")
-        evals_2 = _project_eval(
-            evaluate_rule(e.filter(hour_bucket == 2), RULE_TUMBLING_AVG)
-        )
         mv = incremental_join_mv(
-            spark, base, ["key"], left_batch=evals_2, batch_id=2
+            spark, base, ["key"],
+            left_batch=evals_all.filter(_slice(2)), batch_id=2,
         )
         return mv.select(
             "query_id", "key", "window_start_ms", "window_end_ms",
             "agg_value", "fired", "tier",
         ).localCheckpoint()
     finally:
+        users.unpersist()
         shutil.rmtree(work, ignore_errors=True)

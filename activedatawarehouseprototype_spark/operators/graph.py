@@ -45,7 +45,15 @@ def pagerank(
         r_0(v)     = 1/N
         r_{k+1}(v) = (1-d)/N + d * SUM_{(u,v) in E} r_k(u) * w(u,v)/outw(u)
 
-    Returns (node, rank) with ``node`` = every distinct endpoint.
+    Returns (node, rank) with ``node`` = every distinct endpoint of
+    the NULL-free edge set: edges with a NULL endpoint (either side)
+    are DROPPED up front, exactly like ``triangle_counts``. Rank over
+    a "node" with no identity is not meaningful, and filtering both
+    sides explicitly is what makes deriving the node set from the
+    checkpointed ``norm`` frame below provably equivalent to deriving
+    it from ``edges`` (round-11 ADVICE: the outw inner join silently
+    dropped NULL ``src`` rows but kept NULL ``dst`` as a node —
+    an asymmetric, undocumented contract).
     Scale: per superstep one hash join (edges x ranks on ``src``) and
     one aggregation (by ``dst``) — no driver-side data, no collect;
     N is the single control-plane scalar."""
@@ -54,7 +62,9 @@ def pagerank(
     if not 0.0 < damping < 1.0:
         raise ValueError("damping must be in (0, 1)")
     w = F.col(weight).cast("double") if weight else F.lit(1.0)
-    e = edges.select(
+    e = edges.filter(
+        F.col(src).isNotNull() & F.col(dst).isNotNull()
+    ).select(
         F.col(src).cast("bigint").alias("src"),
         F.col(dst).cast("bigint").alias("dst"),
         w.alias("w"),
@@ -65,11 +75,12 @@ def pagerank(
     norm = e.join(outw, "src").select(
         "src", "dst", (F.col("w") / F.col("_ow")).alias("nw")
     ).localCheckpoint(eager=False)
-    # nodes come from the checkpointed NORM, not from ``edges``: outw
-    # covers every src, so the inner join keeps every edge row and the
-    # endpoint set is unchanged — but deriving it upstream would
-    # evaluate the (often expensive) edge input a second time. The
-    # count below is the ONE materializing job for both frames.
+    # nodes come from the checkpointed NORM, not from ``edges``: with
+    # NULL endpoints filtered above, outw covers every remaining src,
+    # so the inner join keeps every edge row and the endpoint set is
+    # unchanged — deriving it upstream would evaluate the (often
+    # expensive) edge input a second time. The count below is the ONE
+    # materializing job for both frames.
     nodes = (
         norm.select(F.col("src").alias("node"))
         .unionByName(norm.select(F.col("dst").alias("node")))

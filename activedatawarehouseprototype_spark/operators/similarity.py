@@ -611,18 +611,27 @@ def ivf_index_build(
     else:
         cents = ivf_seed_centroids(df, k, id_col=id_col, vec_col=vec_col)
     assigned = ivf_assign(df, k=k, id_col=id_col, vec_col=vec_col, centroids=cents)
+    # the vectors write doubles as the row count for the drift meta:
+    # an Observation rides the write job, so the sidecar costs ZERO
+    # extra Spark jobs (was: a read-back footer count per build —
+    # pure job-submission overhead in the index lifecycle, guide §1.5)
+    from pyspark.sql import Observation
+
+    obs = Observation()
     assigned.select(
         F.col(id_col),
         as_double_array(F.col(vec_col)).alias("vec"),
         F.col("cell"),
-    ).write.mode("overwrite").partitionBy("cell").parquet(f"{index_path}/vectors")
+    ).observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(f"{index_path}/vectors")
     spark = df.sparkSession
     local_rows_df(
         spark,
         [(int(sid), [float(x) for x in sv]) for sid, sv in cents],
         "sid bigint, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/centroids")
-    _write_build_meta(spark, index_path)
+    _write_build_meta(spark, index_path, n_rows=int(obs.get["n"]))
     return cents
 
 
@@ -642,14 +651,20 @@ def _atomic_json_write(path: str, obj) -> None:
     _os.replace(tmp, path)
 
 
-def _write_build_meta(spark, index_path: str) -> None:
+def _write_build_meta(spark, index_path: str, n_rows: int | None = None) -> None:
     """Persist the row count at (re)build time beside the centroids —
     the drift denominator ``ivf_index_rebuild`` compares appends
-    against. A parquet count over the just-written vectors is
-    footer-metadata-only (no row reads)."""
+    against. Builders pass ``n_rows`` from an ``Observation`` riding
+    the vectors write (zero extra jobs); when absent, fall back to a
+    parquet count over the just-written vectors (footer-metadata-only,
+    no row reads, but still one job submission)."""
     import os as _os
 
-    n = spark.read.parquet(f"{index_path}/vectors").count()
+    n = (
+        n_rows
+        if n_rows is not None
+        else spark.read.parquet(f"{index_path}/vectors").count()
+    )
     _atomic_json_write(
         _os.path.join(index_path, "_build_meta.json"),
         {"n_rows_at_build": int(n)},
@@ -719,6 +734,7 @@ def ivf_index_append(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: "list[tuple[int, list[float]]] | None" = None,
 ) -> None:
     """Incrementally add vectors to a persisted ``ivf_index_build``
     index: assign against the EXISTING centroids (k-row control-plane
@@ -743,11 +759,25 @@ def ivf_index_append(
 
     recover_swap(f"{index_path}/vectors")
     recover_swap(f"{index_path}/centroids")
-    cents = [
-        (int(r["sid"]), [float(x) for x in r["centroid"]])
-        for r in spark.read.parquet(f"{index_path}/centroids").collect()
-    ]
-    cents.sort(key=lambda t: t[0])
+    if centroids is not None:
+        # injected-read seam (same as DedupIngest's one-meta-read-per-
+        # batch): a caller that just built or searched the index
+        # already holds the k-row centroid list — passing it skips the
+        # centroids-table collect job. The caller owns the guarantee
+        # that they ARE this index's centroids (they are KB-sized
+        # control data; when in doubt, omit and pay the one read).
+        cents = sorted(
+            ((int(s), [float(x) for x in v]) for s, v in centroids),
+            key=lambda t: t[0],
+        )
+    else:
+        cents = sorted(
+            (
+                (int(r["sid"]), [float(x) for x in r["centroid"]])
+                for r in spark.read.parquet(f"{index_path}/centroids").collect()
+            ),
+            key=lambda t: t[0],
+        )
     assigned = ivf_assign(
         df, k=len(cents), id_col=id_col, vec_col=vec_col, centroids=cents
     )
@@ -849,20 +879,23 @@ def ivf_index_rebuild(
     if n_base <= 0:
         raise ValueError(f"corrupt build meta at {meta_path}: {n_base}")
     grown = (n_now - n_base) / n_base
-    k = spark.read.parquet(cent_path).count()
     if not force and grown < min_appended_fraction:
         return {
             "rebuilt": False,
             "n_rows": int(n_now),
             "n_at_build": n_base,
-            "k": int(k),
+            "k": int(spark.read.parquet(cent_path).count()),
         }
     if centroids is not None:
+        # caller-supplied geometry: k is len(centroids) by definition,
+        # so the centroids-table count job is skipped entirely (the
+        # table is about to be overwritten with these anyway)
         cents = sorted(
             ((int(s), [float(x) for x in v]) for s, v in centroids),
             key=lambda t: t[0],
         )
     else:
+        k = spark.read.parquet(cent_path).count()
         cents = ivf_kmeans_centroids(
             cur, k=int(k), iters=iters, id_col=id_col, vec_col="vec"
         )
@@ -1081,15 +1114,22 @@ def ivf_pq_index_build(
         # fused write: ONE Arrow pass computes normalize -> residual ->
         # codes in-place and writes (id, vec, cell, codes) — no
         # residual DataFrame, no encode join, and crucially no
-        # full-corpus shuffle (the previous join-by-id was one)
+        # full-corpus shuffle (the previous join-by-id was one). An
+        # Observation rides the write so the drift-meta row count
+        # costs zero extra jobs (same move as ivf_index_build).
+        from pyspark.sql import Observation
+
+        obs = Observation()
         (
             _fused_residual_codes(
                 assigned, cnorm, codebooks, id_col=id_col, vec_col=vec_col
             )
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .write.mode("overwrite")
             .partitionBy("cell")
             .parquet(f"{index_path}/vectors")
         )
+        n_written = int(obs.get["n"])
     finally:
         assigned.unpersist()
     spark = df.sparkSession
@@ -1110,7 +1150,7 @@ def ivf_pq_index_build(
             "cnorm": {str(c): vec for c, vec in sorted(cnorm.items())},
         },
     )
-    _write_build_meta(spark, index_path)
+    _write_build_meta(spark, index_path, n_rows=n_written)
 
 
 def _residual_batch(X, cells, cnorm: dict[int, list[float]]):
