@@ -109,33 +109,33 @@ from activedatawarehouseprototype_spark.corpus import extensions7  # noqa: E402,
 # ---------------------------------------------------------------------------
 
 _DRIVER_ROTATION = [
-    # -- round-11 rotation -------------------------------------------------
-    # Evidence-age ledger after round 10 (judge-recomputed in VERDICT
-    # r10: {r10: 50, r9: 47, r8: 46, r7: 43}; zero red rows anywhere).
-    # The 43 r7-green entries round 10 deferred
-    # (test_registry_order._DEFERRED_TO_R11, exactly) hold the oldest
-    # evidence in the registry — age 4 this round — and are
-    # FRONT-LOADED first, per the plan both the r10 rotation and the
-    # r10 VERDICT wrote down. Composition (oldest first, debuts
-    # always in-window):
-    #   * the 43 r7 entries deferred to round
-    #     11 — FRONT-LOADED;
-    #   * 3 operators NEW in round 11 (ExactSubstr duplicate-span CUT
-    #     with md5-checked rebuilt text — the entry the r10 closeout
-    #     promised; large-star/small-star connected components; the
-    #     end-to-end curation-pipeline entry — the three debuts the
-    #     r10 brief queued; corpus/extensions7.py) — debut rows;
-    #   * 1 of the 46-entry r8 cohort (rule_per_event_avg — the W1
-    #     per-event sliding path, family-diverse vs the dedup-heavy
-    #     debuts). The remaining 45 are deferred to round 12
-    #     (test_registry_order._DEFERRED_TO_R12, exactly), where
+    # -- round-12 rotation -------------------------------------------------
+    # Evidence-age ledger after round 11 (judge-recomputed in VERDICT
+    # r11: {r11: 50, r10: 47, r9: 47, r8: 45}; zero red rows anywhere;
+    # CORRECTNESS_r11 = 50/50 hash-match). The 45 r8-green entries
+    # round 11 deferred (test_registry_order._DEFERRED_TO_R12,
+    # exactly) hold the oldest evidence in the registry — age 4 this
+    # round — and are FRONT-LOADED first, per the plan both the r11
+    # rotation and the r11 VERDICT wrote down. Composition (oldest
+    # first; round 12 is an optimization round and debuts nothing):
+    #   * the 45 r8 entries deferred to round
+    #     12 — FRONT-LOADED (this set includes the two paths this
+    #     round's optimizer touched: cdc_enrich_pipeline_evals and
+    #     ivf_pq_search_topk — they earn fresh driver rows exactly
+    #     when their code changed);
+    #   * 2 of the 47-entry r9 cohort, family-diverse vs the 45
+    #     front-loads (kcore_copurchase_parts — the only graph-family
+    #     candidate, no graph entry among the 45; and
+    #     ab_ztest_event_conversion — hypothesis-testing stats,
+    #     likewise absent). The remaining 45 are deferred to round 13
+    #     (test_registry_order._DEFERRED_TO_R13, exactly), where
     #     their evidence reaches age 4 and they front-load; until
     #     then the full-corpus pytest mirror re-checks each of them
     #     every round.
     # With the 3-entry stable core this fills the 50-slot window
-    # exactly: 43 + 3 + 1 + 3 = 50. After this round the ledger
-    # reads {r11: 50, r10: 47, r9: 47, r8: 45} — nothing older than
-    # 3 rounds, and the r12 editor front-loads the 45 first.
+    # exactly: 45 + 2 + 3 = 50. After this round the ledger reads
+    # {r12: 50, r11: 47, r10: 47, r9: 45} — nothing older than 3
+    # rounds, and the r13 editor front-loads the 45 first.
     #
     # Rotation arithmetic (documented since r9, now structural): at
     # 189 entries / 50 slots the steady-state refresh period is 3.8
@@ -146,56 +146,55 @@ _DRIVER_ROTATION = [
     # checked against the test-side lists by
     # test_registry_order.test_rotation_prose_counts.
     #
-    # -- the 43 r7 deferrals (oldest evidence in the registry) -------------
-    "bm25_topk_docs",
-    "chunk_documents_tokens",
-    "decontaminate_ngram_overlap",
-    "dedup_fingerprint",
-    "dedup_index_incremental",
-    "dedup_ngram_jaccard",
-    "dedup_simhash16",
-    "dedup_winnow_overlap",
-    "dirty_date_filter",
-    "drift_psi_event_values",
-    "emb_blocked_cosine_hist",
-    "emb_near_dup_pairs",
-    "embedding_covariance_entries",
-    "ewma_final_by_user",
-    "filter_between_in_dates",
-    "fuzzy_part_name_pairs",
-    "geo_path_cells",
-    "hll_mv_daily_distinct",
-    "hll_set_algebra_event_types",
-    "join_anti_customers_without_orders",
-    "join_revenue_by_nation",
-    "lm_unigram_doc_scores",
-    "mv_incremental_merge_algebra",
-    "pack_sequences_stats",
-    "quality_percentile_gate",
-    "rule_same_ts_dedup_quirk",
-    "rule_union_alerts",
-    "sample_split_stats",
-    "semantic_cluster_dedup",
-    "shard_manifest",
-    "sketch_approx_distinct_and_quantiles",
-    "skipping_index_pruned_scan",
-    "sql_subquery_above_avg_orders",
-    "stratified_sample_by_lang",
-    "stream_interval_join_clicks",
-    "stringagg_statuses_per_flag",
-    "temperature_mix_by_lang",
-    "text_lang_id",
-    "text_stats",
-    "tfidf_top_terms_per_doc",
-    "token_budget_mix_stats",
-    "windowed_distinct_users",
-    "windowed_topk_events",
-    # -- NEW in round 11 -----------------------------------------------------
-    "cut_duplicate_spans_stats",
-    "dedup_components_twostar",
-    "corpus_pipeline_e2e_stats",
-    # -- 1 of the 46-entry r8 cohort (family-diverse) ------------------------
-    "rule_per_event_avg",
+    # -- the 45 r8 deferrals (oldest evidence in the registry) -------------
+    "alert_cooldown_bursts",
+    "balanced_downsample_by_lang",
+    "bloom_semijoin_hot_customer_orders",
+    "bm25_index_search_topk",
+    "cdc_enrich_pipeline_evals",
+    "cdc_merge_changelog_orders",
+    "cms_event_type_counts",
+    "compaction_small_files_rollup",
+    "cube_orders_status_priority",
+    "cusum_user_value_shifts",
+    "dedup_minhash_components",
+    "distinct_suppliers_per_flag",
+    "emb_quantized_int8_stats",
+    "frequent_part_pairs",
+    "funnel_view_click_purchase",
+    "geo_cell_geometry",
+    "ivf_pq_search_topk",
+    "join_full_outer_nation_activity",
+    "join_left_order_counts",
+    "join_mv_cdc_maintenance_orders",
+    "join_semi_customers_with_open_orders",
+    "lag_features_user_values",
+    "mv_histogram_merge_algebra",
+    "pii_redaction_scrub",
+    "quality_constraints_orders",
+    "resample_ffill_daily_values",
+    "rule_count_tumbling",
+    "rule_fanout_match_counts",
+    "rule_sliding_max",
+    "scalar_conditional_fns",
+    "scalar_date_fns",
+    "scalar_math_fns",
+    "schema_evolution_orders_union",
+    "session_windows_per_user",
+    "setop_union_intersect_except",
+    "sql_correlated_subquery_share",
+    "timetravel_orders_rollup",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q18_large_volume_customers",
+    "tpch_q1_pricing_summary",
+    "tpch_q21_lone_returner",
+    "tpch_q2_min_cost_supplier",
+    "window_order_price_delta",
+    "zorder_key_part_layout",
+    # -- 2 of the 47-entry r9 cohort (family-diverse) ------------------------
+    "kcore_copurchase_parts",
+    "ab_ztest_event_conversion",
 ]
 
 
@@ -203,8 +202,8 @@ _STABLE_CORE = [
     # 3-entry regression canary set (trimmed from 6 in round 6; the
     # dropped canaries hold fresh hash-matches and stay in the
     # full-corpus pytest mirror). Every non-core slot this round goes
-    # to an r6 deferral, a round-10 debut, or an r7 refresh (see the
-    # _DRIVER_ROTATION header; deferral counts are pinned by
+    # to an r8 deferral or an r9 refresh (see the _DRIVER_ROTATION
+    # header; deferral counts are pinned by
     # test_rotation_prose_counts, not prose).
     "rule_tumbling_avg",
     "tpch_q5_local_supplier_volume",

@@ -3,20 +3,20 @@
 The CORRECTNESS driver runs exactly the first 50 entries of
 ``__spark_entry__.queries()`` (round-2 judge-verified).  Rounds 3-5
 rotated every never-checked entry through that window; round 6
-front-loaded the then-oldest (r3) evidence; rounds 7-10 each
+front-loaded the then-oldest (r3) evidence; rounds 7-11 each
 front-loaded the previous round's documented deferral, debuted that
 round's new operators in-window, and deferred the overflow with an
-explicit list.  Round 11 front-loads the 43 r7-era deferrals (the
-oldest evidence in the registry, age 4 this round), debuts its 3 new
-operators, and takes 1 of the 46-entry r8 cohort, deferring the other
-45 to round 12 (at 189 entries / 50 slots the steady-state refresh
-period is 3.8 rounds; the invariant is "refresh strictly oldest-first,
-debuts always in-window, worst-case age = ceil(N/50) + 1 rounds,
-documented per round").  These tests make sure a refactor can't
-silently undo the rotation or drop a query, and — after three rounds
-of prose counts drifting from the real lists — that every count
-CLAIMED in the rotation comments matches the list it describes
-(test_rotation_prose_counts).
+explicit list.  Round 12 (an optimization round — no debuts)
+front-loads the 45 r8-era deferrals (the oldest evidence in the
+registry, age 4 this round) and takes 2 of the 47-entry r9 cohort,
+deferring the other 45 to round 13 (at 189 entries / 50 slots the
+steady-state refresh period is 3.8 rounds; the invariant is "refresh
+strictly oldest-first, debuts always in-window, worst-case age =
+ceil(N/50) + 1 rounds, documented per round").  These tests make sure
+a refactor can't silently undo the rotation or drop a query, and —
+after three rounds of prose counts drifting from the real lists —
+that every count CLAIMED in the rotation comments matches the list it
+describes (test_rotation_prose_counts).
 """
 
 from __future__ import annotations
@@ -35,75 +35,9 @@ from activedatawarehouseprototype_spark.corpus import (
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DRIVER_CAP = 50
 
-_NEW_IN_R11 = {
-    "cut_duplicate_spans_stats",
-    "dedup_components_twostar",
-    "corpus_pipeline_e2e_stats",
-}
-
-# The 1 r8-cohort entry refreshed in the round-11 window
-# (family-diverse vs the dedup-heavy debuts: the W1 per-event sliding
-# rule path).
-_R8_REFRESH = {
-    "rule_per_event_avg",
-}
-
-# The 43 r7-green entries the round-10 rotation deferred to round 11 —
-# round 11 front-loads EXACTLY this list (their r7 evidence is the
+# The 45 r8-green entries the round-11 rotation deferred to round 12 —
+# round 12 front-loads EXACTLY this list (their r8 evidence is the
 # oldest in the registry, reaching age 4 this round).
-_DEFERRED_TO_R11 = {
-    "bm25_topk_docs",
-    "chunk_documents_tokens",
-    "decontaminate_ngram_overlap",
-    "dedup_fingerprint",
-    "dedup_index_incremental",
-    "dedup_ngram_jaccard",
-    "dedup_simhash16",
-    "dedup_winnow_overlap",
-    "dirty_date_filter",
-    "drift_psi_event_values",
-    "emb_blocked_cosine_hist",
-    "emb_near_dup_pairs",
-    "embedding_covariance_entries",
-    "ewma_final_by_user",
-    "filter_between_in_dates",
-    "fuzzy_part_name_pairs",
-    "geo_path_cells",
-    "hll_mv_daily_distinct",
-    "hll_set_algebra_event_types",
-    "join_anti_customers_without_orders",
-    "join_revenue_by_nation",
-    "lm_unigram_doc_scores",
-    "mv_incremental_merge_algebra",
-    "pack_sequences_stats",
-    "quality_percentile_gate",
-    "rule_same_ts_dedup_quirk",
-    "rule_union_alerts",
-    "sample_split_stats",
-    "semantic_cluster_dedup",
-    "shard_manifest",
-    "sketch_approx_distinct_and_quantiles",
-    "skipping_index_pruned_scan",
-    "sql_subquery_above_avg_orders",
-    "stratified_sample_by_lang",
-    "stream_interval_join_clicks",
-    "stringagg_statuses_per_flag",
-    "temperature_mix_by_lang",
-    "text_lang_id",
-    "text_stats",
-    "tfidf_top_terms_per_doc",
-    "token_budget_mix_stats",
-    "windowed_distinct_users",
-    "windowed_topk_events",
-}
-
-# The 45 r8-green entries the round-11 rotation defers to round 12:
-# the window holds the 43 r7 deferrals + 3 debuts + 1 r8 refresh +
-# 3 stable core, leaving no further slots for the 46-entry r8 cohort.
-# Their evidence reaches age 4 in round 12 — the round-12 editor
-# front-loads EXACTLY this list first. None changed since its r8
-# hash-match, and the full-corpus pytest mirror
-# (tests/test_corpus_oracle.py) re-checks each every round.
 _DEFERRED_TO_R12 = {
     "alert_cooldown_bursts",
     "balanced_downsample_by_lang",
@@ -152,6 +86,69 @@ _DEFERRED_TO_R12 = {
     "zorder_key_part_layout",
 }
 
+# The 2 r9-cohort entries refreshed in the round-12 window
+# (family-diverse vs the 45 front-loads: the only graph-family
+# candidate, and the hypothesis-testing stats path — neither family
+# appears among the r8 deferrals).
+_R9_REFRESH = {
+    "kcore_copurchase_parts",
+    "ab_ztest_event_conversion",
+}
+
+# The 45 r9-green entries the round-12 rotation defers to round 13:
+# the window holds the 45 r8 deferrals + 2 r9 refreshes + 3 stable
+# core, leaving no further slots for the 47-entry r9 cohort.  Their
+# evidence reaches age 4 in round 13 — the round-13 editor
+# front-loads EXACTLY this list first.  The full-corpus pytest mirror
+# (tests/test_corpus_oracle.py) re-checks each every round.
+_DEFERRED_TO_R13 = {
+    "ann_ivf_topk",
+    "asof_click_latest_purchase",
+    "audio_exact_stats",
+    "bpe_token_bounds",
+    "classifier_gate_stats",
+    "cluster_safe_split_stats",
+    "contrastive_pairs_mining",
+    "cross_decontaminate_embeddings",
+    "cuped_arm_components",
+    "dedup_minhash_lsh",
+    "dedup_repeated_spans",
+    "dsir_importance_weights",
+    "event_transition_matrix",
+    "fuzzy_blocked_part_pairs",
+    "geo_grid_cell_agg",
+    "join_mv_incremental_orders",
+    "json_extract_props",
+    "kmeans_lattice_clusters",
+    "mad_outliers_event_values",
+    "ols_trend_user_values",
+    "pmi_collocations_top20",
+    "pq_codes_stats",
+    "profile_orders_columns",
+    "purge_keys_orders_rollup",
+    "quantile_mv_daily_values",
+    "range_join_price_bands",
+    "rollup_lineitem_qty",
+    "scd2_customer_priority_history",
+    "sql_shared_text_rollup",
+    "text_quality_filter",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q12_priority_shipping",
+    "tpch_q14_promo_effect",
+    "tpch_q16_parts_supplier_relationship",
+    "tpch_q17_small_quantity",
+    "tpch_q19_discounted_revenue",
+    "tpch_q20_heavy_gear_suppliers",
+    "tpch_q22_idle_balances",
+    "tpch_q4_late_orders",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "udf_pandas_log_score",
+    "winsorized_value_sums",
+}
+
 
 def _correctness(round_tag: str) -> set[str]:
     with open(os.path.join(_REPO, f"CORRECTNESS_{round_tag}.json")) as f:
@@ -170,80 +167,72 @@ def test_stable_core_inside_driver_window():
     assert not missing, f"stable-core canaries outside the driver window: {missing}"
 
 
-def test_r10_deferral_promise_kept():
-    """Round 10 promised the 43 deferred r7 entries would be
-    FRONT-LOADED in round 11 — they must all sit inside this round's
+def test_r11_deferral_promise_kept():
+    """Round 11 promised the 45 deferred r8 entries would be
+    FRONT-LOADED in round 12 — they must all sit inside this round's
     window, and FIRST (before any other rotated entry), since their
     evidence is the oldest in the registry."""
     first = set(list(QUERIES)[:DRIVER_CAP])
-    missing = [n for n in _DEFERRED_TO_R11 if n not in first]
-    assert not missing, f"r10-deferred entries not front-loaded: {missing}"
-    assert set(_DRIVER_ROTATION[: len(_DEFERRED_TO_R11)]) == _DEFERRED_TO_R11
+    missing = [n for n in _DEFERRED_TO_R12 if n not in first]
+    assert not missing, f"r11-deferred entries not front-loaded: {missing}"
+    assert set(_DRIVER_ROTATION[: len(_DEFERRED_TO_R12)]) == _DEFERRED_TO_R12
 
 
-def test_rotation_targets_were_stale_after_r10():
-    """The round-11 rotation should only name queries that did NOT get
-    a green round-10 driver row: the r7 deferrals, the round-11 debuts
-    (no row anywhere by construction), and the r8-era refresh."""
-    r10 = _correctness("r10")
-    overlap = [n for n in _DRIVER_ROTATION if n in r10]
-    assert not overlap, f"already driver-checked (green) in r10: {sorted(overlap)}"
+def test_rotation_targets_were_stale_after_r11():
+    """The round-12 rotation should only name queries that did NOT get
+    a green round-11 (or round-10) driver row: the r8 deferrals and
+    the r9-era refreshes."""
+    recent = _correctness("r11") | _correctness("r10")
+    overlap = [n for n in _DRIVER_ROTATION if n in recent]
+    assert not overlap, f"already driver-checked (green) in r10/r11: {sorted(overlap)}"
 
 
-def test_never_driver_checked_entries_all_in_window():
-    """Every entry that has NEVER had a driver row across r1-r10 (the
-    round-11 debuts) must sit inside this round's window — nothing
-    ships without a driver row in its debut window."""
+def test_no_never_checked_entries():
+    """Round 12 debuts nothing: every registry entry must already hold
+    a driver row from some prior round."""
     checked = set()
     for r in (
-        "r01", "r02", "r03", "r04", "r05",
-        "r06", "r07", "r08", "r09", "r10",
+        "r01", "r02", "r03", "r04", "r05", "r06",
+        "r07", "r08", "r09", "r10", "r11",
     ):
         checked |= _correctness(r)
-    first = set(list(QUERIES)[:DRIVER_CAP])
     never = [n for n in QUERIES if n not in checked]
-    assert set(never) == _NEW_IN_R11  # the debuts, exactly
-    outside = [n for n in never if n not in first]
-    assert not outside, (
-        f"never-driver-checked entries left outside the window: {outside}"
-    )
+    assert not never, f"entries with no driver row anywhere: {never}"
 
 
 def test_whole_registry_evidence_at_most_three_rounds_old():
     """Union check: every registry entry either sits in this round's
-    window (earning an r11 row) or has an r10/r9 driver row — EXCEPT
-    the 45 explicitly-deferred r8 entries (the window cannot hold the
-    43 r7 deferrals + 3 debuts + the 46-entry r8 cohort; the deferral
-    is documented and round 12 must front-load them)."""
+    window (earning an r12 row) or has an r11/r10 driver row — EXCEPT
+    the 45 explicitly-deferred r9 entries (the window cannot hold the
+    45 r8 deferrals + the 47-entry r9 cohort; the deferral is
+    documented and round 13 must front-load them)."""
+    r11 = _correctness("r11")
     r10 = _correctness("r10")
-    r9 = _correctness("r09")
     first = set(list(QUERIES)[:DRIVER_CAP])
-    stale = [n for n in QUERIES if n not in r10 and n not in r9 and n not in first]
-    unexplained = [n for n in stale if n not in _DEFERRED_TO_R12]
+    stale = [n for n in QUERIES if n not in r11 and n not in r10 and n not in first]
+    unexplained = [n for n in stale if n not in _DEFERRED_TO_R13]
     assert not unexplained, (
-        "entries with r8-or-older driver evidence left outside the "
-        f"window and not in the documented r12 deferral: {unexplained}"
+        "entries with r9-or-older driver evidence left outside the "
+        f"window and not in the documented r13 deferral: {unexplained}"
     )
     # the deferral list must not silently grow entries it doesn't
     # need: everything in it is genuinely outside the window
-    assert set(stale) == _DEFERRED_TO_R12 - first
+    assert set(stale) == _DEFERRED_TO_R13 - first
 
 
 def test_window_composition_exact():
     """The 50-slot window is exactly the documented composition:
-    43 r7 deferrals + 3 debuts + 1 r8 refresh + 3 stable core."""
+    45 r8 deferrals + 2 r9 refreshes + 3 stable core."""
     first = set(list(QUERIES)[:DRIVER_CAP])
-    assert first == (
-        _DEFERRED_TO_R11 | _NEW_IN_R11 | _R8_REFRESH | set(_STABLE_CORE)
-    )
-    assert len(_R8_REFRESH) == 1
-    # the refresh really is r8-era: green in r8, untouched since
-    r8 = _correctness("r08")
-    r9, r10 = _correctness("r09"), _correctness("r10")
-    assert _R8_REFRESH <= r8 and not (_R8_REFRESH & (r9 | r10))
-    # and the two deferral ledgers partition the r8 cohort exactly
-    assert _DEFERRED_TO_R12 | _R8_REFRESH == (r8 - r9 - r10) - set(_STABLE_CORE)
-    assert not (_DEFERRED_TO_R12 & _R8_REFRESH)
+    assert first == (_DEFERRED_TO_R12 | _R9_REFRESH | set(_STABLE_CORE))
+    assert len(_R9_REFRESH) == 2
+    # the refreshes really are r9-era: green in r9, untouched since
+    r9 = _correctness("r09")
+    r10, r11 = _correctness("r10"), _correctness("r11")
+    assert _R9_REFRESH <= r9 and not (_R9_REFRESH & (r10 | r11))
+    # and the two deferral ledgers partition the r9 cohort exactly
+    assert _DEFERRED_TO_R13 | _R9_REFRESH == (r9 - r10 - r11) - set(_STABLE_CORE)
+    assert not (_DEFERRED_TO_R13 & _R9_REFRESH)
 
 
 def test_rotation_prose_counts():
@@ -255,8 +244,9 @@ def test_rotation_prose_counts():
     known = {
         9: 23,
         10: 40,
-        11: len(_DEFERRED_TO_R11),
+        11: 43,
         12: len(_DEFERRED_TO_R12),
+        13: len(_DEFERRED_TO_R13),
     }
     src_path = os.path.join(
         _REPO, "activedatawarehouseprototype_spark", "corpus", "__init__.py"
