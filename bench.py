@@ -601,6 +601,15 @@ def main() -> None:
         # across rounds; the raw seconds/rates above describe only this
         # host's moment.
         "ingest_docs_per_probe": round(ingest_dps * stream_probe),
+        # round-12 (VERDICT r11 item 4): the three streaming rates get
+        # the same treatment — events per STREAMING-probe-unit. The
+        # r11 W2 drop (374k -> 176k raw at probe 6.2) recovered to
+        # 281k at probe 5.0 on byte-identical code at the r12 round
+        # start, confirming the raw rate tracks the host moment; these
+        # twins make that visible inside one JSON line.
+        "streaming_events_per_probe": round(eps * stream_probe),
+        "streaming_50rule_events_per_probe": round(eps50 * stream_probe),
+        "streaming_w1_events_per_probe": round(eps_w1 * stream_probe),
         "bench_core_probe_units": round(core_total / probe, 3),
     }
     # The driver keeps only the LAST ~2000 bytes of output and parses
