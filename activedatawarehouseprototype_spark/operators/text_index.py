@@ -73,15 +73,46 @@ def _bucket_py(term: str, n_buckets: int) -> int:
 
 
 def _postings(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    toks = docs.select(
+    posts, _ = _observed_postings(docs, id_col, text_col)
+    return posts
+
+
+def _observed_postings(docs: DataFrame, id_col: str, text_col: str):
+    """Postings frame plus an ``Observation`` carrying the doc-level
+    meta stats (n_docs / n_dl_docs / total_tokens). The observation
+    rides whatever action executes the postings (the build/append
+    write), so the meta costs ZERO extra Spark jobs — it replaced a
+    second full tokenize+scan per build/append (guide §1.5 job count,
+    §5 redundant evaluation; same recipe as the IVF build meta)."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    # observe at the DOC level, before the explode (explode drops
+    # NULL/empty-token docs, which the meta must still count); the
+    # CollectMetrics node is also an optimizer barrier, so the token
+    # array is materialized ONCE per row instead of re-evaluated by
+    # both size() and explode()
+    doc_level = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.size(tokens(F.col(text_col))).cast("bigint").alias("_dl"),
-        F.explode(tokens(F.col(text_col))).alias("term"),
+        tokens(F.col(text_col)).alias("_toks"),
+    ).observe(
+        obs,
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.count("_toks").cast("bigint").alias("n_dl_docs"),
+        F.coalesce(
+            F.sum(F.size("_toks").cast("bigint")), F.lit(0).cast("bigint")
+        ).alias("total_tokens"),
     )
-    return toks.groupBy("doc_id", "term").agg(
+    toks = doc_level.select(
+        "doc_id",
+        F.size("_toks").cast("bigint").alias("_dl"),
+        F.explode("_toks").alias("term"),
+    )
+    posts = toks.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).cast("bigint").alias("tf"),
         F.max("_dl").alias("dl"),
     )
+    return posts, obs
 
 
 def _doc_stats(docs: DataFrame, text_col: str) -> dict:
@@ -99,6 +130,18 @@ def _doc_stats(docs: DataFrame, text_col: str) -> dict:
         "n_dl_docs": row["n_dl_docs"],
         "total_tokens": row["total_tokens"],
     }
+
+
+def _obs_meta(obs, docs: DataFrame, text_col: str) -> dict:
+    """Doc-level meta from the Observation that rode the postings
+    write. Degenerate corpora (e.g. a statically all-NULL local
+    relation) can be optimizer-collapsed to an empty plan before the
+    CollectMetrics node runs, leaving the observation rowless — fall
+    back to one explicit aggregate job, the pre-round-12 path."""
+    try:
+        return dict(obs.get)
+    except Exception:
+        return _doc_stats(docs, text_col)
 
 
 def _write_meta(path: str, meta: dict) -> None:
@@ -128,7 +171,8 @@ def text_index_build(
     staging = path + ".staging"
     if os.path.exists(staging):
         shutil.rmtree(staging)
-    posts = _postings(docs, id_col, text_col).select(
+    posts, obs = _observed_postings(docs, id_col, text_col)
+    posts = posts.select(
         "term", "doc_id", "tf", "dl", _bucket_col(F.col("term"), n_buckets)
     )
     n_parts = min(
@@ -140,7 +184,8 @@ def text_index_build(
         .partitionBy("bucket")
         .parquet(os.path.join(staging, "postings"))
     )
-    meta = _doc_stats(docs, text_col)
+    # the postings write doubles as the meta scan (Observation above)
+    meta = _obs_meta(obs, docs, text_col)
     meta["n_buckets"] = n_buckets
     _write_meta(staging, meta)
     commit_swap(path, staging)
@@ -166,7 +211,8 @@ def text_index_append(
     recover_swap(path)
     meta = _read_meta(path)
     spark = docs.sparkSession
-    posts = _postings(docs, id_col, text_col).select(
+    posts, obs = _observed_postings(docs, id_col, text_col)
+    posts = posts.select(
         "term",
         "doc_id",
         "tf",
@@ -180,7 +226,8 @@ def text_index_append(
         .partitionBy("bucket")
         .parquet(os.path.join(path, "postings"))
     )
-    batch = _doc_stats(docs, text_col)
+    # the append write doubles as the batch's meta scan (Observation)
+    batch = _obs_meta(obs, docs, text_col)
     for k in ("n_docs", "n_dl_docs", "total_tokens"):
         meta[k] += batch[k]
     _write_meta(path, meta)

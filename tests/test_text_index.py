@@ -103,3 +103,39 @@ def test_all_null_corpus_raises_clear_error(spark, tmp_path):
     text_index_build(docs, path, n_buckets=4)
     with pytest.raises(ValueError, match="no tokenized documents"):
         text_index_search(spark, path, [(1, "anything")])
+
+
+def test_build_and_append_meta_rides_the_write(spark, docs, tmp_path):
+    """Round-12 job-count cut (guide §1.5): the doc-level meta comes
+    from an Observation riding the postings write — ONE tokenize scan
+    per build/append (was two: postings + a separate _doc_stats job).
+    Pins the job budget AND that the observed meta equals an explicit
+    recompute."""
+    from activedatawarehouseprototype_spark.operators.text_index import (
+        _doc_stats,
+        _read_meta,
+    )
+
+    sc = spark.sparkContext
+
+    def jobs() -> int:
+        return int(sc._jsc.sc().dagScheduler().nextJobId())
+
+    path = str(tmp_path / "tix-jobs")
+    j0 = jobs()
+    text_index_build(docs, path, n_buckets=8)
+    build_jobs = jobs() - j0
+    # 3 = shuffle-map + AQE stage + write; the pre-r12 _doc_stats scan
+    # added a 4th
+    assert build_jobs <= 3, f"build submitted {build_jobs} jobs (budget 3)"
+    truth = _doc_stats(docs, "text")
+    meta = _read_meta(path)
+    assert {k: meta[k] for k in truth} == truth
+
+    batch = docs.withColumn("doc_id", F.col("doc_id") + 10_000_000)
+    j0 = jobs()
+    text_index_append(batch, path)
+    append_jobs = jobs() - j0
+    assert append_jobs <= 4, f"append submitted {append_jobs} jobs (budget 4)"
+    meta2 = _read_meta(path)
+    assert all(meta2[k] == 2 * truth[k] for k in truth)
