@@ -763,24 +763,34 @@ def hll_set_algebra_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         hll_mv_build(ev, path, "user_id", bucket_ms=DAY, group_cols=("event_type",))
         est = hll_mv_set_estimates(spark, path, "event_type", "click", "purchase")
         base = ev.filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
-        c = base.filter(F.col("event_type") == "click").select("user_id").distinct()
-        p = base.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+        # ONE scan + ONE shuffle computes all three exact cardinalities
+        # (was: click/purchase distinct subtrees EACH evaluated twice —
+        # own count + the union branch — 4 events scans, 4+ shuffles):
+        # per-user click/purchase flags, then a 1-row global rollup.
+        # Equivalence: a user is in C iff a click row exists (max flag),
+        # in the union iff any row survives the isin filter, so |C| =
+        # sum(_c), |U| = flag-frame rows — the same sets the oracle's
+        # DISTINCT/UNION formulation counts (guide §2.4: one exchange
+        # shared by all three aggregates instead of one per subtree).
+        flags = (
+            base.filter(F.col("event_type").isin("click", "purchase"))
+            .groupBy("user_id")
+            .agg(
+                F.max((F.col("event_type") == "click").cast("long")).alias("_c"),
+                F.max((F.col("event_type") == "purchase").cast("long")).alias("_p"),
+            )
+        )
         exact = (
-            c.select(F.lit(1).alias("_j"), F.col("user_id"))
-            .groupBy("_j")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("exact_clicks"))
-            .join(
-                p.agg(F.count(F.lit(1)).cast("bigint").alias("exact_purchases"))
-                .withColumn("_j", F.lit(1)),
-                "_j",
+            flags.agg(
+                F.coalesce(F.sum("_c"), F.lit(0))
+                .cast("bigint")
+                .alias("exact_clicks"),
+                F.coalesce(F.sum("_p"), F.lit(0))
+                .cast("bigint")
+                .alias("exact_purchases"),
+                F.count(F.lit(1)).cast("bigint").alias("exact_union"),
             )
-            .join(
-                c.unionByName(p)
-                .distinct()
-                .agg(F.count(F.lit(1)).cast("bigint").alias("exact_union"))
-                .withColumn("_j", F.lit(1)),
-                "_j",
-            )
+            .withColumn("_j", F.lit(1))
         )
         res = (
             est.withColumn("_j", F.lit(1))
