@@ -1286,9 +1286,12 @@ def ivf_pq_search(
         F.explode(
             F.slice(_ivf_sorted_cells(F.col(qvec_col), cents), 1, probes)
         ).alias("_pcell"),
-    ).localCheckpoint()  # |queries| x probes rows, used THREE times
-    # (probe-cell collect, ADC broadcast, re-rank broadcast) — without
-    # this each use re-runs the probe-order pandas_udf over the queries
+    ).localCheckpoint(eager=False)  # |queries| x probes rows, used THREE
+    # times (probe-cell collect, ADC broadcast, re-rank broadcast) —
+    # without this each use re-runs the probe-order pandas_udf over the
+    # queries. LAZY: the probe-cell collect right below is the
+    # materializing action (guide §1.5 — the eager variant paid one
+    # extra job per search just to fill the checkpoint)
     probe_cells = sorted(
         {r["_pcell"] for r in q.select("_pcell").distinct().collect()}
     )
