@@ -1197,13 +1197,21 @@ def exact_substring_spans(
     )
     key = F.xxhash64("gram") if hash_grams else F.col("gram")
     keyed = grams.withColumn("_k", key)
-    dup_keys = (
-        keyed.groupBy("_k")
-        .agg(F.count(F.lit(1)).alias("_cnt"))
+    # occurrence filter in ONE pass: count() over a gram-key window
+    # replaces the groupBy + semi-join-back formulation, which
+    # evaluated the gram-generation subtree TWICE (once under the agg,
+    # once as the join's probe side — transform/slice/array_join over
+    # every token is the operator's dominant per-row cost) and paid a
+    # second exchange. The window's sort-by-_k is work the semi join's
+    # sort-merge already did; a hyper-hot gram co-locates on one task
+    # in both formulations (guide §2.4, §5 redundant evaluation).
+    hits = (
+        keyed.withColumn(
+            "_cnt", F.count(F.lit(1)).over(Window.partitionBy("_k"))
+        )
         .filter(F.col("_cnt") >= min_count)
-        .select("_k")
+        .select("sid", "pos")
     )
-    hits = keyed.join(dup_keys, "_k", "left_semi").select("sid", "pos")
     # interval merge: duplicated n-grams cover [pos, pos + n); with the
     # hit list sorted per doc a new maximal span starts exactly when
     # the gap to the previous hit exceeds n (fixed-length intervals
