@@ -31,6 +31,7 @@ def _exact_topk(mat, ids, qvec, qid, k=5):
     return [ids[i] for i in order if ids[i] != qid][:k]
 
 
+@pytest.mark.slow
 def test_lsh_probe_buckets_radius_expansion(spark):
     """probes=r expands to ALL buckets within Hamming distance r-1 —
     each value a strictly larger, distinct probe set."""
@@ -63,6 +64,7 @@ def test_lsh_probe_buckets_radius_expansion(spark):
         df.select(similarity.lsh_probe_buckets(F.col("b"), 8, 10))
 
 
+@pytest.mark.slow
 def test_lsh_batch_recall_planted_neighbors(spark):
     """Planted-neighbor recall: every query has one near-duplicate
     (cos ≈ 0.999) hidden among random distractors. Multi-probe must
@@ -271,6 +273,7 @@ def test_ivf_pq_search_recall_and_pruned_codes_scan(spark, tmp_path):
     ).replace("vec_id", ""), plan
 
 
+@pytest.mark.slow
 def test_ivf_pq_residual_recall_at_tight_shortlist(spark, tmp_path):
     """Residual encoding (quantize nv - cnorm(cell), the IVF-ADC
     recipe) must hold recall at a TIGHT shortlist — the regime where

@@ -82,6 +82,7 @@ def test_semi_join_exact_vs_plain(spark):
         st.one_of(st.integers(-1000, 1000), st.none()), min_size=1, max_size=50
     ),
 )
+@pytest.mark.slow
 def test_property_semi_join_equals_set_semantics(spark, build_keys, probe_keys):
     small = spark.createDataFrame(
         [(k,) for k in build_keys] or [(None,)], "k bigint"

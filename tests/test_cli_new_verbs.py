@@ -782,6 +782,7 @@ def test_cli_substr_spans_cut_output(spark, tmp_path):
     assert clean == {1: "a b c zz", 2: "k l m n"}
 
 
+@pytest.mark.slow
 def test_cli_ivf_rebuild(spark, tmp_path, capsys):
     from activedatawarehouseprototype_spark.operators import similarity as S
 

@@ -4,6 +4,7 @@ counts."""
 
 from __future__ import annotations
 
+import pytest
 from collections import Counter
 
 from hypothesis import HealthCheck, given, settings
@@ -81,6 +82,7 @@ def test_weighted_counts(spark):
         max_size=80,
     )
 )
+@pytest.mark.slow
 def test_property_est_ge_exact(spark, rows):
     exact = Counter(v for v in rows if v is not None)
     if not exact:

@@ -335,6 +335,7 @@ def test_bucket_skew_guard_warns_and_compact_splits(spark, tmp_path, corpus_rows
     assert st3 == st2
 
 
+@pytest.mark.slow
 def test_compact_crash_matrix_every_rename_boundary(spark, tmp_path, corpus_rows):
     """Exhaustive crash injection over dedup_index_compact's swap
     protocol (bands commit_swap -> stats commit_swap, 4 rename

@@ -66,6 +66,7 @@ def test_simhash_collides_exact_dups(spark, docs):
     assert dup_groups >= 1
 
 
+@pytest.mark.slow
 def test_ann_lsh_scores_subset_of_brute_force(spark, emb):
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
     brute = similarity.topk_brute_force(emb, qv, k=100, exclude_id=0)
@@ -133,6 +134,7 @@ def _recall(topk_rows, n_queries):
     return len(hits) / n_queries
 
 
+@pytest.mark.slow
 def test_lsh_multiprobe_recall_beats_single_probe(spark, emb):
     corpus, queries, n = _planted_ann_corpus(spark, emb)
     r1 = _recall(
@@ -262,7 +264,11 @@ def test_decode_feeds_feature_chain(spark):
                 StructField("content", BinaryType()),
             ]
         ),
-    )
+    ).repartition(2)
+    # 2 partitions, not the session default: the non-equi self-join
+    # below is a nested-loop over partition PAIRS, and each pair pays a
+    # Python-worker round for the mapInPandas decode on both sides —
+    # 32x32 pairs made this 12-row test run ~3 minutes
     dec = multimodal.decode_image(df).filter("decode_error IS NULL")
     assert dec.count() == 12
     from activedatawarehouseprototype_spark.operators.similarity import (

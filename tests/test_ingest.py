@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from activedatawarehouseprototype_spark.operators import dedup_index as DI
@@ -116,6 +117,7 @@ def test_cli_resample(spark, tmp_path):
     assert grid.filter(F.col("value").isNull()).count() == 0
 
 
+@pytest.mark.slow
 def test_ingest_restart_recovery(spark, tmp_path):
     """A NEW DedupIngest instance over the same on-disk index/store
     continues correctly after a 'restart': completed batches replay as
@@ -222,6 +224,7 @@ def test_partial_failure_replay_does_not_duplicate_store(spark, tmp_path):
     assert {r.doc_id for r in ing.admitted().collect()} == {900, 901}
 
 
+@pytest.mark.slow
 def test_ann_ingest_append_replay_and_search(spark, tmp_path):
     """AnnIngest: streamed batches append to the fused IVF+PQ index
     (searchable immediately); an exact replay is a marker no-op; a
@@ -318,6 +321,7 @@ def test_intra_batch_dedup_honors_hot_shingle_cap(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_ann_ingest_drift_rebuild_soak(spark, tmp_path):
     """Round-10 VERDICT #6 soak: a drifting ANN ingest with
     rebuild='auto' must (a) stay a no-op below the growth threshold,
@@ -446,6 +450,7 @@ def test_ann_ingest_drift_rebuild_soak(spark, tmp_path):
         assert json.load(f)["n_rows_at_build"] == 40  # untouched
 
 
+@pytest.mark.slow
 def test_streaming_curation_chain_soak(spark, tmp_path):
     """Golden-sequence soak of the STREAMING curation seam (the
     foreachBatch twin of the batch corpus_pipeline_e2e_stats entry):
@@ -543,6 +548,7 @@ def test_streaming_curation_chain_soak(spark, tmp_path):
     assert 300 in {r.vec_id for r in hits}
 
 
+@pytest.mark.slow
 def test_ann_ingest_crash_mid_auto_rebuild_refires_and_converges(spark, tmp_path):
     """The drift-loop's crash contract, stream-side: the auto rebuild
     runs AFTER the batch's _done marker, so a crash anywhere inside

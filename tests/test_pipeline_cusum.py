@@ -69,6 +69,7 @@ def test_construction_requires_both_halves(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_stable_stream_quiet_planted_shift_alarms(spark, tmp_path):
     pipe = _pipe(spark, tmp_path)
     # 4 on-target batches (mean 50): the slack absorbs noise, no alarm
@@ -120,6 +121,7 @@ def test_groups_and_quiet_slice_carries_state(spark, tmp_path):
         assert b1[k]["s_pos"] == b0[k]["s_pos"] and b1[k]["batch_rows"] == 0
 
 
+@pytest.mark.slow
 def test_state_janitor_keeps_recent_only(spark, tmp_path):
     pipe = _pipe(spark, tmp_path)
     for b in range(pipe.CUSUM_STATE_RETAIN + 4):

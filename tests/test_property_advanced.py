@@ -69,6 +69,7 @@ snapshot_strategy = st.tuples(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(snaps=snapshot_strategy)
+@pytest.mark.slow
 def test_snapshot_diff_property(spark, snaps):
     from activedatawarehouseprototype_spark.operators.warehouse import (
         snapshot_diff,
@@ -108,6 +109,7 @@ quota_strategy = st.lists(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(rows=quota_strategy, cap=st.integers(1, 6))
+@pytest.mark.slow
 def test_group_quota_cap_property(spark, rows, cap):
     """Exact per-group cap; survivors are a pure function of the key
     (idempotence: capping the capped output changes nothing)."""

@@ -4,6 +4,7 @@ pure-Python union-find on arbitrary small graphs (no shared code)."""
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -47,6 +48,7 @@ def _union_find(pairs):
 
 @settings(**_SETTINGS)
 @given(pairs=edges_strategy)
+@pytest.mark.slow
 def test_twostar_agrees_with_union_find(spark, pairs):
     df = spark.createDataFrame(pairs, "id_a bigint, id_b bigint")
     got = {

@@ -118,6 +118,7 @@ pairs_strategy = st.lists(
 @pytest.mark.slow
 @settings(**_SETTINGS)
 @given(ps=pairs_strategy)
+@pytest.mark.slow
 def test_cluster_safe_split_components_property(spark, ps):
     from pyspark.sql import Row
 
@@ -231,6 +232,7 @@ def test_kcore_raises_without_fixpoint(spark):
     ),
     k=st.integers(1, 3),
 )
+@pytest.mark.slow
 def test_kcore_property(spark, es, k):
     from pyspark.sql import Row
 

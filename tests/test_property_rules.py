@@ -511,6 +511,7 @@ _span_docs = st.lists(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(docs=_span_docs, chunk_words=st.sampled_from([2, 3, 4]))
+@pytest.mark.slow
 def test_repeated_span_dedup_matches_python_reference(spark, docs, chunk_words):
     """Pure-Python reference implementation vs the distributed plan on
     random small-vocab corpora (small vocab => collisions are common,

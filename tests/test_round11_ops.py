@@ -465,6 +465,7 @@ def _clean_index_dir(idx: str) -> None:
         assert not os.path.exists(os.path.join(idx, leftover)), leftover
 
 
+@pytest.mark.slow
 def test_ivf_rebuild_crash_matrix(spark, tmp_path, monkeypatch):
     """Every rename boundary of ivf_index_rebuild, crashed and
     re-run: vec swap (2 renames), centroid swap (2), meta commit (1)."""
@@ -529,6 +530,7 @@ def test_ivf_rebuild_crash_matrix(spark, tmp_path, monkeypatch):
     assert crash_at >= 5, f"expected >=5 rename boundaries, saw {crash_at}"
 
 
+@pytest.mark.slow
 def test_ivf_pq_rebuild_crash_matrix(spark, tmp_path, monkeypatch):
     """Same matrix over the fused IVF+PQ rebuild: scratch-build sidecar
     commits (2), vec swap (2), centroid swap (2), codebooks commit (1),

@@ -85,6 +85,7 @@ def test_estimate_accuracy_vs_exact(spark, tmp_path):
     assert {r["event_type"]: r["n_rows"] for r in got} == n_exact
 
 
+@pytest.mark.slow
 def test_append_replay_is_idempotent_and_matches_rebuild(spark, tmp_path):
     ev = _events(spark)
     lo, hi = _span(spark)

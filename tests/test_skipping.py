@@ -243,6 +243,7 @@ pred_strategy = st.lists(
     ),
     raw_preds=pred_strategy,
 )
+@pytest.mark.slow
 def test_pruning_property_vs_naive(spark, tmp_path_factory, vals, raw_preds):
     """Spark-side pruning == the naive interpreter on the SAME stats,
     and the pruned read == the unpruned filter, for random data and

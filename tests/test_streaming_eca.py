@@ -909,6 +909,7 @@ def test_midstream_rule_no_truncated_final_windows(spark, pipeline):
     assert r.agg_value == 20.0  # the 70s + 80s events
 
 
+@pytest.mark.slow
 def test_midstream_registration_in_ooo_soak(spark, tmp_path):
     """OOO soak + mid-stream registration: a rule registered at batch 6
     emits only windows whose aggregate equals the full-data batch
@@ -1011,6 +1012,7 @@ def test_pause_reactivate_no_truncated_windows(spark, pipeline):
     assert wide_evals.get(120.0) == 10.0       # covered span, complete
 
 
+@pytest.mark.slow
 def test_rule_lifecycle_concurrency_soak(spark, tmp_path):
     """22-batch soak interleaving the whole control plane: ECA spawns,
     mid-stream registration, TTL expiry, PAUSE/reactivate, rules-table
@@ -1545,6 +1547,7 @@ def test_w1_stream_checkpoint_recovery(spark, tmp_path):
     assert got[base_ms + 20_000] == 60.0  # state recovered across restart
 
 
+@pytest.mark.slow
 def test_pipeline_ooo_soak_exactly_once_and_complete(spark, tmp_path):
     """Soak over 12 out-of-order micro-batches: every CLOSED (rule,
     key, window) emits exactly once, with exactly the batch-computed
@@ -1857,6 +1860,7 @@ def test_pipeline_cdc_enriched_evaluations_mv(spark, tmp_path):
     assert pipe.enriched().count() == n
 
 
+@pytest.mark.slow
 def test_registry_rule_table_concurrency_soak(spark, tmp_path):
     """Round-4 VERDICT item 4: interleave rules-table MERGE syncs, TTL
     sweeps, CONTROL verbs, mid-stream registration, DELETE, and ECA
@@ -2002,6 +2006,7 @@ def test_registry_rule_table_concurrency_soak(spark, tmp_path):
     events.unpersist()
 
 
+@pytest.mark.slow
 def test_pipeline_hot_key_salted_grouped_soak(spark, tmp_path, monkeypatch):
     """Round-4 VERDICT item 5: a genuinely hot key (~50% of all events)
     driven through the FULL ActivePipeline on the grouped evaluator
@@ -2407,6 +2412,7 @@ def test_instantiate_child_skips_null_trigger_key(spark):
     )
 
 
+@pytest.mark.slow
 def test_pipeline_all_features_soak_with_restart(spark, tmp_path):
     """Kitchen-sink soak: EVERY optional pipeline stage enabled at once
     — ingest quality gate, summary MV + mergeable histogram, alert
@@ -2611,6 +2617,7 @@ def test_anomaly_history_compaction_bounded_and_equivalent(spark, tmp_path):
     assert any(r["carId"] == 1 and r["zscore"] > 3 for r in anoms)
 
 
+@pytest.mark.slow
 def test_eca_multigeneration_soak(spark, tmp_path):
     """Round-10 soak (VERDICT r9 item 7): the FULL feedback cycle at
     depth — parent → child → grandchild across two trigger keys, a

@@ -877,6 +877,7 @@ def test_zorder_key_bits_guard():
     warehouse.zorder_key(["a"], bits=63)
 
 
+@pytest.mark.slow
 def test_join_mv_replay_idempotence_survives_vacuum(spark, tmp_path):
     """The batch-id watermark lives OUTSIDE the commit log, so
     vacuuming old versions (which destroys their jmv-batch markers)
