@@ -124,23 +124,43 @@ def scd2_customer_priority_history(
         )
         .localCheckpoint(eager=False)
     )
-    years = sorted(
-        r["_y"] for r in upd_all.select("_y").distinct().collect()
+    # ONE job yields the batch list AND the update-frame size — the
+    # size drives the same graph-parallelism decision the CC/kcore
+    # loops make (operators/scheduling.py): a replay over a
+    # single-shuffle-partition update set runs its per-batch MERGE
+    # jobs without AQE/broadcast stage-job overhead (each exchange of
+    # the full-outer merge is otherwise its own stage-job per batch).
+    # Production-size dims (n_upd >= 200k) keep AQE untouched.
+    from activedatawarehouseprototype_spark.operators.scheduling import (
+        single_partition_loop,
     )
-    for y in years:
-        upd = upd_all.filter(F.col("_y") == y).drop("_y")
-        # validate=False: upd is deduplicated (row_number()=1) and
-        # NULL-ts-filtered by construction two lines up — the
-        # validation job per batch would only re-prove that
-        scd2_upsert(
-            spark,
-            target,
-            upd,
-            key_cols=["custkey"],
-            tracked_cols=["priority"],
-            effective_ts_col="eff",
-            validate=False,
-        )
+
+    stats = upd_all.agg(
+        F.count(F.lit(1)).alias("n_upd"),
+        F.sort_array(F.collect_set("_y")).alias("years"),
+    ).collect()[0]
+    n_parts = max(
+        1,
+        min(
+            spark.sparkContext.defaultParallelism,
+            int(stats["n_upd"]) // 200_000 + 1,
+        ),
+    )
+    with single_partition_loop(spark, n_parts):
+        for y in stats["years"]:
+            upd = upd_all.filter(F.col("_y") == y).drop("_y")
+            # validate=False: upd is deduplicated (row_number()=1) and
+            # NULL-ts-filtered by construction two lines up — the
+            # validation job per batch would only re-prove that
+            scd2_upsert(
+                spark,
+                target,
+                upd,
+                key_cols=["custkey"],
+                tracked_cols=["priority"],
+                effective_ts_col="eff",
+                validate=False,
+            )
     # The SCD2 high-date sentinel keeps the open version's valid_to
     # comparable across engines (NULL timestamps render
     # engine-specifically: Spark None vs pandas NaT) — and it is

@@ -522,27 +522,56 @@ def cdc_enrich_pipeline_evals(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="adw-cdc-enrich-")
     try:
         base = f"{work}/jmv"
-        # seed the dimension, then stream the three evaluation slices
+        # seed the dimension OUTSIDE the scope (it materializes the
+        # users cache under AQE — the data-plane pass)
         incremental_join_mv(spark, base, ["key"], right_batch=dim0)
-        for s in (0, 1):
-            incremental_join_mv(
-                spark, base, ["key"],
-                left_batch=evals_all.filter(_slice(s)), batch_id=s,
-            )
-        # mid-stream dimension CDC: even users become 'vip' — the MV
-        # rows slices 0-1 already wrote retract and reapply
-        dim_tbl = f"{work}/dim_table"
-        dim0.write.parquet(dim_tbl)
-        log = merge_upsert_cdc(spark, dim_tbl, dim_update, ["key"])
-        apply_cdc_to_join_mv(spark, base, ["key"], log, ["key"], side="right")
-        mv = incremental_join_mv(
-            spark, base, ["key"],
-            left_batch=evals_all.filter(_slice(2)), batch_id=2,
+        # The replay loop's frames are all slices/joins of evals_all
+        # and the dim: measure them (the evals count materializes the
+        # lazy checkpoint batch 0 would have materialized anyway; the
+        # users count is a cache hit) and make the same
+        # graph-parallelism decision as the CC/kcore/SCD2 loops
+        # (operators/scheduling.py) — per-batch MERGE/MV jobs on a
+        # single-shuffle-partition working set skip the
+        # stage-job-per-exchange AQE overhead; production-size inputs
+        # keep AQE untouched.
+        from activedatawarehouseprototype_spark.operators.scheduling import (
+            single_partition_loop,
         )
-        return mv.select(
-            "query_id", "key", "window_start_ms", "window_end_ms",
-            "agg_value", "fired", "tier",
-        ).localCheckpoint()
+
+        n_work = max(evals_all.count(), users.count())
+        n_parts = max(
+            1,
+            min(
+                spark.sparkContext.defaultParallelism,
+                int(n_work) // 200_000 + 1,
+            ),
+        )
+        with single_partition_loop(spark, n_parts):
+            for s in (0, 1):
+                incremental_join_mv(
+                    spark, base, ["key"],
+                    left_batch=evals_all.filter(_slice(s)), batch_id=s,
+                )
+            # mid-stream dimension CDC: even users become 'vip' — the
+            # MV rows slices 0-1 already wrote retract and reapply
+            dim_tbl = f"{work}/dim_table"
+            dim0.write.parquet(dim_tbl)
+            log = merge_upsert_cdc(spark, dim_tbl, dim_update, ["key"])
+            apply_cdc_to_join_mv(
+                spark, base, ["key"], log, ["key"], side="right"
+            )
+            mv = incremental_join_mv(
+                spark, base, ["key"],
+                left_batch=evals_all.filter(_slice(2)), batch_id=2,
+            )
+            # eager checkpoint INSIDE the scope: the result
+            # materializes here (single job); the select below only
+            # reads the checkpointed RDD
+            out = mv.select(
+                "query_id", "key", "window_start_ms", "window_end_ms",
+                "agg_value", "fired", "tier",
+            ).localCheckpoint()
+        return out
     finally:
         users.unpersist()
         shutil.rmtree(work, ignore_errors=True)

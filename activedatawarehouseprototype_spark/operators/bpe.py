@@ -95,38 +95,62 @@ def bpe_train(
     if num_merges < 0 or min_pair_count < 1:
         raise ValueError("bpe_train: num_merges >= 0, min_pair_count >= 1")
     words = _word_table(df, text_col).localCheckpoint(eager=True)
+    # size the merge loop's scheduling to the VOCABULARY (cheap count
+    # over the just-checkpointed RDD): a single-shuffle-partition word
+    # table runs each round's pair-count + argmax without AQE's
+    # stage-job-per-exchange overhead (operators/scheduling.py — the
+    # CC/kcore loop discipline). Big vocabularies keep AQE.
+    sc = df.sparkSession.sparkContext
+    n_parts = max(
+        1, min(sc.defaultParallelism, words.count() // 200_000 + 1)
+    )
+    merges = _bpe_merge_loop(
+        df.sparkSession, words, num_merges, min_pair_count, n_parts
+    )
+    return merges
+
+
+def _bpe_merge_loop(
+    spark, words: DataFrame, num_merges: int, min_pair_count: int,
+    n_parts: int,
+) -> list[tuple[str, str]]:
+    from activedatawarehouseprototype_spark.operators.scheduling import (
+        single_partition_loop,
+    )
+
     merges: list[tuple[str, str]] = []
-    for _ in range(num_merges):
-        pairs = (
-            words.select(
-                F.posexplode(F.slice("sym", 1, F.size("sym") - 1)).alias(
-                    "i", "a"
-                ),
-                F.col("sym"),
-                F.col("cnt"),
+    with single_partition_loop(spark, n_parts):
+        for _ in range(num_merges):
+            pairs = (
+                words.select(
+                    F.posexplode(F.slice("sym", 1, F.size("sym") - 1)).alias(
+                        "i", "a"
+                    ),
+                    F.col("sym"),
+                    F.col("cnt"),
+                )
+                .select(
+                    F.col("a"),
+                    F.element_at("sym", F.col("i") + 2).alias("b"),
+                    F.col("cnt"),
+                )
+                .groupBy("a", "b")
+                .agg(F.sum("cnt").alias("n"))
             )
-            .select(
-                F.col("a"),
-                F.element_at("sym", F.col("i") + 2).alias("b"),
-                F.col("cnt"),
+            best = (
+                pairs.orderBy(F.col("n").desc(), F.col("a"), F.col("b"))
+                .limit(1)
+                .collect()  # 1 row per round (control plane)
             )
-            .groupBy("a", "b")
-            .agg(F.sum("cnt").alias("n"))
-        )
-        best = (
-            pairs.orderBy(F.col("n").desc(), F.col("a"), F.col("b"))
-            .limit(1)
-            .collect()  # 1 row per round (control plane)
-        )
-        if not best or best[0]["n"] < min_pair_count:
-            break
-        a, b = best[0]["a"], best[0]["b"]
-        merges.append((a, b))
-        words = words.select(
-            _merge_pair(F.col("sym"), a, b).alias("sym"), "cnt"
-        ).localCheckpoint(eager=False)  # truncated at the next round's
-        # argmax collect — lazy, so a round is ONE job, not an
-        # eager-checkpoint + collect pair
+            if not best or best[0]["n"] < min_pair_count:
+                break
+            a, b = best[0]["a"], best[0]["b"]
+            merges.append((a, b))
+            words = words.select(
+                _merge_pair(F.col("sym"), a, b).alias("sym"), "cnt"
+            ).localCheckpoint(eager=False)  # truncated at the next round's
+            # argmax collect — lazy, so a round is ONE job, not an
+            # eager-checkpoint + collect pair
     return merges
 
 

@@ -671,60 +671,71 @@ def connected_components(
     # leaking one cached edge table per call into executor storage
     edges_cached = edges
     edges = edges.repartition(n_parts, "a")
-    labels = edges.select(F.col("a").alias("id")).distinct().select(
-        "id", F.col("id").alias("comp")
-    )
     converged = False
+    # single-partition graphs run the loop under non-adaptive
+    # single-partition scheduling (operators/scheduling.py): with AQE
+    # on, each of the ~6 exchanges per iteration is its own stage-job
+    # and each broadcast join adds a build-side job — measured 7-8
+    # jobs/iteration on a 402-edge graph vs 1 with the scope active,
+    # identical labels. Larger graphs (n_parts > 1) keep AQE.
+    from activedatawarehouseprototype_spark.operators.scheduling import (
+        single_partition_loop,
+    )
+
     try:
-        for it in range(max_iter):
-            neighbor_min = (
-                edges.join(
-                    labels.select(
-                        F.col("id").alias("b"), F.col("comp").alias("bcomp")
-                    ),
-                    "b",
-                )
-                .groupBy(F.col("a").alias("id"))
-                .agg(F.min("bcomp").alias("ncomp"))
+        with single_partition_loop(pairs.sparkSession, n_parts):
+            labels = edges.select(F.col("a").alias("id")).distinct().select(
+                "id", F.col("id").alias("comp")
             )
-            stepped = labels.join(neighbor_min, "id", "left")
-            if it > 0:
-                # pointer doubling: also look up the label OF the
-                # current label, so label chains halve every round
-                # (O(log diameter)). Skipped in iteration 0, where
-                # labels are still the identity map and the lookup is
-                # a no-op join.
-                label_of_label = labels.select(
-                    F.col("id").alias("comp"), F.col("comp").alias("ccomp")
+            for it in range(max_iter):
+                neighbor_min = (
+                    edges.join(
+                        labels.select(
+                            F.col("id").alias("b"), F.col("comp").alias("bcomp")
+                        ),
+                        "b",
+                    )
+                    .groupBy(F.col("a").alias("id"))
+                    .agg(F.min("bcomp").alias("ncomp"))
                 )
-                stepped = stepped.join(label_of_label, "comp", "left")
-                new_comp = F.least(
-                    F.col("comp"),
-                    F.coalesce("ncomp", F.col("comp")),
-                    F.coalesce("ccomp", F.col("comp")),
-                )
-            else:
-                new_comp = F.least(
-                    F.col("comp"), F.coalesce("ncomp", F.col("comp"))
-                )
-            # carry the previous label through the checkpoint so the
-            # convergence check is a filter over the materialized frame,
-            # not another join per iteration
-            stepped = stepped.select(
-                "id",
-                new_comp.alias("comp"),
-                F.col("comp").alias("prev"),
-            ).localCheckpoint(eager=False)
-            # lazy checkpoint: this count is the materializing action,
-            # so an iteration costs ONE job instead of an
-            # eager-checkpoint + count pair (pure job-submission
-            # overhead on small graphs — same finding as the twostar
-            # loop)
-            changed = stepped.filter(F.col("comp") != F.col("prev")).count()
-            labels = stepped.drop("prev")
-            if changed == 0:
-                converged = True
-                break
+                stepped = labels.join(neighbor_min, "id", "left")
+                if it > 0:
+                    # pointer doubling: also look up the label OF the
+                    # current label, so label chains halve every round
+                    # (O(log diameter)). Skipped in iteration 0, where
+                    # labels are still the identity map and the lookup is
+                    # a no-op join.
+                    label_of_label = labels.select(
+                        F.col("id").alias("comp"), F.col("comp").alias("ccomp")
+                    )
+                    stepped = stepped.join(label_of_label, "comp", "left")
+                    new_comp = F.least(
+                        F.col("comp"),
+                        F.coalesce("ncomp", F.col("comp")),
+                        F.coalesce("ccomp", F.col("comp")),
+                    )
+                else:
+                    new_comp = F.least(
+                        F.col("comp"), F.coalesce("ncomp", F.col("comp"))
+                    )
+                # carry the previous label through the checkpoint so the
+                # convergence check is a filter over the materialized frame,
+                # not another join per iteration
+                stepped = stepped.select(
+                    "id",
+                    new_comp.alias("comp"),
+                    F.col("comp").alias("prev"),
+                ).localCheckpoint(eager=False)
+                # lazy checkpoint: this count is the materializing action,
+                # so an iteration costs ONE job instead of an
+                # eager-checkpoint + count pair (pure job-submission
+                # overhead on small graphs — same finding as the twostar
+                # loop)
+                changed = stepped.filter(F.col("comp") != F.col("prev")).count()
+                labels = stepped.drop("prev")
+                if changed == 0:
+                    converged = True
+                    break
     finally:
         edges_cached.unpersist()
     if not converged:
@@ -878,23 +889,45 @@ def _twostar_loop(
     max_iter: int,
     on_non_convergence: str,
 ) -> DataFrame:
+    from activedatawarehouseprototype_spark.operators.scheduling import (
+        single_partition_loop,
+    )
+
     converged = n_edges == 0
-    for _ in range(max_iter if n_edges else 0):
-        after_small = _twostar_round(edges, n_parts).localCheckpoint(
-            # lazy: the count below is the materializing action, so a
-            # round costs ONE job (plus the rare subtract), not two —
-            # the eager-checkpoint+count pair was pure job-submission
-            # overhead on small graphs (half the loop's wall time)
-            eager=False
+    # same single-partition scheduling scope as connected_components:
+    # on an n_parts == 1 graph the 3 exchanges per round are 3
+    # stage-jobs under AQE and 1 pipelined job without it. The final
+    # star assembly materializes inside the scope too (its eager
+    # checkpoint), so every loop action is covered.
+    with single_partition_loop(edges.sparkSession, n_parts):
+        for _ in range(max_iter if n_edges else 0):
+            after_small = _twostar_round(edges, n_parts).localCheckpoint(
+                # lazy: the count below is the materializing action, so
+                # a round costs ONE job (plus the rare subtract), not
+                # two — the eager-checkpoint+count pair was pure
+                # job-submission overhead on small graphs
+                eager=False
+            )
+            # canonical-set fixed-point check: E' == E iff same size
+            # and E' \ E is empty (one subtract job + cached counts)
+            n_after = after_small.count()
+            if n_after == n_edges and after_small.subtract(edges).count() == 0:
+                edges = after_small
+                converged = True
+                break
+            edges, n_edges = after_small, n_after
+        return _twostar_finish(
+            edges, nodes, converged, max_iter, on_non_convergence
         )
-        # canonical-set fixed-point check: E' == E iff same size and
-        # E' \ E is empty (one subtract job + the cached counts)
-        n_after = after_small.count()
-        if n_after == n_edges and after_small.subtract(edges).count() == 0:
-            edges = after_small
-            converged = True
-            break
-        edges, n_edges = after_small, n_after
+
+
+def _twostar_finish(
+    edges: DataFrame,
+    nodes: DataFrame,
+    converged: bool,
+    max_iter: int,
+    on_non_convergence: str,
+) -> DataFrame:
     if not converged:
         msg = (
             f"connected_components_twostar did not converge within "

@@ -272,30 +272,39 @@ def kcore(
     # previous round's low-degree frame: released only AFTER the next
     # round's count has materialized the lazy checkpoint that reads it
     pending = None
+    # single-partition graphs peel under non-adaptive single-partition
+    # scheduling (operators/scheduling.py; same measured finding as
+    # connected_components: with AQE each exchange per round is its
+    # own stage-job, plus a broadcast build job per anti-join).
+    from activedatawarehouseprototype_spark.operators.scheduling import (
+        single_partition_loop,
+    )
+
     try:
-        for _ in range(max_iter):
-            deg = cur.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
-            low = deg.filter(F.col("d") < k).select("a").persist()
-            # ONE job per round: this count's plan runs low <- deg <-
-            # cur, so it materializes the previous round's lazy
-            # checkpoint AND caches low as a side effect — the
-            # eager-checkpoint + count pair it replaces was two job
-            # submissions for the same work
-            n_low = low.count()
-            if pending is not None:
-                pending.unpersist()
-                pending = None
-            if n_low == 0:
-                converged = True
-                low.unpersist()
-                break
-            cur = (
-                cur.join(low, "a", "left_anti")
-                .join(low.withColumnRenamed("a", "b"), "b", "left_anti")
-                .select("a", "b")
-                .localCheckpoint(eager=False)
-            )
-            pending = low
+        with single_partition_loop(edges.sparkSession, n_parts):
+            for _ in range(max_iter):
+                deg = cur.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+                low = deg.filter(F.col("d") < k).select("a").persist()
+                # ONE job per round: this count's plan runs low <- deg <-
+                # cur, so it materializes the previous round's lazy
+                # checkpoint AND caches low as a side effect — the
+                # eager-checkpoint + count pair it replaces was two job
+                # submissions for the same work
+                n_low = low.count()
+                if pending is not None:
+                    pending.unpersist()
+                    pending = None
+                if n_low == 0:
+                    converged = True
+                    low.unpersist()
+                    break
+                cur = (
+                    cur.join(low, "a", "left_anti")
+                    .join(low.withColumnRenamed("a", "b"), "b", "left_anti")
+                    .select("a", "b")
+                    .localCheckpoint(eager=False)
+                )
+                pending = low
         if not converged:
             raise RuntimeError(
                 f"kcore did not reach the peeling fixpoint in "
