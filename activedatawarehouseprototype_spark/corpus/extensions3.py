@@ -246,8 +246,15 @@ def compaction_small_files_rollup(
     work = _scratch("adw-compact-")
     path = f"{work}/orders"
     orders = _t(spark, sf_dir, "orders")
-    n_rows = orders.count()
-    orders.repartition(48).write.parquet(path)
+    # the row count rides the small-files seed write (Observation —
+    # the IVF/text-index build-meta recipe): one orders scan, not two
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    orders.observe(obs, F.count(F.lit(1)).alias("n")).repartition(
+        48
+    ).write.parquet(path)
+    n_rows = int(obs.get["n"])
     n_before = len([f for f in os.listdir(path) if f.endswith(".parquet")])
     compact_small_files(spark, path, target_bytes=64 << 20)
     n_after = len([f for f in os.listdir(path) if f.endswith(".parquet")])
